@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's own query surface (SURVEY.md §2), re-expressed over the
+  * driver's `events` table: projection+filter pushdown (P1/P2), pivot
+  * aggregation (A2-A5), minute tumbling windows (§2.5/T7), sorts (O1-O3),
+  * scalar functions (F1-F3, F8-F10).
+  *
+  * Reference sites cited per query. Scale posture: every query is one scan +
+  * one hash-aggregate exchange; filters/projections reach the parquet reader
+  * (PushedFilters / 2-col ReadSchema), matching the reference's explicit
+  * pushdown design (reference airflow/dags/pipeline.py:135).
+  */
+object EventOps {
+
+  /** Minute tumbling window × type counts — the reference's core semantics:
+    * ClickHouse `toStartOfMinute` materialized column + minute partition key
+    * (reference db/clickhouse_table_schema.sql:15,19). Minute rendered as a
+    * string so both engines hash identically. */
+  def minuteTypeCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("minute", $"ts"), "yyyy-MM-dd HH:mm").as("minute"),
+        $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"minute", $"event_type")
+  }
+
+  val minuteTypeCountsOracle: String =
+    """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+      |       event_type, CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY minute, event_type""".stripMargin
+
+  /** The flagship pivot report (reference airflow/dags/spark.py:27-32):
+    * groupBy + pivot with an explicit value list + zero-fill, here day ×
+    * event_type. Desugars to conditional counts — exactly what the oracle
+    * SQL spells out. */
+  def pivotDayType(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0)
+      .orderBy($"day")
+  }
+
+  val pivotDayTypeOracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(count(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+      |  CAST(count(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS error,
+      |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+      |  CAST(count(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS signup,
+      |  CAST(count(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Projection + predicate, both pushed to the scan (reference P1/P5). */
+  def filterProject(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"event_type" === "purchase" && $"value" > 100.0)
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"event_id")
+  }
+
+  val filterProjectOracle: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_type = 'purchase' AND value > 100.0
+      |ORDER BY event_id""".stripMargin
+
+  /** JSON field extraction from the props column (reference F8/F9 analog).
+    * regexp-based so the oracle needs no JSON extension. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_id",
+        regexp_extract($"props", "\"k\": *([0-9]+)", 1).cast("int").as("k"))
+      .orderBy($"event_id")
+  }
+
+  val jsonExtractOracle: String =
+    """SELECT event_id,
+      |       CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS INT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Per-user aggregate profile (A1/A2/A5 shapes + distinct). */
+  def userStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum($"value"), 2).as("total_value"),
+        round(avg($"value"), 4).as("avg_value"),
+        countDistinct($"event_type").as("type_cnt"))
+      .orderBy($"user_id")
+  }
+
+  val userStatsOracle: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+      |       round(CAST(sum(value) AS DOUBLE), 2) AS total_value,
+      |       round(CAST(avg(value) AS DOUBLE), 4) AS avg_value,
+      |       CAST(count(DISTINCT event_type) AS BIGINT) AS type_cnt
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Hour-of-day histogram (F1-style date part extraction). */
+  def hourHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(hour($"ts").as("hour_of_day"))
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("total_value"))
+      .orderBy($"hour_of_day")
+  }
+
+  val hourHistogramOracle: String =
+    """SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+      |FROM events GROUP BY 1 ORDER BY hour_of_day""".stripMargin
+
+  /** Batch form of the streaming tumbling window: `window(ts, "1 hour")`
+    * (SURVEY.md §2.5/T7) — the same operator Structured Streaming uses,
+    * oracle-checked against date_trunc. */
+  def tumblingHourly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("total_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm").as("hour_start"),
+        $"event_type", $"cnt", $"total_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  val tumblingHourlyOracle: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+      |       event_type, CAST(count(*) AS BIGINT) AS cnt,
+      |       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  /** The reference's Tehran-timezone minute file naming quirk (SURVEY.md F3,
+    * reference airflow/dags/pipeline.py:130-131): previous minute rendered in
+    * Asia/Tehran (UTC+3:30, no DST since 2022) as yyyy-MM-dd_HH-mm. The
+    * oracle uses the fixed +03:30 offset — valid for the 2024 event range. */
+  def tehranMinuteName(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_id",
+        date_format(
+          from_utc_timestamp($"ts", "Asia/Tehran") - expr("INTERVAL 1 MINUTE"),
+          "yyyy-MM-dd_HH-mm").as("minute_file"))
+      .orderBy($"event_id")
+  }
+
+  val tehranMinuteNameOracle: String =
+    """SELECT event_id,
+      |  strftime(ts + INTERVAL 210 MINUTE - INTERVAL 1 MINUTE,
+      |           '%Y-%m-%d_%H-%M') AS minute_file
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("ev_minute_type_counts", Some(minuteTypeCountsOracle), minuteTypeCounts),
+    Q("ev_pivot_day_type", Some(pivotDayTypeOracle), pivotDayType),
+    Q("ev_filter_project", Some(filterProjectOracle), filterProject),
+    Q("ev_json_extract", Some(jsonExtractOracle), jsonExtract),
+    Q("ev_user_stats", Some(userStatsOracle), userStats),
+    Q("ev_hour_histogram", Some(hourHistogramOracle), hourHistogram),
+    Q("ev_tumbling_hourly", Some(tumblingHourlyOracle), tumblingHourly),
+    Q("ev_tehran_minute_name", Some(tehranMinuteNameOracle), tehranMinuteName))
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: treat binary payloads as opaque `binary`
+  * columns with typed metadata, with decode/feature-extraction behind a
+  * clearly-marked STUB (no image/audio libs in this container — builder
+  * brief). The Spark-side plumbing (schema, batching, partitioning, feature
+  * shapes) is real and tested; only the codec is fake.
+  *
+  * The synthetic "media" payload is the document text cast to binary, which
+  * keeps the metadata (byte length, content hash) oracle-checkable.
+  */
+object Multimodal {
+
+  private def binCol = col("text").cast("binary")
+
+  /** Typed metadata over the binary column: byte length + content hash —
+    * the real part of any multimodal ingest (dedup keys, size filters). */
+  def binaryMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        length(binCol).cast("long").as("n_bytes"),
+        sha2(binCol, 256).as("sha"))
+      .orderBy($"doc_id")
+  }
+
+  val binaryMetaOracle: String =
+    """SELECT doc_id,
+      |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |       sha256(text) AS sha
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** STUB decoder: stands in for image/audio decode + feature extraction.
+    * A real deployment swaps the inner expression for a codec call (e.g.
+    * via mapPartitions batching a native decoder); everything around it —
+    * binary column in, fixed-width float feature vector + frame count out,
+    * narrow per-row map, no shuffle — is the production plumbing.
+    * Features are a deterministic fake: xxhash64 over 8 byte-chunks,
+    * normalized to [0,1). Rows-only check (no SQL oracle for the stub). */
+  def decodeFeaturesStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("bin", binCol)
+      .select($"doc_id",
+        floor(length($"bin") / 64).cast("int").as("n_frames"),
+        expr(
+          """transform(sequence(0, 7),
+            |  i -> pmod(xxhash64(substring(bin, i * 8 + 1, 8)), 1000) / 1000.0)"""
+            .stripMargin).as("features"))
+      .orderBy($"doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(
+    Q("mm_binary_meta", Some(binaryMetaOracle), binaryMeta),
+    Q("mm_decode_stub", None, decodeFeaturesStub))
+}

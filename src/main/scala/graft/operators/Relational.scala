@@ -1,0 +1,457 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator surface over the TPC-H-ish star schema: scans with
+  * pushdown, multi-way joins (broadcast + shuffle), semi/anti joins, grouped /
+  * rollup / cube / distinct aggregation, window functions, set ops, top-k.
+  *
+  * The reference pipeline itself has no joins (SURVEY.md §2.3) — this is the
+  * M4 extension surface of SURVEY.md §7.2, built Spark-first.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension tables (region/nation/supplier/part/customer) are explicitly
+  *    `broadcast()` so the big fact scans never shuffle for them;
+  *  - fact-fact joins (orders ⋈ lineitem) are plain equi-joins — Catalyst
+  *    picks sort-merge with AQE skew handling; both sides shuffle on the join
+  *    key once and the aggregation reuses that partitioning where possible;
+  *  - filters are applied before joins so they push into the parquet scan
+  *    (`PushedFilters` in explain output);
+  *  - top-k uses orderBy+limit which Spark executes as TakeOrderedAndProject
+  *    (per-partition heap, no global sort).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: the flagship aggregation.
+    * Single scan → partial/final hash aggregate; no shuffle besides the
+    * 4-group exchange. (Reference's own flagship agg is spark.py:27-33.)
+    */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+      | round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+      | round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+      | round(CAST(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+      | round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,
+      | round(CAST(avg(l_extendedprice) AS DOUBLE), 4) AS avg_price,
+      | round(CAST(avg(l_discount) AS DOUBLE), 4) AS avg_disc,
+      | CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style shipping-priority top-k: broadcast dim ⋈ fact ⋈ fact,
+    * aggregate, top-10. Customer is broadcast; orders⋈lineitem sort-merges
+    * on the order key.
+    */
+  def q3TopRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+    val ord  = Tables.orders(s, d).filter($"o_orderdate" < to_timestamp(lit("1998-01-01 00:00:00")))
+    val li   = Tables.lineitem(s, d).filter($"l_shipdate" > to_timestamp(lit("1998-01-01 00:00:00")))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .select($"l_orderkey", $"revenue",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Oracle: String =
+    """SELECT l_orderkey,
+      | round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS revenue,
+      | strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style local-supplier volume: 6-way join, every dimension
+    * broadcast, facts sort-merge once on the order key.
+    */
+  def q5LocalSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val region = Tables.region(s, d).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(s, d)
+    val cust   = Tables.customer(s, d)
+    val supp   = Tables.supplier(s, d)
+    val ord = Tables.orders(s, d)
+      .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              $"o_orderdate" <  to_timestamp(lit("1998-01-01 00:00:00")))
+    val li = Tables.lineitem(s, d)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5Oracle: String =
+    """SELECT n_name,
+      | round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Left outer join preserving empty groups: order count per customer,
+    * customers with no orders surface as 0. */
+  def joinLeftOrderCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("order_cnt"))
+      .orderBy($"c_custkey")
+  }
+
+  val joinLeftOracle: String =
+    """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS order_cnt
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** Left-semi join (EXISTS): customers with ≥1 finished order. */
+  def joinSemiFinished(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val finished = Tables.orders(s, d).filter($"o_orderstatus" === "F")
+    Tables.customer(s, d)
+      .join(finished, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val joinSemiOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def joinAntiNoOrders(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val joinAntiOracle: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** ROLLUP aggregation with subtotal rows pinned to 'ALL' (keeps the oracle
+    * compare away from engine-specific NULL ordering). */
+  def aggRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), round(sum($"o_totalprice"), 2).as("total"))
+      .select(
+        coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("o_orderstatus"),
+        $"cnt", $"total")
+      .orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
+  val aggRollupOracle: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+      |       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  /** CUBE aggregation over returnflag × linestatus. */
+  def aggCube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), round(sum($"l_quantity"), 2).as("qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
+        $"cnt", $"qty")
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val aggCubeOracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Distinct aggregation: exact distinct part/supplier counts per flag.
+    * (Two distinct aggs in one pass → Spark expands + reshuffles; at 100 TB
+    * prefer approx_count_distinct — exposed separately, rows-only check.) */
+  def aggDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("distinct_parts"),
+        countDistinct($"l_suppkey").as("distinct_supps"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggDistinctOracle: String =
+    """SELECT l_returnflag,
+      |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+      |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** approx_count_distinct (HLL++): the 100 TB-scale answer to aggDistinct.
+    * Not oracle-comparable (sketch internals differ per engine) → rows-only. */
+  def aggApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Statistical aggregates per order status. */
+  def aggStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(min($"o_totalprice"), 2).as("min_price"),
+        round(max($"o_totalprice"), 2).as("max_price"),
+        round(avg($"o_totalprice"), 4).as("avg_price"),
+        round(stddev_samp($"o_totalprice"), 4).as("sd_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val aggStatsOracle: String =
+    """SELECT o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       round(CAST(min(o_totalprice) AS DOUBLE), 2) AS min_price,
+      |       round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price,
+      |       round(CAST(avg(o_totalprice) AS DOUBLE), 4) AS avg_price,
+      |       round(CAST(stddev_samp(o_totalprice) AS DOUBLE), 4) AS sd_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- windows
+
+  import org.apache.spark.sql.expressions.Window
+
+  /** row_number: single most-expensive order per customer. */
+  def winTopOrderPerCustomer(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey")
+  }
+
+  val winTopOrderOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** Running total per customer in order-date order (deterministic frame:
+    * ties broken by the order key, so the fp accumulation order is fixed). */
+  def winRunningTotal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey",
+        round(sum($"o_totalprice").over(w), 2).as("running_total"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val winRunningOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+      |    AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** lag: spend delta versus the customer's previous order. */
+  def winLagDelta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey",
+        round($"o_totalprice" - lag($"o_totalprice", 1).over(w), 2).as("delta"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val winLagOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(CAST(o_totalprice - lag(o_totalprice, 1) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE), 2)
+      |    AS delta
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Moving average over the supplier's last 3 shipments. */
+  def winMovingAvg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(-2, Window.currentRow)
+    Tables.lineitem(s, d)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        round(avg($"l_quantity").over(w), 4).as("mov_avg_qty"))
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+      // the value column is the final tiebreaker to pin output row order.
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"mov_avg_qty")
+  }
+
+  val winMovingAvgOracle: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  round(CAST(avg(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+      |    AS mov_avg_qty
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber, mov_avg_qty""".stripMargin
+
+  /** rank / dense_rank with genuine ties (p_size within brand). */
+  def winRankDense(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_size".desc)
+    Tables.part(s, d)
+      .select($"p_partkey", $"p_brand", $"p_size",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .orderBy($"p_partkey")
+  }
+
+  val winRankOracle: String =
+    """SELECT p_partkey, p_brand, p_size,
+      |  CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS BIGINT)
+      |    AS rnk,
+      |  CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS BIGINT)
+      |    AS drnk
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- set ops
+
+  /** UNION (distinct): nations that have a customer or a supplier. */
+  def setUnion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+      .union(Tables.supplier(s, d).select($"s_nationkey".as("nationkey")))
+      .distinct()
+      .orderBy($"nationkey")
+  }
+
+  val setUnionOracle: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** INTERSECT: nations with both a customer and a supplier. */
+  def setIntersect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+      .intersect(Tables.supplier(s, d).select($"s_nationkey".as("nationkey")))
+      .orderBy($"nationkey")
+  }
+
+  val setIntersectOracle: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** EXCEPT: nations with a customer but no supplier. */
+  def setExcept(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+      .except(Tables.supplier(s, d).select($"s_nationkey".as("nationkey")))
+      .orderBy($"nationkey")
+  }
+
+  val setExceptOracle: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** Global top-k: Spark plans TakeOrderedAndProject (per-partition heaps,
+    * no full sort) — the shape that survives 100 TB. */
+  def topKOrders(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  val topKOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("q1_pricing_summary", Some(q1Oracle), q1PricingSummary),
+    Q("q3_top_revenue", Some(q3Oracle), q3TopRevenue),
+    Q("q5_local_supplier_volume", Some(q5Oracle), q5LocalSupplierVolume),
+    Q("join_left_order_counts", Some(joinLeftOracle), joinLeftOrderCounts),
+    Q("join_semi_finished", Some(joinSemiOracle), joinSemiFinished),
+    Q("join_anti_no_orders", Some(joinAntiOracle), joinAntiNoOrders),
+    Q("agg_rollup", Some(aggRollupOracle), aggRollup),
+    Q("agg_cube", Some(aggCubeOracle), aggCube),
+    Q("agg_distinct", Some(aggDistinctOracle), aggDistinct),
+    Q("agg_approx_distinct", None, aggApproxDistinct),
+    Q("agg_stats", Some(aggStatsOracle), aggStats),
+    Q("win_top_order_per_customer", Some(winTopOrderOracle), winTopOrderPerCustomer),
+    Q("win_running_total", Some(winRunningOracle), winRunningTotal),
+    Q("win_lag_delta", Some(winLagOracle), winLagDelta),
+    Q("win_moving_avg", Some(winMovingAvgOracle), winMovingAvg),
+    Q("win_rank_dense", Some(winRankOracle), winRankDense),
+    Q("set_union", Some(setUnionOracle), setUnion),
+    Q("set_intersect", Some(setIntersectOracle), setIntersect),
+    Q("set_except", Some(setExceptOracle), setExcept),
+    Q("topk_orders", Some(topKOracle), topKOrders))
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps._
+
+/** Similarity search over the 64-dim `embeddings` table: brute-force cosine
+  * top-k (the correctness baseline) and a random-hyperplane-LSH bucketed
+  * variant (the scale path), plus embedding-cosine near-dup pairs and an
+  * oracle-checkable per-label centroid profile.
+  *
+  * Scale posture: brute-force is a narrow scan + TakeOrderedAndProject — it
+  * IS the right plan for one query vector over 100 TB (embarrassingly
+  * parallel, no shuffle). The LSH variant cuts the scan by bucketing on a
+  * deterministic signature; the near-dup pair join only forms candidates
+  * inside a bucket, never the O(n²) cross join.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes (seed pinned → signatures stable
+    * across runs and engines). */
+  private val NumPlanes = 8
+  private val Dim = 64
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Signature column: bit j = sign(embedding · plane_j). */
+  private def sigCol(emb: org.apache.spark.sql.Column) =
+    (0 until NumPlanes).map { j =>
+      when(dot(emb, typedlit(planes(j))) > 0d, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def queryVector(s: SparkSession, d: String, id: Long): Seq[Float] =
+    Tables.embeddings(s, d).filter(col("vec_id") === id)
+      .select("embedding").head().getSeq[Float](0)
+
+  /** Brute-force cosine top-k for query vector vec_id=0. One scan, per-
+    * partition heap (orderBy+limit → TakeOrderedAndProject), no shuffle. */
+  def knnBrute(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = typedlit(queryVector(s, d, 0L))
+    Tables.embeddings(s, d)
+      .filter($"vec_id" =!= 0L)
+      .select($"vec_id", $"label", round(cosine($"embedding", q), 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** LSH-bucketed approximate top-k: only vectors whose hyperplane signature
+    * is within Hamming distance 2 of the query's signature are scored. At
+    * scale the signature is a partition/bucket key and the scan prunes to
+    * matching buckets. */
+  def knnLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qv = queryVector(s, d, 0L)
+    val qSig = planes.zipWithIndex.map { case (p, j) =>
+      val dp = p.zip(qv).map { case (a, b) => a * b.toDouble }.sum
+      if (dp > 0) 1 << j else 0
+    }.sum
+    val q = typedlit(qv)
+    Tables.embeddings(s, d)
+      .filter($"vec_id" =!= 0L)
+      .withColumn("sig", sigCol($"embedding"))
+      .withColumn("hamming", expr(s"bit_count(sig ^ $qSig)"))
+      .filter($"hamming" <= 2)
+      .select($"vec_id", $"label", round(cosine($"embedding", q), 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidates bucketed by exact
+    * signature equality (256 buckets), exact cosine inside the bucket. */
+  def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", sigCol($"embedding").as("sig"))
+    val a = sigs.select($"sig", $"vec_id".as("id_a"), $"embedding".as("emb_a"))
+    val b = sigs.select($"sig", $"vec_id".as("id_b"), $"embedding".as("emb_b"))
+    a.join(b, Seq("sig"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", round(cosine($"emb_a", $"emb_b"), 6).as("cos"))
+      .filter($"cos" >= 0.5)
+      .orderBy($"cos".desc, $"id_a", $"id_b")
+      .limit(50)
+  }
+
+  /** Per-label centroid of the first embedding coordinate — oracle-checkable
+    * slice of vector aggregation (DuckDB lists are 1-indexed). */
+  def labelCentroid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"embedding"(0)), 4).as("avg_c0"))
+      .orderBy($"label")
+  }
+
+  val labelCentroidOracle: String =
+    """SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |       round(CAST(avg(embedding[1]) AS DOUBLE), 4) AS avg_c0
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("sim_knn_brute", None, knnBrute),
+    Q("sim_knn_lsh", None, knnLsh),
+    Q("sim_neardup_pairs", None, nearDupPairs),
+    Q("sim_label_centroid", Some(labelCentroidOracle), labelCentroid))
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language profiling, language-ID heuristic, document
+  * fingerprinting. Core LLM-training-data-pipeline surface (builder brief),
+  * absent from the reference (SURVEY.md §2.8 has only scalar munging).
+  *
+  * All computation stays in codegen'd built-in expressions (split/size/
+  * filter/md5 higher-order functions) — no Scala UDFs in the hot path, so
+  * a 100 TB corpus scan stays inside WholeStageCodegen with no shuffle at
+  * all for the per-document metrics (narrow transforms only).
+  */
+object TextOps {
+
+  /** Tokens as both engines see them: single-space-separated words. */
+  private def nTokensCol = size(split(col("text"), " ")).cast("long")
+
+  /** Per-document token statistics. avg_token_len is derived from
+    * length(text) and the token count (single-space separation invariant)
+    * so it needs no explode/shuffle. */
+  def tokenStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        nTokensCol.as("n_tokens"),
+        round(
+          (length($"text") - (nTokensCol - lit(1))).cast("double") / nTokensCol,
+          4).as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenStatsOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+      |        / len(string_split(text, ' ')), 4) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword ratio via a higher-order filter over the
+    * token array (codegen'd, no explode), plus a simple length score. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val stopCnt = size(filter(toks, t => t.isin("the", "a")))
+    Tables.documents(s, d)
+      .select($"doc_id",
+        round(stopCnt.cast("double") / size(toks), 4).as("stopword_ratio"),
+        when(length($"text") >= 200, 1).otherwise(0).as("len_ok"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoreOracle: String =
+    """SELECT doc_id,
+      |  round(len(list_filter(string_split(text, ' '),
+      |            t -> t IN ('the', 'a'))) * 1.0
+      |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      |  CAST(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS INT) AS len_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus profile per language tag: doc counts, distinct sources, size. */
+  def langProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        round(avg($"n_chars"), 4).as("avg_chars"))
+      .orderBy($"lang")
+  }
+
+  val langProfileOracle: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |       round(CAST(avg(n_chars) AS DOUBLE), 4) AS avg_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Document fingerprint: content hash of the normalized text — the exact
+    * dedup key. md5 hex matches across engines, so oracle-checkable. */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", md5(lower($"text").cast("binary")).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintOracle: String =
+    """SELECT doc_id, md5(lower(text)) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language-ID n-gram heuristic (rows-only check: the heuristic is ours,
+    * no SQL ground truth): scores each doc against tiny per-language marker
+    * token sets and picks argmax; marker hits computed with higher-order
+    * array functions, language pick via greatest/when chain — all codegen'd.
+    * At 100 TB this is a narrow map over the corpus, no shuffle. */
+  def langIdHeuristic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = split(lower($"text"), " ")
+    // Marker sets are deliberately tiny and deterministic (synthetic corpus
+    // shares one vocabulary, so this exercises plumbing, not linguistics).
+    def score(markers: Seq[String]) =
+      size(filter(toks, t => t.isin(markers: _*))).cast("double") / size(toks)
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang".as("tagged_lang"),
+        score(Seq("the", "a", "fast", "slow")).as("s_en"),
+        score(Seq("table", "data", "part")).as("s_de"))
+      .withColumn("pred_lang",
+        when($"s_en" >= $"s_de", lit("en")).otherwise(lit("de")))
+      .select($"doc_id", $"tagged_lang", $"pred_lang")
+      .orderBy($"doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(
+    Q("text_token_stats", Some(tokenStatsOracle), tokenStats),
+    Q("text_quality_score", Some(qualityScoreOracle), qualityScore),
+    Q("text_lang_profile", Some(langProfileOracle), langProfile),
+    Q("text_fingerprint", Some(fingerprintOracle), fingerprint),
+    Q("text_langid_heuristic", None, langIdHeuristic))
+}
