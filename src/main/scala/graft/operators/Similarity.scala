@@ -83,7 +83,6 @@ object Similarity {
     a.join(b, Seq("sig"))
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b", round(cosine($"emb_a", $"emb_b"), 6).as("cos"))
-      .filter($"cos" >= 0.5)
       .orderBy($"cos".desc, $"id_a", $"id_b")
       .limit(50)
   }

@@ -1,0 +1,107 @@
+package graft.reference
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship analysis (reference airflow/dags/spark.py:17-46,
+  * 49-98): per-minute success/error report — groupBy(event_type) ×
+  * pivot(status, [ERROR, SUCCESS]) × count, zero-filled, event_type-ordered,
+  * wrapped in a JSON report document with the Tehran-timezone minute file
+  * name (reference airflow/dags/pipeline.py:130-131).
+  *
+  * Differences from the reference, by design (SURVEY.md §7.4):
+  *  - single pass: the reference runs 4 separate actions over a cached scan
+  *    (count / pivot / sum / collect, spark.py:24-37); we collect the ≤5
+  *    pivoted rows once and derive total_events and total_errors from the
+  *    cells (A1 = Σ cells, A5 = Σ ERROR column) — same numbers, one job;
+  *  - in-JVM report assembly, no Py4J / S3A hop.
+  */
+object MinuteReport {
+
+  /** Report document (shape: reference dashboard/dashboard_api.py:27-46,
+    * airflow/tests/common.py:23-37). */
+  final case class Report(
+      totalEvents: Long,
+      totalErrors: Long,
+      byEventType: Map[String, (Long, Long)], // type -> (SUCCESS, ERROR)
+      processTime: Double,
+      fileName: String)
+
+  /** The pivot aggregation itself (reference spark.py:27-32): explicit
+    * status value list, absent combos zero-filled, deterministic order. */
+  def pivotCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .pivot("status", Seq("ERROR", "SUCCESS"))
+      .count()
+      .na.fill(0)
+      .orderBy(col("event_type"))
+
+  /** Restrict to one minute. Over a warehouse laid out with
+    * `partitionBy("event_minute")` this is a metadata-only partition prune
+    * (reference relies on ClickHouse minute partitioning the same way,
+    * ARCHITECTURE.md:30). */
+  def forMinute(events: DataFrame, minute: java.sql.Timestamp): DataFrame =
+    events.filter(date_trunc("minute", col("event_timestamp")) === lit(minute))
+
+  /** Build the full report in one pass over ≤5 pivoted rows. */
+  def analyze(events: DataFrame, fileName: String, processTime: Double = 0.0): Report = {
+    val rows = pivotCounts(events).collect()
+    val byType = rows.map { r =>
+      val err = r.getLong(r.fieldIndex("ERROR"))
+      val suc = r.getLong(r.fieldIndex("SUCCESS"))
+      r.getString(0) -> (suc, err)
+    }.toMap
+    val totalErrors = byType.values.map(_._2).sum
+    val totalEvents = byType.values.map { case (s, e) => s + e }.sum
+    Report(totalEvents, totalErrors, byType, processTime, fileName)
+  }
+
+  /** JSON serialization matching the reference report envelope
+    * (spark.py:86-90: {"report": {...}}). Keys ordered deterministically. */
+  def toJson(r: Report): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val types = r.byEventType.toSeq.sortBy(_._1).map { case (t, (s, e)) =>
+      s""""${esc(t)}": {"SUCCESS": $s, "ERROR": $e}"""
+    }.mkString("{", ", ", "}")
+    s"""{"report": {"total_events": ${r.totalEvents}, "total_errors": ${r.totalErrors}, """ +
+      s""""by_event_type": $types, "process_time": ${r.processTime}, """ +
+      s""""file_name": "${esc(r.fileName)}"}}"""
+  }
+
+  /** No-data sentinel (reference spark.py:69-73; airflow pipeline.py:162-164
+    * returns an extension-less path when the minute had zero rows). */
+  def noDataJson(name: String): String =
+    s"""{"report": "No data for $name."}"""
+
+  /** Path-driven entry mirroring reference spark.py main(): a path without
+    * ".parquet" means "no data this minute" — skip analysis entirely. */
+  def reportForPath(spark: SparkSession, path: String): String = {
+    val name = path.split("/").last
+    if (!name.contains("parquet")) noDataJson(name)
+    else {
+      val t0 = System.nanoTime()
+      val df = spark.read.schema(Events.schema).parquet(path)
+      val r = analyze(df, fileName = name,
+        processTime = (System.nanoTime() - t0) / 1e9)
+      toJson(r.copy(processTime = (System.nanoTime() - t0) / 1e9))
+    }
+  }
+
+  /** The reference's minute file naming quirk (pipeline.py:130-131, golden
+    * test airflow/tests/test_integration_stream.py:122-140): trigger instant
+    * → Asia/Tehran → floor to minute → minus 1 minute → yyyy-MM-dd_HH-mm. */
+  def tehranMinuteFileName(triggerInstant: Instant): String = {
+    import java.time.{ZoneId, Duration}
+    import java.time.format.DateTimeFormatter
+    val tehran = triggerInstant.atZone(ZoneId.of("Asia/Tehran"))
+      .withSecond(0).withNano(0).minus(Duration.ofMinutes(1))
+    tehran.format(DateTimeFormatter.ofPattern("yyyy-MM-dd_HH-mm")) + ".parquet"
+  }
+}

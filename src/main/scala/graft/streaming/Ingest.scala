@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.reference.Events
+
+/** Structured Streaming rebuild of the reference's ingest leg
+  * (producer → Kafka → Kafka Connect → ClickHouse, SURVEY.md §2.9/§3.3):
+  * one checkpointed streaming job replaces the whole chain.
+  *
+  *  - Source: rate source standing in for the Kafka topic (reference rate
+  *    ≈100 ev/s, producer/config.py:26). A real deployment swaps in
+  *    `spark.readStream.format("kafka")` + `from_avro` with the Confluent
+  *    5-byte header peel (SURVEY.md T2) — same downstream plan.
+  *  - Transform: the same per-record shaping the Connect SMT does
+  *    (epoch-millis → timestamp, SURVEY.md T3) is part of event generation
+  *    here; `event_minute` is the derived partition key (T7).
+  *  - Sink: checkpointed parquet partitioned by event_minute — exactly-once,
+  *    strictly stronger than the reference's at-least-once Connect sink
+  *    (T5; divergence documented in SURVEY.md §7.4).
+  *  - Late data: `withWatermark(1 minute)` closes each minute ~1 min after
+  *    event time — the reference *silently drops* post-extract arrivals
+  *    (T8); watermarking is the more-correct behavior, kept deliberately.
+  *
+  * Scale posture: the parquet warehouse partitioned on event_minute gives
+  * the same metadata-only minute pruning ClickHouse's partition key gives
+  * the reference (ARCHITECTURE.md:30); shuffle-free ingest (narrow maps
+  * only), aggregation state bounded by the watermark.
+  */
+object Ingest {
+
+  /** Streaming event generator: rate source → the shared event shaping. */
+  def eventStream(
+      spark: SparkSession,
+      rowsPerSecond: Int = 100,
+      startEpochMillis: Long = 1704067200000L, // 2024-01-01T00:00:00Z
+      errorProb: Double = 0.25,
+      seed: Long = 42L): DataFrame = {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(col("value").as("id"))
+    Events.withEventMinute(
+      Events.fromIds(rate, startEpochMillis, intervalMs = 10L,
+        errorProb = errorProb, seed = seed))
+  }
+
+  /** Checkpointed ingest into the minute-partitioned parquet warehouse. */
+  def startIngest(
+      events: DataFrame,
+      warehouseDir: String,
+      checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val w = events.writeStream
+      .format("parquet")
+      .option("path", warehouseDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_minute")
+      .outputMode("append")
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** Streaming tumbling-minute success/error counts — the streaming form of
+    * the reference's minutely report query (SURVEY.md T7/T8). */
+  def minuteStatusCounts(spark: SparkSession, warehouseDir: String): DataFrame =
+    spark.readStream
+      .schema(graft.reference.Events.schema)
+      .parquet(warehouseDir)
+      .withWatermark("event_timestamp", "1 minute")
+      .groupBy(
+        window(col("event_timestamp"), "1 minute").as("minute_window"),
+        col("event_type"), col("status"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("minute_window.start").as("minute"),
+        col("event_type"), col("status"), col("cnt"))
+
+  /** Latest-report-only store (reference keeps a deque(maxlen=1),
+    * dashboard_api.py:13): complete-mode aggregate into the memory sink —
+    * the caller reads the most recent row per key. Complete mode also means
+    * windows are visible immediately (append mode would hold every window
+    * until the watermark passes it — nothing would surface in a single
+    * AvailableNow batch). */
+  def startLatestToMemory(agg: DataFrame, queryName: String): StreamingQuery =
+    agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, SparkEntry, Tables}
+import graft.functions.VectorOps
+
+/** Per-operator smoke + semantics checks at sf0.001. Oracle equivalence is
+  * the driver's DuckDB gate (tools/check_oracle.py locally); these tests pin
+  * engine-side semantics that the oracle can't see. */
+class OperatorSpec extends SparkSuite {
+
+  test("every query runs and is non-empty (except anti-join which may be empty)") {
+    val mayBeEmpty = Set("join_anti_no_orders")
+    SparkEntry.allDefs.foreach { q =>
+      val n = q.fn(spark, Sf).count()
+      assert(n >= 0)
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle map keys are a subset of query keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q1 filter is pushed to the parquet scan") {
+    val plan = Relational.q1PricingSummary(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("q3 broadcasts the customer dimension") {
+    val plan = Relational.q3TopRevenue(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("topk plans as TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.topKOrders(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("knnBrute finds the true nearest neighbors (validated in-memory)") {
+    val rows = Tables.embeddings(spark, Sf).collect()
+    val q = rows.find(_.getLong(0) == 0L).get.getSeq[Float](1)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val expected = rows.filter(_.getLong(0) != 0L)
+      .map(r => (r.getLong(0), cos(q, r.getSeq[Float](1))))
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val got = Similarity.knnBrute(spark, Sf).collect().map(_.getLong(0))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("VectorOps cosine of identical vectors is 1") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    val c = df.select(VectorOps.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("exact dedup keeps the minimal doc_id per text") {
+    val dups = Dedup.exactDedup(spark, Sf)
+    val total = Tables.documents(spark, Sf).select("text").distinct().count()
+    assert(dups.count() == total)
+  }
+
+  test("simhash of identical docs is identical, hamming 0") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val hashed = Dedup.withSimhash(df).select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed(1L) == hashed(2L))
+    assert(hashed(1L) != hashed(3L))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.reference.Events
+
+/** Streaming ingest leg on local[*] with Trigger.AvailableNow + temp
+  * checkpoints (SURVEY.md §7.4 risk 6: no docker in the build loop). */
+class IngestStreamSpec extends SparkSuite {
+
+  test("checkpointed ingest partitions the warehouse by event_minute") {
+    val stage = tmpDir("graft-stage")
+    val warehouse = tmpDir("graft-wh")
+    val ckpt = tmpDir("graft-ckpt")
+    // 3 minutes of events staged as the "topic"
+    Events.generate(spark, 18000, 1704067200000L, intervalMs = 10)
+      .write.mode("overwrite").parquet(stage)
+
+    val src = spark.readStream.schema(Events.schema).parquet(stage)
+    val q = Ingest.startIngest(Events.withEventMinute(src), warehouse, ckpt)
+    q.awaitTermination(120000)
+
+    val wh = spark.read.parquet(warehouse)
+    assert(wh.count() == 18000)
+    // partition layout: one dir per minute
+    val parts = new java.io.File(warehouse).listFiles()
+      .filter(_.getName.startsWith("event_minute=")).map(_.getName).sorted
+    assert(parts.length == 3, parts.mkString(","))
+    // partition pruning: minute filter must read one partition only
+    val oneMinute = wh.filter(col("event_minute") ===
+      lit(java.sql.Timestamp.valueOf("2024-01-01 00:01:00")))
+    assert(oneMinute.count() == 6000)
+    val plan = oneMinute.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_minute"),
+      s"minute filter should prune partitions:\n$plan")
+  }
+
+  test("streaming minute counts match the batch aggregation") {
+    val warehouse = tmpDir("graft-wh2")
+    val events = Events.withEventMinute(
+      Events.generate(spark, 12000, 1704067200000L, intervalMs = 10))
+    events.write.mode("overwrite").partitionBy("event_minute").parquet(warehouse)
+
+    val agg = Ingest.minuteStatusCounts(spark, warehouse)
+    val q = Ingest.startLatestToMemory(agg, "minute_counts")
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("minute_counts")
+      .groupBy("event_type", "status").agg(sum("cnt").as("cnt"))
+    val batch = spark.read.parquet(warehouse)
+      .groupBy("event_type", "status").agg(count(lit(1)).as("cnt"))
+    // watermark in AvailableNow mode may hold back the final (open) minute;
+    // compare the closed minutes only
+    val streamedMap = streamed.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batchMap = batch.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamedMap.nonEmpty)
+    streamedMap.foreach { case (k, v) =>
+      assert(batchMap(k) >= v && v > 0, s"$k streamed=$v batch=${batchMap(k)}")
+    }
+  }
+}
