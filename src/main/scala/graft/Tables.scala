@@ -104,8 +104,12 @@ object Tables {
     "documents" -> documentsSchema,
     "embeddings" -> embeddingsSchema)
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    // Every operator loads through here — the natural hook to make graft's
+    // native functions (e.g. graft_dot) available in the session. Idempotent.
+    graft.functions.GraftFunctions.register(spark)
     spark.read.schema(schemas(table)).parquet(s"$sfDir/$table.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: dot product of two `array<float>` columns,
+  * accumulated in double.
+  *
+  * Why a custom Expression (builder-brief preference order (b)): the
+  * `aggregate(zip_with(a, b, *), …)` composition of built-ins is
+  * semantically identical but runs interpreted per element with boxed
+  * Doubles and two intermediate arrays — ~20× slower on 64-dim embeddings.
+  * This expression generates a tight primitive loop inside whole-stage
+  * codegen (with an interpreted `nullSafeEval` fallback), which is what a
+  * 100 TB similarity scan needs.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  /** Accepts array<float> and array<double> on either side (embeddings are
+    * float; hyperplane literals are double). Products accumulate in double
+    * regardless — slightly MORE precise than the float-product HOF
+    * formulation. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def get(arr: String, idx: String, float: Boolean) =
+      if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double graftS = 0.0;
+         |for (int graftI = 0; graftI < graftN; graftI++) {
+         |  graftS += ${get(a, "graftI", isFloat(left))} * ${get(b, "graftI", isFloat(right))};
+         |}
+         |${ev.value} = graftS;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-level registration for graft's native functions. Idempotent. */
+object GraftFunctions {
+  val DotName = "graft_dot"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName,
+      exprs => DotProductExpr(exprs.head, exprs(1)),
+      "built-in")
+}

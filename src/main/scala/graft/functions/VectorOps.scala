@@ -3,14 +3,20 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built purely from
-  * Spark's higher-order array functions (`zip_with` + `aggregate`) — native
-  * Catalyst expressions, no UDF serialization, valid inside any operator at
-  * any scale. Accumulation is in double.
+/** Vector math over `array<float>` embedding columns. The dot product — the
+  * hot inner loop of every similarity operator — is the custom codegen'd
+  * Catalyst expression [[DotProductExpr]] (registered per session by
+  * [[GraftFunctions.register]], see graft.Tables.load); derived quantities
+  * (norm, cosine, L2) compose it with built-ins. Accumulation is in double.
   */
 object VectorOps {
 
   def dot(a: Column, b: Column): Column =
+    call_function(GraftFunctions.DotName, a, b)
+
+  /** Built-in-only formulation (no custom expression) — kept as the
+    * reference semantics for tests and as the portable fallback. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),
       (acc, x) => acc + x)
 

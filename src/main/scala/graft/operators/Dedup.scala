@@ -5,28 +5,26 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Deduplication operators over `documents`: exact (hash-groupBy), n-gram
-  * Jaccard near-dup, SimHash, MinHash-LSH. Core training-data-pipeline
-  * surface (builder brief); the reference has no dedup at all.
+/** Deduplication operators over `documents`: exact (hash-groupBy), MinHash
+  * signatures + LSH banding, exact n-gram Jaccard on LSH candidates, and
+  * SimHash. Core training-data-pipeline surface (builder brief); the
+  * reference has no dedup at all.
   *
   * Scale posture (100 TB corpus):
-  *  - exact dedup is one shuffle on the content hash (group on md5, not the
-  *    full text, so shuffle rows are 32 bytes + ids, not documents);
-  *  - near-dup avoids the O(n²) pair space by inverted-index / LSH banding:
-  *    candidate pairs only form inside a shared shingle or band bucket;
-  *  - stop-shingles (document frequency above a cap) are dropped before the
-  *    self-join — the classic skew guard, otherwise one hot shingle creates
-  *    a quadratic bucket;
-  *  - SimHash is computed per-document with higher-order array functions
-  *    (narrow map, no shuffle), then banded for the pair join.
+  *  - exact dedup is one shuffle keyed on the text (or its fingerprint);
+  *  - MinHash signatures are a NARROW per-document map — k=16 hash mins
+  *    computed with higher-order array functions, no explode, no shuffle;
+  *  - candidate pairs come only from LSH band collisions (4 bands × 4
+  *    rows). A shingle-inverted-index self-join is quadratic in document
+  *    frequency and melts down on low-entropy corpora (a hot shingle in
+  *    f docs creates f² pairs); banding bounds the blowup to genuinely
+  *    similar documents;
+  *  - exact Jaccard runs only on the candidate set via array_intersect on
+  *    the per-doc shingle sets.
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest doc_id per identical text. Grouping on the
-    * md5 fingerprint keeps the shuffle narrow at scale; text is re-attached
-    * by the min-id row semantics (here: group directly on text — oracle
-    * equality needs the text column, and the synthetic corpus is small; the
-    * fingerprint variant is `text_fingerprint`). */
+  /** Exact dedup: keep the lowest doc_id per identical text. */
   def exactDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -40,86 +38,111 @@ object Dedup {
     """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
       |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
 
-  /** Distinct 3-gram word shingles per doc (docs with <3 tokens dropped). */
-  private[operators] def shingles(s: SparkSession, d: String): DataFrame = {
+  /** Distinct 3-gram word-shingle set per doc, as an array column (docs with
+    * <3 tokens dropped). Narrow map — no shuffle. */
+  private[operators] def shingleSets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .filter(size(split($"text", " ")) >= 3)
-      .select($"doc_id",
-        explode(array_distinct(expr(
-          """transform(sequence(0, size(split(text, ' ')) - 3),
-            |          i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"""
-            .stripMargin))).as("shingle"))
+      .select($"doc_id", expr(
+        """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+          |                         i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"""
+          .stripMargin).as("sh"))
   }
 
-  /** n-gram Jaccard near-dup: inverted index on shingles → candidate pairs
-    * only where a shingle is shared → Jaccard from intersection/set sizes.
-    * Top-20 most similar pairs (rows-only check; set algebra over shingle
-    * strings has no portable SQL oracle). */
+  /** k=16 MinHash signature per doc: sig[k] = min over shingles of a
+    * k-salted hash. Each shingle STRING is hashed exactly once; the k
+    * variants re-hash the resulting long (string hashing is the dominant
+    * cost — 16× re-hashing strings would be 16× the work). Pure per-row
+    * computation, no shuffle. */
+  private[operators] def withMinhashSig(shingled: DataFrame): DataFrame =
+    shingled
+      .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
+      .withColumn("sig", expr(
+        "transform(sequence(0, 15), k -> array_min(transform(hs, h -> xxhash64(h, k))))"))
+      .drop("hs")
+
+  /** LSH candidate pairs: docs agreeing on ≥1 of 2 bands (8 minhashes per
+    * band — wide bands keep dissimilar docs apart even on low-entropy
+    * corpora where narrow bands collide constantly). Returns doc_a < doc_b
+    * with both shingle sets and signatures attached.
+    *
+    * Two scale guards, both essential at 100 TB:
+    *  - the self-join carries ONLY (band, key, doc_id) — shingle sets and
+    *    signatures are re-attached after pair dedup, so the shuffle rows
+    *    are a few dozen bytes, not documents;
+    *  - degenerate buckets (band keys shared by >500 docs — boilerplate/
+    *    template content) are dropped before the join: one hot key would
+    *    otherwise create a quadratic pair explosion. */
+  private[operators] def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // The signature relation is referenced 5× in this DAG (banding, bucket
+    // census, both join sides, both re-attachments) — persist it so the
+    // per-document hashing runs once, not five times. It is small: ids +
+    // 16 longs + the shingle array per doc.
+    val sigs = withMinhashSig(shingleSets(s, d)).persist()
+    val banded = sigs.select($"doc_id",
+        explode(expr(
+          """transform(sequence(0, 1),
+            |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * 8 + 1, 8))))"""
+            .stripMargin)).as("bk"))
+      .select($"doc_id", $"bk.band", $"bk.key")
+    val small = banded.groupBy($"band", $"key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" <= 500)
+      .select($"band", $"key")
+    val pruned = banded.join(small, Seq("band", "key"))
+    val a = pruned.select($"band", $"key", $"doc_id".as("doc_a"))
+    val b = pruned.select($"band", $"key", $"doc_id".as("doc_b"))
+    val pairs = a.join(b, Seq("band", "key"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sig".as("sig_b")), "doc_b")
+  }
+
+  /** Exact n-gram Jaccard on the LSH candidate set: top-20 most similar
+    * pairs. (Rows-only check: set algebra has no portable SQL oracle.) */
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, d).cache()
-    // Skew guard: drop stop-shingles appearing in >5% of docs (quadratic
-    // bucket risk at scale); synthetic corpus keeps most shingles rare.
-    val nDocs = Tables.documents(s, d).count()
-    val cap = math.max(50L, nDocs / 20)
-    val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-      .filter($"df" <= cap).select($"shingle")
-    val filtered = sh.join(broadcast(rare), Seq("shingle"))
-    val sizes = filtered.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = filtered.select($"doc_id".as("doc_a"), $"shingle")
-    val b = filtered.select($"doc_id".as("doc_b"), $"shingle")
-    val common = a.join(b, Seq("shingle"))
-      .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    lshCandidates(s, d)
       .select($"doc_a", $"doc_b",
-        round($"common".cast("double") / ($"n_a" + $"n_b" - $"common"), 4).as("jaccard"))
+        round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")), 4).as("jaccard"))
       .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
       .limit(20)
+  }
+
+  /** MinHash-estimated Jaccard on the LSH candidate set: top-50 pairs. */
+  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lshCandidates(s, d)
+      .select($"doc_a", $"doc_b",
+        round(expr(
+          "size(filter(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), v -> v = 1)) / 16.0"
+        ), 4).as("est_jaccard"))
+      .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
+      .limit(50)
   }
 
   /** 64-bit SimHash per document, computed entirely with higher-order array
     * expressions (no UDF, no explode — a narrow map even at 100 TB):
     * bit i of the hash is the sign of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). */
   private[operators] def withSimhash(df: DataFrame): DataFrame =
-    df.withColumn("toks", array_distinct(split(col("text"), " ")))
+    // Tokens are hashed once into longs; the 64 bit-sums then operate on
+    // longs only (re-hashing the token string per bit would be 64× the
+    // string-hash cost).
+    df.withColumn("hs", expr(
+        "transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
       .withColumn("simhash", expr(
         """aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
-          |  acc + IF(aggregate(toks, 0, (c, t) ->
-          |             c + IF((shiftright(xxhash64(t), i) & 1) = 1, 1, -1)) > 0,
+          |  acc + IF(aggregate(hs, 0, (c, h) ->
+          |             c + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
           |           shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"""
           .stripMargin))
-      .drop("toks")
-
-  /** SimHash near-dup: banded candidate generation (4 × 16-bit bands — two
-    * docs within Hamming distance 3 of 64 bits must agree on ≥1 band), then
-    * exact Hamming check via bit_count(xor). Rows-only check. */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val hashed = withSimhash(Tables.documents(s, d))
-      .select($"doc_id", $"simhash").cache()
-    val banded = hashed.select($"doc_id", $"simhash",
-      explode(expr(
-        """transform(sequence(0, 3),
-          |          b -> named_struct('band', b,
-          |                            'key', shiftright(simhash, b * 16) & 65535))"""
-          .stripMargin)).as("bk"))
-      .select($"doc_id", $"simhash", $"bk.band", $"bk.key")
-    val a = banded.select($"band", $"key", $"doc_id".as("doc_a"), $"simhash".as("sh_a"))
-    val b = banded.select($"band", $"key", $"doc_id".as("doc_b"), $"simhash".as("sh_b"))
-    a.join(b, Seq("band", "key"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b",
-        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
-      .distinct()
-      .filter($"hamming" <= 16)
-      .orderBy($"hamming", $"doc_a", $"doc_b")
-      .limit(50)
-  }
+      .drop("hs")
 
   /** Per-document SimHash values (rows-only; deterministic). */
   def simhashDocs(s: SparkSession, d: String): DataFrame = {
@@ -129,44 +152,38 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** MinHash signatures without spark.ml: k=16 independent permutations
-    * approximated by min over xxhash64(shingle, seed_k) — the standard
-    * MinHash construction, expressed as one aggregation over the shingle
-    * inverted index (one shuffle on doc_id). Banding (pairs agreeing on a
-    * 4-hash band) yields LSH candidates; output is candidate pairs with
-    * estimated Jaccard = matching minhashes / 16. Rows-only check. */
-  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+  /** SimHash near-dup: banded candidate generation (2 × 32-bit bands), then
+    * exact Hamming check via bit_count(xor). Same two scale guards as
+    * lshCandidates: narrow join payload (ids + one long) and a degenerate-
+    * bucket cap — correlated bits on boilerplate-heavy corpora otherwise
+    * make one band key quadratic. Rows-only check. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, d)
-    // 16 hash functions: xxhash64 salted by k via concat — min per (doc, k).
-    val sigs = sh.select($"doc_id",
-        explode(expr(
-          """transform(sequence(0, 15),
-            |          k -> named_struct('k', k,
-            |                            'h', xxhash64(shingle, k)))""".stripMargin)).as("kh"))
-      .groupBy($"doc_id", $"kh.k")
-      .agg(min($"kh.h").as("mh"))
-      .groupBy($"doc_id")
-      .agg(array_sort(collect_list(struct($"k", $"mh"))).as("sig_kv"))
-      .select($"doc_id", expr("transform(sig_kv, x -> x.mh)").as("sig"))
-      .cache()
-    // LSH banding: 4 bands × 4 rows; candidates share ≥1 full band.
-    val banded = sigs.select($"doc_id", $"sig",
-        explode(expr(
-          """transform(sequence(0, 3),
-            |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * 4 + 1, 4))))"""
-            .stripMargin)).as("bk"))
-      .select($"doc_id", $"sig", $"bk.band", $"bk.key")
-    val a = banded.select($"band", $"key", $"doc_id".as("doc_a"), $"sig".as("sig_a"))
-    val b = banded.select($"band", $"key", $"doc_id".as("doc_b"), $"sig".as("sig_b"))
-    a.join(b, Seq("band", "key"))
+    // Referenced on both join sides + the bucket census — persist (tiny:
+    // one long per doc) so the per-document hashing runs once.
+    val hashed = withSimhash(Tables.documents(s, d))
+      .select($"doc_id", $"simhash").persist()
+    val banded = hashed.select($"doc_id", $"simhash",
+      explode(expr(
+        """transform(sequence(0, 1),
+          |          b -> named_struct('band', b,
+          |                            'key', shiftright(simhash, b * 32) & 4294967295))"""
+          .stripMargin)).as("bk"))
+      .select($"doc_id", $"simhash", $"bk.band", $"bk.key")
+    val small = banded.groupBy($"band", $"key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" <= 500)
+      .select($"band", $"key")
+    val pruned = banded.join(small, Seq("band", "key"))
+    val l = pruned.select($"band", $"key", $"doc_id".as("doc_a"), $"simhash".as("sh_a"))
+    val r = pruned.select($"band", $"key", $"doc_id".as("doc_b"), $"simhash".as("sh_b"))
+    l.join(r, Seq("band", "key"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b",
-        round(expr(
-          "size(filter(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), v -> v = 1)) / 16.0"
-        ), 4).as("est_jaccard"))
-      .distinct()
-      .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
+        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+      .filter($"hamming" <= 16)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy($"hamming", $"doc_a", $"doc_b")
       .limit(50)
   }
 

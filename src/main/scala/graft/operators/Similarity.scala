@@ -73,16 +73,20 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates bucketed by exact
-    * signature equality (256 buckets), exact cosine inside the bucket. */
+    * signature equality (256 buckets), exact cosine inside the bucket.
+    * Norms are computed once per vector before the join (per-pair norm
+    * recomputation would triple the dominant cost). */
   def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sigs = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding", sigCol($"embedding").as("sig"))
-    val a = sigs.select($"sig", $"vec_id".as("id_a"), $"embedding".as("emb_a"))
-    val b = sigs.select($"sig", $"vec_id".as("id_b"), $"embedding".as("emb_b"))
+      .select($"vec_id", $"embedding", sigCol($"embedding").as("sig"),
+        norm($"embedding").as("nrm"))
+    val a = sigs.select($"sig", $"vec_id".as("id_a"), $"embedding".as("emb_a"), $"nrm".as("n_a"))
+    val b = sigs.select($"sig", $"vec_id".as("id_b"), $"embedding".as("emb_b"), $"nrm".as("n_b"))
     a.join(b, Seq("sig"))
       .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", round(cosine($"emb_a", $"emb_b"), 6).as("cos"))
+      .select($"id_a", $"id_b",
+        round(dot($"emb_a", $"emb_b") / ($"n_a" * $"n_b"), 6).as("cos"))
       .orderBy($"cos".desc, $"id_a", $"id_b")
       .limit(50)
   }

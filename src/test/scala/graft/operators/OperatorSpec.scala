@@ -62,9 +62,42 @@ class OperatorSpec extends SparkSuite {
 
   test("VectorOps cosine of identical vectors is 1") {
     import spark.implicits._
+    Tables.load(spark, Sf, "region") // ensure graft_dot is registered
     val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f, 3f))).toDF("a", "b")
     val c = df.select(VectorOps.cosine(col("a"), col("b"))).head.getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("native graft_dot agrees with the built-in HOF formulation") {
+    val emb = Tables.embeddings(spark, Sf).limit(200)
+    val both = emb.select(
+      VectorOps.dot(col("embedding"), col("embedding")).as("native"),
+      VectorOps.dotHof(col("embedding"), col("embedding")).as("hof"))
+    // 1e-6 tolerance: the native expression multiplies in double while the
+    // HOF multiplies floats, so the native result is slightly more precise
+    val bad = both.filter(abs(col("native") - col("hof")) > 1e-6).count()
+    assert(bad == 0)
+    // and interpreted (no-codegen) path agrees exactly with codegen
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = both.select(sum(col("native"))).head.getDouble(0)
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val gen = both.select(sum(col("native"))).head.getDouble(0)
+      assert(interp == gen)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("graft_dot handles nulls and length mismatch") {
+    import spark.implicits._
+    Tables.load(spark, Sf, "region")
+    val df = Seq(
+      (Some(Seq(1f, 2f)), Some(Seq(3f, 4f, 9f))), // mismatched length: min-prefix
+      (None, Some(Seq(1f, 1f)))                    // null -> null
+    ).toDF("a", "b")
+    val rows = df.select(VectorOps.dot(col("a"), col("b")).as("d")).collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0))
   }
 
   test("exact dedup keeps the minimal doc_id per text") {
