@@ -13,8 +13,9 @@ object SparkEntry {
 
   /** All operator definitions, in module order. */
   def allDefs: Seq[Q] =
-    Relational.defs ++ EventOps.defs ++ TextOps.defs ++ Dedup.defs ++
-      Similarity.defs ++ Multimodal.defs
+    Relational.defs ++ EventOps.defs ++ Temporal.defs ++ Functions.defs ++
+      SqlSurface.defs ++ TextOps.defs ++ Dedup.defs ++ Similarity.defs ++
+      Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
