@@ -55,7 +55,38 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Batched decode plumbing via typed mapPartitions — the Scala analog of
+    * `mapInPandas`: rows are drained in fixed-size batches (the shape a
+    * native codec/model wants), decoded batch-at-a-time, re-emitted as
+    * typed rows. The decode itself is the same clearly-marked STUB (no
+    * media libs in this container): a deterministic hash of the payload.
+    * Partition-parallel, constant memory per task (one batch in flight). */
+  def decodeBatchedStub(s: SparkSession, d: String, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", binCol.as("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // STUB batch decode: a real implementation hands `batch` to a
+          // native decoder in one call; here each payload deterministically
+          // yields (n_frames, 4-dim feature vector) from its bytes.
+          batch.map { case (docId, bytes) =>
+            val frames = bytes.length / 64
+            val feats = (0 until 4).map { i =>
+              val slice = bytes.drop(i * 16).take(16)
+              (java.util.Arrays.hashCode(slice) & 0xffff) / 65536.0
+            }
+            (docId, frames, feats)
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "features")
+      .orderBy($"doc_id")
+  }
+
   val defs: Seq[Q] = Seq(
     Q("mm_binary_meta", Some(binaryMetaOracle), binaryMeta),
-    Q("mm_decode_stub", None, decodeFeaturesStub))
+    Q("mm_decode_stub", None, decodeFeaturesStub),
+    Q("mm_decode_batched", None, (s, d) => decodeBatchedStub(s, d)))
 }

@@ -89,7 +89,50 @@ object Temporal {
       |FROM sess GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin
 
+  /** Range (interval) join: for every view, purchases by the same user in
+    * the following hour. Spark has no native range join, and the naive
+    * non-equi join plans as a nested loop — instead both sides are bucketed
+    * to the hour and joined on (user, bucket) with the purchase replicated
+    * into its own and the previous bucket (a pair at distance ≤1h spans at
+    * most adjacent buckets, and lands in exactly one replica's key), then
+    * the exact range predicate filters inside the bucket. One equi-join
+    * shuffle; scales linearly where the nested loop is quadratic. */
+  def rangeJoinPurchasesAfterView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("vts"),
+        floor(unix_timestamp($"ts") / 3600).as("bucket"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("pts"),
+        explode(array(floor(unix_timestamp($"ts") / 3600),
+          floor(unix_timestamp($"ts") / 3600) - 1)).as("p_bucket"))
+    // The range predicate must be part of the JOIN condition: filtering
+    // after a left join would drop views whose bucket matches all fail the
+    // range check, instead of keeping them with count 0. Catalyst extracts
+    // the equi-keys (user, bucket) for the hash join and applies the range
+    // as the join residual.
+    views.join(purchases,
+        $"user_id" === $"p_user" && $"bucket" === $"p_bucket" &&
+          $"pts" > $"vts" && $"pts" <= $"vts" + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .groupBy($"view_id")
+      .agg(count($"purchase_id").as("purchases_1h"))
+      .orderBy($"view_id")
+  }
+
+  val rangeJoinOracle: String =
+    """SELECT v.event_id AS view_id,
+      |       CAST(count(p.event_id) AS BIGINT) AS purchases_1h
+      |FROM events v LEFT JOIN events p
+      |  ON p.user_id = v.user_id AND p.event_type = 'purchase'
+      | AND CAST(p.ts AS TIMESTAMP) >  CAST(v.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      |WHERE v.event_type = 'view'
+      |GROUP BY v.event_id ORDER BY view_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("asof_click_attribution", Some(asofOracle), asofClickAttribution),
-    Q("ev_sessionize", Some(sessionizeOracle), sessionize))
+    Q("ev_sessionize", Some(sessionizeOracle), sessionize),
+    Q("range_join_purchases_1h", Some(rangeJoinOracle), rangeJoinPurchasesAfterView))
 }

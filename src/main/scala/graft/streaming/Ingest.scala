@@ -76,6 +76,14 @@ object Ingest {
       .select(col("minute_window.start").as("minute"),
         col("event_type"), col("status"), col("cnt"))
 
+  /** Streaming exact dedup on the event id, state bounded by the watermark
+    * (SURVEY.md T10 extension; the reference's at-least-once Connect sink
+    * can write duplicates — this is the Spark-native repair). */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_timestamp", "1 minute")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Latest-report-only store (reference keeps a deque(maxlen=1),
     * dashboard_api.py:13): complete-mode aggregate into the memory sink —
     * the caller reads the most recent row per key. Complete mode also means

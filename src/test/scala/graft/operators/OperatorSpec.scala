@@ -106,6 +106,32 @@ class OperatorSpec extends SparkSuite {
     assert(dups.count() == total)
   }
 
+  test("range join matches a brute-force non-equi join") {
+    import spark.implicits._
+    val got = Temporal.rangeJoinPurchasesAfterView(spark, Sf)
+    val ev = Tables.events(spark, Sf)
+    val v = ev.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("vts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("pts"))
+    val brute = v.join(p,
+        $"user_id" === $"p_user" && $"pts" > $"vts" &&
+          $"pts" <= $"vts" + expr("INTERVAL 1 HOUR"), "left_outer")
+      .groupBy($"view_id").agg(count($"purchase_id").as("purchases_1h"))
+      .orderBy($"view_id")
+    assert(got.collect().toSeq == brute.collect().toSeq)
+  }
+
+  test("batched decode: deterministic, full coverage, frame math") {
+    val a = Multimodal.decodeBatchedStub(spark, Sf).collect()
+    val b = Multimodal.decodeBatchedStub(spark, Sf, batchSize = 7).collect()
+    assert(a.toSeq == b.toSeq) // batch size must not affect results
+    assert(a.length == Tables.documents(spark, Sf).count())
+    val meta = Multimodal.binaryMeta(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach(r => assert(r.getInt(1) == (meta(r.getLong(0)) / 64).toInt))
+  }
+
   test("simhash of identical docs is identical, hamming 0") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))

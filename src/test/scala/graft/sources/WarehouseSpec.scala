@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.reference.{Events, MinuteReport}
+
+/** M2 storage layer: partition pruning, within-partition sort (the
+  * MergeTree ORDER BY analog), JSON report sink round-trip. */
+class WarehouseSpec extends SparkSuite {
+
+  test("warehouse write partitions by minute and prunes on read") {
+    val wh = tmpDir("graft-warehouse")
+    val events = Events.generate(spark, 18000, 1704067200000L, intervalMs = 10)
+    Warehouse.writeEvents(events, wh)
+
+    val dirs = new java.io.File(wh).listFiles()
+      .filter(_.getName.startsWith("event_minute=")).map(_.getName).sorted
+    assert(dirs.length == 3)
+
+    val m = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    val one = Warehouse.readMinute(spark, wh, m)
+    assert(one.count() == 6000)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_minute"), plan)
+
+    // one file per minute partition (repartition before partitionBy)
+    val files = new java.io.File(s"$wh/${dirs.head}").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, files.mkString(","))
+  }
+
+  test("rows inside a partition are sorted by (event_type, event_timestamp)") {
+    val wh = tmpDir("graft-warehouse-sort")
+    Warehouse.writeEvents(Events.generate(spark, 6000, 1704067200000L), wh)
+    val part = new java.io.File(wh).listFiles()
+      .filter(_.getName.startsWith("event_minute=")).head
+    val rows = spark.read.parquet(part.toString)
+      .select("event_type", "event_timestamp").collect()
+    val seq = rows.map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    assert(seq.zip(seq.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+    }, "partition not sorted")
+  }
+
+  test("JSON report sink round-trip") {
+    val dir = tmpDir("graft-report")
+    val events = Events.generate(spark, 1000, 1704067200000L)
+    val report = MinuteReport.analyze(events, "2024-01-01_03-29.parquet")
+    val json = MinuteReport.toJson(report)
+    Warehouse.writeReportJson(spark, json, s"$dir/report")
+    assert(Warehouse.readReportJson(spark, s"$dir/report") == json)
+  }
+}

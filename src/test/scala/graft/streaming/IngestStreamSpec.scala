@@ -36,6 +36,23 @@ class IngestStreamSpec extends SparkSuite {
       s"minute filter should prune partitions:\n$plan")
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val stage = tmpDir("graft-dup-stage")
+    val out = tmpDir("graft-dup-out")
+    val ckpt = tmpDir("graft-dup-ckpt")
+    val base = Events.generate(spark, 1000, 1704067200000L, intervalMs = 10)
+    base.union(base.limit(200)).write.mode("overwrite").parquet(stage) // 200 dups
+
+    val src = spark.readStream.schema(Events.schema).parquet(stage)
+    val q = Ingest.startIngest(
+      Events.withEventMinute(Ingest.dedupedStream(src)), out, ckpt)
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(out)
+    assert(got.count() == 1000, s"expected dups dropped, got ${got.count()}")
+    assert(got.select("event_id").distinct().count() == 1000)
+  }
+
   test("streaming minute counts match the batch aggregation") {
     val warehouse = tmpDir("graft-wh2")
     val events = Events.withEventMinute(
