@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.reference.Events
+
+/** The Kafka wire leg of the reference (SURVEY.md §2.9 T2/T6): events travel
+  * as Confluent-framed Avro — 1 magic byte (0) + 4-byte big-endian schema id
+  * + Avro binary body — keyed by the 16 raw bytes of the user UUID
+  * (reference producer/schema_registry.py:13-30, user_event_schema.avsc).
+  *
+  * The container has Avro core but not the spark-avro module, so the codec
+  * is implemented directly against the public Avro API in `mapPartitions`
+  * (per-partition writer reuse, streaming-friendly). In a deployment with
+  * spark-avro on the classpath, `decodeValue` reduces to
+  * `from_avro(expr("substring(value, 6, length(value)-5)"), schemaJson)` —
+  * the plans downstream are identical.
+  */
+object AvroWire {
+
+  /** The event record, typed (mirrors reference producer/custom_types.py:6-15). */
+  final case class Event(
+      event_id: String,
+      user_id: String,
+      session_id: String,
+      event_type: String,
+      event_timestamp: java.sql.Timestamp,
+      request_latency_ms: Int,
+      status: String,
+      error_code: Option[Int],
+      product_id: Option[Int])
+
+  /** Avro schema mirroring reference producer/user_event_schema.avsc:1-31
+    * (uuid logical types carried as string; timestamp-millis as long). */
+  val SchemaJson: String =
+    """{"type":"record","name":"user_interactions","namespace":"com.ecommerce.events.v1","fields":[
+      |{"name":"event_id","type":{"type":"string","logicalType":"uuid"}},
+      |{"name":"user_id","type":{"type":"string","logicalType":"uuid"}},
+      |{"name":"session_id","type":{"type":"string","logicalType":"uuid"}},
+      |{"name":"event_type","type":{"type":"enum","name":"event_type_enum","symbols":["VIEW_PRODUCT","ADD_TO_CART","CHECKOUT","PAYMENT","SEARCH"]}},
+      |{"name":"event_timestamp","type":{"type":"long","logicalType":"timestamp-millis"}},
+      |{"name":"request_latency_ms","type":"int"},
+      |{"name":"status","type":{"type":"enum","name":"status_enum","symbols":["SUCCESS","ERROR"]}},
+      |{"name":"error_code","type":["null","int"],"default":null},
+      |{"name":"product_id","type":["null","int"],"default":null}
+      |]}""".stripMargin
+
+  val SchemaId: Int = 1
+  private val HeaderLen = 5
+
+  @transient private lazy val schema: Schema = new Schema.Parser().parse(SchemaJson)
+
+  /** Typed view of an event DataFrame (9-column Events.schema layout). */
+  def asEvents(df: DataFrame): Dataset[Event] = {
+    import df.sparkSession.implicits._
+    df.as[Event]
+  }
+
+  /** Encode to the Kafka record shape: (key: binary, value: binary) —
+    * key = 16 raw UUID bytes, value = Confluent-framed Avro. */
+  def encode(events: Dataset[Event]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.mapPartitions { it =>
+      val sch = new Schema.Parser().parse(SchemaJson)
+      val writer = new GenericDatumWriter[GenericRecord](sch)
+      val bos = new ByteArrayOutputStream()
+      it.map { e =>
+        bos.reset()
+        // Confluent frame: magic 0 + schema id (big-endian int)
+        bos.write(0)
+        bos.write(ByteBuffer.allocate(4).putInt(SchemaId).array())
+        val enc = EncoderFactory.get().directBinaryEncoder(bos, null)
+        val rec = new GenericData.Record(sch)
+        rec.put("event_id", e.event_id)
+        rec.put("user_id", e.user_id)
+        rec.put("session_id", e.session_id)
+        rec.put("event_type",
+          new GenericData.EnumSymbol(sch.getField("event_type").schema(), e.event_type))
+        rec.put("event_timestamp", e.event_timestamp.getTime)
+        rec.put("request_latency_ms", e.request_latency_ms)
+        rec.put("status",
+          new GenericData.EnumSymbol(sch.getField("status").schema(), e.status))
+        rec.put("error_code", e.error_code.map(Int.box).orNull)
+        rec.put("product_id", e.product_id.map(Int.box).orNull)
+        writer.write(rec, enc)
+        enc.flush()
+        val u = java.util.UUID.fromString(e.user_id)
+        val key = ByteBuffer.allocate(16)
+          .putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits).array()
+        (key, bos.toByteArray)
+      }
+    }.toDF("key", "value")
+  }
+
+  /** Decode Confluent-framed Avro values back to typed events, validating
+    * the frame header (fail-fast like the reference's
+    * `errors.tolerance: none` Connect sink, SURVEY.md T5). */
+  def decode(wire: DataFrame): Dataset[Event] = {
+    import wire.sparkSession.implicits._
+    wire.select("value").as[Array[Byte]].mapPartitions { it =>
+      val sch = new Schema.Parser().parse(SchemaJson)
+      val reader = new GenericDatumReader[GenericRecord](sch)
+      it.map { bytes =>
+        require(bytes.length > HeaderLen && bytes(0) == 0,
+          "bad Confluent frame: missing magic byte")
+        require(ByteBuffer.wrap(bytes, 1, 4).getInt == SchemaId,
+          "bad Confluent frame: unknown schema id")
+        val dec = DecoderFactory.get()
+          .binaryDecoder(bytes, HeaderLen, bytes.length - HeaderLen, null)
+        val rec = reader.read(null, dec)
+        def optInt(f: String): Option[Int] =
+          Option(rec.get(f)).map(_.asInstanceOf[Int])
+        Event(
+          rec.get("event_id").toString,
+          rec.get("user_id").toString,
+          rec.get("session_id").toString,
+          rec.get("event_type").toString,
+          new java.sql.Timestamp(rec.get("event_timestamp").asInstanceOf[Long]),
+          rec.get("request_latency_ms").asInstanceOf[Int],
+          rec.get("status").toString,
+          optInt("error_code"),
+          optInt("product_id"))
+      }
+    }
+  }
+
+  /** The F5 key serializer as a pure column expression (no UDF): UUID text →
+    * 16 bytes. Equivalent to the mapPartitions key above; used where the
+    * key is needed inside a relational plan. */
+  def uuidBytesCol(uuid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(regexp_replace(uuid, lit("-"), lit("")))
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming gap-based sessionization — the stateful-operator surface
+  * (SURVEY.md T10, absent from the reference; the batch twin is
+  * operators/Temporal.sessionize, oracle-checked).
+  *
+  * State per user is O(1): only the open session's (start, end, count) —
+  * never buffered events — and is dropped either when a gap closes the
+  * session in-stream or when the event-time timeout fires (watermark passed
+  * session end + gap), so state size is bounded by the number of
+  * *concurrently active* users regardless of history length. That is the
+  * property that keeps this runnable forever on an unbounded stream.
+  */
+object Sessionize {
+
+  /** Open-session state carried between micro-batches. */
+  final case class Open(startMs: Long, endMs: Long, n: Long)
+
+  /** A closed session. */
+  final case class Session(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Sessionize a stream of (user_id, event-time) pairs. The input MUST
+    * carry a watermark on the event-time column (event-time timeouts
+    * require it). */
+  def sessions(
+      events: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Open, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Open]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed end+gap with no new events: close and emit.
+            val open = state.get
+            state.remove()
+            Iterator.single(Session(uid,
+              new java.sql.Timestamp(open.startMs),
+              new java.sql.Timestamp(open.endMs), open.n))
+          } else {
+            val sorted = rows.map(_._2.getTime).toArray.sorted
+            var open = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { t =>
+              open match {
+                case null => open = Open(t, t, 1)
+                case o if t - o.endMs > gapMs =>
+                  closed += Session(uid,
+                    new java.sql.Timestamp(o.startMs),
+                    new java.sql.Timestamp(o.endMs), o.n)
+                  open = Open(t, t, 1)
+                case o => open = Open(o.startMs, t, o.n + 1)
+              }
+            }
+            state.update(open)
+            state.setTimeoutTimestamp(open.endMs + gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuite
+
+/** Cross-batch stateful sessionization via MemoryStream (controlled
+  * micro-batches, no docker — SURVEY.md §7.4 risk 6). */
+class SessionizeSpec extends SparkSuite {
+
+  private def ts(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000)
+
+  test("sessions close on gap in-stream and on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+
+    val sessions = Sessionize.sessions(
+      in.toDS().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, java.sql.Timestamp)])
+
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: user 1 has two close events; user 2 one event
+      in.addData((1L, ts(0)), (1L, ts(5)), (2L, ts(1)))
+      q.processAllAvailable()
+      // batch 2: user 1 returns after 60 min -> closes their first session
+      in.addData((1L, ts(65)))
+      q.processAllAvailable()
+      // batch 3: far-future event advances the watermark past all timeouts
+      in.addData((3L, ts(600)))
+      q.processAllAvailable()
+      // one more empty-ish batch so timed-out state flushes
+      in.addData((3L, ts(601)))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions_out")
+        .as[Sessionize.Session].collect()
+        .map(s => (s.user_id, s.session_start.getTime, s.n_events)).toSet
+      // user 1 session [t0, t0+5] n=2 closed by the gap in batch 2
+      assert(got.contains((1L, ts(0).getTime, 2L)), s"got $got")
+      // user 2 session closed by event-time timeout
+      assert(got.contains((2L, ts(1).getTime, 1L)), s"got $got")
+      // user 1's second session closed by timeout after batch 3
+      assert(got.contains((1L, ts(65).getTime, 1L)), s"got $got")
+    } finally q.stop()
+  }
+}
