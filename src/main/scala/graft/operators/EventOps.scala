@@ -163,7 +163,20 @@ object EventOps {
       |           '%Y-%m-%d_%H-%M') AS minute_file
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** The reference's flagship workload at its published scale (BASELINE.md:
+    * 5,805 events in the sample minute, analyzed in 22.16 s by the
+    * reference's spark-submit job): seeded generation of one minute at that
+    * rate + the pivot report, warm-session. Rows-only check (the generator
+    * has no SQL oracle); the per-query bench time is the direct
+    * baseline comparison. */
+  def refMinuteReport(s: SparkSession, d: String): DataFrame = {
+    val events = graft.reference.Events.generate(
+      s, 5805, 1704067200000L, intervalMs = 10, errorProb = 0.241)
+    graft.reference.MinuteReport.pivotCounts(events)
+  }
+
   val defs: Seq[Q] = Seq(
+    Q("ref_minute_report", None, refMinuteReport),
     Q("ev_minute_type_counts", Some(minuteTypeCountsOracle), minuteTypeCounts),
     Q("ev_pivot_day_type", Some(pivotDayTypeOracle), pivotDayType),
     Q("ev_filter_project", Some(filterProjectOracle), filterProject),

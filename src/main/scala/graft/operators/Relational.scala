@@ -433,7 +433,31 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
+  /** Two-phase salted aggregation — the skew guard for hot grouping keys at
+    * scale: phase 1 aggregates on (key, salt) spreading each hot key over 16
+    * reducers, phase 2 merges the partials. Result is identical to the
+    * direct groupBy (the oracle is the plain aggregation), cost is a second
+    * tiny exchange. At 100 TB this is the difference between one straggler
+    * task per hot key and even utilization. */
+  def aggSalted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(16)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(sum($"l_quantity").as("pq"), count(lit(1)).as("pc"))
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"pq"), 2).as("total_qty"), sum($"pc").as("cnt"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggSaltedOracle: String =
+    """SELECT l_returnflag,
+      |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS total_qty,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("agg_salted", Some(aggSaltedOracle), aggSalted),
     Q("q1_pricing_summary", Some(q1Oracle), q1PricingSummary),
     Q("q3_top_revenue", Some(q3Oracle), q3TopRevenue),
     Q("q5_local_supplier_volume", Some(q5Oracle), q5LocalSupplierVolume),
