@@ -19,6 +19,28 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("no query plans a cartesian product or nested-loop join") {
+    // The scale smell test: any BroadcastNestedLoopJoin or CartesianProduct
+    // in the 100 TB posture is a bug (it was how the naive range join
+    // planned before bucketing).
+    SparkEntry.allDefs.foreach { q =>
+      val plan = q.fn(spark, Sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name} has CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"${q.name} has BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("scans are column-pruned: 2-col projection reads a 2-col schema") {
+    // SURVEY.md P1: the reference pushes its 9→2-column projection into the
+    // warehouse; Catalyst must do the same into parquet.
+    val plan = EventOps.filterProject(spark, Sf).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("user_id") &&
+      readSchema.contains("value") && !readSchema.contains("props"),
+      s"projection not pruned: $readSchema")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
