@@ -78,9 +78,12 @@ object Similarity {
     * recomputation would triple the dominant cost). */
   def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // persisted: referenced by both join sides — avoids computing the 8
+    // hyperplane dots per vector twice
     val sigs = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", sigCol($"embedding").as("sig"),
         norm($"embedding").as("nrm"))
+      .persist()
     val a = sigs.select($"sig", $"vec_id".as("id_a"), $"embedding".as("emb_a"), $"nrm".as("n_a"))
     val b = sigs.select($"sig", $"vec_id".as("id_b"), $"embedding".as("emb_b"), $"nrm".as("n_b"))
     a.join(b, Seq("sig"))
@@ -89,6 +92,36 @@ object Similarity {
         round(dot($"emb_a", $"emb_b") / ($"n_a" * $"n_b"), 6).as("cos"))
       .orderBy($"cos".desc, $"id_a", $"id_b")
       .limit(50)
+  }
+
+  /** IVF (inverted-file) approximate kNN — the other scale path the brief
+    * names besides LSH. Coarse quantizer: 16 deterministic seed centroids
+    * (the first 16 vectors — a real build runs k-means; the index structure
+    * is what matters here). Every vector is assigned to its nearest
+    * centroid (one narrow pass); a query probes only the nProbe=4 centroid
+    * cells nearest to it, scanning ~4/16 of the data. At scale the cell id
+    * is a partition key and probing is partition pruning. */
+  def knnIvf(s: SparkSession, d: String, nProbe: Int = 4): DataFrame = {
+    import s.implicits._
+    val centroids: Seq[(Int, Seq[Float])] = Tables.embeddings(s, d)
+      .filter($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0) }.toSeq
+    def nearestCell(emb: org.apache.spark.sql.Column) =
+      greatest(centroids.map { case (i, c) =>
+        struct(dot(emb, typedlit(c)).as("d"), lit(i).as("cell")) }: _*)("cell")
+    val qv = queryVector(s, d, 0L)
+    val probeCells = centroids
+      .map { case (i, c) => i -> c.zip(qv).map { case (a, b) => a.toDouble * b }.sum }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val q = typedlit(qv)
+    Tables.embeddings(s, d)
+      .filter($"vec_id" =!= 0L)
+      .withColumn("cell", nearestCell($"embedding"))
+      .filter($"cell".isin(probeCells: _*))
+      .select($"vec_id", $"label", round(cosine($"embedding", q), 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
   }
 
   /** Per-label centroid of the first embedding coordinate — oracle-checkable
@@ -110,6 +143,7 @@ object Similarity {
   val defs: Seq[Q] = Seq(
     Q("sim_knn_brute", None, knnBrute),
     Q("sim_knn_lsh", None, knnLsh),
+    Q("sim_knn_ivf", None, (s, d) => knnIvf(s, d)),
     Q("sim_neardup_pairs", None, nearDupPairs),
     Q("sim_label_centroid", Some(labelCentroidOracle), labelCentroid))
 }

@@ -68,7 +68,50 @@ object SqlSurface {
     s.sql(correlatedSql)
   }
 
+  /** TPC-H Q8-flavored market share: of all revenue billed to ASIA-region
+    * customers per order year, the share supplied by NATION_5 suppliers.
+    * 6-way join + conditional aggregation. */
+  private val marketShareSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+      |                      THEN l_extendedprice * (1.0 - l_discount)
+      |                      ELSE 0.0 END) /
+      |             sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 4)
+      |    AS mkt_share
+      |FROM customer, orders, lineitem, supplier, nation n1, nation n2, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey
+      |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |  AND s_nationkey = n2.n_nationkey
+      |  AND r_name = 'ASIA'
+      |GROUP BY CAST(year(o_orderdate) AS INT)
+      |ORDER BY o_year""".stripMargin
+
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    s.sql(marketShareSql)
+  }
+
+  /** TPC-H Q10-flavored: top 20 customers by returned-goods revenue. */
+  private val topReturnedSql =
+    """SELECT c_custkey, c_name,
+      |  round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2)
+      |    AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  def topReturned(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "customer", "orders", "lineitem")
+    s.sql(topReturnedSql)
+  }
+
   val defs: Seq[Q] = Seq(
+    Q("sql_market_share", Some(marketShareSql), marketShare),
+    Q("sql_top_returned_customers", Some(topReturnedSql), topReturned),
     Q("sql_grouping_sets", Some(groupingSetsSql), groupingSets),
     Q("sql_scalar_subquery", Some(scalarSubquerySql), scalarSubquery),
     Q("sql_in_subquery", Some(inSubquerySql), inSubquery),

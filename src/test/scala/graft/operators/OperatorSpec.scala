@@ -82,6 +82,14 @@ class OperatorSpec extends SparkSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("IVF kNN finds mostly the same neighbors as brute force") {
+    val brute = Similarity.knnBrute(spark, Sf).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.knnIvf(spark, Sf).collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    // approximate: require ≥40% overlap with ground truth at nProbe=4/16
+    assert((brute & ivf).size >= 4, s"recall too low: ${(brute & ivf).size}/10")
+  }
+
   test("VectorOps cosine of identical vectors is 1") {
     import spark.implicits._
     Tables.load(spark, Sf, "region") // ensure graft_dot is registered
