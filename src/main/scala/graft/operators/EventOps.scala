@@ -88,6 +88,20 @@ object EventOps {
       |       CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS INT) AS k
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Point lookup by id (reference P4, db/tests/test_clickhouse_schema.py:
+    * 62-64). At scale: parquet row-group min/max statistics skip non-
+    * matching groups; over the sorted warehouse it is near-index access. */
+  def pointLookup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"event_id" === 500L)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+  }
+
+  val pointLookupOracle: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE event_id = 500""".stripMargin
+
   /** Per-user aggregate profile (A1/A2/A5 shapes + distinct). */
   def userStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -180,6 +194,7 @@ object EventOps {
     Q("ev_minute_type_counts", Some(minuteTypeCountsOracle), minuteTypeCounts),
     Q("ev_pivot_day_type", Some(pivotDayTypeOracle), pivotDayType),
     Q("ev_filter_project", Some(filterProjectOracle), filterProject),
+    Q("ev_point_lookup", Some(pointLookupOracle), pointLookup),
     Q("ev_json_extract", Some(jsonExtractOracle), jsonExtract),
     Q("ev_user_stats", Some(userStatsOracle), userStats),
     Q("ev_hour_histogram", Some(hourHistogramOracle), hourHistogram),

@@ -47,6 +47,12 @@ object Multimodal {
     Tables.documents(s, d)
       .withColumn("bin", binCol)
       .select($"doc_id",
+        // typed media metadata: the struct a real decoder would fill — the
+        // STUB derives deterministic fake dimensions from the payload
+        struct(
+          lit("fake/raw").as("format"),
+          (pmod(xxhash64($"bin"), lit(1280)) + 64).cast("int").as("width"),
+          (pmod(xxhash64($"bin", lit(1)), lit(720)) + 64).cast("int").as("height")).as("meta"),
         floor(length($"bin") / 64).cast("int").as("n_frames"),
         expr(
           """transform(sequence(0, 7),

@@ -36,6 +36,26 @@ class IngestStreamSpec extends SparkSuite {
       s"minute filter should prune partitions:\n$plan")
   }
 
+  test("rate-source event stream produces valid events in real time") {
+    val out = tmpDir("graft-rate-out")
+    val ckpt = tmpDir("graft-rate-ckpt")
+    val stream = Ingest.eventStream(spark, rowsPerSecond = 200)
+    val q = Ingest.startIngest(stream, out, ckpt, availableNow = false)
+    try {
+      // let a few micro-batches run
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000)
+        n = try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+      }
+      assert(n > 0, "rate stream produced no rows within 30s")
+      val df = spark.read.parquet(out)
+      assert(df.filter(col("status") === "ERROR" && col("error_code").isNull).count() == 0)
+      assert(df.columns.contains("event_minute"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val stage = tmpDir("graft-dup-stage")
     val out = tmpDir("graft-dup-out")
