@@ -1,0 +1,63 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.reference.{Events, MinuteReport}
+import graft.sources.Warehouse
+import graft.streaming.Ingest
+
+/** User-facing facade: the reference's whole multi-service pipeline as
+  * three library calls (a reference user switches by calling these instead
+  * of operating Kafka/Connect/ClickHouse/Airflow — SURVEY.md TL;DR).
+  *
+  *   1. [[ingest]] — producer→Kafka→Connect→ClickHouse leg: any event
+  *      stream (or [[Ingest.eventStream]]'s generator) checkpointed into
+  *      the minute-partitioned warehouse, exactly-once.
+  *   2. [[minutelyReport]] — Airflow-extract + Spark-job legs: pruned
+  *      single-minute read, pivot report, JSON to the report sink, with
+  *      the reference's no-data sentinel and Tehran file naming.
+  *   3. Query surface — [[SparkEntry.queries]] for everything else.
+  */
+object Pipeline {
+
+  /** Start the ingest leg into `warehouseDir` (exactly-once, partitioned
+    * by event_minute). `availableNow = false` for continuous operation. */
+  def ingest(
+      events: DataFrame,
+      warehouseDir: String,
+      checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery =
+    Ingest.startIngest(Events.withEventMinute(events), warehouseDir,
+      checkpointDir, availableNow)
+
+  /** Run the minutely analysis for the minute preceding `triggerInstant`
+    * (the reference's cron semantics, pipeline.py:130-131), write the JSON
+    * report to `reportDir`, and return the JSON. Zero rows for the minute
+    * produce the reference's `No data for {name}.` sentinel (P6). */
+  def minutelyReport(
+      spark: SparkSession,
+      warehouseDir: String,
+      reportDir: String,
+      triggerInstant: Instant): String = {
+    val fileName = MinuteReport.tehranMinuteFileName(triggerInstant)
+    val minute = java.sql.Timestamp.from(
+      triggerInstant.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
+        .minusSeconds(60))
+    val t0 = System.nanoTime()
+    val extracted = Warehouse.readMinute(spark, warehouseDir, minute)
+    val json =
+      if (extracted.isEmpty) {
+        // the reference signals "no data" with an extension-less name
+        MinuteReport.noDataJson(fileName.stripSuffix(".parquet"))
+      } else {
+        val report = MinuteReport.analyze(extracted, fileName,
+          processTime = (System.nanoTime() - t0) / 1e9)
+        MinuteReport.toJson(report)
+      }
+    Warehouse.writeReportJson(spark, json, s"$reportDir/${fileName.stripSuffix(".parquet")}")
+    json
+  }
+}

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k typed aggregator (builder-brief custom-aggregate path):
+  * keeps only k (id, score) pairs per partial buffer, so a top-k over any
+  * input size aggregates with O(k) state per task and O(k) shuffle bytes
+  * per partition — the partial/merge shape `orderBy(...).limit(k)` gets
+  * from TakeOrderedAndProject, but usable INSIDE an aggregation (e.g.
+  * per-group top-k in one pass, where a window + filter would sort whole
+  * partitions).
+  */
+object TopKAggregator {
+
+  final case class Scored(id: Long, score: Double)
+  /** Product wrapper so the buffer/output use ExpressionEncoders (arrays of
+    * case classes have no standalone Encoders.product). */
+  final case class Buf(items: Seq[Scored])
+
+  /** Deterministic order: score desc, id asc. */
+  private def sortKeep(k: Int, items: Seq[Scored]): Seq[Scored] =
+    items.sortBy(s => (-s.score, s.id)).take(k)
+
+  final class TopK(k: Int) extends Aggregator[Scored, Buf, Buf] {
+    override def zero: Buf = Buf(Seq.empty)
+    override def reduce(b: Buf, a: Scored): Buf =
+      // keep the buffer bounded on every step — never accumulate the input
+      Buf(sortKeep(k, b.items :+ a))
+    override def merge(b1: Buf, b2: Buf): Buf =
+      Buf(sortKeep(k, b1.items ++ b2.items))
+    override def finish(r: Buf): Buf = r
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
+  }
+}

@@ -124,6 +124,25 @@ object Similarity {
       .limit(10)
   }
 
+  /** Brute-force kNN through the typed top-k Aggregator instead of
+    * orderBy+limit: one aggregation pass with O(k) state per task —
+    * the shape that also gives per-group top-k without sorting whole
+    * partitions. Must match knnBrute's results (OperatorSpec asserts). */
+  def knnAggregator(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TopKAggregator._
+    val q = typedlit(queryVector(s, d, 0L))
+    val scored = Tables.embeddings(s, d)
+      .filter($"vec_id" =!= 0L)
+      .select($"vec_id".as("id"), cosine($"embedding", q).as("score"))
+      .as[Scored]
+    scored
+      .select(new TopK(10).toColumn.name("topk")) // typed select flattens Buf → `items`
+      .select(explode($"items").as("x"))
+      .select($"x.id".as("vec_id"), round($"x.score", 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+  }
+
   /** Per-label centroid of the first embedding coordinate — oracle-checkable
     * slice of vector aggregation (DuckDB lists are 1-indexed). */
   def labelCentroid(s: SparkSession, d: String): DataFrame = {
@@ -144,6 +163,7 @@ object Similarity {
     Q("sim_knn_brute", None, knnBrute),
     Q("sim_knn_lsh", None, knnLsh),
     Q("sim_knn_ivf", None, (s, d) => knnIvf(s, d)),
+    Q("sim_knn_aggregator", None, knnAggregator),
     Q("sim_neardup_pairs", None, nearDupPairs),
     Q("sim_label_centroid", Some(labelCentroidOracle), labelCentroid))
 }

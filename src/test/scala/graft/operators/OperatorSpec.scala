@@ -82,6 +82,14 @@ class OperatorSpec extends SparkSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("Aggregator top-k matches brute-force kNN exactly") {
+    val brute = Similarity.knnBrute(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val agg = Similarity.knnAggregator(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(agg == brute)
+  }
+
   test("IVF kNN finds mostly the same neighbors as brute force") {
     val brute = Similarity.knnBrute(spark, Sf).collect().map(_.getLong(0)).toSet
     val ivf = Similarity.knnIvf(spark, Sf).collect().map(_.getLong(0)).toSet
