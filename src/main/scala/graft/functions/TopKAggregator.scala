@@ -22,15 +22,27 @@ object TopKAggregator {
   private def sortKeep(k: Int, items: Seq[Scored]): Seq[Scored] =
     items.sortBy(s => (-s.score, s.id)).take(k)
 
-  final class TopK(k: Int) extends Aggregator[Scored, Buf, Buf] {
+  /** Generic over the input row type via an extractor — usable both on
+    * Dataset[Scored] directly and inside groupByKey aggregations. */
+  final class TopKBy[I](k: Int, f: I => Scored) extends Aggregator[I, Buf, Buf] {
     override def zero: Buf = Buf(Seq.empty)
-    override def reduce(b: Buf, a: Scored): Buf =
+    override def reduce(b: Buf, a: I): Buf =
       // keep the buffer bounded on every step — never accumulate the input
-      Buf(sortKeep(k, b.items :+ a))
+      Buf(sortKeep(k, b.items :+ f(a)))
     override def merge(b1: Buf, b2: Buf): Buf =
       Buf(sortKeep(k, b1.items ++ b2.items))
     override def finish(r: Buf): Buf = r
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
+  }
+
+  final class TopK(k: Int) extends Aggregator[Scored, Buf, Buf] {
+    private val by = new TopKBy[Scored](k, identity)
+    override def zero: Buf = by.zero
+    override def reduce(b: Buf, a: Scored): Buf = by.reduce(b, a)
+    override def merge(b1: Buf, b2: Buf): Buf = by.merge(b1, b2)
+    override def finish(r: Buf): Buf = by.finish(r)
+    override def bufferEncoder: Encoder[Buf] = by.bufferEncoder
+    override def outputEncoder: Encoder[Buf] = by.outputEncoder
   }
 }

@@ -374,6 +374,60 @@ object Relational {
       |    AS drnk
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Per-group top-k through the bounded typed Aggregator: top-3 orders per
+    * status in ONE aggregation pass with O(k) state per group — the window
+    * (row_number ≤ 3) formulation, which the oracle uses, must sort every
+    * partition; at 100 TB the aggregator shape is the one that scales.
+    * Results are identical (the oracle proves it). */
+  def topKPerGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TopKAggregator._
+    Tables.orders(s, d)
+      .select($"o_orderstatus", $"o_orderkey", $"o_totalprice")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKBy[(String, Long, Double)](3, t => Scored(t._2, t._3))
+        .toColumn.name("topk"))
+      .select($"key".as("o_orderstatus"), explode($"topk.items").as("x"))
+      .select($"o_orderstatus", $"x.id".as("o_orderkey"), $"x.score".as("o_totalprice"))
+      .orderBy($"o_orderstatus", $"o_totalprice".desc, $"o_orderkey")
+  }
+
+  val topKPerGroupOracle: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderstatus
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** Data-quality profile — the pre-training corpus health check: one row
+    * of null/distinct/dup/extent statistics in a single aggregation pass. */
+  def qualityProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"text".isNull || length($"text") === 0, 1L).otherwise(0L)).as("empty_texts"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        (count(lit(1)) - countDistinct($"text")).as("dup_texts"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+  }
+
+  val qualityProfileOracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS empty_texts,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(count(*) - count(DISTINCT text) AS BIGINT) AS dup_texts,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- set ops
 
   /** UNION (distinct): nations that have a customer or a supplier. */
@@ -477,5 +531,7 @@ object Relational {
     Q("set_union", Some(setUnionOracle), setUnion),
     Q("set_intersect", Some(setIntersectOracle), setIntersect),
     Q("set_except", Some(setExceptOracle), setExcept),
-    Q("topk_orders", Some(topKOracle), topKOrders))
+    Q("topk_orders", Some(topKOracle), topKOrders),
+    Q("topk_per_group", Some(topKPerGroupOracle), topKPerGroup),
+    Q("quality_profile", Some(qualityProfileOracle), qualityProfile))
 }

@@ -43,6 +43,29 @@ class WarehouseSpec extends SparkSuite {
     }, "partition not sorted")
   }
 
+  test("events round-trip through csv, json, and orc sources/sinks") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("graft-formats")
+    val events = Events.generate(spark, 500, 1704067200000L)
+    val key = events.select(
+      org.apache.spark.sql.functions.expr("bit_xor(xxhash64(event_id, status, event_type))"))
+      .head.getLong(0)
+    for (fmt <- Seq("csv", "json", "orc")) {
+      val path = s"$base/$fmt"
+      val w = events.write.mode("overwrite").format(fmt)
+      (if (fmt == "csv") w.option("header", "true") else w).save(path)
+      val r = spark.read.format(fmt).schema(Events.schema)
+      val back = (if (fmt == "csv") r.option("header", "true") else r).load(path)
+      assert(back.count() == 500, s"$fmt count")
+      val backKey = back.select(
+        org.apache.spark.sql.functions.expr("bit_xor(xxhash64(event_id, status, event_type))"))
+        .head.getLong(0)
+      assert(backKey == key, s"$fmt content hash mismatch")
+      assert(back.filter(col("status") === "ERROR" && col("error_code").isNull).count() == 0,
+        s"$fmt lost nullable semantics")
+    }
+  }
+
   test("JSON report sink round-trip") {
     val dir = tmpDir("graft-report")
     val events = Events.generate(spark, 1000, 1704067200000L)
