@@ -93,6 +93,41 @@ object TextOps {
     """SELECT doc_id, md5(lower(text)) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish token counting (builder brief): letters / digits / punctuation
+    * runs as separate tokens via a regex count — the cheap proxy for
+    * tokenizer-based counts used to size training corpora. */
+  def tokenCountBpe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    Tables.documents(s, d)
+      .select($"doc_id",
+        regexp_count($"text", lit(pat)).cast("long").as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenCountBpeOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+      |       AS BIGINT) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Rolling-hash (winnowing-style) fingerprint: min + max over the hashes
+    * of all character 8-gram windows — robust to small edits unlike the
+    * whole-document md5. Pure per-row computation (the windows come from a
+    * transform over substring offsets; each window hashed once). Rows-only
+    * check: engine hash functions differ. */
+  def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(length($"text") >= 8)
+      .withColumn("whashes", expr(
+        "transform(sequence(0, length(text) - 8), i -> xxhash64(substring(text, i + 1, 8)))"))
+      .select($"doc_id",
+        array_min($"whashes").as("fp_min"),
+        array_max($"whashes").as("fp_max"))
+      .orderBy($"doc_id")
+  }
+
   /** Language-ID n-gram heuristic (rows-only check: the heuristic is ours,
     * no SQL ground truth): scores each doc against tiny per-language marker
     * token sets and picks argmax; marker hits computed with higher-order
@@ -120,5 +155,7 @@ object TextOps {
     Q("text_quality_score", Some(qualityScoreOracle), qualityScore),
     Q("text_lang_profile", Some(langProfileOracle), langProfile),
     Q("text_fingerprint", Some(fingerprintOracle), fingerprint),
+    Q("text_token_bpe", Some(tokenCountBpeOracle), tokenCountBpe),
+    Q("text_winnow_fingerprint", None, winnowFingerprint),
     Q("text_langid_heuristic", None, langIdHeuristic))
 }
