@@ -76,6 +76,31 @@ object Ingest {
       .select(col("minute_window.start").as("minute"),
         col("event_type"), col("status"), col("cnt"))
 
+  /** Stream-stream interval join: each VIEW_PRODUCT joined to the same
+    * user's PAYMENT events within the next 10 minutes. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire join state — unbounded-state stream joins are the
+    * classic streaming OOM. (SURVEY.md T10 extension: the reference has no
+    * in-stream joins.) */
+  def viewToPaymentJoin(events: DataFrame): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "VIEW_PRODUCT")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("event_timestamp").as("view_ts"))
+      .withWatermark("view_ts", "1 minute")
+    val pays = events
+      .filter(col("event_type") === "PAYMENT")
+      .select(col("user_id").as("pay_user"), col("event_id").as("pay_id"),
+        col("event_timestamp").as("pay_ts"))
+      .withWatermark("pay_ts", "1 minute")
+    views.join(pays, expr(
+      """user_id = pay_user
+        |AND pay_ts > view_ts
+        |AND pay_ts <= view_ts + INTERVAL 10 MINUTES""".stripMargin))
+      .select(col("user_id"), col("view_id"), col("pay_id"),
+        col("view_ts"), col("pay_ts"))
+  }
+
   /** Streaming exact dedup on the event id, state bounded by the watermark
     * (SURVEY.md T10 extension; the reference's at-least-once Connect sink
     * can write duplicates — this is the Spark-native repair). */

@@ -73,6 +73,31 @@ class IngestStreamSpec extends SparkSuite {
     assert(got.select("event_id").distinct().count() == 1000)
   }
 
+  test("stream-stream interval join bounds matches and respects the window") {
+    val stage = tmpDir("graft-ssj-stage")
+    Events.generate(spark, 20000, 1704067200000L, intervalMs = 100) // ~33 min span
+      .write.mode("overwrite").parquet(stage)
+    val src = spark.readStream.schema(Events.schema).parquet(stage)
+
+    val joined = Ingest.viewToPaymentJoin(src)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("ssj_out").collect()
+    assert(got.nonEmpty, "expected some view→payment pairs")
+    got.foreach { r =>
+      val vts = r.getTimestamp(3).getTime
+      val pts = r.getTimestamp(4).getTime
+      assert(pts > vts && pts <= vts + 10 * 60 * 1000, s"window violated: $r")
+    }
+    // cross-check one pair against the batch equivalent
+    val batch = Ingest.viewToPaymentJoin(spark.read.parquet(stage)).count()
+    assert(got.length == batch, s"stream ${got.length} vs batch $batch")
+  }
+
   test("streaming minute counts match the batch aggregation") {
     val warehouse = tmpDir("graft-wh2")
     val events = Events.withEventMinute(
