@@ -78,10 +78,16 @@ case class DotProductExpr(left: Expression, right: Expression)
 /** Session-level registration for graft's native functions. Idempotent. */
 object GraftFunctions {
   val DotName = "graft_dot"
+  val SimHashName = "graft_simhash64"
+  val MinHashName = "graft_minhash_sig"
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotName,
-      exprs => DotProductExpr(exprs.head, exprs(1)),
-      "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(DotName,
+      exprs => DotProductExpr(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(SimHashName,
+      exprs => SimHash64Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(MinHashName,
+      exprs => MinHashSigExpr(exprs.head, 16), "built-in")
+  }
 }

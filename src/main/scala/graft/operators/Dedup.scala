@@ -55,12 +55,13 @@ object Dedup {
     * variants re-hash the resulting long (string hashing is the dominant
     * cost — 16× re-hashing strings would be 16× the work). Pure per-row
     * computation, no shuffle. */
-  private[operators] def withMinhashSig(shingled: DataFrame): DataFrame =
+  private[operators] def withMinhashSig(shingled: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(shingled.sparkSession)
     shingled
       .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
-      .withColumn("sig", expr(
-        "transform(sequence(0, 15), k -> array_min(transform(hs, h -> xxhash64(h, k))))"))
+      .withColumn("sig", call_function(graft.functions.GraftFunctions.MinHashName, col("hs")))
       .drop("hs")
+  }
 
   /** LSH candidate pairs: docs agreeing on ≥1 of 2 bands (8 minhashes per
     * band — wide bands keep dissimilar docs apart even on low-entropy
@@ -134,15 +135,14 @@ object Dedup {
     // Tokens are hashed once into longs; the 64 bit-sums then operate on
     // longs only (re-hashing the token string per bit would be 64× the
     // string-hash cost).
-    df.withColumn("hs", expr(
-        "transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
-          |  acc + IF(aggregate(hs, 0, (c, h) ->
-          |             c + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
-          |           shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"""
-          .stripMargin))
-      .drop("hs")
+    {
+      graft.functions.GraftFunctions.register(df.sparkSession)
+      df.withColumn("hs", expr(
+          "transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
+        .withColumn("simhash",
+          call_function(graft.functions.GraftFunctions.SimHashName, col("hs")))
+        .drop("hs")
+    }
 
   /** Per-document SimHash values (rows-only; deterministic). */
   def simhashDocs(s: SparkSession, d: String): DataFrame = {

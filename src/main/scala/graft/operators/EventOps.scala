@@ -122,6 +122,22 @@ object EventOps {
       |       CAST(count(DISTINCT event_type) AS BIGINT) AS type_cnt
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** collect_set / array functions with a portable oracle: the distinct
+    * event types per user, sorted and rendered as one string (array-typed
+    * outputs compare unreliably across engines; strings always hash). */
+  def typeSetPerUser(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(concat_ws(",", array_sort(collect_set($"event_type"))).as("types"))
+      .orderBy($"user_id")
+  }
+
+  val typeSetPerUserOracle: String =
+    """SELECT user_id,
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Hour-of-day histogram (F1-style date part extraction). */
   def hourHistogram(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -197,6 +213,7 @@ object EventOps {
     Q("ev_point_lookup", Some(pointLookupOracle), pointLookup),
     Q("ev_json_extract", Some(jsonExtractOracle), jsonExtract),
     Q("ev_user_stats", Some(userStatsOracle), userStats),
+    Q("ev_type_set_per_user", Some(typeSetPerUserOracle), typeSetPerUser),
     Q("ev_hour_histogram", Some(hourHistogramOracle), hourHistogram),
     Q("ev_tumbling_hourly", Some(tumblingHourlyOracle), tumblingHourly),
     Q("ev_tehran_minute_name", Some(tehranMinuteNameOracle), tehranMinuteName))

@@ -109,7 +109,26 @@ object SqlSurface {
     s.sql(topReturnedSql)
   }
 
+  /** first_value / last_value / ntile — the remaining window-function
+    * family, with fully-deterministic frame ordering. */
+  private val winFirstLastSql =
+    """SELECT o_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_order,
+      |  last_value(o_orderkey) OVER w AS last_order,
+      |  CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+      |    AS price_quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def winFirstLast(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders")
+    s.sql(winFirstLastSql)
+  }
+
   val defs: Seq[Q] = Seq(
+    Q("sql_win_first_last", Some(winFirstLastSql), winFirstLast),
     Q("sql_market_share", Some(marketShareSql), marketShare),
     Q("sql_top_returned_customers", Some(topReturnedSql), topReturned),
     Q("sql_grouping_sets", Some(groupingSetsSql), groupingSets),

@@ -170,6 +170,25 @@ class OperatorSpec extends SparkSuite {
     a.foreach(r => assert(r.getInt(1) == (meta(r.getLong(0)) / 64).toInt))
   }
 
+  test("sketch expressions: single-element identities") {
+    import spark.implicits._
+    Tables.load(spark, Sf, "region") // ensure registration
+    // SimHash of one hash h is h itself (every bit count is ±1)
+    val h = 0x1234abcd5678ef90L
+    val r = Seq(Tuple1(Seq(h))).toDF("hs")
+      .select(call_function("graft_simhash64", col("hs")).as("sh"),
+        call_function("graft_minhash_sig", col("hs")).as("sig"))
+      .head()
+    assert(r.getLong(0) == h)
+    val sig = r.getSeq[Long](1)
+    assert(sig.length == 16)
+    // sig[k] = xxhash64(h, seed=k): deterministic and all-distinct here
+    assert(sig.distinct.length == 16)
+    val again = Seq(Tuple1(Seq(h))).toDF("hs")
+      .select(call_function("graft_minhash_sig", col("hs"))).head().getSeq[Long](0)
+    assert(sig == again)
+  }
+
   test("simhash of identical docs is identical, hamming 0") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
