@@ -173,6 +173,63 @@ object EventOps {
       |       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  /** Funnel conversion — the reference's own e-commerce domain: users who
+    * viewed, then clicked after their first view, then purchased after
+    * their first post-view click. Each stage is a min-aggregation + equi-
+    * join (no window over the whole history), so the funnel scales as
+    * ordinary shuffles. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("vt"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" > $"vt")
+      .groupBy($"user_id").agg(min($"ts").as("ct"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" > $"ct")
+      .select($"user_id").distinct()
+      .withColumn("pf", lit(1))
+    // stage flags joined per user, one conditional aggregate — no single-row
+    // cross joins (which plan as nested loops and trip the plan audit)
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .agg(
+        count($"vt").as("viewed"),
+        count($"ct").as("clicked_after_view"),
+        count($"pf").as("purchased_after_click"))
+  }
+
+  val funnelOracle: String =
+    """WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS vt
+      |           FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ct
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.vt
+      |      GROUP BY e.user_id),
+      |p AS (SELECT DISTINCT e.user_id
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.ct)
+      |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS viewed,
+      |       CAST((SELECT count(*) FROM c) AS BIGINT) AS clicked_after_view,
+      |       CAST((SELECT count(*) FROM p) AS BIGINT) AS purchased_after_click"""
+      .stripMargin
+
+  /** Value histogram with fixed-width bins (floor division — portable,
+    * unlike width_bucket). */
+  def valueHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy((floor($"value" / 50) * 50).cast("int").as("bin_lo"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"bin_lo")
+  }
+
+  val valueHistogramOracle: String =
+    """SELECT CAST(floor(value / 50) * 50 AS INT) AS bin_lo,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY 1 ORDER BY bin_lo""".stripMargin
+
   /** The reference's Tehran-timezone minute file naming quirk (SURVEY.md F3,
     * reference airflow/dags/pipeline.py:130-131): previous minute rendered in
     * Asia/Tehran (UTC+3:30, no DST since 2022) as yyyy-MM-dd_HH-mm. The
@@ -216,5 +273,7 @@ object EventOps {
     Q("ev_type_set_per_user", Some(typeSetPerUserOracle), typeSetPerUser),
     Q("ev_hour_histogram", Some(hourHistogramOracle), hourHistogram),
     Q("ev_tumbling_hourly", Some(tumblingHourlyOracle), tumblingHourly),
+    Q("ev_funnel", Some(funnelOracle), funnel),
+    Q("ev_value_histogram", Some(valueHistogramOracle), valueHistogram),
     Q("ev_tehran_minute_name", Some(tehranMinuteNameOracle), tehranMinuteName))
 }
