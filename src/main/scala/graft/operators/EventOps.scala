@@ -105,20 +105,30 @@ object EventOps {
   /** Per-user aggregate profile (A1/A2/A5 shapes + distinct). */
   def userStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // avg_value is computed in exact integer cents: the true average of
+    // 2-decimal money values lands EXACTLY on the 4-dp rounding boundary
+    // whenever the cent total is divisible just so (3118.29/56 = 55.68375),
+    // and fp noise then flips the rounding direction differently per
+    // engine. floor((cents*2*10^4 + n) / (2n)) is half-up in pure integer
+    // arithmetic — bit-identical everywhere.
     Tables.events(s, d)
       .groupBy($"user_id")
       .agg(
         count(lit(1)).as("cnt"),
         round(sum($"value"), 2).as("total_value"),
-        round(avg($"value"), 4).as("avg_value"),
+        round(sum($"value") * 100).cast("long").as("cents"),
         countDistinct($"event_type").as("type_cnt"))
+      .withColumn("avg_value",
+        expr("(cents * 20000 + cnt) div (2 * cnt)").cast("double") / 10000)
+      .select($"user_id", $"cnt", $"total_value", $"avg_value", $"type_cnt")
       .orderBy($"user_id")
   }
 
   val userStatsOracle: String =
     """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
       |       round(CAST(sum(value) AS DOUBLE), 2) AS total_value,
-      |       round(CAST(avg(value) AS DOUBLE), 4) AS avg_value,
+      |       CAST((CAST(round(sum(value) * 100) AS BIGINT) * 20000 + count(*))
+      |            // (2 * count(*)) AS DOUBLE) / 10000 AS avg_value,
       |       CAST(count(DISTINCT event_type) AS BIGINT) AS type_cnt
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 

@@ -116,8 +116,8 @@ object Functions {
 
   val percentilesOracle: String =
     """SELECT o_orderstatus,
-      |  round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 2) AS p50,
-      |  round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 2) AS p90
+      |  CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p50,
+      |  CAST(round(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p90
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   val defs: Seq[Q] = Seq(

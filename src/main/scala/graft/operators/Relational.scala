@@ -52,9 +52,9 @@ object Relational {
       | round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
       | round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
       | round(CAST(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS DOUBLE), 2) AS sum_charge,
-      | round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,
-      | round(CAST(avg(l_extendedprice) AS DOUBLE), 4) AS avg_price,
-      | round(CAST(avg(l_discount) AS DOUBLE), 4) AS avg_disc,
+      | CAST(round(CAST(avg(l_quantity) AS DECIMAL(18,8)), 4) AS DOUBLE) AS avg_qty,
+      | CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(18,8)), 4) AS DOUBLE) AS avg_price,
+      | CAST(round(CAST(avg(l_discount) AS DECIMAL(18,8)), 4) AS DOUBLE) AS avg_disc,
       | CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -267,7 +267,7 @@ object Relational {
       |       CAST(count(*) AS BIGINT) AS cnt,
       |       round(CAST(min(o_totalprice) AS DOUBLE), 2) AS min_price,
       |       round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price,
-      |       round(CAST(avg(o_totalprice) AS DOUBLE), 4) AS avg_price,
+      |       CAST(round(CAST(avg(o_totalprice) AS DECIMAL(18,8)), 4) AS DOUBLE) AS avg_price,
       |       round(CAST(stddev_samp(o_totalprice) AS DOUBLE), 4) AS sd_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -335,8 +335,12 @@ object Relational {
   /** Moving average over the supplier's last 3 shipments. */
   def winMovingAvg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // l_quantity is part of the window order: sf0.1 has duplicate
+    // (suppkey, shipdate, orderkey, linenumber) rows with different
+    // quantities, and without a total order the moving average is
+    // run-dependent.
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
       .rowsBetween(-2, Window.currentRow)
     Tables.lineitem(s, d)
       .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
@@ -349,7 +353,7 @@ object Relational {
   val winMovingAvgOracle: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  round(CAST(avg(l_quantity) OVER (PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
       |    AS mov_avg_qty
       |FROM lineitem

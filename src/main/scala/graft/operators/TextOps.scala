@@ -37,8 +37,8 @@ object TextOps {
   val tokenStatsOracle: String =
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |  round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
-      |        / len(string_split(text, ' ')), 4) AS avg_token_len
+      |  CAST(round(CAST((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+      |        / len(string_split(text, ' ')) AS DECIMAL(18,8)), 4) AS DOUBLE) AS avg_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Quality scoring: stopword ratio via a higher-order filter over the
@@ -56,9 +56,9 @@ object TextOps {
 
   val qualityScoreOracle: String =
     """SELECT doc_id,
-      |  round(len(list_filter(string_split(text, ' '),
+      |  CAST(round(CAST(len(list_filter(string_split(text, ' '),
       |            t -> t IN ('the', 'a'))) * 1.0
-      |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      |        / len(string_split(text, ' ')) AS DECIMAL(18,8)), 4) AS DOUBLE) AS stopword_ratio,
       |  CAST(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS INT) AS len_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -77,7 +77,7 @@ object TextOps {
   val langProfileOracle: String =
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-      |       round(CAST(avg(n_chars) AS DOUBLE), 4) AS avg_chars
+      |       CAST(round(CAST(avg(n_chars) AS DECIMAL(18,8)), 4) AS DOUBLE) AS avg_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Document fingerprint: content hash of the normalized text — the exact
