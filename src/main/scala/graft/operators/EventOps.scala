@@ -225,6 +225,32 @@ object EventOps {
       |       CAST((SELECT count(*) FROM p) AS BIGINT) AS purchased_after_click"""
       .stripMargin
 
+  /** Weekly cohort retention: users active k weeks after their first
+    * event. Two aggregations + one equi-join — no per-user windows over
+    * full history, so the shape holds at any scale. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val first = ev.groupBy($"user_id").agg(min($"ts").as("ft"))
+    ev.join(first, "user_id")
+      .select($"user_id",
+        floor(datediff(to_date($"ts"), to_date($"ft")) / 7).cast("int").as("week_offset"))
+      .distinct()
+      .groupBy($"week_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy($"week_offset")
+  }
+
+  val retentionOracle: String =
+    """WITH fst AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS ft
+      |             FROM events GROUP BY user_id),
+      |act AS (SELECT DISTINCT e.user_id,
+      |          CAST(floor(datediff('day', CAST(f.ft AS DATE), CAST(e.ts AS DATE))
+      |               / 7) AS INT) AS week_offset
+      |        FROM events e JOIN fst f ON e.user_id = f.user_id)
+      |SELECT week_offset, CAST(count(*) AS BIGINT) AS active_users
+      |FROM act GROUP BY week_offset ORDER BY week_offset""".stripMargin
+
   /** Value histogram with fixed-width bins (floor division — portable,
     * unlike width_bucket). */
   def valueHistogram(s: SparkSession, d: String): DataFrame = {
@@ -284,6 +310,7 @@ object EventOps {
     Q("ev_hour_histogram", Some(hourHistogramOracle), hourHistogram),
     Q("ev_tumbling_hourly", Some(tumblingHourlyOracle), tumblingHourly),
     Q("ev_funnel", Some(funnelOracle), funnel),
+    Q("ev_retention", Some(retentionOracle), retention),
     Q("ev_value_histogram", Some(valueHistogramOracle), valueHistogram),
     Q("ev_tehran_minute_name", Some(tehranMinuteNameOracle), tehranMinuteName))
 }

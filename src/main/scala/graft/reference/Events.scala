@@ -79,7 +79,12 @@ object Events {
       .withColumn("rot", when(rand(seed + 1) < 0.01, 1L).otherwise(0L))
       .withColumn("bucket", floor(col("id") / 100) + col("rot"))
       .select(
-        uuidCol(col("id"), "evt").as("event_id"),
+        // event ids are salted with (seed, start): the reference draws a
+        // fresh uuid4 per event (producer.py:38), so two generated batches
+        // must never collide — while identical parameters stay reproducible.
+        // user/session ids deliberately do NOT carry the salt: the same
+        // simulated users persist across batches/minutes.
+        uuidCol(col("id"), s"evt-$seed-$startEpochMillis").as("event_id"),
         uuidCol(col("bucket"), "usr").as("user_id"),
         uuidCol(col("bucket"), "ses").as("session_id"),
         element_at(

@@ -35,10 +35,29 @@ object Warehouse {
       .sortWithinPartitions(col("event_minute"), col("event_type"), col("event_timestamp"))
       .write.mode(mode).partitionBy("event_minute").parquet(path)
 
+  /** Read the warehouse. The session's file-status cache is invalidated
+    * first: a batch read after a streaming sink appended to the same path
+    * in this session otherwise serves a STALE listing (the shared
+    * FileStatusCache has no TTL by default) and silently misses the newest
+    * batches. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.catalog.refreshByPath(path)
+    // Glob the partition directories with an explicit basePath instead of
+    // reading the root: a root read of a streaming-sink output resolves
+    // through the sink's _spark_metadata log, which (observed on Spark
+    // 4.1) can serve a stale file list inside the writing session; the
+    // glob + refresh always lists the filesystem. basePath keeps
+    // event_minute as a partition column.
+    spark.read
+      .option("basePath", path)
+      .schema(Events.schema.add("event_minute", org.apache.spark.sql.types.TimestampType))
+      .parquet(s"$path/event_minute=*")
+  }
+
   /** Minute-pruned read: the filter binds to the partition column, so the
     * scan touches exactly one partition directory. */
   def readMinute(spark: SparkSession, path: String, minute: java.sql.Timestamp): DataFrame =
-    spark.read.parquet(path).filter(col("event_minute") === lit(minute))
+    readEvents(spark, path).filter(col("event_minute") === lit(minute))
 
   /** Single-object JSON report sink (S4). Spark write → works unchanged
     * against object stores; coalesce(1) mimics the reference's one report

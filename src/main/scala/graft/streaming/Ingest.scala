@@ -76,6 +76,30 @@ object Ingest {
       .select(col("minute_window.start").as("minute"),
         col("event_type"), col("status"), col("cnt"))
 
+  /** Continuous report leg (reference S7/§3.3 step 4: every minute a JSON
+    * report is pushed to the dashboard): foreachBatch computes the pivot
+    * report over each micro-batch and writes it as a JSON object named by
+    * the batch id. foreachBatch is the idiomatic escape hatch for sinks
+    * Spark lacks (the reference POSTs to a REST API — swap the write for
+    * the HTTP call in deployment; everything else is identical). */
+  def startMinuteReports(
+      events: DataFrame,
+      reportDir: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val report = graft.reference.MinuteReport.analyze(
+          batch, fileName = s"batch-$batchId.parquet")
+        graft.sources.Warehouse.writeReportJson(
+          batch.sparkSession,
+          graft.reference.MinuteReport.toJson(report),
+          s"$reportDir/batch-$batchId")
+      }
+      .start()
+
   /** Stream-stream interval join: each VIEW_PRODUCT joined to the same
     * user's PAYMENT events within the next 10 minutes. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

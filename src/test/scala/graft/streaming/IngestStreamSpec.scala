@@ -36,6 +36,52 @@ class IngestStreamSpec extends SparkSuite {
       s"minute filter should prune partitions:\n$plan")
   }
 
+  test("checkpoint resume is exactly-once: rerun adds only new data, no duplicates") {
+    val stage = tmpDir("graft-eo-stage")
+    val wh = tmpDir("graft-eo-wh")
+    val ckpt = tmpDir("graft-eo-ckpt")
+    def run(): Unit = {
+      val src = spark.readStream.schema(Events.schema).parquet(stage)
+      Ingest.startIngest(Events.withEventMinute(src), wh, ckpt)
+        .awaitTermination(120000)
+    }
+    // reads go through Warehouse.readEvents: a plain spark.read.parquet
+    // here can serve a STALE file listing from the session FileStatusCache
+    // after the sink appends (that's the regression this test guards).
+    def whCount() = graft.sources.Warehouse.readEvents(spark, wh).count()
+    Events.generate(spark, 3000, 1704067200000L).write.mode("append").parquet(stage)
+    run()
+    assert(whCount() == 3000)
+    // rerun with the SAME checkpoint and no new data: nothing re-ingested
+    run()
+    assert(whCount() == 3000, "re-run duplicated data")
+    // new file arrives; rerun picks up exactly the delta
+    Events.generate(spark, 2000, 1704067800000L, seed = 99L)
+      .write.mode("append").parquet(stage)
+    run()
+    val all = graft.sources.Warehouse.readEvents(spark, wh)
+    assert(all.count() == 5000)
+    // distinct holds because event ids are salted per (seed, start) batch
+    assert(all.select("event_id").distinct().count() == 5000)
+  }
+
+  test("foreachBatch minute reports land as JSON per batch") {
+    val stage = tmpDir("graft-fb-stage")
+    val reports = tmpDir("graft-fb-reports")
+    val ckpt = tmpDir("graft-fb-ckpt")
+    Events.generate(spark, 2000, 1704067200000L).write.mode("overwrite").parquet(stage)
+    val src = spark.readStream.schema(Events.schema).parquet(stage)
+    Ingest.startMinuteReports(src, reports, ckpt).awaitTermination(120000)
+    val dirs = new java.io.File(reports).listFiles().filter(_.getName.startsWith("batch-"))
+    assert(dirs.nonEmpty)
+    val json = graft.sources.Warehouse.readReportJson(spark, dirs.head.toString)
+    assert(json.contains("\"total_events\": "))
+    val total = dirs.map(d =>
+      graft.sources.Warehouse.readReportJson(spark, d.toString))
+      .map(j => "\"total_events\": (\\d+)".r.findFirstMatchIn(j).get.group(1).toLong).sum
+    assert(total == 2000, s"reports cover $total of 2000 events")
+  }
+
   test("rate-source event stream produces valid events in real time") {
     val out = tmpDir("graft-rate-out")
     val ckpt = tmpDir("graft-rate-ckpt")
