@@ -93,6 +93,27 @@ object TextOps {
     """SELECT doc_id, md5(lower(text)) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Canonical word count via explode (Spark's generator/UDTF surface;
+    * UNNEST on the oracle side): top-20 corpus tokens. The explode is the
+    * one shape here that multiplies rows — at 100 TB the aggregation still
+    * map-side-combines per partition before the shuffle, so the exchange
+    * carries one row per distinct token per partition, not per token
+    * occurrence. */
+  def wordCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token")
+      .limit(20)
+  }
+
+  val wordCountOracle: String =
+    """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
   /** BPE-ish token counting (builder brief): letters / digits / punctuation
     * runs as separate tokens via a regex count — the cheap proxy for
     * tokenizer-based counts used to size training corpora. */
@@ -155,6 +176,7 @@ object TextOps {
     Q("text_quality_score", Some(qualityScoreOracle), qualityScore),
     Q("text_lang_profile", Some(langProfileOracle), langProfile),
     Q("text_fingerprint", Some(fingerprintOracle), fingerprint),
+    Q("text_word_count", Some(wordCountOracle), wordCount),
     Q("text_token_bpe", Some(tokenCountBpeOracle), tokenCountBpe),
     Q("text_winnow_fingerprint", None, winnowFingerprint),
     Q("text_langid_heuristic", None, langIdHeuristic))
