@@ -63,10 +63,13 @@ object Dedup {
       .drop("hs")
   }
 
-  /** LSH candidate pairs: docs agreeing on ≥1 of 2 bands (8 minhashes per
-    * band — wide bands keep dissimilar docs apart even on low-entropy
-    * corpora where narrow bands collide constantly). Returns doc_a < doc_b
-    * with both shingle sets and signatures attached.
+  /** LSH candidate pairs: docs agreeing on ≥1 of 4 bands (4 minhashes per
+    * band). Band shape measured on a 100k-doc corpus with ground truth
+    * (see SCALE_NOTES.md): 2×8 bands had 8% recall of true near-dups
+    * (J≈0.6 pairs collide on an 8-hash band with p=J^8); 4×4 recovers
+    * recall while the degenerate-bucket cap below keeps the low-entropy
+    * false-collision blowup bounded. Returns doc_a < doc_b with both
+    * shingle sets and signatures attached.
     *
     * Two scale guards, both essential at 100 TB:
     *  - the self-join carries ONLY (band, key, doc_id) — shingle sets and
@@ -84,8 +87,8 @@ object Dedup {
     val sigs = withMinhashSig(shingleSets(s, d)).persist()
     val banded = sigs.select($"doc_id",
         explode(expr(
-          """transform(sequence(0, 1),
-            |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * 8 + 1, 8))))"""
+          """transform(sequence(0, 3),
+            |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * 4 + 1, 4))))"""
             .stripMargin)).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.key")
     val small = banded.groupBy($"band", $"key")

@@ -432,6 +432,27 @@ object Relational {
       |  CAST(max(n_chars) AS BIGINT) AS max_chars
       |FROM documents""".stripMargin
 
+  /** Unpivot (wide → long): the reverse of the reference's pivot report —
+    * per-part price/size attributes melted into (attribute, value) rows. */
+  def unpivotPart(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d)
+      .select($"p_partkey", $"p_retailprice", $"p_size".cast("double").as("p_size"))
+      .unpivot(
+        ids = Array($"p_partkey"),
+        values = Array($"p_retailprice", $"p_size"),
+        variableColumnName = "attr",
+        valueColumnName = "val")
+      .orderBy($"p_partkey", $"attr")
+  }
+
+  val unpivotOracle: String =
+    """SELECT p_partkey, attr, val FROM (
+      |  SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size
+      |  FROM part)
+      |UNPIVOT (val FOR attr IN (p_retailprice, p_size))
+      |ORDER BY p_partkey, attr""".stripMargin
+
   // ---------------------------------------------------------------- set ops
 
   /** UNION (distinct): nations that have a customer or a supplier. */
@@ -537,5 +558,6 @@ object Relational {
     Q("set_except", Some(setExceptOracle), setExcept),
     Q("topk_orders", Some(topKOracle), topKOrders),
     Q("topk_per_group", Some(topKPerGroupOracle), topKPerGroup),
-    Q("quality_profile", Some(qualityProfileOracle), qualityProfile))
+    Q("quality_profile", Some(qualityProfileOracle), qualityProfile),
+    Q("unpivot_part", Some(unpivotOracle), unpivotPart))
 }
