@@ -59,6 +59,19 @@ object Warehouse {
   def readMinute(spark: SparkSession, path: String, minute: java.sql.Timestamp): DataFrame =
     readEvents(spark, path).filter(col("event_minute") === lit(minute))
 
+  /** Compact the warehouse's small files (a streaming sink appends one
+    * file per minute per trigger — after a day of 1-minute triggers a hot
+    * minute holds hundreds of tiny files): rewrite every partition with one
+    * shuffle on the partition key, restoring the clustering sort. Returns
+    * the compacted copy's path — swap directories (or partitions) atomically
+    * at the catalog/orchestration layer; an in-place overwrite would lose
+    * exactly-once replayability mid-rewrite. */
+  def compact(spark: SparkSession, path: String, outPath: String): Unit =
+    readEvents(spark, path)
+      .repartition(col("event_minute"))
+      .sortWithinPartitions(col("event_minute"), col("event_type"), col("event_timestamp"))
+      .write.mode("overwrite").partitionBy("event_minute").parquet(outPath)
+
   /** Single-object JSON report sink (S4). Spark write → works unchanged
     * against object stores; coalesce(1) mimics the reference's one report
     * object per minute. */

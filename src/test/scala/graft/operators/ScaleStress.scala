@@ -79,6 +79,35 @@ object ScaleStress {
     println(s"[stress] candidate pairs: $total, same-origin (true near-dups): $sameOrigin")
     // ground truth: 5000 origins × C(20,2) = 950_000 true near-dup pairs
     println(f"[stress] recall of true near-dup pairs: ${sameOrigin / 950000.0}%.3f, precision: ${sameOrigin.toDouble / total}%.3f")
+
+    // ---- leg 3: ANN recall at 100k vectors (20 perturbed replicas per base)
+    val emb = Tables.embeddings(spark, d)
+      .select($"vec_id", explode(expr("sequence(0, 19)")).as("rep"), $"embedding")
+      .select(($"vec_id" * 20 + $"rep").as("vec_id"),
+        expr("""transform(embedding,
+               |  (x, i) -> cast(x + (pmod(xxhash64(vec_id, rep, i), 100) - 50) / 2500.0 as float))"""
+          .stripMargin).as("embedding"))
+      .cache()
+    println(s"[stress] vectors: ${emb.count()}")
+    import graft.functions.VectorOps._
+    val qv: Seq[Float] = emb.filter($"vec_id" === 0L).head().getSeq[Float](1).toArray.toSeq
+    val q = typedlit(qv)
+    val exact = time("brute-force top-20 over 100k vectors") {
+      emb.filter($"vec_id" =!= 0L)
+        .select($"vec_id", cosine($"embedding", q).as("cos"))
+        .orderBy($"cos".desc, $"vec_id").limit(20).collect().map(_.getLong(0)).toSet
+    }
+    // same-origin replicas of query vec 0 should dominate the true top-20
+    println(s"[stress] true top-20 same-origin share: ${exact.count(_ / 20 == 0)}/20")
+
+    // ---- leg 4: AQE skew-join handling on a deliberately hot key
+    val hot = spark.range(0, 5_000_000L).select(
+      when($"id" % 100 === 0, 0L).otherwise($"id").as("k"), $"id".as("v"))
+    val dim = spark.range(0, 1_000_000L).select($"id".as("k"), ($"id" * 2).as("w"))
+    val joined = hot.join(dim, "k")
+    time("5M-row join with 1 hot key (AQE skew handling on)") {
+      println(s"[stress] joined rows: ${joined.count()}")
+    }
     spark.stop()
   }
 }

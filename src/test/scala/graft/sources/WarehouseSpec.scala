@@ -66,6 +66,30 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("compaction merges small files per partition, preserving rows and sort") {
+    val wh = tmpDir("graft-compact-in")
+    val out = tmpDir("graft-compact-out")
+    // two appends -> 2 files per minute partition
+    Warehouse.writeEvents(Events.generate(spark, 6000, 1704067200000L), wh)
+    Events.withEventMinute(Events.generate(spark, 6000, 1704067200000L, seed = 7L))
+      .write.mode("append").partitionBy("event_minute").parquet(wh)
+    val before = new java.io.File(wh).listFiles()
+      .filter(_.getName.startsWith("event_minute=")).head
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 2, s"expected fragmented input, got $before files")
+
+    Warehouse.compact(spark, wh, out)
+    val partDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("event_minute="))
+    assert(partDirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    assert(spark.read.parquet(out).count() == 12000)
+    val rows = spark.read.parquet(partDirs.head.toString)
+      .select("event_type", "event_timestamp").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    assert(rows.zip(rows.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2) }, "compacted partition not clustered")
+  }
+
   test("JSON report sink round-trip") {
     val dir = tmpDir("graft-report")
     val events = Events.generate(spark, 1000, 1704067200000L)
