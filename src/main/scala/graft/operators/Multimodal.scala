@@ -54,6 +54,15 @@ object Multimodal {
           (pmod(xxhash64($"bin"), lit(1280)) + 64).cast("int").as("width"),
           (pmod(xxhash64($"bin", lit(1)), lit(720)) + 64).cast("int").as("height")).as("meta"),
         floor(length($"bin") / 64).cast("int").as("n_frames"),
+        // frame sampling: every 4th 64-byte "frame" offset (STUB of video
+        // frame selection; the plumbing — bounded array per row — is real)
+        expr("""filter(transform(sequence(0, cast(length(bin) / 64 as int) - 1),
+               |               f -> f * 64),
+               |       o -> pmod(o / 64, 4) = 0)""".stripMargin).as("sampled_frame_offsets"),
+        // resize: target dimensions a real decoder would scale to — pure
+        // metadata transform here (no pixels in the container)
+        least((pmod(xxhash64($"bin"), lit(1280)) + 64), lit(224)).cast("int").as("resized_w"),
+        least((pmod(xxhash64($"bin", lit(1)), lit(720)) + 64), lit(224)).cast("int").as("resized_h"),
         expr(
           """transform(sequence(0, 7),
             |  i -> pmod(xxhash64(substring(bin, i * 8 + 1, 8)), 1000) / 1000.0)"""
