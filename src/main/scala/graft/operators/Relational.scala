@@ -130,6 +130,90 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q7-style bilateral volume: revenue between customer-nation and
+    * supplier-nation pairs per year. Two independent nation lookups
+    * (broadcast twice under different aliases) over one fact join. */
+  def q7NationVolume(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val custNation = Tables.nation(s, d)
+      .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    val suppNation = Tables.nation(s, d)
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(custNation), $"c_nationkey" === $"cn_key")
+      .join(broadcast(suppNation), $"s_nationkey" === $"sn_key")
+      .filter($"cust_nation" =!= $"supp_nation")
+      .groupBy($"cust_nation", $"supp_nation",
+        year($"l_shipdate").cast("int").as("l_year"))
+      // revenue in exact integer 1e-4-dollar units, then half-up to cents:
+      // price×(1−disc) is an exact 4-decimal rational, and with ~1,400
+      // small groups the group sums tie at the cent boundary routinely —
+      // fp rounding would flip differently per engine (see userStats).
+      .agg(sum(round($"l_extendedprice" * 100).cast("long") *
+        round((lit(1.0) - $"l_discount") * 100).cast("long")).as("u"))
+      .select($"cust_nation", $"supp_nation", $"l_year",
+        (expr("(u + 50) div 100").cast("double") / 100).as("revenue"))
+      .orderBy($"cust_nation", $"supp_nation", $"l_year")
+  }
+
+  val q7Oracle: String =
+    """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+      |       CAST(year(l_shipdate) AS INT) AS l_year,
+      |       CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                 CAST(round((1.0 - l_discount) * 100) AS BIGINT)) + 50)
+      |            // 100 AS DOUBLE) / 100 AS revenue
+      |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND l_suppkey = s_suppkey
+      |  AND c_nationkey = n1.n_nationkey AND s_nationkey = n2.n_nationkey
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INT)
+      |ORDER BY cust_nation, supp_nation, l_year""".stripMargin
+
+  /** TPC-H Q14-style promo revenue share: conditional aggregate over a
+    * fact ⋈ broadcast-dim join. */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .agg(round(
+        sum(when($"p_type".startsWith("PROMO"),
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0)) * 100.0 /
+          sum($"l_extendedprice" * (lit(1.0) - $"l_discount")),
+        4).as("promo_revenue_pct"))
+  }
+
+  val q14Oracle: String =
+    """SELECT round(CAST(
+      |  100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+      |              THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 4)
+      |  AS promo_revenue_pct
+      |FROM lineitem, part WHERE l_partkey = p_partkey""".stripMargin
+
+  /** Explicit shuffle-hash join (strategy control surface): same semantics
+    * as the sort-merge default, planned as ShuffledHashJoin via hint —
+    * the right call when one side is too big to broadcast but small enough
+    * to hash per partition (skips both sort passes). */
+  def joinShuffleHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).hint("shuffle_hash")
+      .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("line_cnt"),
+        round(sum($"l_quantity"), 2).as("total_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val joinShuffleHashOracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS line_cnt,
+      |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS total_qty
+      |FROM orders, lineitem WHERE o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Left outer join preserving empty groups: order count per customer,
     * customers with no orders surface as 0. */
   def joinLeftOrderCounts(s: SparkSession, d: String): DataFrame = {
@@ -540,6 +624,9 @@ object Relational {
     Q("q1_pricing_summary", Some(q1Oracle), q1PricingSummary),
     Q("q3_top_revenue", Some(q3Oracle), q3TopRevenue),
     Q("q5_local_supplier_volume", Some(q5Oracle), q5LocalSupplierVolume),
+    Q("q7_nation_volume", Some(q7Oracle), q7NationVolume),
+    Q("q14_promo_share", Some(q14Oracle), q14PromoShare),
+    Q("join_shuffle_hash", Some(joinShuffleHashOracle), joinShuffleHash),
     Q("join_left_order_counts", Some(joinLeftOracle), joinLeftOrderCounts),
     Q("join_semi_finished", Some(joinSemiOracle), joinSemiFinished),
     Q("join_anti_no_orders", Some(joinAntiOracle), joinAntiNoOrders),

@@ -61,6 +61,11 @@ class OperatorSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("shuffle_hash hint plans a ShuffledHashJoin") {
+    val plan = Relational.joinShuffleHash(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("topk plans as TakeOrderedAndProject (no global sort)") {
     val plan = Relational.topKOrders(spark, Sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
