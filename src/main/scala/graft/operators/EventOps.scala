@@ -266,6 +266,28 @@ object EventOps {
       |       CAST(count(*) AS BIGINT) AS cnt
       |FROM events GROUP BY 1 ORDER BY bin_lo""".stripMargin
 
+  /** Sliding window (5-minute windows sliding by 1 minute): each event
+    * lands in 5 overlapping windows — Spark's window() replicates rows to
+    * their windows; the oracle does the same with an explicit unnest cross
+    * join. The streaming twin is the same expression under readStream. */
+  def slidingWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "5 minutes", "1 minute"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm").as("win_start"),
+        $"event_type", $"cnt")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  val slidingWindowOracle: String =
+    """SELECT strftime(date_trunc('minute', CAST(ts AS TIMESTAMP))
+      |         - to_minutes(k), '%Y-%m-%d %H:%M') AS win_start,
+      |       event_type, CAST(count(*) AS BIGINT) AS cnt
+      |FROM events, (SELECT unnest([0, 1, 2, 3, 4]) AS k) ks
+      |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   /** The reference's Tehran-timezone minute file naming quirk (SURVEY.md F3,
     * reference airflow/dags/pipeline.py:130-131): previous minute rendered in
     * Asia/Tehran (UTC+3:30, no DST since 2022) as yyyy-MM-dd_HH-mm. The
@@ -309,6 +331,7 @@ object EventOps {
     Q("ev_type_set_per_user", Some(typeSetPerUserOracle), typeSetPerUser),
     Q("ev_hour_histogram", Some(hourHistogramOracle), hourHistogram),
     Q("ev_tumbling_hourly", Some(tumblingHourlyOracle), tumblingHourly),
+    Q("ev_sliding_window", Some(slidingWindowOracle), slidingWindow),
     Q("ev_funnel", Some(funnelOracle), funnel),
     Q("ev_retention", Some(retentionOracle), retention),
     Q("ev_value_histogram", Some(valueHistogramOracle), valueHistogram),
