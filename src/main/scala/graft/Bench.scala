@@ -20,7 +20,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // baseline: the reference's published 22.16 s for its flagship minute
+    // analysis (BASELINE.md) — compare against our ref_minute_report entry.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_ref_minute_report_sec":22.16}""")
     spark.stop()
   }
 }

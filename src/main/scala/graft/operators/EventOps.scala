@@ -266,6 +266,36 @@ object EventOps {
       |       CAST(count(*) AS BIGINT) AS cnt
       |FROM events GROUP BY 1 ORDER BY bin_lo""".stripMargin
 
+  /** Composite: top spender per hour — time bucketing + aggregation +
+    * ranked window + filter in one plan. */
+  def topUserPerHour(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm").as("hr"),
+        $"user_id")
+      .agg(round(sum($"value"), 2).as("spend"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"hr").orderBy($"spend".desc, $"user_id")
+    hourly.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"hr", $"user_id", $"spend")
+      .orderBy($"hr")
+  }
+
+  val topUserPerHourOracle: String =
+    """SELECT hr, user_id, spend FROM (
+      |  SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+      |                  '%Y-%m-%d %H:%M') AS hr,
+      |         user_id, round(CAST(sum(value) AS DOUBLE), 2) AS spend,
+      |         row_number() OVER (
+      |           PARTITION BY strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+      |                                 '%Y-%m-%d %H:%M')
+      |           ORDER BY round(CAST(sum(value) AS DOUBLE), 2) DESC, user_id) AS rn
+      |  FROM events
+      |  GROUP BY 1, 2) t
+      |WHERE rn = 1 ORDER BY hr""".stripMargin
+
   /** Sliding window (5-minute windows sliding by 1 minute): each event
     * lands in 5 overlapping windows — Spark's window() replicates rows to
     * their windows; the oracle does the same with an explicit unnest cross
@@ -332,6 +362,7 @@ object EventOps {
     Q("ev_hour_histogram", Some(hourHistogramOracle), hourHistogram),
     Q("ev_tumbling_hourly", Some(tumblingHourlyOracle), tumblingHourly),
     Q("ev_sliding_window", Some(slidingWindowOracle), slidingWindow),
+    Q("ev_top_user_per_hour", Some(topUserPerHourOracle), topUserPerHour),
     Q("ev_funnel", Some(funnelOracle), funnel),
     Q("ev_retention", Some(retentionOracle), retention),
     Q("ev_value_histogram", Some(valueHistogramOracle), valueHistogram),

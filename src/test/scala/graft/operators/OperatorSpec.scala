@@ -143,6 +143,19 @@ class OperatorSpec extends SparkSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("approx_count_distinct is within its error bound of exact") {
+    import spark.implicits._
+    val approx = Relational.aggApproxDistinct(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, Sf)
+      .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$k approx=$a exact=$e")
+    }
+  }
+
   test("exact dedup keeps the minimal doc_id per text") {
     val dups = Dedup.exactDedup(spark, Sf)
     val total = Tables.documents(spark, Sf).select("text").distinct().count()
