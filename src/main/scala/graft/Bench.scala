@@ -19,7 +19,9 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries keep their -1 marker in `queries` but must not deflate
+    // the total
+    val total = results.values.filter(_ >= 0).sum
     // baseline: the reference's published 22.16 s for its flagship minute
     // analysis (BASELINE.md) — compare against our ref_minute_report entry.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_ref_minute_report_sec":22.16}""")

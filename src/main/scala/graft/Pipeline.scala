@@ -48,15 +48,15 @@ object Pipeline {
         .minusSeconds(60))
     val t0 = System.nanoTime()
     val extracted = Warehouse.readMinute(spark, warehouseDir, minute)
+    // one pass: analyze() already collects the (≤5-row) pivot, and zero
+    // totals mean the minute had no rows — no separate isEmpty job
+    val report = MinuteReport.analyze(extracted, fileName,
+      processTime = (System.nanoTime() - t0) / 1e9)
     val json =
-      if (extracted.isEmpty) {
+      if (report.totalEvents == 0L) {
         // the reference signals "no data" with an extension-less name
         MinuteReport.noDataJson(fileName.stripSuffix(".parquet"))
-      } else {
-        val report = MinuteReport.analyze(extracted, fileName,
-          processTime = (System.nanoTime() - t0) / 1e9)
-        MinuteReport.toJson(report)
-      }
+      } else MinuteReport.toJson(report)
     Warehouse.writeReportJson(spark, json, s"$reportDir/${fileName.stripSuffix(".parquet")}")
     json
   }

@@ -40,6 +40,9 @@ case class DotProductExpr(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** Null ELEMENTS null-propagate the whole result — matching the
+    * `aggregate(zip_with(...))` reference semantics (`dotHof`), where one
+    * null product nulls the accumulation. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -48,6 +51,7 @@ case class DotProductExpr(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -64,6 +68,10 @@ case class DotProductExpr(left: Expression, right: Expression)
          |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
          |double graftS = 0.0;
          |for (int graftI = 0; graftI < graftN; graftI++) {
+         |  if ($a.isNullAt(graftI) || $b.isNullAt(graftI)) {
+         |    ${ev.isNull} = true;
+         |    break;
+         |  }
          |  graftS += ${get(a, "graftI", isFloat(left))} * ${get(b, "graftI", isFloat(right))};
          |}
          |${ev.value} = graftS;

@@ -78,12 +78,25 @@ object Dedup {
     *  - degenerate buckets (band keys shared by >500 docs — boilerplate/
     *    template content) are dropped before the join: one hot key would
     *    otherwise create a quadratic pair explosion. */
-  private[operators] def lshCandidates(s: SparkSession, d: String): DataFrame = {
+  /** Collect a small (≤ limit-bounded) result and release the persisted
+    * relations backing it: without this, every pair query run in a
+    * long-lived session (Verify/Bench run all of them) pins its caches in
+    * executor memory for the session lifetime. */
+  private def materializeAndRelease(out: DataFrame, cached: DataFrame*): DataFrame = {
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    cached.foreach(_.unpersist(blocking = false))
+    out.sparkSession.createDataFrame(rows, out.schema)
+  }
+
+  /** Returns (candidate pairs, the persisted signature relation backing
+    * them — caller must release it, see materializeAndRelease). */
+  private[operators] def lshCandidates(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     // The signature relation is referenced 5× in this DAG (banding, bucket
     // census, both join sides, both re-attachments) — persist it so the
     // per-document hashing runs once, not five times. It is small: ids +
-    // 16 longs + the shingle array per doc.
+    // 16 longs + the shingle array per doc. Callers release it via
+    // materializeAndRelease.
     val sigs = withMinhashSig(shingleSets(s, d)).persist()
     val banded = sigs.select($"doc_id",
         explode(expr(
@@ -102,33 +115,40 @@ object Dedup {
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    pairs
+    (pairs
       .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sig".as("sig_a")), "doc_a")
-      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sig".as("sig_b")), "doc_b")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sig".as("sig_b")), "doc_b"),
+      sigs)
   }
 
   /** Exact n-gram Jaccard on the LSH candidate set: top-20 most similar
     * pairs. (Rows-only check: set algebra has no portable SQL oracle.) */
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    lshCandidates(s, d)
-      .select($"doc_a", $"doc_b",
-        round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b")), 4).as("jaccard"))
-      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
-      .limit(20)
+    val (cands, sigs) = lshCandidates(s, d)
+    materializeAndRelease(
+      cands
+        .select($"doc_a", $"doc_b",
+          round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size(array_union($"sh_a", $"sh_b")), 4).as("jaccard"))
+        .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+        .limit(20),
+      sigs)
   }
 
   /** MinHash-estimated Jaccard on the LSH candidate set: top-50 pairs. */
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    lshCandidates(s, d)
-      .select($"doc_a", $"doc_b",
-        round(expr(
-          "size(filter(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), v -> v = 1)) / 16.0"
-        ), 4).as("est_jaccard"))
-      .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
-      .limit(50)
+    val (cands, sigs) = lshCandidates(s, d)
+    materializeAndRelease(
+      cands
+        .select($"doc_a", $"doc_b",
+          round(expr(
+            "size(filter(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), v -> v = 1)) / 16.0"
+          ), 4).as("est_jaccard"))
+        .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
+        .limit(50),
+      sigs)
   }
 
   /** 64-bit SimHash per document, computed entirely with higher-order array
@@ -180,14 +200,16 @@ object Dedup {
     val pruned = banded.join(small, Seq("band", "key"))
     val l = pruned.select($"band", $"key", $"doc_id".as("doc_a"), $"simhash".as("sh_a"))
     val r = pruned.select($"band", $"key", $"doc_id".as("doc_b"), $"simhash".as("sh_b"))
-    l.join(r, Seq("band", "key"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b",
-        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
-      .filter($"hamming" <= 16)
-      .dropDuplicates("doc_a", "doc_b")
-      .orderBy($"hamming", $"doc_a", $"doc_b")
-      .limit(50)
+    materializeAndRelease(
+      l.join(r, Seq("band", "key"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+        .filter($"hamming" <= 16)
+        .dropDuplicates("doc_a", "doc_b")
+        .orderBy($"hamming", $"doc_a", $"doc_b")
+        .limit(50),
+      hashed)
   }
 
   val defs: Seq[Q] = Seq(

@@ -85,7 +85,7 @@ object EventOps {
 
   val jsonExtractOracle: String =
     """SELECT event_id,
-      |       CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS INT) AS k
+      |       CAST(NULLIF(regexp_extract(props, '"k": *([0-9]+)', 1), '') AS INT) AS k
       |FROM events ORDER BY event_id""".stripMargin
 
   /** Point lookup by id (reference P4, db/tests/test_clickhouse_schema.py:
@@ -118,8 +118,13 @@ object EventOps {
         round(sum($"value"), 2).as("total_value"),
         round(sum($"value") * 100).cast("long").as("cents"),
         countDistinct($"event_type").as("type_cnt"))
+      // scaled4 = avg_dollars·10⁴ = cents·100/cnt → half-up via
+      // floor((cents·200 + cnt) / (2·cnt)). (A first version used
+      // cents·20000, which computes average CENTS — 100× off — and the
+      // oracle replicated the same formula, so the differential check was
+      // blind to it. Keep the two sides' formulas independently derived.)
       .withColumn("avg_value",
-        expr("(cents * 20000 + cnt) div (2 * cnt)").cast("double") / 10000)
+        expr("(cents * 200 + cnt) div (2 * cnt)").cast("double") / 10000)
       .select($"user_id", $"cnt", $"total_value", $"avg_value", $"type_cnt")
       .orderBy($"user_id")
   }
@@ -127,7 +132,7 @@ object EventOps {
   val userStatsOracle: String =
     """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
       |       round(CAST(sum(value) AS DOUBLE), 2) AS total_value,
-      |       CAST((CAST(round(sum(value) * 100) AS BIGINT) * 20000 + count(*))
+      |       CAST((CAST(round(sum(value) * 100) AS BIGINT) * 200 + count(*))
       |            // (2 * count(*)) AS DOUBLE) / 10000 AS avg_value,
       |       CAST(count(DISTINCT event_type) AS BIGINT) AS type_cnt
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin

@@ -56,9 +56,13 @@ object Multimodal {
         floor(length($"bin") / 64).cast("int").as("n_frames"),
         // frame sampling: every 4th 64-byte "frame" offset (STUB of video
         // frame selection; the plumbing — bounded array per row — is real)
-        expr("""filter(transform(sequence(0, cast(length(bin) / 64 as int) - 1),
-               |               f -> f * 64),
-               |       o -> pmod(o / 64, 4) = 0)""".stripMargin).as("sampled_frame_offsets"),
+        // guarded: sequence(0, -1) would yield a DESCENDING [0, -1] for
+        // sub-frame payloads — short assets must sample zero frames
+        expr("""CASE WHEN length(bin) >= 64 THEN
+               |  filter(transform(sequence(0, cast(length(bin) / 64 as int) - 1),
+               |                 f -> f * 64),
+               |         o -> pmod(o / 64, 4) = 0)
+               |ELSE array() END""".stripMargin).as("sampled_frame_offsets"),
         // resize: target dimensions a real decoder would scale to — pure
         // metadata transform here (no pixels in the container)
         least((pmod(xxhash64($"bin"), lit(1280)) + 64), lit(224)).cast("int").as("resized_w"),

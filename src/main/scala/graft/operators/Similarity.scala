@@ -86,12 +86,17 @@ object Similarity {
       .persist()
     val a = sigs.select($"sig", $"vec_id".as("id_a"), $"embedding".as("emb_a"), $"nrm".as("n_a"))
     val b = sigs.select($"sig", $"vec_id".as("id_b"), $"embedding".as("emb_b"), $"nrm".as("n_b"))
-    a.join(b, Seq("sig"))
+    val out = a.join(b, Seq("sig"))
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b",
         round(dot($"emb_a", $"emb_b") / ($"n_a" * $"n_b"), 6).as("cos"))
       .orderBy($"cos".desc, $"id_a", $"id_b")
       .limit(50)
+    // materialize the ≤50-row result, then release the cached signatures —
+    // otherwise the cache is pinned for the session lifetime
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    sigs.unpersist(blocking = false)
+    s.createDataFrame(rows, out.schema)
   }
 
   /** IVF (inverted-file) approximate kNN — the other scale path the brief

@@ -40,18 +40,27 @@ object Warehouse {
     * in this session otherwise serves a STALE listing (the shared
     * FileStatusCache has no TTL by default) and silently misses the newest
     * batches. */
+  /** Schema of the warehouse layout (event columns + partition key). */
+  val warehouseSchema: org.apache.spark.sql.types.StructType =
+    Events.schema.add("event_minute", org.apache.spark.sql.types.TimestampType)
+
   def readEvents(spark: SparkSession, path: String): DataFrame = {
-    spark.catalog.refreshByPath(path)
-    // Glob the partition directories with an explicit basePath instead of
-    // reading the root: a root read of a streaming-sink output resolves
-    // through the sink's _spark_metadata log, which (observed on Spark
-    // 4.1) can serve a stale file list inside the writing session; the
-    // glob + refresh always lists the filesystem. basePath keeps
-    // event_minute as a partition column.
-    spark.read
-      .option("basePath", path)
-      .schema(Events.schema.add("event_minute", org.apache.spark.sql.types.TimestampType))
-      .parquet(s"$path/event_minute=*")
+    // A missing or not-yet-written warehouse is "no data", not an error —
+    // the minutely report's sentinel path depends on this (reference P6).
+    val dir = new java.io.File(path)
+    if (!dir.exists() || dir.listFiles() == null || dir.listFiles().isEmpty) {
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), warehouseSchema)
+    } else {
+      // Refresh first: a batch read after a streaming sink appended to the
+      // same path in this session can otherwise serve a stale listing from
+      // the shared FileStatusCache (no TTL by default). Reading the ROOT
+      // (not a partition glob) keeps the read going through the sink's
+      // _spark_metadata commit log, so files from failed, uncommitted
+      // batches are never visible — the exactly-once view.
+      spark.catalog.refreshByPath(path)
+      spark.read.schema(warehouseSchema).parquet(path)
+    }
   }
 
   /** Minute-pruned read: the filter binds to the partition column, so the

@@ -57,7 +57,10 @@ object Sessionize {
                     new java.sql.Timestamp(o.startMs),
                     new java.sql.Timestamp(o.endMs), o.n)
                   open = Open(t, t, 1)
-                case o => open = Open(o.startMs, t, o.n + 1)
+                case o =>
+                  // a late-but-in-watermark event can be OLDER than the open
+                  // session's bounds — extend with min/max, never backwards
+                  open = Open(math.min(o.startMs, t), math.max(o.endMs, t), o.n + 1)
               }
             }
             state.update(open)

@@ -143,6 +143,18 @@ class OperatorSpec extends SparkSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("ev_user_stats internal invariant: avg*cnt ≈ total (oracle-blind check)") {
+    // Guards the bug class where Spark and oracle encode the SAME wrong
+    // formula (the differential check passes on identical wrong numbers):
+    // a cross-column invariant derived independently of either formula.
+    EventOps.userStats(spark, Sf).collect().foreach { r =>
+      val cnt = r.getLong(r.fieldIndex("cnt"))
+      val total = r.getDouble(r.fieldIndex("total_value"))
+      val avg = r.getDouble(r.fieldIndex("avg_value"))
+      assert(math.abs(avg * cnt - total) < 0.01 * cnt, s"row $r")
+    }
+  }
+
   test("approx_count_distinct is within its error bound of exact") {
     import spark.implicits._
     val approx = Relational.aggApproxDistinct(spark, Sf).collect()

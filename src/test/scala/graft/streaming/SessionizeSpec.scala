@@ -51,4 +51,38 @@ class SessionizeSpec extends SparkSuite {
       assert(got.contains((1L, ts(65).getTime, 1L)), s"got $got")
     } finally q.stop()
   }
+
+  test("late-but-in-watermark event extends the session backwards, not end-first") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = Sessionize.sessions(
+      in.toDS().toDF("user_id", "ts")
+        .withWatermark("ts", "2 minutes")
+        .as[(Long, java.sql.Timestamp)])
+    val q = sessions.writeStream
+      .format("memory").queryName("late_sessions")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      in.addData((1L, ts(10)))
+      q.processAllAvailable()
+      // 1 minute EARLIER than the open session, within the watermark
+      in.addData((1L, ts(9)))
+      q.processAllAvailable()
+      // far-future events push the watermark past the timeout, twice so the
+      // timed-out state flushes
+      in.addData((9L, ts(600))); q.processAllAvailable()
+      in.addData((9L, ts(601))); q.processAllAvailable()
+      val got = spark.table("late_sessions").as[Sessionize.Session].collect()
+        .filter(_.user_id == 1L)
+      assert(got.nonEmpty, "session for user 1 not flushed")
+      val s1 = got.head
+      assert(s1.session_start.getTime == ts(9).getTime, s"start ${s1.session_start}")
+      assert(s1.session_end.getTime == ts(10).getTime, s"end ${s1.session_end}")
+      assert(s1.session_end.getTime >= s1.session_start.getTime)
+      assert(s1.n_events == 2)
+    } finally q.stop()
+  }
 }
