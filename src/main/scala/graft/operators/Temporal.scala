@@ -89,6 +89,42 @@ object Temporal {
       |FROM sess GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin
 
+  /** Native session windows: Spark's first-class `session_window` operator
+    * (the same expression works under readStream for streaming sessions).
+    * Oracle: the lag+running-sum formulation — two independent derivations
+    * of the same sessions. */
+  def sessionWindowNative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val sessionWindowOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+      |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER
+      |           (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+      |         OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER
+      |           (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |            >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, uts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY uts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+      |  FROM g)
+      |SELECT user_id,
+      |       strftime(min(uts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM sess GROUP BY user_id, sno
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Range (interval) join: for every view, purchases by the same user in
     * the following hour. Spark has no native range join, and the naive
     * non-equi join plans as a nested loop — instead both sides are bucketed
@@ -134,5 +170,6 @@ object Temporal {
   val defs: Seq[Q] = Seq(
     Q("asof_click_attribution", Some(asofOracle), asofClickAttribution),
     Q("ev_sessionize", Some(sessionizeOracle), sessionize),
+    Q("ev_session_window_native", Some(sessionWindowOracle), sessionWindowNative),
     Q("range_join_purchases_1h", Some(rangeJoinOracle), rangeJoinPurchasesAfterView))
 }
