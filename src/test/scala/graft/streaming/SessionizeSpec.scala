@@ -52,6 +52,48 @@ class SessionizeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming sessions agree with the batch (oracle-checked) sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real data: the driver events table (user_id, ts)
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)].collect().toSeq
+
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = Sessionize.sessions(
+      in.toDS().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, java.sql.Timestamp)])
+    val q = sessions.writeStream
+      .format("memory").queryName("eq_sessions")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      in.addData(ev: _*)
+      q.processAllAvailable()
+      // sentinel far-future events flush all real sessions via timeouts
+      val far = new java.sql.Timestamp(ev.map(_._2.getTime).max + 365L * 86400000)
+      in.addData((999999L, far)); q.processAllAvailable()
+      in.addData((999999L, new java.sql.Timestamp(far.getTime + 60000)))
+      q.processAllAvailable()
+
+      // compare at second granularity: the batch operator formats
+      // session_start to whole seconds
+      val streamed = spark.table("eq_sessions").as[Sessionize.Session].collect()
+        .filter(_.user_id != 999999L)
+        .map(s => (s.user_id, s.session_start.getTime / 1000, s.n_events)).toSet
+      // batch twin (the oracle-checked operator)
+      val batch = graft.operators.Temporal.sessionize(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getLong(0),
+          java.sql.Timestamp.valueOf(r.getString(3)).getTime / 1000, r.getLong(2))).toSet
+      val onlyS = (streamed -- batch).take(3)
+      val onlyB = (batch -- streamed).take(3)
+      assert(streamed == batch, s"streamed-only: $onlyS; batch-only: $onlyB")
+    } finally q.stop()
+  }
+
   test("late-but-in-watermark event extends the session backwards, not end-first") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
