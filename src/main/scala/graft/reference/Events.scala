@@ -59,7 +59,11 @@ object Events {
       intervalMs: Long = 10L,
       errorProb: Double = 0.25,
       seed: Long = 42L): DataFrame =
-    fromIds(spark.range(0, n, 1, math.max(1, (n / 100000L).toInt)).toDF("id"),
+    // partition sizing clamped before toInt: a plain (n/100000).toInt
+    // overflows to a negative for n beyond ~2.1e14 and would collapse the
+    // generator into one partition; cap at 100k partitions instead
+    fromIds(spark.range(0, n, 1,
+        math.max(1L, math.min(100000L, n / 100000L)).toInt).toDF("id"),
       startEpochMillis, intervalMs, errorProb, seed)
 
   /** Map a DataFrame with a long `id` column to event rows — shared by the

@@ -88,8 +88,7 @@ object MinuteReport {
     else {
       val t0 = System.nanoTime()
       val df = spark.read.schema(Events.schema).parquet(path)
-      val r = analyze(df, fileName = name,
-        processTime = (System.nanoTime() - t0) / 1e9)
+      val r = analyze(df, fileName = name)
       toJson(r.copy(processTime = (System.nanoTime() - t0) / 1e9))
     }
   }

@@ -35,20 +35,20 @@ object Warehouse {
       .sortWithinPartitions(col("event_minute"), col("event_type"), col("event_timestamp"))
       .write.mode(mode).partitionBy("event_minute").parquet(path)
 
-  /** Read the warehouse. The session's file-status cache is invalidated
-    * first: a batch read after a streaming sink appended to the same path
-    * in this session otherwise serves a STALE listing (the shared
-    * FileStatusCache has no TTL by default) and silently misses the newest
-    * batches. */
   /** Schema of the warehouse layout (event columns + partition key). */
   val warehouseSchema: org.apache.spark.sql.types.StructType =
     Events.schema.add("event_minute", org.apache.spark.sql.types.TimestampType)
 
+  /** Read the warehouse with an exactly-once view and a tolerant empty
+    * case. A missing or not-yet-written warehouse is "no data", not an
+    * error — the minutely report's sentinel path depends on this
+    * (reference P6). */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
-    // A missing or not-yet-written warehouse is "no data", not an error —
-    // the minutely report's sentinel path depends on this (reference P6).
-    val dir = new java.io.File(path)
-    if (!dir.exists() || dir.listFiles() == null || dir.listFiles().isEmpty) {
+    // existence probe through the Hadoop FileSystem API — a java.io.File
+    // check would silently report s3a://, hdfs:// etc. warehouses as empty
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath) || fs.listStatus(hPath).isEmpty) {
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), warehouseSchema)
     } else {
@@ -71,10 +71,16 @@ object Warehouse {
   /** Compact the warehouse's small files (a streaming sink appends one
     * file per minute per trigger — after a day of 1-minute triggers a hot
     * minute holds hundreds of tiny files): rewrite every partition with one
-    * shuffle on the partition key, restoring the clustering sort. Returns
-    * the compacted copy's path — swap directories (or partitions) atomically
-    * at the catalog/orchestration layer; an in-place overwrite would lose
-    * exactly-once replayability mid-rewrite. */
+    * shuffle on the partition key, restoring the clustering sort.
+    *
+    * The compacted copy is a BATCH layout with no `_spark_metadata` log, so
+    * readers list the filesystem directly. Two invariants when adopting it:
+    * (1) never resume the old checkpointed streaming query into the swapped
+    * directory — the sink would recreate `_spark_metadata` holding only
+    * post-swap batches and the commit-log-honoring readers would drop the
+    * compacted history; point the resumed query (fresh checkpoint) at the
+    * compacted dir or a new one. (2) the same rule applies to any batch
+    * append into a directory that already has a sink metadata log. */
   def compact(spark: SparkSession, path: String, outPath: String): Unit =
     readEvents(spark, path)
       .repartition(col("event_minute"))

@@ -55,8 +55,6 @@ object AvroWire {
   val SchemaId: Int = 1
   private val HeaderLen = 5
 
-  @transient private lazy val schema: Schema = new Schema.Parser().parse(SchemaJson)
-
   /** Typed view of an event DataFrame (9-column Events.schema layout). */
   def asEvents(df: DataFrame): Dataset[Event] = {
     import df.sparkSession.implicits._
@@ -71,12 +69,15 @@ object AvroWire {
       val sch = new Schema.Parser().parse(SchemaJson)
       val writer = new GenericDatumWriter[GenericRecord](sch)
       val bos = new ByteArrayOutputStream()
+      var encReuse: org.apache.avro.io.BinaryEncoder = null
       it.map { e =>
         bos.reset()
         // Confluent frame: magic 0 + schema id (big-endian int)
         bos.write(0)
         bos.write(ByteBuffer.allocate(4).putInt(SchemaId).array())
-        val enc = EncoderFactory.get().directBinaryEncoder(bos, null)
+        // reuse the encoder across records (per-partition allocation only)
+        val enc = EncoderFactory.get().directBinaryEncoder(bos, encReuse)
+        encReuse = enc
         val rec = new GenericData.Record(sch)
         rec.put("event_id", e.event_id)
         rec.put("user_id", e.user_id)

@@ -66,7 +66,7 @@ object Ingest {
     * the reference's minutely report query (SURVEY.md T7/T8). */
   def minuteStatusCounts(spark: SparkSession, warehouseDir: String): DataFrame =
     spark.readStream
-      .schema(graft.reference.Events.schema)
+      .schema(graft.sources.Warehouse.warehouseSchema) // incl. partition col, declared not inferred
       .parquet(warehouseDir)
       .withWatermark("event_timestamp", "1 minute")
       .groupBy(

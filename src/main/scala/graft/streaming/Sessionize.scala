@@ -57,9 +57,17 @@ object Sessionize {
                     new java.sql.Timestamp(o.startMs),
                     new java.sql.Timestamp(o.endMs), o.n)
                   open = Open(t, t, 1)
+                case o if t < o.startMs - gapMs =>
+                  // cross-batch late event separated from the open session
+                  // by more than the gap: batch semantics would attach it to
+                  // an earlier (already-emitted, immutable in append mode)
+                  // session — the bounded-state approximation emits it as
+                  // its own session rather than wrongly merging it forward
+                  closed += Session(uid,
+                    new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
                 case o =>
-                  // a late-but-in-watermark event can be OLDER than the open
-                  // session's bounds — extend with min/max, never backwards
+                  // late-but-adjacent event: extend with min/max, never
+                  // move session_end backwards
                   open = Open(math.min(o.startMs, t), math.max(o.endMs, t), o.n + 1)
               }
             }
