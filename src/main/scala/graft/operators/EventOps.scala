@@ -230,6 +230,21 @@ object EventOps {
       |       CAST((SELECT count(*) FROM p) AS BIGINT) AS purchased_after_click"""
       .stripMargin
 
+  /** Daily active users + event volume. */
+  def dailyActiveUsers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(countDistinct($"user_id").as("dau"), count(lit(1)).as("events"))
+      .orderBy($"day")
+  }
+
+  val dailyActiveUsersOracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+      |       CAST(count(*) AS BIGINT) AS events
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Weekly cohort retention: users active k weeks after their first
     * event. Two aggregations + one equi-join — no per-user windows over
     * full history, so the shape holds at any scale. */
@@ -370,6 +385,7 @@ object EventOps {
     Q("ev_top_user_per_hour", Some(topUserPerHourOracle), topUserPerHour),
     Q("ev_funnel", Some(funnelOracle), funnel),
     Q("ev_retention", Some(retentionOracle), retention),
+    Q("ev_daily_active_users", Some(dailyActiveUsersOracle), dailyActiveUsers),
     Q("ev_value_histogram", Some(valueHistogramOracle), valueHistogram),
     Q("ev_tehran_minute_name", Some(tehranMinuteNameOracle), tehranMinuteName))
 }

@@ -127,7 +127,39 @@ object SqlSurface {
     s.sql(winFirstLastSql)
   }
 
+  /** percent_rank / cume_dist — rank statistics whose values depend only on
+    * the ordering VALUES (ties collapse), so they are deterministic without
+    * a tiebreak in the window order. */
+  private val winRankStatsSql =
+    """SELECT o_orderkey,
+      |  round(percent_rank() OVER (ORDER BY o_totalprice), 6) AS pct_rank,
+      |  round(cume_dist() OVER (ORDER BY o_totalprice), 6) AS cume
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  def winRankStats(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders")
+    s.sql(winRankStatsSql)
+  }
+
+  /** Math scalar suite — byte-identical SQL on both engines. */
+  private val mathSuiteSql =
+    """SELECT o_orderkey,
+      |  round(sqrt(o_totalprice), 6) AS sq,
+      |  round(ln(o_totalprice), 6) AS lg,
+      |  CAST(ceil(o_totalprice) AS BIGINT) AS cl,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS fl,
+      |  round(power(o_totalprice, 0.25), 6) AS pw,
+      |  CAST(CAST(floor(o_totalprice) AS BIGINT) % 97 AS BIGINT) AS md
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  def mathSuite(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders")
+    s.sql(mathSuiteSql)
+  }
+
   val defs: Seq[Q] = Seq(
+    Q("sql_win_rank_stats", Some(winRankStatsSql), winRankStats),
+    Q("fn_math_suite", Some(mathSuiteSql), mathSuite),
     Q("sql_win_first_last", Some(winFirstLastSql), winFirstLast),
     Q("sql_market_share", Some(marketShareSql), marketShare),
     Q("sql_top_returned_customers", Some(topReturnedSql), topReturned),

@@ -80,6 +80,26 @@ object TextOps {
       |       CAST(round(CAST(avg(n_chars) AS DECIMAL(18,8)), 4) AS DOUBLE) AS avg_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Per-source corpus profile (provenance slice of the quality report). */
+  def sourceProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"source")
+  }
+
+  val sourceProfileOracle: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |       CAST(max(n_chars) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Document fingerprint: content hash of the normalized text — the exact
     * dedup key. md5 hex matches across engines, so oracle-checkable. */
   def fingerprint(s: SparkSession, d: String): DataFrame = {
@@ -175,6 +195,7 @@ object TextOps {
     Q("text_token_stats", Some(tokenStatsOracle), tokenStats),
     Q("text_quality_score", Some(qualityScoreOracle), qualityScore),
     Q("text_lang_profile", Some(langProfileOracle), langProfile),
+    Q("text_source_profile", Some(sourceProfileOracle), sourceProfile),
     Q("text_fingerprint", Some(fingerprintOracle), fingerprint),
     Q("text_word_count", Some(wordCountOracle), wordCount),
     Q("text_token_bpe", Some(tokenCountBpeOracle), tokenCountBpe),
