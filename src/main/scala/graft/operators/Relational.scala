@@ -230,6 +230,33 @@ object Relational {
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
+  /** Full outer join: nations by customer/supplier presence — rows survive
+    * from either side (the one outer-join shape not covered elsewhere). */
+  def joinFullOuterNations(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("customers"))
+    val sup = Tables.supplier(s, d).groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("suppliers"))
+    c.join(sup, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(
+        coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        coalesce($"customers", lit(0L)).as("customers"),
+        coalesce($"suppliers", lit(0L)).as("suppliers"))
+      .orderBy($"nationkey")
+  }
+
+  val joinFullOuterOracle: String =
+    """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+      |       CAST(coalesce(c.customers, 0) AS BIGINT) AS customers,
+      |       CAST(coalesce(s.suppliers, 0) AS BIGINT) AS suppliers
+      |FROM (SELECT c_nationkey, count(*) AS customers
+      |      FROM customer GROUP BY c_nationkey) c
+      |FULL OUTER JOIN (SELECT s_nationkey, count(*) AS suppliers
+      |                 FROM supplier GROUP BY s_nationkey) s
+      |  ON c.c_nationkey = s.s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   /** Left-semi join (EXISTS): customers with ≥1 finished order. */
   def joinSemiFinished(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -628,6 +655,7 @@ object Relational {
     Q("q14_promo_share", Some(q14Oracle), q14PromoShare),
     Q("join_shuffle_hash", Some(joinShuffleHashOracle), joinShuffleHash),
     Q("join_left_order_counts", Some(joinLeftOracle), joinLeftOrderCounts),
+    Q("join_full_outer_nations", Some(joinFullOuterOracle), joinFullOuterNations),
     Q("join_semi_finished", Some(joinSemiOracle), joinSemiFinished),
     Q("join_anti_no_orders", Some(joinAntiOracle), joinAntiNoOrders),
     Q("agg_rollup", Some(aggRollupOracle), aggRollup),

@@ -157,7 +157,36 @@ object SqlSurface {
     s.sql(mathSuiteSql)
   }
 
+  /** Boolean aggregates per group — byte-identical on both engines. */
+  private val boolAggSql =
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity >= 1.0) AS all_qty_positive,
+      |  bool_or(l_discount > 0.08) AS any_deep_discount,
+      |  CAST(count(CASE WHEN l_tax = 0.0 THEN 1 END) AS BIGINT) AS tax_free_lines
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def boolAgg(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem")
+    s.sql(boolAggSql)
+  }
+
+  /** Bitwise operations — byte-identical on both engines. */
+  private val bitSuiteSql =
+    """SELECT p_partkey,
+      |  CAST(p_size & 15 AS INT) AS lo_nibble,
+      |  CAST(p_size | 64 AS INT) AS with_flag,
+      |  CAST(~p_size AS INT) AS inverted,
+      |  CAST(p_size << 2 AS INT) AS shifted
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  def bitSuite(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "part")
+    s.sql(bitSuiteSql)
+  }
+
   val defs: Seq[Q] = Seq(
+    Q("sql_bool_agg", Some(boolAggSql), boolAgg),
+    Q("sql_bit_suite", Some(bitSuiteSql), bitSuite),
     Q("sql_win_rank_stats", Some(winRankStatsSql), winRankStats),
     Q("fn_math_suite", Some(mathSuiteSql), mathSuite),
     Q("sql_win_first_last", Some(winFirstLastSql), winFirstLast),
