@@ -38,6 +38,23 @@ object Dedup {
     """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
       |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
 
+  /** Exact dedup keyed on the md5 content fingerprint instead of the text:
+    * the 100 TB variant — shuffle rows are 32 hex chars + an id, not
+    * documents. (Hash-collision risk at md5 scale is ~0 for dedup.) */
+  def exactDedupByHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", md5($"text".cast("binary")).as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", $"fp")
+      .orderBy($"doc_id")
+  }
+
+  val exactDedupByHashOracle: String =
+    """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS fp
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
   /** Distinct 3-gram word-shingle set per doc, as an array column (docs with
     * <3 tokens dropped). Narrow map — no shuffle. */
   private[operators] def shingleSets(s: SparkSession, d: String): DataFrame = {
@@ -214,6 +231,7 @@ object Dedup {
 
   val defs: Seq[Q] = Seq(
     Q("dedup_exact", Some(exactDedupOracle), exactDedup),
+    Q("dedup_exact_by_hash", Some(exactDedupByHashOracle), exactDedupByHash),
     Q("dedup_ngram_jaccard", None, ngramJaccardPairs),
     Q("dedup_simhash_docs", None, simhashDocs),
     Q("dedup_simhash_pairs", None, simhashPairs),

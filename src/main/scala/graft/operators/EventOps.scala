@@ -230,6 +230,45 @@ object EventOps {
       |       CAST((SELECT count(*) FROM p) AS BIGINT) AS purchased_after_click"""
       .stripMargin
 
+  /** Deterministic mode: each user's most frequent event type (ties broken
+    * alphabetically — built-in mode() breaks ties arbitrarily per engine,
+    * so it is expressed as count + ranked window instead). */
+  def topTypePerUser(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, d)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"cnt".desc, $"event_type")
+    counts.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("top_type"), $"cnt")
+      .orderBy($"user_id")
+  }
+
+  val topTypePerUserOracle: String =
+    """SELECT user_id, event_type AS top_type, cnt FROM (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY count(*) DESC, event_type) AS rn
+      |  FROM events GROUP BY user_id, event_type) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Map-typed column construction (rows-only: map JSON rendering differs
+    * across engines): per user, a type→count map plus its sorted key set —
+    * the relational form of the reference's A7 driver-side dict build. */
+  def typeCountMap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(array_sort(collect_list(struct($"event_type", $"cnt"))))
+        .as("type_counts"))
+      .select($"user_id",
+        concat_ws(",", map_keys($"type_counts")).as("types"),
+        aggregate(map_values($"type_counts"), lit(0L), (a, x) => a + x).as("total"))
+      .orderBy($"user_id")
+  }
+
   /** Daily active users + event volume. */
   def dailyActiveUsers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -386,6 +425,8 @@ object EventOps {
     Q("ev_funnel", Some(funnelOracle), funnel),
     Q("ev_retention", Some(retentionOracle), retention),
     Q("ev_daily_active_users", Some(dailyActiveUsersOracle), dailyActiveUsers),
+    Q("ev_top_type_per_user", Some(topTypePerUserOracle), topTypePerUser),
+    Q("ev_type_count_map", None, typeCountMap),
     Q("ev_value_histogram", Some(valueHistogramOracle), valueHistogram),
     Q("ev_tehran_minute_name", Some(tehranMinuteNameOracle), tehranMinuteName))
 }
