@@ -382,6 +382,23 @@ object Relational {
       |       round(CAST(stddev_samp(o_totalprice) AS DOUBLE), 4) AS sd_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Correlation / covariance per group. */
+  def aggCorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("qty_price_corr"),
+        round(covar_samp($"l_quantity", $"l_discount"), 6).as("qty_disc_covar"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggCorrOracle: String =
+    """SELECT l_returnflag,
+      |  round(CAST(corr(l_quantity, l_extendedprice) AS DOUBLE), 6) AS qty_price_corr,
+      |  round(CAST(covar_samp(l_quantity, l_discount) AS DOUBLE), 6) AS qty_disc_covar
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- windows
 
   import org.apache.spark.sql.expressions.Window
@@ -663,6 +680,7 @@ object Relational {
     Q("agg_distinct", Some(aggDistinctOracle), aggDistinct),
     Q("agg_approx_distinct", None, aggApproxDistinct),
     Q("agg_stats", Some(aggStatsOracle), aggStats),
+    Q("agg_corr", Some(aggCorrOracle), aggCorr),
     Q("win_top_order_per_customer", Some(winTopOrderOracle), winTopOrderPerCustomer),
     Q("win_running_total", Some(winRunningOracle), winRunningTotal),
     Q("win_lag_delta", Some(winLagOracle), winLagDelta),
