@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark entry point. Prints exactly ONE compact JSON line to stdout —
+  * short enough that log interleaving/truncation cannot break the driver's
+  * parse (BENCH_r01/r02 were `parsed: null` because the old single line
+  * embedded all ~90 per-query timings and got truncated). The `queries` map
+  * in the printed line carries only the HEADLINE queries; the full sweep is
+  * written to `bench_detail.json` next to the working directory.
+  */
 object Bench {
+
+  /** One representative per subsystem: the reference flagship, the TPC-H
+    * joins/aggs, SQL surface, windows, streaming-twin, dedup/ANN/text, and
+    * the multimodal plumbing. */
+  val Headline: Seq[String] = Seq(
+    "ref_minute_report",      // the reference's 22.16 s flagship
+    "q1_pricing_summary",     // scan + hash agg
+    "q3_top_revenue",         // broadcast dims + SMJ + top-k
+    "q7_nation_volume",       // 6-way join
+    "sql_market_share",       // decorrelated SQL surface
+    "ev_pivot_day_type",      // pivot report
+    "ev_top_user_per_hour",   // window over events
+    "asof_click_attribution", // as-of/range join
+    "agg_cube",               // grouping sets / Expand
+    "dedup_exact_by_hash",    // fingerprint shuffle dedup
+    "dedup_ngram_jaccard",    // full MinHash-LSH pipeline
+    "sim_knn_brute",          // embedding scan + codegen dot
+    "text_quality_score",     // text HOF suite
+    "mm_decode_batched")      // typed mapPartitions plumbing
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -17,14 +46,20 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => name -> -1.0 }
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // failed queries keep their -1 marker in `queries` but must not deflate
-    // the total
+
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+
+    // failed queries keep their -1 marker in the detail file but must not
+    // deflate the totals
     val total = results.values.filter(_ >= 0).sum
-    // baseline: the reference's published 22.16 s for its flagship minute
-    // analysis (BASELINE.md) — compare against our ref_minute_report entry.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_ref_minute_report_sec":22.16}""")
+    val headline = Headline.flatMap(h => results.get(h).map(h -> _))
+    // Full sweep → file (not stdout: ~90 entries overflow log capture).
+    Files.writeString(Paths.get("bench_detail.json"),
+      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"queries":${jmap(results.toSeq.sortBy(_._1))}}""")
+    // THE one parseable line. value = sum of headline query times (warm).
+    val headlineTotal = headline.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"n_queries_all":${results.size},"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"detail":"bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -12,9 +12,9 @@ import graft.Tables
   *
   * Scale posture (100 TB corpus):
   *  - exact dedup is one shuffle keyed on the text (or its fingerprint);
-  *  - MinHash signatures are a NARROW per-document map — k=16 hash mins
+  *  - MinHash signatures are a NARROW per-document map — k=32 hash mins
   *    computed with higher-order array functions, no explode, no shuffle;
-  *  - candidate pairs come only from LSH band collisions (4 bands × 4
+  *  - candidate pairs come only from LSH band collisions (16 bands × 2
   *    rows). A shingle-inverted-index self-join is quadratic in document
   *    frequency and melts down on low-entropy corpora (a hot shingle in
   *    f docs creates f² pairs); banding bounds the blowup to genuinely
@@ -67,10 +67,10 @@ object Dedup {
           .stripMargin).as("sh"))
   }
 
-  /** k=16 MinHash signature per doc: sig[k] = min over shingles of a
+  /** k=32 MinHash signature per doc: sig[k] = min over shingles of a
     * k-salted hash. Each shingle STRING is hashed exactly once; the k
     * variants re-hash the resulting long (string hashing is the dominant
-    * cost — 16× re-hashing strings would be 16× the work). Pure per-row
+    * cost — 32× re-hashing strings would be 32× the work). Pure per-row
     * computation, no shuffle. */
   private[operators] def withMinhashSig(shingled: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(shingled.sparkSession)
@@ -80,13 +80,19 @@ object Dedup {
       .drop("hs")
   }
 
-  /** LSH candidate pairs: docs agreeing on ≥1 of 4 bands (4 minhashes per
-    * band). Band shape measured on a 100k-doc corpus with ground truth
-    * (see SCALE_NOTES.md): 2×8 bands had 8% recall of true near-dups
-    * (J≈0.6 pairs collide on an 8-hash band with p=J^8); 4×4 recovers
-    * recall while the degenerate-bucket cap below keeps the low-entropy
-    * false-collision blowup bounded. Returns doc_a < doc_b with both
-    * shingle sets and signatures attached.
+  /** LSH candidate pairs: docs agreeing on ≥1 of 16 bands (2 minhashes per
+    * band, k=32 signature). Band shape measured on a 100k-doc corpus with
+    * ground truth (SCALE_NOTES.md Leg 2; J≈0.55 true pairs): a J-similar
+    * pair collides on an r-row band with p = J^r, on ≥1 of b bands with
+    * 1-(1-J^r)^b. Measured recall/precision: 2×8 = 0.078/0.87,
+    * 4×4 = 0.296/0.90, 8×4 = 0.417/0.90, 10×3 = 0.625/0.90,
+    * 16×2 (adopted) = 0.901/0.499. Candidate precision is a COST dial,
+    * not a correctness one — `nearDupPairs` verifies every candidate with
+    * exact shingle Jaccard, so low-J false collisions are pruned; r=2 is
+    * what a J≈0.55 dedup threshold requires (for a J≥0.8 threshold, 8×4
+    * reaches 0.985 theoretical recall at far fewer candidates — the shape
+    * is per-corpus tuning, these are the measured defaults).
+    * Returns doc_a < doc_b with both shingle sets and signatures attached.
     *
     * Two scale guards, both essential at 100 TB:
     *  - the self-join carries ONLY (band, key, doc_id) — shingle sets and
@@ -112,13 +118,13 @@ object Dedup {
     // The signature relation is referenced 5× in this DAG (banding, bucket
     // census, both join sides, both re-attachments) — persist it so the
     // per-document hashing runs once, not five times. It is small: ids +
-    // 16 longs + the shingle array per doc. Callers release it via
+    // 32 longs + the shingle array per doc. Callers release it via
     // materializeAndRelease.
     val sigs = withMinhashSig(shingleSets(s, d)).persist()
     val banded = sigs.select($"doc_id",
         explode(expr(
-          """transform(sequence(0, 3),
-            |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * 4 + 1, 4))))"""
+          """transform(sequence(0, 15),
+            |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * 2 + 1, 2))))"""
             .stripMargin)).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.key")
     val small = banded.groupBy($"band", $"key")
@@ -161,7 +167,7 @@ object Dedup {
       cands
         .select($"doc_a", $"doc_b",
           round(expr(
-            "size(filter(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), v -> v = 1)) / 16.0"
+            "size(filter(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), v -> v = 1)) / 32.0"
           ), 4).as("est_jaccard"))
         .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
         .limit(50),

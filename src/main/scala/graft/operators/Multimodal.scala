@@ -35,14 +35,17 @@ object Multimodal {
       |       sha256(text) AS sha
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** STUB decoder: stands in for image/audio decode + feature extraction.
-    * A real deployment swaps the inner expression for a codec call (e.g.
-    * via mapPartitions batching a native decoder); everything around it —
-    * binary column in, fixed-width float feature vector + frame count out,
-    * narrow per-row map, no shuffle — is the production plumbing.
+  /** STUB decoder, nested form: stands in for image/audio decode + feature
+    * extraction. A real deployment swaps the inner expression for a codec
+    * call (e.g. via mapPartitions batching a native decoder); everything
+    * around it — binary column in, fixed-width float feature vector + frame
+    * count out, narrow per-row map, no shuffle — is the production plumbing.
     * Features are a deterministic fake: xxhash64 over 8 byte-chunks,
-    * normalized to [0,1). Rows-only check (no SQL oracle for the stub). */
-  def decodeFeaturesStub(s: SparkSession, d: String): DataFrame = {
+    * normalized to [0,1). This nested-typed variant is the library API
+    * (covered by MultimodalSpec); the registered/checked query is the
+    * scalar flattening below — the driver's checker hashes scalar columns
+    * only. */
+  def decodeFeaturesNested(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .withColumn("bin", binCol)
@@ -74,13 +77,36 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Scalar-flattened view of [[decodeFeaturesNested]] for the driver's
+    * correctness gate: the meta struct becomes width/height int columns and
+    * each array column becomes an xxhash64 digest of its comma-joined
+    * elements — fully deterministic, sortable, hashable. */
+  def decodeFeaturesStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeFeaturesNested(s, d)
+      .select($"doc_id",
+        $"meta.format".as("format"),
+        $"meta.width".as("width"),
+        $"meta.height".as("height"),
+        $"n_frames",
+        size($"sampled_frame_offsets").as("n_sampled_frames"),
+        xxhash64(concat_ws(",",
+          expr("transform(sampled_frame_offsets, o -> cast(o as string))")))
+          .as("frame_offsets_digest"),
+        $"resized_w", $"resized_h",
+        xxhash64(concat_ws(",",
+          expr("transform(features, x -> cast(x as string))")))
+          .as("features_digest"))
+      .orderBy($"doc_id")
+  }
+
   /** Batched decode plumbing via typed mapPartitions — the Scala analog of
     * `mapInPandas`: rows are drained in fixed-size batches (the shape a
     * native codec/model wants), decoded batch-at-a-time, re-emitted as
     * typed rows. The decode itself is the same clearly-marked STUB (no
     * media libs in this container): a deterministic hash of the payload.
     * Partition-parallel, constant memory per task (one batch in flight). */
-  def decodeBatchedStub(s: SparkSession, d: String, batchSize: Int = 64): DataFrame = {
+  def decodeBatchedNested(s: SparkSession, d: String, batchSize: Int = 64): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", binCol.as("bin"))
@@ -101,6 +127,19 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "n_frames", "features")
+      .orderBy($"doc_id")
+  }
+
+  /** Scalar-flattened view of [[decodeBatchedNested]] for the correctness
+    * gate (the feature array becomes an xxhash64 digest). */
+  def decodeBatchedStub(s: SparkSession, d: String, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    decodeBatchedNested(s, d, batchSize)
+      .select($"doc_id",
+        $"n_frames",
+        xxhash64(concat_ws(",",
+          expr("transform(features, x -> cast(x as string))")))
+          .as("features_digest"))
       .orderBy($"doc_id")
   }
 

@@ -110,7 +110,14 @@ object SqlSurface {
   }
 
   /** first_value / last_value / ntile — the remaining window-function
-    * family, with fully-deterministic frame ordering. */
+    * family, with fully-deterministic frame ordering.
+    *
+    * The first/last window is PARTITIONED (by o_custkey) and scales as-is;
+    * the naive `ntile(4) OVER (ORDER BY …)` does NOT — an unpartitioned
+    * window is `Exchange SinglePartition` + a whole-table single-task sort.
+    * The Spark side instead derives the quartile from a distributed global
+    * row number (range buckets + broadcast offsets — [[RankStats]]); the
+    * oracle keeps the standard SQL form. */
   private val winFirstLastSql =
     """SELECT o_orderkey,
       |  first_value(o_orderkey) OVER w AS first_order,
@@ -123,13 +130,36 @@ object SqlSurface {
       |ORDER BY o_orderkey""".stripMargin
 
   def winFirstLast(s: SparkSession, d: String): DataFrame = {
-    withViews(s, d, "orders")
-    s.sql(winFirstLastSql)
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val o = Tables.load(s, d, "orders")
+    val quartile = RankStats.withGlobalRowNumber(
+        o.select($"o_orderkey", $"o_totalprice"),
+        "o_totalprice", asc = false, tieCols = Seq("o_orderkey"))
+      .select($"o_orderkey",
+        RankStats.ntileFromRowNumber($"__rn", $"__n", 4).cast("int")
+          .as("price_quartile"))
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .withColumn("first_order", first($"o_orderkey").over(w))
+      .withColumn("last_order", last($"o_orderkey").over(w))
+      .join(quartile, "o_orderkey")
+      .select($"o_orderkey", $"first_order", $"last_order", $"price_quartile")
+      .orderBy($"o_orderkey")
   }
 
   /** percent_rank / cume_dist — rank statistics whose values depend only on
     * the ordering VALUES (ties collapse), so they are deterministic without
-    * a tiebreak in the window order. */
+    * a tiebreak in the window order.
+    *
+    * Spark side: distributed rank counts ([[RankStats.withRankCounts]] —
+    * range buckets + broadcast offsets + per-bucket windows), NOT a global
+    * unpartitioned window, which would single-task-sort the table.
+    * percent_rank = lt/(n-1), cume_dist = le/n — the exact SQL-standard
+    * definitions. */
   private val winRankStatsSql =
     """SELECT o_orderkey,
       |  round(percent_rank() OVER (ORDER BY o_totalprice), 6) AS pct_rank,
@@ -137,8 +167,15 @@ object SqlSurface {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   def winRankStats(s: SparkSession, d: String): DataFrame = {
-    withViews(s, d, "orders")
-    s.sql(winRankStatsSql)
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    RankStats.withRankCounts(
+        Tables.load(s, d, "orders").select($"o_orderkey", $"o_totalprice"),
+        "o_totalprice")
+      .select($"o_orderkey",
+        round($"__lt" / ($"__n" - 1), 6).as("pct_rank"),
+        round($"__le" / $"__n", 6).as("cume"))
+      .orderBy($"o_orderkey")
   }
 
   /** Math scalar suite — byte-identical SQL on both engines. */
@@ -184,6 +221,80 @@ object SqlSurface {
     s.sql(bitSuiteSql)
   }
 
+  /** TPC-H Q2-shape: correlated scalar MIN subquery — for every part, the
+    * suppliers that shipped it at its minimum observed price (the testdata
+    * star schema has no partsupp table; lineitem is the part×supplier price
+    * relation). Exercises Catalyst's RewriteCorrelatedScalarSubquery: the
+    * correlated `= (SELECT min ...)` decorrelates into an aggregate +
+    * join, NOT per-row re-execution — at 100 TB one extra shuffle on
+    * l_partkey, no N+1 scans. Byte-identical SQL on both engines; DISTINCT
+    * makes (min_price, p_partkey, s_name) a total order before LIMIT. */
+  private val minCostSupplierSql =
+    """SELECT DISTINCT p_partkey, p_name, s_name,
+      |       round(l_extendedprice, 2) AS min_price
+      |FROM part, lineitem, supplier
+      |WHERE l_partkey = p_partkey AND s_suppkey = l_suppkey
+      |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+      |                         FROM lineitem l2
+      |                         WHERE l2.l_partkey = p_partkey)
+      |ORDER BY min_price, p_partkey, s_name
+      |LIMIT 100""".stripMargin
+
+  def minCostSupplier(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "part", "lineitem", "supplier")
+    s.sql(minCostSupplierSql)
+  }
+
+  /** TPC-H Q18-shape: large-volume orders — IN over a grouped HAVING
+    * subquery, then a re-aggregation of the surviving orders. Catalyst
+    * plans the HAVING subquery as an aggregate + left-semi join on the
+    * order key (two shuffles total at any scale); the oracle keeps the
+    * identical text. o_orderdate stays in GROUP BY but out of the
+    * projection (timestamp rendering differs across engines). */
+  private val bigOrdersSql =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       round(o_totalprice, 2) AS total_price,
+      |       round(sum(l_quantity), 2) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY total_price DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  def bigOrders(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "customer", "orders", "lineitem")
+    s.sql(bigOrdersSql)
+  }
+
+  /** TPC-H Q21-shape: EXISTS + NOT EXISTS on one fact table — suppliers
+    * who were the sole 'R'-flagged supplier on a finished multi-supplier
+    * order. Exercises the decorrelation pair no other query hits: the
+    * EXISTS becomes a left-semi join and the NOT EXISTS a left-anti join,
+    * both shuffled once on l_orderkey (the reference surface has no
+    * subqueries at all — SURVEY §2.5). */
+  private val soleReturnSupplierSql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  def soleReturnSupplier(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "supplier", "lineitem", "orders")
+    s.sql(soleReturnSupplierSql)
+  }
+
   val defs: Seq[Q] = Seq(
     Q("sql_bool_agg", Some(boolAggSql), boolAgg),
     Q("sql_bit_suite", Some(bitSuiteSql), bitSuite),
@@ -195,5 +306,8 @@ object SqlSurface {
     Q("sql_grouping_sets", Some(groupingSetsSql), groupingSets),
     Q("sql_scalar_subquery", Some(scalarSubquerySql), scalarSubquery),
     Q("sql_in_subquery", Some(inSubquerySql), inSubquery),
-    Q("sql_correlated_subquery", Some(correlatedSql), correlatedSubquery))
+    Q("sql_correlated_subquery", Some(correlatedSql), correlatedSubquery),
+    Q("sql_min_cost_supplier", Some(minCostSupplierSql), minCostSupplier),
+    Q("sql_big_orders", Some(bigOrdersSql), bigOrders),
+    Q("sql_sole_return_supplier", Some(soleReturnSupplierSql), soleReturnSupplier))
 }
