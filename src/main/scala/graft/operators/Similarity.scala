@@ -99,19 +99,58 @@ object Similarity {
     s.createDataFrame(rows, out.schema)
   }
 
+  /** Spherical k-means coarse quantizer for the IVF index, entirely in
+    * DataFrame ops. Seeds are the k vectors with the smallest
+    * xxhash64(vec_id) — a deterministic uniform sample, not the first k
+    * (adjacent ids could share a label/cluster). Each Lloyd iteration is:
+    *  1. assign every vector to its max-dot centroid (narrow map — the
+    *     centroid matrix is a literal in the plan, k×dim doubles);
+    *  2. recompute centroids as per-cell per-dimension means via
+    *     posexplode → groupBy(cell, pos) → avg — ONE hash shuffle of
+    *     n×dim skinny rows; the driver only ever receives the k×dim
+    *     centroid matrix (1024 doubles), never data;
+    *  3. L2-normalize (assignment by dot against unit centroids = cosine
+    *     assignment). Empty cells keep their previous centroid.
+    * At 100 TB: 3 iterations = 3 bounded shuffles; production would run
+    * them on a sample, which this structure permits (pass a sampled df). */
+  private[operators] def kmeansCentroids(s: SparkSession, d: String,
+      k: Int = 16, iters: Int = 3): Seq[(Int, Seq[Double])] = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    def normalize(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var cents: Seq[(Int, Seq[Double])] = emb
+      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(k)
+      .select($"embedding").collect()
+      .zipWithIndex.map { case (r, i) => i -> normalize(r.getSeq[Float](0).map(_.toDouble)) }.toSeq
+    for (_ <- 1 to iters) {
+      def cell = greatest(cents.map { case (i, c) =>
+        struct(dot($"embedding", typedlit(c)).as("d"), lit(i).as("cell")) }: _*)("cell")
+      val means = emb
+        .select(cell.as("cell"), posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos").agg(avg($"v").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (c, rows) =>
+          c -> normalize(rows.sortBy(_._2).map(_._3).toSeq) }
+      cents = cents.map { case (i, old) => i -> means.getOrElse(i, old) }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate kNN — the other scale path the brief
-    * names besides LSH. Coarse quantizer: 16 deterministic seed centroids
-    * (the first 16 vectors — a real build runs k-means; the index structure
-    * is what matters here). Every vector is assigned to its nearest
-    * centroid (one narrow pass); a query probes only the nProbe=4 centroid
-    * cells nearest to it, scanning ~4/16 of the data. At scale the cell id
-    * is a partition key and probing is partition pruning. */
+    * names besides LSH. Coarse quantizer: spherical k-means (above).
+    * Every vector is assigned to its nearest centroid (one narrow pass); a
+    * query probes only the nProbe=4 centroid cells nearest to it, scanning
+    * ~nProbe/16 of the data. At scale the cell id is a partition key and
+    * probing is partition pruning. Measured on the 40k-vector Leg-3 corpus
+    * (see SCALE_NOTES.md): recall@10 vs brute force with k-means cells vs
+    * the old first-16-vectors cells — run `Test/runMain
+    * graft.operators.IvfTune` to reproduce. */
   def knnIvf(s: SparkSession, d: String, nProbe: Int = 4): DataFrame = {
     import s.implicits._
-    val centroids: Seq[(Int, Seq[Float])] = Tables.embeddings(s, d)
-      .filter($"vec_id" < 16).orderBy($"vec_id")
-      .select($"embedding").collect()
-      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0) }.toSeq
+    val centroids = kmeansCentroids(s, d)
     def nearestCell(emb: org.apache.spark.sql.Column) =
       greatest(centroids.map { case (i, c) =>
         struct(dot(emb, typedlit(c)).as("d"), lit(i).as("cell")) }: _*)("cell")

@@ -152,20 +152,60 @@ object TextOps {
       |       AS BIGINT) AS n_bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Rolling-hash (winnowing-style) fingerprint: min + max over the hashes
-    * of all character 8-gram windows — robust to small edits unlike the
-    * whole-document md5. Pure per-row computation (the windows come from a
-    * transform over substring offsets; each window hashed once). Rows-only
-    * check: engine hash functions differ. */
+  /** k-gram size and winnowing window (Schleimer/Wilkerson/Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting"): any match
+    * of length ≥ WinnowK + WinnowW - 1 chars is guaranteed to share a
+    * selected fingerprint; expected density ≈ 2/(WinnowW+1). */
+  private val WinnowK = 8
+  private val WinnowW = 16
+  /** Chunk stride: bounds per-row memory regardless of document length.
+    * Each chunk materializes ≤ ChunkLen + K + W - 2 chars of hashes (~33 KB
+    * of longs at 4096), NOT the whole document — a 1 GB document becomes
+    * ~256k bounded rows, never one 8 GB array. */
+  private val WinnowChunk = 4096
+
+  /** True winnowing fingerprint: for EVERY window of WinnowW consecutive
+    * character-k-gram hashes, select the window minimum; the per-document
+    * fingerprint is the distinct set of selected hashes (order-independent
+    * digest + count here; the raw set is what a plagiarism/near-dup index
+    * would store). Guarantees (unlike min/max over all hashes): any shared
+    * substring of ≥ k+w-1 chars yields a shared fingerprint, and the
+    * selected set has ~2/(w+1) density, so output is bounded.
+    *
+    * Scale shape: documents explode into overlapping bounded chunks (the
+    * overlap of k+w-2 chars makes chunking invisible to window selection —
+    * every window of the original text lies entirely inside some chunk);
+    * per-chunk HOFs compute the window minima inside codegen; one hash
+    * shuffle on doc_id re-aggregates the distinct selected hashes. Per-task
+    * memory is O(chunk), per-doc output is O(len/w). Rows-only check:
+    * engine hash functions differ. */
   def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val k = WinnowK; val w = WinnowW; val step = WinnowChunk
     Tables.documents(s, d)
-      .filter(length($"text") >= 8)
-      .withColumn("whashes", expr(
-        "transform(sequence(0, length(text) - 8), i -> xxhash64(substring(text, i + 1, 8)))"))
-      .select($"doc_id",
-        array_min($"whashes").as("fp_min"),
-        array_max($"whashes").as("fp_max"))
+      .filter(length($"text") >= k + w - 1)
+      // chunk starts: 0, step, 2*step, … each chunk carries k+w-2 chars of
+      // overlap so no window straddles a boundary un-seen
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(0, cast(floor((length(text) - 1) / $step) as int)),
+           |          c -> substring(text, c * $step + 1, $step + ${k + w - 2}))"""
+          .stripMargin)).as("chunk"))
+      .filter(length($"chunk") >= k + w - 1)
+      // per-chunk: hash each k-gram ONCE (string hashing dominates; the
+      // w-window min then reads the long array, never re-hashes)
+      .select($"doc_id", expr(
+        s"""transform(sequence(0, length(chunk) - $k),
+           |          i -> xxhash64(substring(chunk, i + 1, $k)))""".stripMargin)
+        .as("hs"))
+      .select($"doc_id", explode(expr(
+        s"""array_distinct(transform(sequence(0, size(hs) - $w),
+           |                         j -> array_min(slice(hs, j + 1, $w))))"""
+          .stripMargin)).as("fp"))
+      .groupBy($"doc_id")
+      .agg(count_distinct($"fp").as("n_fp"),
+        // xor over the distinct set: order-independent, engine-stable digest
+        expr("bit_xor(DISTINCT fp)").as("fp_xor"),
+        min($"fp").as("fp_min"))
       .orderBy($"doc_id")
   }
 

@@ -44,6 +44,46 @@ class AvroWireSpec extends SparkSuite {
     }
   }
 
+  test("schema evolution: mixed v1/v2 topic decodes in one pass") {
+    import spark.implicits._
+    val typed = AvroWire.asEvents(events)
+    val v1 = AvroWire.encode(typed.filter(_.event_id < "8"))
+    val v2 = AvroWire.encode(typed.filter(_.event_id >= "8"), AvroWire.SchemaIdV2)
+    assert(v2.count() > 0, "need some v2 frames for the test to bite")
+    // frame ids really differ
+    assert(v2.head().getAs[Array[Byte]]("value").slice(1, 5).last == 2)
+    val back = AvroWire.decode(v1.union(v2))
+    val a = typed.orderBy("event_id").collect()
+    val b = back.orderBy("event_id").collect()
+    assert(a.toSeq == b.toSeq, "v2 payloads must resolve against the v1 reader")
+  }
+
+  test("schema evolution: v1 payload against the v2 reader fills the default") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.avro.io.DecoderFactory
+    import spark.implicits._
+    val body = AvroWire.encode(AvroWire.asEvents(events.limit(1)))
+      .head().getAs[Array[Byte]]("value").drop(5)
+    val reader = new GenericDatumReader[GenericRecord](
+      new Schema.Parser().parse(AvroWire.SchemaJson),
+      new Schema.Parser().parse(AvroWire.SchemaV2Json))
+    val rec = reader.read(null, DecoderFactory.get().binaryDecoder(body, null))
+    assert(rec.get("channel").toString == "UNKNOWN",
+      "added-with-default field must materialize its default for old payloads")
+  }
+
+  test("decode fails fast on an UNKNOWN schema id") {
+    import spark.implicits._
+    val frame = AvroWire.encode(AvroWire.asEvents(events.limit(1)))
+      .head().getAs[Array[Byte]]("value")
+    frame(4) = 99 // id 99 not in the registry
+    val ex = intercept[Exception](
+      AvroWire.decode(Seq(frame).toDF("value")).collect())
+    assert(ex.getMessage.contains("unknown schema id") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unknown schema id")))
+  }
+
   test("decode fails fast on a corrupt frame (errors.tolerance none)") {
     import spark.implicits._
     val bad = Seq(Array[Byte](9, 9, 9)).toDF("value")
