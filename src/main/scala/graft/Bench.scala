@@ -30,6 +30,44 @@ object Bench {
     "text_quality_score",     // text HOF suite
     "mm_decode_batched")      // typed mapPartitions plumbing
 
+  /** Second scale: the SCALE_NOTES Leg-1 warehouse at 10M events (100× the
+    * sf0.1 event volume), reproducible per round so regressions show at
+    * BOTH scales, not just the sweep SF (round-2 verdict item 10). Opt out
+    * with SPARK_GRAFT_BENCH_SCALE=0. Returns (label, seconds) steps. */
+  private def scaleLeg(spark: SparkSession): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wh = Files.createTempDirectory("bench-wh").toString
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      val events = graft.reference.Events.generate(
+        spark, 10_000_000L, 1704067200000L, intervalMs = 10)
+      val tWrite = timed(graft.sources.Warehouse.writeEvents(events, wh))
+      val tPruned = timed {
+        val m = java.sql.Timestamp.valueOf("2024-01-01 02:00:00")
+        val r = graft.reference.MinuteReport.analyze(
+          graft.sources.Warehouse.readMinute(spark, wh, m), "bench.parquet")
+        require(r.totalEvents == 6000, s"scale-leg report drifted: ${r.totalEvents}")
+      }
+      val tAgg = timed {
+        graft.sources.Warehouse.readEvents(spark, wh)
+          .groupBy($"event_minute", $"event_type").count().count()
+      }
+      Seq("wh_write_10m" -> tWrite, "wh_pruned_minute_report" -> tPruned,
+        "wh_full_agg_10m" -> tAgg)
+    } finally {
+      // the 10M-event warehouse is a few hundred MB of temp parquet
+      import scala.util.Try
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        Try(f.delete())
+      }
+      rm(new java.io.File(wh))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -54,12 +92,15 @@ object Bench {
     // deflate the totals
     val total = results.values.filter(_ >= 0).sum
     val headline = Headline.flatMap(h => results.get(h).map(h -> _))
+    val scale =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1") == "0") Seq.empty
+      else try scaleLeg(spark) catch { case _: Throwable => Seq("wh_write_10m" -> -1.0) }
     // Full sweep → file (not stdout: ~90 entries overflow log capture).
     Files.writeString(Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"queries":${jmap(results.toSeq.sortBy(_._1))}}""")
+      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"scale_10m":${jmap(scale)},"queries":${jmap(results.toSeq.sortBy(_._1))}}""")
     // THE one parseable line. value = sum of headline query times (warm).
     val headlineTotal = headline.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"n_queries_all":${results.size},"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"detail":"bench_detail.json"}""")
+    println(s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"scale_10m":${jmap(scale)},"n_queries_all":${results.size},"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"detail":"bench_detail.json"}""")
     spark.stop()
   }
 }

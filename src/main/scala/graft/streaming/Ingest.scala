@@ -47,6 +47,26 @@ object Ingest {
         errorProb = errorProb, seed = seed))
   }
 
+  /** The wire-shaped entry point for a user with a real topic: takes the
+    * (key: binary, value: binary) DataFrame every Kafka source yields —
+    * `spark.readStream.format("kafka").load().select("key", "value")`
+    * plugs in verbatim — peels the Confluent frame, resolves the schema id
+    * against the registry (mixed v1/v2 topics decode in one pass,
+    * AvroWire.decode), applies the SMT-equivalent shaping, and derives the
+    * event_minute partition key. Works identically on a batch or streaming
+    * wire frame (tested end-to-end against a staged bytes "topic" in
+    * WireIngestSpec — the sandbox ships no kafka jars, SURVEY.md T1). */
+  def decodeWire(wire: DataFrame): DataFrame =
+    Events.withEventMinute(AvroWire.decode(wire).toDF())
+
+  /** decode → checkpointed warehouse ingest: the whole reference chain
+    * (topic → Connect → ClickHouse) from a wire-bytes stream in one call. */
+  def startWireIngest(
+      wire: DataFrame,
+      warehouseDir: String,
+      checkpointDir: String): StreamingQuery =
+    startIngest(decodeWire(wire), warehouseDir, checkpointDir)
+
   /** Checkpointed ingest into the minute-partitioned parquet warehouse. */
   def startIngest(
       events: DataFrame,
