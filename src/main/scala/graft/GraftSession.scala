@@ -19,6 +19,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // push min/max/count aggregates into parquet footer metadata
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // runtime bloom-filter injection: a selective dimension filter is
+      // turned into a bloom filter applied on the fact side BEFORE its
+      // shuffle — at 100 TB this drops most fact rows at the scan/shuffle
+      // boundary of every filtered star join (RuntimeFilterSpec asserts
+      // the plan shape; size thresholds stay at Spark defaults so tiny
+      // local joins aren't burdened)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // bigger splits: fewer, fuller tasks for huge scans
       .config("spark.sql.files.maxPartitionBytes", "256m")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -139,18 +139,34 @@ object Dedup {
       .select($"doc_a", $"doc_b")
       .dropDuplicates("doc_a", "doc_b")
     (pairs
-      .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sig".as("sig_a")), "doc_a")
-      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sig".as("sig_b")), "doc_b"),
+      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b"),
       sigs)
   }
 
   /** Exact n-gram Jaccard on the LSH candidate set: top-20 most similar
-    * pairs. (Rows-only check: set algebra has no portable SQL oracle.) */
+    * pairs. (Rows-only check: set algebra has no portable SQL oracle.)
+    *
+    * Cost shape: the r=2 banding admits many low-J candidates (candidate
+    * precision ≈0.5, SCALE_NOTES Leg 2), so the exact set intersection —
+    * the expensive step, O(|sh_a|+|sh_b|) per pair on string arrays — is
+    * gated behind a signature pre-filter: estimated Jaccard from the two
+    * 32-long signatures (cheap long compares) must reach 0.25 first. For a
+    * truly-similar pair (J ≥ 0.5) the estimate is Binomial(32, J)/32 —
+    * P(est < 0.25) < 0.3% — so the top-20 survives while ~half the
+    * candidate set never touches its shingle arrays (the shingle attach
+    * joins run AFTER the filter, so dropped pairs never shuffle a set). */
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (cands, sigs) = lshCandidates(s, d)
+    val survivors = cands
+      .filter(expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), v -> v = 1)) / 32.0") >= 0.25)
+      .select($"doc_a", $"doc_b")
     materializeAndRelease(
-      cands
+      survivors
+        .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
         .select($"doc_a", $"doc_b",
           round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
             size(array_union($"sh_a", $"sh_b")), 4).as("jaccard"))
@@ -235,11 +251,98 @@ object Dedup {
       hashed)
   }
 
+  /** Connected components over a pair graph, by iterative min-label
+    * propagation — the step that turns PAIRWISE near-dup evidence into the
+    * CLUSTERS a dedup actually removes (pairs alone under-delete: a, b, c
+    * mutually similar is one cluster of three, not three independent
+    * pairs; and transitive chains a~b~c must merge even when (a, c) was
+    * never a candidate pair).
+    *
+    * Each iteration: attach both endpoints' current labels to every edge
+    * (2 broadcast-or-shuffle joins), push the smaller label across, and
+    * take the min per vertex (1 hash shuffle). Converges in
+    * O(component diameter) iterations — near-dup components are dense, so
+    * diameter is tiny; `maxIters` bounds the worst case and convergence is
+    * detected by an unchanged-label count. At 100 TB this is the standard
+    * iterative-join CC (the shuffle key is the doc id throughout; label
+    * state is one long per doc).
+    *
+    * @param edges  (doc_a, doc_b) pairs
+    * @return (doc_id, cluster_id) — cluster_id is the component's min doc
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 10): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    // localCheckpoint (not persist) each iteration: an iterative DataFrame
+    // loop otherwise nests every prior plan inside the next one — the
+    // logical plan grows exponentially and planning itself OOMs long
+    // before any data does. Checkpointing truncates lineage to the
+    // materialized partitions, keeping iteration i's plan O(1) deep.
+    val e = edges.select($"doc_a", $"doc_b").localCheckpoint()
+    var labels = e.select($"doc_a".as("doc_id"))
+      .union(e.select($"doc_b".as("doc_id")))
+      .distinct()
+      .withColumn("cluster_id", $"doc_id")
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val withLabels = e
+        .join(labels.select($"doc_id".as("doc_a"), $"cluster_id".as("ca")), "doc_a")
+        .join(labels.select($"doc_id".as("doc_b"), $"cluster_id".as("cb")), "doc_b")
+      val next = withLabels.select($"doc_a".as("doc_id"), least($"ca", $"cb").as("c"))
+        .union(withLabels.select($"doc_b".as("doc_id"), least($"ca", $"cb").as("c")))
+        .union(labels.select($"doc_id", $"cluster_id".as("c")))
+        .groupBy($"doc_id").agg(min($"c").as("cluster_id"))
+        .localCheckpoint()
+      // convergence probe: any vertex whose label still shrinks?
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter($"cluster_id" =!= $"old").limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    e.unpersist(blocking = false)
+    labels
+  }
+
+  /** Near-dup clusters on the documents table: LSH candidates → exact
+    * shingle Jaccard ≥ threshold → connected components. The registered
+    * output is the full (doc_id, cluster_id, cluster size, keep) mapping
+    * for clustered docs — `keep = 1` marks the cluster representative (min
+    * doc id), which is exactly the delete-list a corpus dedup applies.
+    * Rows-only check (LSH-derived; no portable SQL oracle). */
+  def nearDupClusters(s: SparkSession, d: String, jThreshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val (cands, sigs) = lshCandidates(s, d)
+    val edges = cands
+      .filter(expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), v -> v = 1)) / 32.0") >= 0.25)
+      .select($"doc_a", $"doc_b")
+      .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .filter(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+        size(array_union($"sh_a", $"sh_b")) >= jThreshold)
+      .select($"doc_a", $"doc_b")
+    val clusters = connectedComponents(edges)
+    val out = clusters
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")))
+      .withColumn("keep", ($"doc_id" === $"cluster_id").cast("int"))
+      .select($"doc_id", $"cluster_id", $"cluster_size".cast("long").as("cluster_size"), $"keep")
+      .orderBy($"doc_id")
+    val result = materializeAndRelease(out, sigs)
+    clusters.unpersist(blocking = false)
+    result
+  }
+
   val defs: Seq[Q] = Seq(
     Q("dedup_exact", Some(exactDedupOracle), exactDedup),
     Q("dedup_exact_by_hash", Some(exactDedupByHashOracle), exactDedupByHash),
     Q("dedup_ngram_jaccard", None, ngramJaccardPairs),
     Q("dedup_simhash_docs", None, simhashDocs),
     Q("dedup_simhash_pairs", None, simhashPairs),
-    Q("dedup_minhash_lsh", None, minhashLshPairs))
+    Q("dedup_minhash_lsh", None, minhashLshPairs),
+    Q("dedup_cluster_docs", None, (s, d) => nearDupClusters(s, d)))
 }

@@ -231,6 +231,94 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Gopher-style repetition/quality statistics (the Rae et al. 2021
+    * training-data filters, §A1.1: repetition and word-shape signals used
+    * to drop low-quality documents before LLM training): per document the
+    * duplicate-word fraction, the most-frequent-word fraction, the
+    * count-weighted mean word length, and the resulting keep/drop flag.
+    *
+    * Scale shape: one explode of the corpus into (doc_id, word) rows, then
+    * TWO hash aggregations — (doc_id, word) → counts, then doc_id →
+    * document stats. Both shuffles carry skinny rows; no per-row
+    * quadratic HOF (a transform-over-distinct-words formulation would be
+    * O(distinct × n) per document and melt on long docs). The keep flag
+    * uses Gopher-ish thresholds adapted to this corpus. */
+  def gopherStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_words"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum($"c"), 4).as("dup_word_frac"),
+        round(max($"c").cast("double") / sum($"c"), 4).as("top_word_frac"),
+        round(sum($"c" * length($"w")).cast("double") / sum($"c"), 4).as("mean_word_len"))
+      .withColumn("keep",
+        ($"dup_word_frac" <= 0.9 && $"top_word_frac" <= 0.3 &&
+          $"mean_word_len" >= 2.0 && $"mean_word_len" <= 12.0).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val gopherStatsOracle: String =
+    """SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_words,
+      |  CAST(round(CAST(1.0 - count(*) * 1.0 / sum(c) AS DECIMAL(18,8)), 4) AS DOUBLE) AS dup_word_frac,
+      |  CAST(round(CAST(max(c) * 1.0 / sum(c) AS DECIMAL(18,8)), 4) AS DOUBLE) AS top_word_frac,
+      |  CAST(round(CAST(sum(c * length(w)) * 1.0 / sum(c) AS DECIMAL(18,8)), 4) AS DOUBLE) AS mean_word_len,
+      |  CAST(round(CAST(1.0 - count(*) * 1.0 / sum(c) AS DECIMAL(18,8)), 4) <= 0.9
+      |   AND round(CAST(max(c) * 1.0 / sum(c) AS DECIMAL(18,8)), 4) <= 0.3
+      |   AND round(CAST(sum(c * length(w)) * 1.0 / sum(c) AS DECIMAL(18,8)), 4) BETWEEN 2.0 AND 12.0
+      |   AS INT) AS keep
+      |FROM (SELECT doc_id, w, count(*) AS c
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |      GROUP BY doc_id, w) g
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** PII scrubbing: email/phone redaction — the compliance pass every
+    * training-data pipeline runs before anything else. Pure regexp_replace
+    * (codegen'd, narrow map, no shuffle — exactly what a 100 TB scrub
+    * needs). The corpus is synthetic and PII-free, so the query first
+    * ENRICHES each doc with deterministic synthetic PII (same expression
+    * on both engines) — the oracle then genuinely exercises the redaction
+    * regexes on matching text, not on a no-op. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "\\+[0-9][0-9 ()-]{7,}[0-9]"
+    Tables.documents(s, d)
+      .withColumn("enriched", concat($"text",
+        lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com or +1 (555) 010-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+      .select($"doc_id",
+        regexp_replace(regexp_replace($"enriched", emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"))
+      .select($"doc_id", $"scrubbed",
+        (length($"scrubbed") - length(regexp_replace($"scrubbed", "<EMAIL>", "")))
+          .divide(7).cast("int").as("n_emails"),
+        (length($"scrubbed") - length(regexp_replace($"scrubbed", "<PHONE>", "")))
+          .divide(7).cast("int").as("n_phones"))
+      .orderBy($"doc_id")
+  }
+
+  val piiScrubOracle: String =
+    """WITH enriched AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || doc_id || '@example.com or +1 (555) 010-'
+      |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS enriched
+      |  FROM documents),
+      |scrubbed AS (
+      |  SELECT doc_id,
+      |         regexp_replace(regexp_replace(enriched,
+      |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |           '\+[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+      |  FROM enriched)
+      |SELECT doc_id, scrubbed,
+      |  CAST((length(scrubbed) - length(replace(scrubbed, '<EMAIL>', ''))) / 7 AS INT) AS n_emails,
+      |  CAST((length(scrubbed) - length(replace(scrubbed, '<PHONE>', ''))) / 7 AS INT) AS n_phones
+      |FROM scrubbed ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("text_token_stats", Some(tokenStatsOracle), tokenStats),
     Q("text_quality_score", Some(qualityScoreOracle), qualityScore),
@@ -240,5 +328,7 @@ object TextOps {
     Q("text_word_count", Some(wordCountOracle), wordCount),
     Q("text_token_bpe", Some(tokenCountBpeOracle), tokenCountBpe),
     Q("text_winnow_fingerprint", None, winnowFingerprint),
-    Q("text_langid_heuristic", None, langIdHeuristic))
+    Q("text_langid_heuristic", None, langIdHeuristic),
+    Q("text_gopher_stats", Some(gopherStatsOracle), gopherStats),
+    Q("text_pii_scrub", Some(piiScrubOracle), piiScrub))
 }

@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Q
+
+/** Bucketed-table co-located joins — the pre-shuffle the biggest 100 TB
+  * fact-fact join wants. Writing both sides bucketed on the join key means
+  * the join itself needs NO exchange: each bucket pair feeds a sort-merge
+  * join directly (Spark 4 still inserts a narrow per-bucket sort — v1
+  * sorted-scan ordering propagation was removed — but that sort is
+  * per-task and shuffle-free, not a scale hazard). At warehouse
+  * scale this converts the single most expensive recurring shuffle (orders
+  * ⋈ lineitem on the order key, run by every report) into a metadata
+  * agreement made once at write time — the Spark analog of the reference's
+  * ClickHouse ORDER BY clustering (db/clickhouse_table_schema.sql:17-19),
+  * applied to a join instead of a point scan.
+  *
+  * BucketedSpec asserts the plan shape (no Exchange, no Sort above the
+  * scans under a disabled-broadcast SMJ); the registered oracle query
+  * proves the values are byte-identical to the plain-parquet join.
+  */
+object Bucketed {
+
+  val Buckets = 8
+
+  /** Write orders+lineitem bucketed and sorted by the join key. saveAsTable
+    * is required (bucket metadata lives in the catalog); the data itself
+    * lands at `baseDir` as ordinary parquet. Idempotent per session. */
+  def writeBucketed(s: SparkSession, d: String, baseDir: String): Unit = {
+    for ((t, key) <- Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")) {
+      val name = s"${t}_bucketed"
+      if (!s.catalog.tableExists(name)) {
+        // repartition on the bucket key first: one task per bucket ⇒ one
+        // file per bucket (write hygiene — no small-file fan-out)
+        Tables.load(s, d, t)
+          .repartition(Buckets, col(key))
+          .write
+          .bucketBy(Buckets, key).sortBy(key)
+          .option("path", s"$baseDir/$name")
+          .mode("overwrite")
+          .saveAsTable(name)
+      }
+    }
+  }
+
+  /** The co-located join: order-priority revenue profile over
+    * orders ⋈ lineitem, reading the bucketed tables. With bucketing
+    * honored, the SMJ has no shuffle on either side. */
+  def priorityRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    writeBucketed(s, d, Files.createTempDirectory("graft-bucketed").toString)
+    coLocatedJoin(s)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        // exact integer cents: immune to summation-order ties
+        (sum(round($"l_extendedprice" * 100).cast("long") *
+          (lit(100) - round($"l_discount" * 100).cast("long"))) / 10000.0)
+          .cast("double").as("revenue"))
+      .select($"o_orderpriority", $"n_items", round($"revenue", 2).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** The raw bucket-aware join (exposed for the plan assertion). Callers
+    * must have run [[writeBucketed]] in this session. */
+  def coLocatedJoin(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.table("orders_bucketed")
+      .join(s.table("lineitem_bucketed"), $"o_orderkey" === $"l_orderkey")
+  }
+
+  val priorityRevenueOracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                 (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+      |        AS DOUBLE), 2) AS revenue
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("join_bucketed_colocated", Some(priorityRevenueOracle), priorityRevenue))
+}

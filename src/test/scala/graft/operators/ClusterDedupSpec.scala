@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Connected-components dedup clustering: exact component recovery on
+  * handcrafted graphs (incl. transitive chains longer than one hop) and
+  * the end-to-end keep-list invariants on the real corpus. */
+class ClusterDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def components(edges: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("recovers components exactly, including transitive chains") {
+    // {1,2,3} via chain 1-2-3 (no 1-3 edge), {10,11}, {20,21,22} star on 21
+    val got = components(1L -> 2L, 2L -> 3L, 10L -> 11L, 21L -> 20L, 21L -> 22L)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("long path converges within the iteration bound") {
+    // a 9-hop path: worst diameter case for min-label propagation
+    val edges = (0L until 9L).map(i => i -> (i + 1))
+    val got = components(edges: _*)
+    assert(got.values.toSet == Set(0L), s"path must collapse to one component: $got")
+  }
+
+  test("corpus keep-list invariants: one representative per cluster") {
+    val out = Dedup.nearDupClusters(spark, Sf)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.nonEmpty, "sf0.001 corpus has exact dup groups -> clusters must exist")
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_._4 == 1) == 1, s"cluster $cid needs exactly one keep")
+      assert(members.minBy(_._1)._1 == cid, s"cluster id must be the min doc id")
+      assert(members.forall(_._3 == members.length), s"cluster_size wrong for $cid")
+      assert(members.length >= 2, s"singleton cluster $cid should not appear")
+    }
+  }
+}
