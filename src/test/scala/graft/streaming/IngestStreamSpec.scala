@@ -119,6 +119,29 @@ class IngestStreamSpec extends SparkSuite {
     assert(got.select("event_id").distinct().count() == 1000)
   }
 
+  test("stream-static enrichment joins a broadcast dim without losing events") {
+    import spark.implicits._
+    val stage = tmpDir("graft-enrich-stage")
+    val out = tmpDir("graft-enrich-out")
+    val ckpt = tmpDir("graft-enrich-ckpt")
+    Events.generate(spark, 2000, 1704067200000L, intervalMs = 10)
+      .write.mode("overwrite").parquet(stage)
+    // dimension covers only part of the product space -> left-join nulls
+    val dim = (1 to 500).map(p => (p, s"cat-${p % 7}")).toDF("product_id", "category")
+    val src = spark.readStream.schema(Events.schema).parquet(stage)
+    val q = Ingest.startIngest(
+      Events.withEventMinute(Ingest.enrichedStream(src, dim, Seq("product_id"))),
+      out, ckpt)
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 2000, "enrichment must never drop events")
+    // enriched rows carry the right category; uncovered/null products -> null
+    val bad = got.filter(col("product_id").isNotNull && col("product_id") <= 500 &&
+      col("category") =!= concat(lit("cat-"), (col("product_id") % 7).cast("string")))
+    assert(bad.count() == 0)
+    assert(got.filter(col("product_id").isNull && col("category").isNotNull).count() == 0)
+  }
+
   test("stream-stream interval join bounds matches and respects the window") {
     val stage = tmpDir("graft-ssj-stage")
     Events.generate(spark, 20000, 1704067200000L, intervalMs = 100) // ~33 min span
