@@ -478,10 +478,33 @@ object EventOps {
       |    AS trailing_1h_sum
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Heavy hitters via the count-min sketch aggregator: ONE pass builds a
+    * constant-size (~22 KB) sketch of the user activity distribution;
+    * estimates are then read out for the candidate keys. At 100 TB the
+    * sketch replaces a full per-key shuffle with an algebraic aggregate
+    * whose partials are a fixed 22 KB per task — the candidate list here
+    * is the distinct-user relation (bounded in this corpus; a production
+    * heavy-hitter query feeds a sampled or windowed candidate set).
+    * Driver materializes only the sketch row and the candidate ids — both
+    * bounded. Rows-only check (estimates are approximate by design;
+    * CountMinSpec pins the ε-bound against exact counts). */
+  def userCmsTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    import graft.functions.CountMinAggregator
+    val users = Tables.events(s, d).select($"user_id".cast("string").as("u"))
+    val sketch: Array[Byte] = users.as[String]
+      .select(new CountMinAggregator.CountMin().toColumn).head()
+    val est = users.distinct().as[String].collect()
+      .map(u => (u.toLong, CountMinAggregator.estimate(sketch, u)))
+      .sortBy { case (u, e) => (-e, u) }.take(k).toSeq
+    est.toDF("user_id", "est_cnt")
+  }
+
   val defs: Seq[Q] = Seq(
     Q("ref_minute_report", None, refMinuteReport),
     Q("ev_hourly_ohlc", Some(hourlyOhlcOracle), hourlyOhlc),
     Q("ev_trailing_1h_sum", Some(trailing1hSumOracle), trailing1hSum),
+    Q("ev_user_cms_topk", None, (s, d) => userCmsTopK(s, d)),
     Q("ev_minute_type_counts", Some(minuteTypeCountsOracle), minuteTypeCounts),
     Q("ev_pivot_day_type", Some(pivotDayTypeOracle), pivotDayType),
     Q("ev_filter_project", Some(filterProjectOracle), filterProject),

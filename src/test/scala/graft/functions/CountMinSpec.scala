@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/** Count-min sketch aggregator: the one-sided ε-bound against exact
+  * counts, merge correctness across partitions, and determinism. */
+class CountMinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("estimates are one-sided and within eps*N of exact counts") {
+    val eps = 0.005
+    val users = Tables.events(spark, Sf).select($"user_id".cast("string").as("u"))
+    val n = users.count()
+    val sketch = users.repartition(8) // force multi-partition partials + merge
+      .as[String].select(new CountMinAggregator.CountMin(eps = eps).toColumn).head()
+    val exact = users.groupBy($"u").count().as[(String, Long)].collect().toMap
+    exact.foreach { case (u, c) =>
+      val e = CountMinAggregator.estimate(sketch, u)
+      assert(e >= c, s"CMS must never under-count: user $u est $e < exact $c")
+      assert(e <= c + math.ceil(eps * n).toLong,
+        s"user $u est $e exceeds exact $c + eps*N")
+    }
+    // unseen key estimates stay within the additive bound too
+    assert(CountMinAggregator.estimate(sketch, "no-such-user") <= math.ceil(eps * n).toLong)
+  }
+
+  test("sketch is deterministic across runs and partitionings") {
+    val users = Tables.events(spark, Sf).select($"user_id".cast("string").as("u"))
+    def est(parts: Int): Seq[Long] = {
+      val sk = users.repartition(parts).as[String]
+        .select(new CountMinAggregator.CountMin().toColumn).head()
+      (1L to 20L).map(u => CountMinAggregator.estimate(sk, u.toString))
+    }
+    assert(est(4) == est(13), "estimates must not depend on partitioning")
+  }
+
+  test("registered heavy-hitter query agrees with exact top-k on clear winners") {
+    val got = graft.operators.EventOps.userCmsTopK(spark, Sf, 10)
+      .as[(Long, Long)].collect()
+    assert(got.length == 10)
+    // every estimated count must dominate that user's exact count
+    val exact = Tables.events(spark, Sf)
+      .groupBy($"user_id").count().as[(Long, Long)].collect().toMap
+    got.foreach { case (u, e) => assert(e >= exact(u)) }
+  }
+}
