@@ -46,7 +46,10 @@ object Bench {
         spark, 10_000_000L, 1704067200000L, intervalMs = 10)
       val tWrite = timed(graft.sources.Warehouse.writeEvents(events, wh))
       val tPruned = timed {
-        val m = java.sql.Timestamp.valueOf("2024-01-01 02:00:00")
+        // epoch arithmetic, NOT Timestamp.valueOf: valueOf parses in the
+        // JVM default timezone, which silently shifts the probed minute on
+        // non-UTC hosts (the session is pinned UTC, the host need not be)
+        val m = new java.sql.Timestamp(1704067200000L + 2 * 3600 * 1000)
         val r = graft.reference.MinuteReport.analyze(
           graft.sources.Warehouse.readMinute(spark, wh, m), "bench.parquet")
         require(r.totalEvents == 6000, s"scale-leg report drifted: ${r.totalEvents}")
@@ -85,22 +88,30 @@ object Bench {
       } catch { case _: Throwable => name -> -1.0 }
     }.toMap
 
+    // Locale.ROOT: f"$v%.4f" uses the JVM default locale — a comma-decimal
+    // host (de_DE, fr_FR) would print 12,3456 and break the JSON parse.
     def jmap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+      m.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      }.mkString("{", ",", "}")
 
     // failed queries keep their -1 marker in the detail file but must not
-    // deflate the totals
+    // deflate the totals; n_failed in the headline line keeps a
+    // failure-shrunk total from masquerading as a speedup
     val total = results.values.filter(_ >= 0).sum
+    val nFailed = results.values.count(_ < 0)
     val headline = Headline.flatMap(h => results.get(h).map(h -> _))
     val scale =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1") == "0") Seq.empty
-      else try scaleLeg(spark) catch { case _: Throwable => Seq("wh_write_10m" -> -1.0) }
-    // Full sweep → file (not stdout: ~90 entries overflow log capture).
-    Files.writeString(Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"scale_10m":${jmap(scale)},"queries":${jmap(results.toSeq.sortBy(_._1))}}""")
-    // THE one parseable line. value = sum of headline query times (warm).
+      else try scaleLeg(spark)
+      catch { case _: Throwable => Seq("scale_leg_failed" -> -1.0) }
+    // THE one parseable line comes FIRST — nothing (incl. a read-only or
+    // full working dir failing the detail write below) may prevent it.
     val headlineTotal = headline.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"scale_10m":${jmap(scale)},"n_queries_all":${results.size},"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"detail":"bench_detail.json"}""")
+    println(s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"scale_10m":${jmap(scale)},"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"detail":"bench_detail.json"}""")
+    // Full sweep → file (not stdout: ~100 entries overflow log capture).
+    scala.util.Try(Files.writeString(Paths.get("bench_detail.json"),
+      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"n_failed":$nFailed,"scale_10m":${jmap(scale)},"queries":${jmap(results.toSeq.sortBy(_._1))}}"""))
     spark.stop()
   }
 }

@@ -45,9 +45,16 @@ object CountMinAggregator {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Query a serialized sketch for a key's estimated count. */
-  def estimate(sketch: Array[Byte], key: String): Long =
-    if (sketch.isEmpty) 0L
-    else CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketch))
-      .estimateCount(UTF8String.fromString(key).getBytes)
+  /** Deserialize ONCE and return a query closure — callers estimating many
+    * keys (a candidate sweep) must not re-parse the 22 KB sketch per key. */
+  def estimator(sketch: Array[Byte]): String => Long =
+    if (sketch.isEmpty) _ => 0L
+    else {
+      val s = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketch))
+      key => s.estimateCount(UTF8String.fromString(key).getBytes)
+    }
+
+  /** One-off single-key estimate (deserializes the sketch — use
+    * [[estimator]] inside loops). */
+  def estimate(sketch: Array[Byte], key: String): Long = estimator(sketch)(key)
 }

@@ -95,10 +95,9 @@ object GraftFunctions {
       exprs => DotProductExpr(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(SimHashName,
       exprs => SimHash64Expr(exprs.head), "built-in")
-    // k=32: enough hash mins for 16 bands × 2 rows (Dedup banding).
-    // Measured recall on the SCALE_NOTES Leg-2 corpus (J≈0.55 pairs):
-    // k=16 4×4 = 0.296, k=32 8×4 = 0.417, 10×3 = 0.625, 16×2 = 0.901.
+    // Signature length comes from Dedup.MinHashK — the single source of
+    // the k/bands/rows shape (measured recall table: SCALE_NOTES Leg 2).
     reg.createOrReplaceTempFunction(MinHashName,
-      exprs => MinHashSigExpr(exprs.head, 32), "built-in")
+      exprs => MinHashSigExpr(exprs.head, graft.operators.Dedup.MinHashK), "built-in")
   }
 }

@@ -24,6 +24,23 @@ import graft.Tables
   */
 object Dedup {
 
+  /** The MinHash/LSH shape, in ONE place: k salted hash-minima per
+    * signature, banded as LshBands × LshRows for candidate generation.
+    * Every site that slices or scores a signature derives from these —
+    * the k=16→32 migration had to touch six literal sites in lockstep
+    * (round-3 review finding), which a missed site turns into silently
+    * truncated band slices or a skewed estimate. Measured shapes are in
+    * SCALE_NOTES.md Leg 2. */
+  val MinHashK = 32
+  val LshBands = 16
+  val LshRows = 2
+  require(LshBands * LshRows == MinHashK, "banding must tile the signature")
+
+  /** Signature-estimated Jaccard (cheap long compares, no arrays touched):
+    * fraction of agreeing minhash slots. Expects sig_a/sig_b columns. */
+  private[operators] def estJaccardExpr =
+    expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), v -> v = 1)) / $MinHashK.0")
+
   /** Exact dedup: keep the lowest doc_id per identical text. */
   def exactDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -123,8 +140,8 @@ object Dedup {
     val sigs = withMinhashSig(shingleSets(s, d)).persist()
     val banded = sigs.select($"doc_id",
         explode(expr(
-          """transform(sequence(0, 15),
-            |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * 2 + 1, 2))))"""
+          s"""transform(sequence(0, ${LshBands - 1}),
+             |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * $LshRows + 1, $LshRows))))"""
             .stripMargin)).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.key")
     val small = banded.groupBy($"band", $"key")
@@ -156,22 +173,32 @@ object Dedup {
     * P(est < 0.25) < 0.3% — so the top-20 survives while ~half the
     * candidate set never touches its shingle arrays (the shingle attach
     * joins run AFTER the filter, so dropped pairs never shuffle a set). */
-  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** LSH candidates with EXACT shingle Jaccard attached — the one pipeline
+    * both the pair query and the cluster builder consume (a drifted copy
+    * would let them disagree on what counts as a near-dup). Est-prefilter
+    * at 0.25 gates the expensive shingle joins; exact Jaccard rounded to
+    * 4 dp. Returns (pairs with `jaccard`, the persisted sigs relation the
+    * caller must release). */
+  private[operators] def exactJaccardPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val (cands, sigs) = lshCandidates(s, d)
     val survivors = cands
-      .filter(expr(
-        "size(filter(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), v -> v = 1)) / 32.0") >= 0.25)
+      .filter(estJaccardExpr >= 0.25)
       .select($"doc_a", $"doc_b")
+    (survivors
+      .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")), 4).as("jaccard")),
+      sigs)
+  }
+
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (pairs, sigs) = exactJaccardPairs(s, d)
     materializeAndRelease(
-      survivors
-        .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-        .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-        .select($"doc_a", $"doc_b",
-          round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-            size(array_union($"sh_a", $"sh_b")), 4).as("jaccard"))
-        .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
-        .limit(20),
+      pairs.orderBy($"jaccard".desc, $"doc_a", $"doc_b").limit(20),
       sigs)
   }
 
@@ -182,9 +209,7 @@ object Dedup {
     materializeAndRelease(
       cands
         .select($"doc_a", $"doc_b",
-          round(expr(
-            "size(filter(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), v -> v = 1)) / 32.0"
-          ), 4).as("est_jaccard"))
+          round(estJaccardExpr, 4).as("est_jaccard"))
         .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
         .limit(50),
       sigs)
@@ -268,9 +293,17 @@ object Dedup {
     * state is one long per doc).
     *
     * @param edges  (doc_a, doc_b) pairs
+    * @param maxIters iteration bound; min-label propagation needs
+    *                 O(component diameter) rounds, so 20 covers any
+    *                 plausible near-dup graph
+    * @param strict  when true (default), throw if the bound is exhausted
+    *                before convergence — an unconverged result is WRONG
+    *                (one true component reported as several, a dedup
+    *                under-deletes) and must not pass silently
     * @return (doc_id, cluster_id) — cluster_id is the component's min doc
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 10): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20,
+                          strict: Boolean = true): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     // localCheckpoint (not persist) each iteration: an iterative DataFrame
@@ -304,6 +337,11 @@ object Dedup {
       i += 1
     }
     e.unpersist(blocking = false)
+    if (!converged && strict)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters iterations — " +
+          "labels are partially propagated (one component would surface as " +
+          "several); raise maxIters or pass strict=false to accept that")
     labels
   }
 
@@ -315,16 +353,8 @@ object Dedup {
     * Rows-only check (LSH-derived; no portable SQL oracle). */
   def nearDupClusters(s: SparkSession, d: String, jThreshold: Double = 0.5): DataFrame = {
     import s.implicits._
-    val (cands, sigs) = lshCandidates(s, d)
-    val edges = cands
-      .filter(expr(
-        "size(filter(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), v -> v = 1)) / 32.0") >= 0.25)
-      .select($"doc_a", $"doc_b")
-      .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-      .filter(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-        size(array_union($"sh_a", $"sh_b")) >= jThreshold)
-      .select($"doc_a", $"doc_b")
+    val (pairs, sigs) = exactJaccardPairs(s, d)
+    val edges = pairs.filter($"jaccard" >= jThreshold).select($"doc_a", $"doc_b")
     val clusters = connectedComponents(edges)
     val out = clusters
       .withColumn("cluster_size",

@@ -494,10 +494,11 @@ object EventOps {
     val users = Tables.events(s, d).select($"user_id".cast("string").as("u"))
     val sketch: Array[Byte] = users.as[String]
       .select(new CountMinAggregator.CountMin().toColumn).head()
-    val est = users.distinct().as[String].collect()
-      .map(u => (u.toLong, CountMinAggregator.estimate(sketch, u)))
+    val est = CountMinAggregator.estimator(sketch) // deserialize ONCE
+    val top = users.distinct().as[String].collect()
+      .map(u => (u.toLong, est(u)))
       .sortBy { case (u, e) => (-e, u) }.take(k).toSeq
-    est.toDF("user_id", "est_cnt")
+    top.toDF("user_id", "est_cnt")
   }
 
   val defs: Seq[Q] = Seq(

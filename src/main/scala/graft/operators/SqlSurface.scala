@@ -295,6 +295,52 @@ object SqlSurface {
     s.sql(soleReturnSupplierSql)
   }
 
+  /** TPC-H Q19-shape: disjunctive multi-predicate join — three OR'd
+    * conjunction groups mixing part and lineitem predicates. Exercises the
+    * predicate path no other query hits: Catalyst must extract the common
+    * `p_partkey = l_partkey` join condition from under the OR (CNF
+    * conversion) and push the per-relation disjuncts into both scans —
+    * without that, this plans as a cartesian filter. At 100 TB the pushed
+    * disjunction prunes row groups on both sides before the join. */
+  private val brandBucketRevenueSql =
+    """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                     (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+      |             AS DOUBLE), 2) AS revenue,
+      |       CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |    OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+      |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50))""".stripMargin
+
+  def brandBucketRevenue(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem", "part")
+    s.sql(brandBucketRevenueSql)
+  }
+
+  /** TPC-H Q22-shape: scalar AVG subquery + correlated NOT EXISTS — the
+    * "global customers with positive balances and no urgent orders"
+    * report. Two decorrelations in one plan: the scalar average becomes a
+    * broadcast single-row join; the NOT EXISTS a left-anti join on the
+    * customer key (c_nationkey stands in for Q22's phone country code —
+    * the schema has no phone column). */
+  private val idleRichCustomersSql =
+    """SELECT c_nationkey,
+      |       CAST(count(*) AS BIGINT) AS numcust,
+      |       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  def idleRichCustomers(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "customer", "orders")
+    s.sql(idleRichCustomersSql)
+  }
+
   val defs: Seq[Q] = Seq(
     Q("sql_bool_agg", Some(boolAggSql), boolAgg),
     Q("sql_bit_suite", Some(bitSuiteSql), bitSuite),
@@ -309,5 +355,7 @@ object SqlSurface {
     Q("sql_correlated_subquery", Some(correlatedSql), correlatedSubquery),
     Q("sql_min_cost_supplier", Some(minCostSupplierSql), minCostSupplier),
     Q("sql_big_orders", Some(bigOrdersSql), bigOrders),
-    Q("sql_sole_return_supplier", Some(soleReturnSupplierSql), soleReturnSupplier))
+    Q("sql_sole_return_supplier", Some(soleReturnSupplierSql), soleReturnSupplier),
+    Q("sql_brand_bucket_revenue", Some(brandBucketRevenueSql), brandBucketRevenue),
+    Q("sql_idle_rich_customers", Some(idleRichCustomersSql), idleRichCustomers))
 }

@@ -28,22 +28,33 @@ object Bucketed {
 
   val Buckets = 8
 
+  /** Catalog table names are namespaced by a digest of the SOURCE DIR: a
+    * session that runs two scale factors back to back must not have the
+    * second silently reuse the first's bucketed tables (a name-only cache
+    * returned sf0.001 data for an sf0.1 query — round-3 review finding). */
+  private def tableName(t: String, d: String): String =
+    s"${t}_bucketed_${java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)}"
+
   /** Write orders+lineitem bucketed and sorted by the join key. saveAsTable
     * is required (bucket metadata lives in the catalog); the data itself
-    * lands at `baseDir` as ordinary parquet. Idempotent per session. */
-  def writeBucketed(s: SparkSession, d: String, baseDir: String): Unit = {
-    for ((t, key) <- Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")) {
-      val name = s"${t}_bucketed"
-      if (!s.catalog.tableExists(name)) {
+    * lands at `baseDir` as ordinary parquet. Idempotent per (session, dir). */
+  def writeBucketed(s: SparkSession, d: String, baseDir: => String): Unit = {
+    val missing = Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")
+      .filterNot { case (t, _) => s.catalog.tableExists(tableName(t, d)) }
+    if (missing.nonEmpty) {
+      // evaluate the (by-name) baseDir only when actually writing — callers
+      // pass a fresh temp dir and a skipped write must not leak one
+      val base = baseDir
+      for ((t, key) <- missing) {
         // repartition on the bucket key first: one task per bucket ⇒ one
         // file per bucket (write hygiene — no small-file fan-out)
         Tables.load(s, d, t)
           .repartition(Buckets, col(key))
           .write
           .bucketBy(Buckets, key).sortBy(key)
-          .option("path", s"$baseDir/$name")
+          .option("path", s"$base/${tableName(t, d)}")
           .mode("overwrite")
-          .saveAsTable(name)
+          .saveAsTable(tableName(t, d))
       }
     }
   }
@@ -54,7 +65,7 @@ object Bucketed {
   def priorityRevenue(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     writeBucketed(s, d, Files.createTempDirectory("graft-bucketed").toString)
-    coLocatedJoin(s)
+    coLocatedJoin(s, d)
       .groupBy($"o_orderpriority")
       .agg(
         count(lit(1)).as("n_items"),
@@ -67,11 +78,11 @@ object Bucketed {
   }
 
   /** The raw bucket-aware join (exposed for the plan assertion). Callers
-    * must have run [[writeBucketed]] in this session. */
-  def coLocatedJoin(s: SparkSession): DataFrame = {
+    * must have run [[writeBucketed]] for `d` in this session. */
+  def coLocatedJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    s.table("orders_bucketed")
-      .join(s.table("lineitem_bucketed"), $"o_orderkey" === $"l_orderkey")
+    s.table(tableName("orders", d))
+      .join(s.table(tableName("lineitem", d)), $"o_orderkey" === $"l_orderkey")
   }
 
   val priorityRevenueOracle: String =

@@ -31,11 +31,9 @@ object ZOrder {
     }
 
   /** Quantize a numeric column to [0, 2^bits) by range position between
-    * the column's observed min/max (two tiny driver doubles — rank-exact
+    * the column's observed (lo, hi) (two tiny driver doubles — rank-exact
     * quantization isn't needed for file pruning, range position is). */
-  private def quantized(df: DataFrame, c: String, bits: Int): Column = {
-    val Row = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
-    val (lo, hi) = (Row.getDouble(0), Row.getDouble(1))
+  private def quantized(c: String, lo: Double, hi: Double, bits: Int): Column = {
     val span = if (hi > lo) hi - lo else 1.0
     least(
       floor((col(c).cast("double") - lit(lo)) / lit(span) * lit((1 << bits) - 1)),
@@ -45,10 +43,17 @@ object ZOrder {
   /** Write `df` z-ordered on two numeric columns: compute the z-value,
     * range-partition on it into `files` output files, sort inside each —
     * every output file then covers a compact Morton-curve segment, i.e. a
-    * bounded rectangle (or two) in (c1, c2) space. */
+    * bounded rectangle (or two) in (c1, c2) space. Both columns' bounds
+    * come from ONE aggregate pass (per-column scans would double the read
+    * I/O this layout exists to save). */
   def writeZOrdered(df: DataFrame, c1: String, c2: String, path: String,
                     files: Int = 16): Unit = {
-    df.withColumn("__z", zValue(quantized(df, c1, Bits), quantized(df, c2, Bits)))
+    val b = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    df.withColumn("__z", zValue(
+        quantized(c1, b.getDouble(0), b.getDouble(1), Bits),
+        quantized(c2, b.getDouble(2), b.getDouble(3), Bits)))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

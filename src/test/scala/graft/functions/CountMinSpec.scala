@@ -16,14 +16,15 @@ class CountMinSpec extends SparkSuite {
     val sketch = users.repartition(8) // force multi-partition partials + merge
       .as[String].select(new CountMinAggregator.CountMin(eps = eps).toColumn).head()
     val exact = users.groupBy($"u").count().as[(String, Long)].collect().toMap
+    val est = CountMinAggregator.estimator(sketch)
     exact.foreach { case (u, c) =>
-      val e = CountMinAggregator.estimate(sketch, u)
+      val e = est(u)
       assert(e >= c, s"CMS must never under-count: user $u est $e < exact $c")
       assert(e <= c + math.ceil(eps * n).toLong,
         s"user $u est $e exceeds exact $c + eps*N")
     }
     // unseen key estimates stay within the additive bound too
-    assert(CountMinAggregator.estimate(sketch, "no-such-user") <= math.ceil(eps * n).toLong)
+    assert(est("no-such-user") <= math.ceil(eps * n).toLong)
   }
 
   test("sketch is deterministic across runs and partitionings") {
@@ -31,7 +32,8 @@ class CountMinSpec extends SparkSuite {
     def est(parts: Int): Seq[Long] = {
       val sk = users.repartition(parts).as[String]
         .select(new CountMinAggregator.CountMin().toColumn).head()
-      (1L to 20L).map(u => CountMinAggregator.estimate(sk, u.toString))
+      val e = CountMinAggregator.estimator(sk)
+      (1L to 20L).map(u => e(u.toString))
     }
     assert(est(4) == est(13), "estimates must not depend on partitioning")
   }

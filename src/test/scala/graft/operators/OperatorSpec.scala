@@ -211,9 +211,9 @@ class OperatorSpec extends SparkSuite {
       .head()
     assert(r.getLong(0) == h)
     val sig = r.getSeq[Long](1)
-    assert(sig.length == 32)
+    assert(sig.length == Dedup.MinHashK)
     // sig[k] = xxhash64(h, seed=k): deterministic and all-distinct here
-    assert(sig.distinct.length == 32)
+    assert(sig.distinct.length == Dedup.MinHashK)
     val again = Seq(Tuple1(Seq(h))).toDF("hs")
       .select(call_function("graft_minhash_sig", col("hs"))).head().getSeq[Long](0)
     assert(sig == again)

@@ -61,8 +61,8 @@ object ScaleStress {
       val sigs = Dedup.withMinhashSig(sh).select($"doc_id", $"sig").persist()
       val banded = sigs.select($"doc_id",
           explode(expr(
-            """transform(sequence(0, 15),
-              |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * 2 + 1, 2))))"""
+            s"""transform(sequence(0, ${Dedup.LshBands - 1}),
+               |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * ${Dedup.LshRows} + 1, ${Dedup.LshRows}))))"""
               .stripMargin)).as("bk"))
         .select($"doc_id", $"bk.band", $"bk.key")
       val small = banded.groupBy($"band", $"key")

@@ -13,7 +13,7 @@ class BucketedSpec extends SparkSuite {
     // force the SMJ path: broadcast would hide the exchange question
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val plan = Bucketed.coLocatedJoin(spark).queryExecution.executedPlan.toString
+      val plan = Bucketed.coLocatedJoin(spark, Sf).queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
       assert(!plan.contains("Exchange"),
         s"bucketed join must not shuffle either side:\n$plan")
