@@ -319,6 +319,68 @@ object TextOps {
       |  CAST((length(scrubbed) - length(replace(scrubbed, '<PHONE>', ''))) / 7 AS INT) AS n_phones
       |FROM scrubbed ORDER BY doc_id""".stripMargin
 
+  /** Context-window chunking: split each document into fixed-size token
+    * windows with overlap — the preprocessing step that turns a corpus
+    * into trainable sequences. 120-token chunks, 20-token overlap (stride
+    * 100). Narrow map + explode; chunk text is carried as an md5 so the
+    * output stays skinny (the chunk text itself is a slice expression any
+    * consumer can re-materialize). */
+  def chunkDocs(s: SparkSession, d: String, chunk: Int = 120, overlap: Int = 20): DataFrame = {
+    import s.implicits._
+    val stride = chunk - overlap
+    Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n", size($"toks"))
+      .select($"doc_id", $"n", explode(expr(
+        s"""transform(sequence(0, int(greatest(ceil((size(toks) - $overlap) / $stride.0) - 1, 0))),
+           |          c -> named_struct(
+           |            'chunk_idx', c,
+           |            'n_tokens', size(slice(toks, c * $stride + 1, $chunk)),
+           |            'chunk_md5', md5(cast(concat_ws(' ', slice(toks, c * $stride + 1, $chunk)) as binary))))"""
+          .stripMargin)).as("ch"))
+      .select($"doc_id", $"ch.chunk_idx", $"ch.n_tokens", $"ch.chunk_md5")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val chunkDocsOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, toks,
+      |             unnest(generate_series(0,
+      |               CAST(greatest(ceil((len(toks) - 20) / 100.0) - 1, 0) AS INT))) AS chunk_idx
+      |      FROM t)
+      |SELECT doc_id,
+      |  CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(len(toks[chunk_idx * 100 + 1 : chunk_idx * 100 + 120]) AS INT) AS n_tokens,
+      |  md5(array_to_string(toks[chunk_idx * 100 + 1 : chunk_idx * 100 + 120], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Sequence packing: assign documents to fixed token-budget bins (4096)
+    * per source, in doc_id order — the greedy boundary-at-overflow packing
+    * a training loader uses to batch a corpus. Pure window arithmetic:
+    * bin = floor(exclusive-running-sum / budget), partitioned by source so
+    * each source packs independently (and in parallel at scale). */
+  def packBins(s: SparkSession, d: String, budget: Int = 4096): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", nTokensCol.as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"source", $"n_tokens",
+        floor(($"cum" - $"n_tokens") / budget).cast("int").as("bin"))
+      .orderBy($"doc_id")
+  }
+
+  val packBinsOracle: String =
+    """SELECT doc_id, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(floor((sum(len(string_split(text, ' ')))
+      |          OVER (PARTITION BY source ORDER BY doc_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        - len(string_split(text, ' '))) / 4096.0) AS INT) AS bin
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("text_token_stats", Some(tokenStatsOracle), tokenStats),
     Q("text_quality_score", Some(qualityScoreOracle), qualityScore),
@@ -330,5 +392,7 @@ object TextOps {
     Q("text_winnow_fingerprint", None, winnowFingerprint),
     Q("text_langid_heuristic", None, langIdHeuristic),
     Q("text_gopher_stats", Some(gopherStatsOracle), gopherStats),
-    Q("text_pii_scrub", Some(piiScrubOracle), piiScrub))
+    Q("text_pii_scrub", Some(piiScrubOracle), piiScrub),
+    Q("text_chunk_docs", Some(chunkDocsOracle), (s, d) => chunkDocs(s, d)),
+    Q("text_pack_bins", Some(packBinsOracle), (s, d) => packBins(s, d)))
 }
