@@ -253,9 +253,11 @@ object EventOps {
       |  FROM events GROUP BY user_id, event_type) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
-  /** Map-typed column construction (rows-only: map JSON rendering differs
-    * across engines): per user, a type→count map plus its sorted key set —
-    * the relational form of the reference's A7 driver-side dict build. */
+  /** Map-typed column construction: per user, a type→count map flattened
+    * to its sorted key list + total — the relational form of the
+    * reference's A7 driver-side dict build. The map itself is internal;
+    * the OUTPUT is scalar, so this is oracle-checkable after all
+    * (round-3: was rows-only). */
   def typeCountMap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
@@ -268,6 +270,14 @@ object EventOps {
         aggregate(map_values($"type_counts"), lit(0L), (a, x) => a + x).as("total"))
       .orderBy($"user_id")
   }
+
+  val typeCountMapOracle: String =
+    """SELECT user_id,
+      |  string_agg(event_type, ',' ORDER BY event_type) AS types,
+      |  CAST(sum(cnt) AS BIGINT) AS total
+      |FROM (SELECT user_id, event_type, count(*) AS cnt
+      |      FROM events GROUP BY user_id, event_type) t
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Daily active users + event volume. */
   def dailyActiveUsers(s: SparkSession, d: String): DataFrame = {
@@ -521,7 +531,7 @@ object EventOps {
     Q("ev_retention", Some(retentionOracle), retention),
     Q("ev_daily_active_users", Some(dailyActiveUsersOracle), dailyActiveUsers),
     Q("ev_top_type_per_user", Some(topTypePerUserOracle), topTypePerUser),
-    Q("ev_type_count_map", None, typeCountMap),
+    Q("ev_type_count_map", Some(typeCountMapOracle), typeCountMap),
     Q("ev_value_histogram", Some(valueHistogramOracle), valueHistogram),
     Q("ev_tehran_minute_name", Some(tehranMinuteNameOracle), tehranMinuteName))
 }

@@ -27,6 +27,22 @@ class BucketedSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("two source dirs in one session get DISTINCT bucketed tables") {
+    // regression: a name-only cache served sf0.001 data for a later sfDir
+    val d2 = "/root/testdata/sf0.01"
+    Bucketed.writeBucketed(spark, Sf, tmpDir("bucketed-a"))
+    Bucketed.writeBucketed(spark, d2, tmpDir("bucketed-b"))
+    val n1 = Bucketed.coLocatedJoin(spark, Sf).count()
+    val n2 = Bucketed.coLocatedJoin(spark, d2).count()
+    assert(n1 != n2, s"sf0.001 and sf0.01 joins must differ in size ($n1 vs $n2)")
+    val plain = {
+      import spark.implicits._
+      graft.Tables.orders(spark, d2)
+        .join(graft.Tables.lineitem(spark, d2), $"o_orderkey" === $"l_orderkey").count()
+    }
+    assert(n2 == plain, "bucketed join must match the plain join row count")
+  }
+
   test("bucketed join values match the plain parquet join exactly") {
     val bucketed = Bucketed.priorityRevenue(spark, Sf)
     val plain = {
