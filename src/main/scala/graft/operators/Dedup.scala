@@ -239,12 +239,15 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** SimHash near-dup: banded candidate generation (2 × 32-bit bands), then
-    * exact Hamming check via bit_count(xor). Same two scale guards as
-    * lshCandidates: narrow join payload (ids + one long) and a degenerate-
-    * bucket cap — correlated bits on boilerplate-heavy corpora otherwise
-    * make one band key quadratic. Rows-only check. */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** SimHash near-dup edge set: banded candidate generation (2 × 32-bit
+    * bands), then exact Hamming check via bit_count(xor). Same two scale
+    * guards as lshCandidates: narrow join payload (ids + one long) and a
+    * degenerate-bucket cap — correlated bits on boilerplate-heavy corpora
+    * otherwise make one band key quadratic. Returns the UNLIMITED
+    * (doc_a, doc_b, hamming) relation + the persisted hash relation the
+    * caller must release. */
+  private[operators] def simhashEdges(s: SparkSession, d: String,
+      maxHamming: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     // Referenced on both join sides + the bucket census — persist (tiny:
     // one long per doc) so the per-document hashing runs once.
@@ -264,16 +267,41 @@ object Dedup {
     val pruned = banded.join(small, Seq("band", "key"))
     val l = pruned.select($"band", $"key", $"doc_id".as("doc_a"), $"simhash".as("sh_a"))
     val r = pruned.select($"band", $"key", $"doc_id".as("doc_b"), $"simhash".as("sh_b"))
-    materializeAndRelease(
-      l.join(r, Seq("band", "key"))
-        .filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b",
-          expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
-        .filter($"hamming" <= 16)
-        .dropDuplicates("doc_a", "doc_b")
-        .orderBy($"hamming", $"doc_a", $"doc_b")
-        .limit(50),
+    (l.join(r, Seq("band", "key"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b"),
       hashed)
+  }
+
+  /** Top-50 most-similar simhash pairs (rows-only check). */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (edges, hashed) = simhashEdges(s, d, maxHamming = 16)
+    materializeAndRelease(
+      edges.orderBy($"hamming", $"doc_a", $"doc_b").limit(50),
+      hashed)
+  }
+
+  /** Near-dup clusters from SIMHASH evidence (Hamming ≤ 6 of 64 bits ≈
+    * cosine-similar token multisets): the same connected-components step,
+    * fed by a different similarity signal — dedup evidence is pluggable.
+    * Output shape matches [[nearDupClusters]]. Rows-only check. */
+  def simhashClusters(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
+    import s.implicits._
+    val (edges, hashed) = simhashEdges(s, d, maxHamming)
+    val clusters = connectedComponents(edges.select($"doc_a", $"doc_b"))
+    val out = clusters
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")))
+      .withColumn("keep", ($"doc_id" === $"cluster_id").cast("int"))
+      .select($"doc_id", $"cluster_id", $"cluster_size".cast("long").as("cluster_size"), $"keep")
+      .orderBy($"doc_id")
+    val result = materializeAndRelease(out, hashed)
+    clusters.unpersist(blocking = false)
+    result
   }
 
   /** Connected components over a pair graph, by iterative min-label
@@ -374,5 +402,6 @@ object Dedup {
     Q("dedup_simhash_docs", None, simhashDocs),
     Q("dedup_simhash_pairs", None, simhashPairs),
     Q("dedup_minhash_lsh", None, minhashLshPairs),
-    Q("dedup_cluster_docs", None, (s, d) => nearDupClusters(s, d)))
+    Q("dedup_cluster_docs", None, (s, d) => nearDupClusters(s, d)),
+    Q("dedup_simhash_clusters", None, (s, d) => simhashClusters(s, d)))
 }

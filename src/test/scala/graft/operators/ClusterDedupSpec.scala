@@ -27,15 +27,36 @@ class ClusterDedupSpec extends SparkSuite {
   }
 
   test("corpus keep-list invariants: one representative per cluster") {
-    val out = Dedup.nearDupClusters(spark, Sf)
-      .as[(Long, Long, Long, Int)].collect()
-    assert(out.nonEmpty, "sf0.001 corpus has exact dup groups -> clusters must exist")
-    val byCluster = out.groupBy(_._2)
-    byCluster.foreach { case (cid, members) =>
-      assert(members.count(_._4 == 1) == 1, s"cluster $cid needs exactly one keep")
-      assert(members.minBy(_._1)._1 == cid, s"cluster id must be the min doc id")
-      assert(members.forall(_._3 == members.length), s"cluster_size wrong for $cid")
-      assert(members.length >= 2, s"singleton cluster $cid should not appear")
+    for (clusters <- Seq(
+        Dedup.nearDupClusters(spark, Sf),
+        Dedup.simhashClusters(spark, Sf))) {
+      val out = clusters.as[(Long, Long, Long, Int)].collect()
+      assert(out.nonEmpty, "sf0.001 corpus has near-dup groups -> clusters must exist")
+      val byCluster = out.groupBy(_._2)
+      byCluster.foreach { case (cid, members) =>
+        assert(members.count(_._4 == 1) == 1, s"cluster $cid needs exactly one keep")
+        assert(members.minBy(_._1)._1 == cid, s"cluster id must be the min doc id")
+        assert(members.forall(_._3 == members.length), s"cluster_size wrong for $cid")
+        assert(members.length >= 2, s"singleton cluster $cid should not appear")
+      }
     }
+  }
+
+  test("minhash and simhash evidence overlap but measure different similarity") {
+    // The signals are intentionally different: minhash works on ORDERED
+    // 3-gram shingles, simhash on the token SET — a reordered document is
+    // a simhash dup but not a shingle dup. On this corpus the measured
+    // cluster-pair overlap is ~0.25; the assertion pins that they share a
+    // real common core (both catch the strongest dups) without pretending
+    // they are the same metric.
+    val mh = Dedup.nearDupClusters(spark, Sf)
+      .as[(Long, Long, Long, Int)].collect().groupBy(_._2).values
+      .flatMap(ms => ms.map(_._1).sorted.combinations(2).map(_.toSeq)).toSet
+    val sh = Dedup.simhashClusters(spark, Sf)
+      .as[(Long, Long, Long, Int)].collect().groupBy(_._2).values
+      .flatMap(ms => ms.map(_._1).sorted.combinations(2).map(_.toSeq)).toSet
+    assert(mh.nonEmpty && sh.nonEmpty)
+    val overlap = mh.intersect(sh).size.toDouble / math.min(mh.size, sh.size)
+    assert(overlap >= 0.15, f"near-dup signals share no common core: overlap $overlap%.2f")
   }
 }
