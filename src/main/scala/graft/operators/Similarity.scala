@@ -99,6 +99,45 @@ object Similarity {
     s.createDataFrame(rows, out.schema)
   }
 
+  /** Near-dup clusters from EMBEDDING evidence: sig-bucketed cosine ≥
+    * `minCos` edges into the shared connected-components step — the third
+    * pluggable evidence type beside minhash shingles and simhash bits
+    * (Dedup.nearDupClusters / simhashClusters), same output shape.
+    * Rows-only check; ClusterDedupSpec pins the invariants. */
+  def embeddingClusters(s: SparkSession, d: String, minCos: Double = 0.95): DataFrame = {
+    import s.implicits._
+    val sigs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", sigCol($"embedding").as("sig"),
+        norm($"embedding").as("nrm"))
+      .persist()
+    // multi-probe (Hamming ≤ 1): a near-identical pair straddling ONE
+    // hyperplane lands in adjacent buckets — exact-sig candidates would
+    // silently split its cluster. One side explodes to its 9 probe keys
+    // (own sig + 8 one-bit flips); the other side stays on its exact sig,
+    // so each pair is found once per differing-bit side (dedup below).
+    val a = sigs.select($"vec_id".as("doc_a"), $"embedding".as("emb_a"), $"nrm".as("n_a"),
+      explode(expr(s"concat(array(sig), transform(sequence(0, ${NumPlanes - 1}), j -> int(sig ^ shiftleft(1, j))))"))
+        .as("probe"))
+    val b = sigs.select($"sig".as("probe"), $"vec_id".as("doc_b"), $"embedding".as("emb_b"), $"nrm".as("n_b"))
+    val edges = a.join(b, Seq("probe"))
+      .filter($"doc_a" < $"doc_b")
+      .filter(dot($"emb_a", $"emb_b") / ($"n_a" * $"n_b") >= minCos)
+      .select($"doc_a", $"doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val clusters = Dedup.connectedComponents(edges)
+    val out = clusters
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")))
+      .withColumn("keep", ($"doc_id" === $"cluster_id").cast("int"))
+      .select($"doc_id".as("vec_id"), $"cluster_id",
+        $"cluster_size".cast("long").as("cluster_size"), $"keep")
+      .orderBy($"vec_id")
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    sigs.unpersist(blocking = false)
+    clusters.unpersist(blocking = false)
+    s.createDataFrame(rows, out.schema)
+  }
+
   /** Spherical k-means coarse quantizer for the IVF index, entirely in
     * DataFrame ops. Seeds are the k vectors with the smallest
     * xxhash64(vec_id) — a deterministic uniform sample, not the first k

@@ -42,6 +42,34 @@ class ClusterDedupSpec extends SparkSuite {
     }
   }
 
+  test("embedding evidence recovers planted clusters (synthetic replicas)") {
+    // the sf corpora are isotropic noise (no cos>=0.95 pairs exist — the
+    // correct cluster answer there is 'none'), so plant ground truth:
+    // 40 base vectors x 5 small-noise replicas -> 40 recoverable clusters
+    val dir = tmpDir("emb-clusters")
+    val byBase = (0 until 40).map { b =>
+      val baseRnd = new scala.util.Random(1000 + b)
+      Array.fill(64)(baseRnd.nextGaussian().toFloat)
+    }
+    val planted = for (b <- 0 until 40; r <- 0 until 5) yield {
+      val n = new scala.util.Random(b * 100 + r)
+      val v = byBase(b).map(x => x + 0.02f * n.nextGaussian().toFloat)
+      (b * 5L + r, v.toSeq, b)
+    }
+    planted.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.embeddingClusters(spark, dir, minCos = 0.95)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.length == 200, s"all 200 planted vectors must cluster, got ${out.length}")
+    val clusters = out.groupBy(_._2)
+    assert(clusters.size == 40, s"expected 40 planted clusters, got ${clusters.size}")
+    clusters.foreach { case (cid, ms) =>
+      assert(ms.length == 5 && ms.count(_._4 == 1) == 1)
+      // every member shares the representative's base group
+      assert(ms.map(_._1 / 5).distinct.length == 1, s"cluster $cid mixed bases")
+    }
+  }
+
   test("minhash and simhash evidence overlap but measure different similarity") {
     // The signals are intentionally different: minhash works on ORDERED
     // 3-gram shingles, simhash on the token SET — a reordered document is
