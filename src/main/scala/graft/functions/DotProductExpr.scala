@@ -88,6 +88,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val SimHashName = "graft_simhash64"
   val MinHashName = "graft_minhash_sig"
+  val WindowMinName = "graft_window_min"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -99,5 +100,14 @@ object GraftFunctions {
     // the k/bands/rows shape (measured recall table: SCALE_NOTES Leg 2).
     reg.createOrReplaceTempFunction(MinHashName,
       exprs => MinHashSigExpr(exprs.head, graft.operators.Dedup.MinHashK), "built-in")
+    // second arg must be a foldable int literal (the window width is a
+    // plan-time constant, not per-row data)
+    reg.createOrReplaceTempFunction(WindowMinName,
+      exprs => WindowMinExpr(exprs.head, exprs(1).eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$WindowMinName window width must be an integer literal, got $other")
+      }), "built-in")
   }
 }

@@ -59,6 +59,43 @@ case class SimHash64Expr(child: Expression) extends HashArrayExpr {
   override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
 }
 
+/** Distinct sliding-window minima over a hash array — the winnowing
+  * selection step (Schleimer et al. 2003) as ONE O(n) pass with a
+  * monotonic deque, replacing the HOF formulation's O(n·w) per-window
+  * `array_min(slice(...))` re-scan. Output: the DISTINCT selected minima
+  * in first-selection order (the fingerprint SET, which is what winnowing
+  * stores — density ≈ 2/(w+1)). */
+case class WindowMinExpr(child: Expression, w: Int) extends HashArrayExpr {
+  override def prettyName: String = "graft_window_min"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    // monotonic deque of indices: values increase front→back
+    val dq = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val v = hs.getLong(i)
+      while (tail > head && hs.getLong(dq(tail - 1)) >= v) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val m = hs.getLong(dq(head))
+        if (seen.add(m)) out += m
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WindowMinExpr = copy(child = c)
+}
+
 /** k MinHash signature: sig[k] = min over hashes of xxhash64(h, seed=k). */
 case class MinHashSigExpr(child: Expression, k: Int) extends HashArrayExpr {
   override def prettyName: String = "graft_minhash_sig"

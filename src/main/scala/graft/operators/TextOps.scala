@@ -191,16 +191,17 @@ object TextOps {
            |          c -> substring(text, c * $step + 1, $step + ${k + w - 2}))"""
           .stripMargin)).as("chunk"))
       .filter(length($"chunk") >= k + w - 1)
-      // per-chunk: hash each k-gram ONCE (string hashing dominates; the
-      // w-window min then reads the long array, never re-hashes)
+      // per-chunk: hash each k-gram ONCE (string hashing dominates), then
+      // the native monotonic-deque expression takes the distinct w-window
+      // minima in ONE O(n) pass — the HOF formulation
+      // (transform + array_min(slice)) re-scans w elements per window,
+      // O(n·w), and was the winnow query's whole cost at sf0.1
       .select($"doc_id", expr(
         s"""transform(sequence(0, length(chunk) - $k),
            |          i -> xxhash64(substring(chunk, i + 1, $k)))""".stripMargin)
         .as("hs"))
-      .select($"doc_id", explode(expr(
-        s"""array_distinct(transform(sequence(0, size(hs) - $w),
-           |                         j -> array_min(slice(hs, j + 1, $w))))"""
-          .stripMargin)).as("fp"))
+      .select($"doc_id", explode(
+        call_function(graft.functions.GraftFunctions.WindowMinName, $"hs", lit(w))).as("fp"))
       .groupBy($"doc_id")
       .agg(count_distinct($"fp").as("n_fp"),
         // xor over the distinct set: order-independent, engine-stable digest

@@ -51,6 +51,19 @@ class WinnowSpec extends SparkSuite {
     assert(out(0).getLong(1) <= 10000 * 0.25)
   }
 
+  test("graft_window_min edge cases: short input, ties, dedup") {
+    graft.functions.GraftFunctions.register(spark)
+    def wm(xs: Seq[Long], w: Int): Seq[Long] =
+      Seq(Tuple1(xs)).toDF("hs")
+        .select(call_function("graft_window_min", $"hs", lit(w))).head().getSeq[Long](0)
+    assert(wm(Seq(5L, 3L), 3) == Seq.empty, "input shorter than the window -> no windows")
+    assert(wm(Seq(5L, 3L, 7L), 3) == Seq(3L))
+    // sliding: windows (9,2,8)->2 (2,8,1)->1 (8,1,1)->1 -> distinct [2,1]
+    assert(wm(Seq(9L, 2L, 8L, 1L, 1L), 3) == Seq(2L, 1L))
+    // all-equal: one distinct selection
+    assert(wm(Seq(4L, 4L, 4L, 4L), 2) == Seq(4L))
+  }
+
   /** Unchunked reference winnowing over one text via the same hash family. */
   private def fpSet(text: String): Set[Long] = {
     val k = 8; val w = 16
