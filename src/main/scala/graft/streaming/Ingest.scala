@@ -164,6 +164,26 @@ object Ingest {
       .withWatermark("event_timestamp", "1 minute")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming heavy-hitter sketch: one count-min sketch of user activity
+    * PER tumbling event-time hour, built with the typed CountMin
+    * Aggregator lifted to an untyped UDAF. The aggregation state per
+    * window is the constant ~22 KB sketch — frequency estimation over an
+    * unbounded stream with bounded memory, where exact per-(window, user)
+    * counts would grow state with user cardinality. Complete-mode memory
+    * sink (same rationale as startLatestToMemory); a production job uses
+    * update mode + a keyed sink. */
+  def startWindowedUserSketch(events: DataFrame, queryName: String): StreamingQuery = {
+    val cms = org.apache.spark.sql.functions.udaf(
+      new graft.functions.CountMinAggregator.CountMin(),
+      org.apache.spark.sql.Encoders.STRING)
+    startLatestToMemory(
+      events
+        .groupBy(window(col("event_timestamp"), "1 hour"))
+        .agg(cms(col("user_id")).as("sketch"))
+        .select(col("window.start").as("hour_start"), col("sketch")),
+      queryName)
+  }
+
   /** Latest-report-only store (reference keeps a deque(maxlen=1),
     * dashboard_api.py:13): complete-mode aggregate into the memory sink —
     * the caller reads the most recent row per key. Complete mode also means

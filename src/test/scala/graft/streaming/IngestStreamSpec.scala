@@ -142,6 +142,35 @@ class IngestStreamSpec extends SparkSuite {
     assert(got.filter(col("product_id").isNull && col("category").isNotNull).count() == 0)
   }
 
+  test("streaming windowed CMS sketch bounds per-window user counts") {
+    import spark.implicits._
+    import graft.functions.CountMinAggregator
+    val stage = tmpDir("graft-cms-stage")
+    // ~50 min of events -> 1 full hour window at 2024-01-01 00:00
+    val events = Events.generate(spark, 3000, 1704067200000L, intervalMs = 1000)
+    events.write.mode("overwrite").parquet(stage)
+    val src = spark.readStream.schema(Events.schema).parquet(stage)
+    val q = Ingest.startWindowedUserSketch(src, "cms_by_hour")
+    q.awaitTermination(120000)
+    val rows = spark.table("cms_by_hour")
+      .as[(java.sql.Timestamp, Array[Byte])].collect()
+    assert(rows.nonEmpty, "expected at least one window sketch")
+    val eps = 0.005
+    rows.foreach { case (hourStart, sketch) =>
+      val est = CountMinAggregator.estimator(sketch)
+      val windowed = events.filter(
+        col("event_timestamp") >= lit(hourStart) &&
+        col("event_timestamp") < lit(new java.sql.Timestamp(hourStart.getTime + 3600 * 1000)))
+      val exact = windowed.groupBy($"user_id").count().as[(String, Long)].collect()
+      val n = exact.map(_._2).sum
+      exact.foreach { case (u, c) =>
+        assert(est(u) >= c, s"window $hourStart user $u under-counted")
+        assert(est(u) <= c + math.ceil(eps * n).toLong,
+          s"window $hourStart user $u est ${est(u)} exceeds $c + eps*N")
+      }
+    }
+  }
+
   test("stream-stream interval join bounds matches and respects the window") {
     val stage = tmpDir("graft-ssj-stage")
     Events.generate(spark, 20000, 1704067200000L, intervalMs = 100) // ~33 min span
