@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes straight through to sbt's own stdout/stderr
+// instead of being re-logged with an `[info] ` prefix — the bench driver
+// parses the final stdout line as bare JSON and the prefix broke that
+// parse three rounds running (BENCH_r01-r03 `parsed: null`).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -105,13 +105,21 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1") == "0") Seq.empty
       else try scaleLeg(spark)
       catch { case _: Throwable => Seq("scale_leg_failed" -> -1.0) }
-    // THE one parseable line comes FIRST — nothing (incl. a read-only or
-    // full working dir failing the detail write below) may prevent it.
     val headlineTotal = headline.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"scale_10m":${jmap(scale)},"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"detail":"bench_detail.json"}""")
+    val headlineJson =
+      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"scale_10m":${jmap(scale)},"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"detail":"bench_detail.json"}"""
     // Full sweep → file (not stdout: ~100 entries overflow log capture).
     scala.util.Try(Files.writeString(Paths.get("bench_detail.json"),
       s"""{"sf":"$sfDir","total_all_queries_sec":$total,"n_failed":$nFailed,"scale_10m":${jmap(scale)},"queries":${jmap(results.toSeq.sortBy(_._1))}}"""))
+    // The driver-parseable headline, BOTH ways (BENCH_r01-r03 were all
+    // `parsed: null` because sbt's log prefix + warning spam mangled the
+    // stdout tail): (1) the exact object as a bare one-line FILE the driver
+    // or a human can read without any log scraping; (2) the same line as
+    // the FINAL stdout statement, printed after spark.stop() so no
+    // shutdown logging can land after it (sbt's `[info] ` prefix is
+    // disabled via `run / outputStrategy := StdoutOutput` in build.sbt).
+    scala.util.Try(Files.writeString(Paths.get("BENCH_HEADLINE.json"), headlineJson + "\n"))
     spark.stop()
+    println(headlineJson)
   }
 }

@@ -57,4 +57,16 @@ object CountMinAggregator {
   /** One-off single-key estimate (deserializes the sketch — use
     * [[estimator]] inside loops). */
   def estimate(sketch: Array[Byte], key: String): Long = estimator(sketch)(key)
+
+  /** Executor-side estimator over a broadcast of the serialized sketch:
+    * the task closure ships only the broadcast handle; the sketch is
+    * deserialized lazily ONCE per deserialized closure (i.e. per task),
+    * then every row scored against the decoded d×w matrix. This is the
+    * scale-correct heavy-hitter readout — candidates scored distributed,
+    * the driver receives only the top-k (EventOps.userCmsTopK). */
+  final class BroadcastEstimator(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]) extends Serializable {
+    @transient private lazy val est: String => Long = estimator(bc.value)
+    def apply(key: String): Long = est(key)
+  }
 }

@@ -90,7 +90,16 @@ object GraftFunctions {
   val MinHashName = "graft_minhash_sig"
   val WindowMinName = "graft_window_min"
 
-  def register(spark: SparkSession): Unit = {
+  // Once-per-session guard (weak keys: sessions stay collectable). Without
+  // it every operator invocation re-registers and SimpleFunctionRegistry
+  // logs a "replaced a previously registered function" warning per call —
+  // hundreds of lines that drowned the bench headline three rounds running.
+  private val registeredSessions: java.util.Set[SparkSession] =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit = registeredSessions.synchronized {
+    if (!registeredSessions.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(DotName,
       exprs => DotProductExpr(exprs.head, exprs(1)), "built-in")

@@ -347,20 +347,30 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var i = 0
+    var checkpointed = labels // handle to the df owning the cached partitions
     while (!converged && i < maxIters) {
       val withLabels = e
         .join(labels.select($"doc_id".as("doc_a"), $"cluster_id".as("ca")), "doc_a")
         .join(labels.select($"doc_id".as("doc_b"), $"cluster_id".as("cb")), "doc_b")
-      val next = withLabels.select($"doc_a".as("doc_id"), least($"ca", $"cb").as("c"))
-        .union(withLabels.select($"doc_b".as("doc_id"), least($"ca", $"cb").as("c")))
-        .union(labels.select($"doc_id", $"cluster_id".as("c")))
-        .groupBy($"doc_id").agg(min($"c").as("cluster_id"))
+      // The labels branch of the union is tagged `own=true` so the SAME
+      // aggregation that computes the new min-label also carries each
+      // vertex's previous label through as min(c WHERE own) — every vertex
+      // appears in exactly one own-branch row, so `prev` is its old label.
+      // The convergence probe is then a filter+limit(1) over the freshly
+      // checkpointed partitions: a cheap cached scan with early exit,
+      // replacing the shuffle JOIN per iteration the round-3 version paid
+      // (one extra Spark job whose cost showed at the top of the bench).
+      val next = withLabels
+        .select($"doc_a".as("doc_id"), least($"ca", $"cb").as("c"), lit(false).as("own"))
+        .union(withLabels.select($"doc_b".as("doc_id"), least($"ca", $"cb").as("c"), lit(false).as("own")))
+        .union(labels.select($"doc_id", $"cluster_id".as("c"), lit(true).as("own")))
+        .groupBy($"doc_id")
+        .agg(min($"c").as("cluster_id"), min(when($"own", $"c")).as("prev"))
         .localCheckpoint()
-      // convergence probe: any vertex whose label still shrinks?
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter($"cluster_id" =!= $"old").limit(1).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      val changed = next.filter($"cluster_id" =!= $"prev").limit(1).count()
+      checkpointed.unpersist(blocking = false)
+      checkpointed = next
+      labels = next.select($"doc_id", $"cluster_id")
       converged = changed == 0
       i += 1
     }

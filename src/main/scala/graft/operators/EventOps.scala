@@ -489,26 +489,33 @@ object EventOps {
       |FROM events ORDER BY event_id""".stripMargin
 
   /** Heavy hitters via the count-min sketch aggregator: ONE pass builds a
-    * constant-size (~22 KB) sketch of the user activity distribution;
-    * estimates are then read out for the candidate keys. At 100 TB the
+    * constant-size (~22 KB) sketch of the user activity distribution; the
+    * candidate keys (the distinct-user relation) are then scored
+    * DISTRIBUTED against a broadcast of the sketch and the top k read out
+    * via orderBy+limit — which plans as TakeOrderedAndProject, so the
+    * driver only ever receives k rows plus the 22 KB sketch. At 100 TB the
     * sketch replaces a full per-key shuffle with an algebraic aggregate
-    * whose partials are a fixed 22 KB per task — the candidate list here
-    * is the distinct-user relation (bounded in this corpus; a production
-    * heavy-hitter query feeds a sampled or windowed candidate set).
-    * Driver materializes only the sketch row and the candidate ids — both
-    * bounded. Rows-only check (estimates are approximate by design;
-    * CountMinSpec pins the ε-bound against exact counts). */
+    * whose partials are a fixed 22 KB per task, and the candidate sweep is
+    * a narrow map over however many distinct keys exist — no driver-side
+    * collect anywhere (CountMinSpec asserts the TakeOrderedAndProject plan).
+    * Rows-only check (estimates are approximate by design; CountMinSpec
+    * pins the ε-bound against exact counts). */
   def userCmsTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     import s.implicits._
     import graft.functions.CountMinAggregator
     val users = Tables.events(s, d).select($"user_id".cast("string").as("u"))
     val sketch: Array[Byte] = users.as[String]
       .select(new CountMinAggregator.CountMin().toColumn).head()
-    val est = CountMinAggregator.estimator(sketch) // deserialize ONCE
-    val top = users.distinct().as[String].collect()
-      .map(u => (u.toLong, est(u)))
-      .sortBy { case (u, e) => (-e, u) }.take(k).toSeq
-    top.toDF("user_id", "est_cnt")
+    val bcSketch = s.sparkContext.broadcast(sketch)
+    // @transient lazy: each task deserializes the 22 KB sketch ONCE from
+    // the broadcast, then scores its rows against the decoded matrix —
+    // per-row readFrom would re-parse the sketch N times.
+    val scorer = new CountMinAggregator.BroadcastEstimator(bcSketch)
+    val estUdf = udf((u: String) => scorer(u))
+    users.distinct()
+      .select($"u".cast("long").as("user_id"), estUdf($"u").as("est_cnt"))
+      .orderBy($"est_cnt".desc, $"user_id")
+      .limit(k)
   }
 
   val defs: Seq[Q] = Seq(

@@ -104,9 +104,17 @@ object Similarity {
     * pluggable evidence type beside minhash shingles and simhash bits
     * (Dedup.nearDupClusters / simhashClusters), same output shape.
     * Rows-only check; ClusterDedupSpec pins the invariants. */
-  def embeddingClusters(s: SparkSession, d: String, minCos: Double = 0.95): DataFrame = {
+  def embeddingClusters(s: SparkSession, d: String, minCos: Double = 0.95): DataFrame =
+    embeddingClustersOf(Tables.embeddings(s, d), minCos)
+
+  /** Same, over any (vec_id, embedding) relation — the corpus-independent
+    * core, so a planted (non-isotropic) fixture can exercise the full
+    * edge→CC path (the sf corpora are isotropic noise: zero qualifying
+    * pairs, an empty-but-correct result — SCALE_NOTES Leg 3). */
+  def embeddingClustersOf(emb: DataFrame, minCos: Double = 0.95): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    val sigs = Tables.embeddings(s, d)
+    val sigs = emb
       .select($"vec_id", $"embedding", sigCol($"embedding").as("sig"),
         norm($"embedding").as("nrm"))
       .persist()
@@ -136,6 +144,22 @@ object Similarity {
     sigs.unpersist(blocking = false)
     clusters.unpersist(blocking = false)
     s.createDataFrame(rows, out.schema)
+  }
+
+  /** Registered embedding-evidence clustering (round-3 verdict #8): the sf
+    * corpora are isotropic noise with zero true near-dups (a structurally
+    * empty — if correct — result), so the registered query PLANTS them:
+    * every 50th vector gets an exact duplicate at vec_id + 1e9. Each
+    * planted pair must cluster with its source (cosine exactly 1 ≥ 0.95);
+    * a chance 64-dim noise pair at 0.95 is ~7.6σ out, so the output is
+    * deterministically the planted pairs and nothing else. Rows-only
+    * check; ClusterDedupSpec pins the planted ground truth. */
+  def plantedEmbeddingClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val planted = base.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+    embeddingClustersOf(base.unionByName(planted))
   }
 
   /** Spherical k-means coarse quantizer for the IVF index, entirely in
@@ -219,6 +243,94 @@ object Similarity {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------------
+  // Materialized ANN indexes (round-3 verdict #3). knnLsh/knnIvf above
+  // compute the signature/cell per row per query — correct, but a full
+  // scan dressed as an index. The scale path is to pay the assignment pass
+  // ONCE: write the embeddings partitioned by their cell (IVF) or
+  // hyperplane signature (LSH), then answer queries with a partition-
+  // pruned read — the scan lists only the probed directories, exactly the
+  // mechanism ZOrder/Bucketed demonstrate for other tables. AnnIndexSpec
+  // asserts `PartitionFilters` in the plan and result-equality with the
+  // scan variants. Memoized per corpus dir, like the centroids: an index
+  // is built once and amortized over every query (a production build keys
+  // on a table snapshot/version and writes to the warehouse, not a temp
+  // dir).
+  // ---------------------------------------------------------------------
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def cellAssign(centroids: Seq[(Int, Seq[Double])])(
+      emb: org.apache.spark.sql.Column) =
+    greatest(centroids.map { case (i, c) =>
+      struct(dot(emb, typedlit(c)).as("d"), lit(i).as("cell")) }: _*)("cell")
+
+  /** One-time IVF index build: one narrow assignment pass + one
+    * partitioned write; no shuffle (partitionBy is a per-task dynamic-
+    * partition write). k=16 cells here; a 100 TB corpus uses k in the
+    * thousands so each cell-directory stays scannable. */
+  private[operators] def ivfIndexDir(s: SparkSession, d: String): String =
+    indexCache.getOrElseUpdate((d, "ivf"), {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      Tables.embeddings(s, d)
+        .withColumn("cell", cellAssign(kmeansCentroids(s, d))(col("embedding")))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      path
+    })
+
+  /** One-time LSH index build: embeddings partitioned by their 8-bit
+    * hyperplane signature (256 buckets). */
+  private[operators] def lshIndexDir(s: SparkSession, d: String): String =
+    indexCache.getOrElseUpdate((d, "lsh"), {
+      val path = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+      Tables.embeddings(s, d)
+        .withColumn("sig", sigCol(col("embedding")))
+        .write.mode("overwrite").partitionBy("sig").parquet(path)
+      path
+    })
+
+  /** IVF kNN against the materialized index: the `cell IN (probes)` filter
+    * is a PARTITION filter — the scan never lists, let alone reads, the
+    * other 12/16 cells. Same probe selection and scoring as [[knnIvf]], so
+    * results are identical (AnnIndexSpec asserts). */
+  def knnIvfIndexed(s: SparkSession, d: String, nProbe: Int = 4): DataFrame = {
+    import s.implicits._
+    val centroids = kmeansCentroids(s, d)
+    val qv = queryVector(s, d, 0L)
+    val probeCells = centroids
+      .map { case (i, c) => i -> c.zip(qv).map { case (a, b) => a.toDouble * b }.sum }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val q = typedlit(qv)
+    s.read.parquet(ivfIndexDir(s, d))
+      .filter($"cell".isin(probeCells: _*))
+      .filter($"vec_id" =!= 0L)
+      .select($"vec_id", $"label", round(cosine($"embedding", q), 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** LSH kNN against the materialized index: Hamming ≤ 2 of the query's
+    * signature enumerates to ≤37 of the 256 sig-partitions (1+8+28), read
+    * with partition pruning — ~14% of the corpus listed instead of 100%
+    * scanned-and-filtered. Results identical to [[knnLsh]]. */
+  def knnLshIndexed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qv = queryVector(s, d, 0L)
+    val qSig = planes.zipWithIndex.map { case (p, j) =>
+      val dp = p.zip(qv).map { case (a, b) => a * b.toDouble }.sum
+      if (dp > 0) 1 << j else 0
+    }.sum
+    val probes = (0 until (1 << NumPlanes))
+      .filter(sig => Integer.bitCount(sig ^ qSig) <= 2)
+    val q = typedlit(qv)
+    s.read.parquet(lshIndexDir(s, d))
+      .filter($"sig".isin(probes: _*))
+      .filter($"vec_id" =!= 0L)
+      .select($"vec_id", $"label", round(cosine($"embedding", q), 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
   /** Brute-force kNN through the typed top-k Aggregator instead of
     * orderBy+limit: one aggregation pass with O(k) state per task —
     * the shape that also gives per-group top-k without sorting whole
@@ -258,7 +370,10 @@ object Similarity {
     Q("sim_knn_brute", None, knnBrute),
     Q("sim_knn_lsh", None, knnLsh),
     Q("sim_knn_ivf", None, (s, d) => knnIvf(s, d)),
+    Q("sim_knn_lsh_indexed", None, knnLshIndexed),
+    Q("sim_knn_ivf_indexed", None, (s, d) => knnIvfIndexed(s, d)),
     Q("sim_knn_aggregator", None, knnAggregator),
     Q("sim_neardup_pairs", None, nearDupPairs),
+    Q("sim_embedding_clusters", None, plantedEmbeddingClusters),
     Q("sim_label_centroid", Some(labelCentroidOracle), labelCentroid))
 }

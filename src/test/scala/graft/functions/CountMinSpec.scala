@@ -47,4 +47,15 @@ class CountMinSpec extends SparkSuite {
       .groupBy($"user_id").count().as[(Long, Long)].collect().toMap
     got.foreach { case (u, e) => assert(e >= exact(u)) }
   }
+
+  test("heavy-hitter readout is distributed: TakeOrderedAndProject, no collect") {
+    // the driver must only ever receive k rows — the candidate scoring runs
+    // distributed against the broadcast sketch and the top-k readout plans
+    // as TakeOrderedAndProject (orderBy+limit), never a global sort or a
+    // driver-side candidate collect (round-3 verdict finding #1)
+    val df = graft.operators.EventOps.userCmsTopK(spark, Sf, 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(df.count() == 5)
+  }
 }
