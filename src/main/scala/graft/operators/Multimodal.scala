@@ -1,20 +1,45 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Multimodal-column plumbing: treat binary payloads as opaque `binary`
-  * columns with typed metadata, with decode/feature-extraction behind a
-  * clearly-marked STUB (no image/audio libs in this container — builder
-  * brief). The Spark-side plumbing (schema, batching, partitioning, feature
-  * shapes) is real and tested; only the codec is fake.
+/** Multimodal columns with a REAL codec: media travels as opaque `binary`
+  * columns; decode + feature extraction runs as batched typed
+  * mapPartitions over a real public image format — PNG through the JDK's
+  * own `javax.imageio` (pure JVM; no native media libs needed, none ship
+  * in this container). Round 3 carried a clearly-marked hash stub here;
+  * this replaces it end-to-end (round-3 verdict #4):
   *
-  * The synthetic "media" payload is the document text cast to binary, which
-  * keeps the metadata (byte length, content hash) oracle-checkable.
+  *  - the synthetic corpus RENDERS a deterministic RGB image per document
+  *    (pixels are a pure function of the text bytes, so exact-duplicate
+  *    documents yield bit-identical images) and encodes it through the
+  *    real PNG writer;
+  *  - the decode path reads the bytes back through the real PNG reader
+  *    and extracts real features: dimensions, per-channel means, and a
+  *    64-bit average-hash (aHash) perceptual fingerprint via an 8×8
+  *    nearest-neighbor resize — so encode → binary column → batched
+  *    decode → features exercises an actual codec round-trip;
+  *  - "video" is an `array<binary>` clip column of per-frame PNGs; frame
+  *    sampling slices the array and decodes only the sampled frames.
+  *
+  * Scale posture: every operator here is a narrow per-row/per-batch map —
+  * no shuffle until the (tiny) aggregate at the end of the dup-group
+  * query. Batching bounds per-task memory to one batch of decoded images
+  * regardless of partition size, the same shape a native codec or model
+  * server wants its input in.
   */
 object Multimodal {
+
+  // ImageIO defaults to a disk-backed stream cache; per-row temp files
+  // would be a silent I/O tax in every decode task
+  ImageIO.setUseCache(false)
 
   private def binCol = col("text").cast("binary")
 
@@ -35,116 +60,206 @@ object Multimodal {
       |       sha256(text) AS sha
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** STUB decoder, nested form: stands in for image/audio decode + feature
-    * extraction. A real deployment swaps the inner expression for a codec
-    * call (e.g. via mapPartitions batching a native decoder); everything
-    * around it — binary column in, fixed-width float feature vector + frame
-    * count out, narrow per-row map, no shuffle — is the production plumbing.
-    * Features are a deterministic fake: xxhash64 over 8 byte-chunks,
-    * normalized to [0,1). This nested-typed variant is the library API
-    * (covered by MultimodalSpec); the registered/checked query is the
-    * scalar flattening below — the driver's checker hashes scalar columns
-    * only. */
-  def decodeFeaturesNested(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .withColumn("bin", binCol)
-      .select($"doc_id",
-        // typed media metadata: the struct a real decoder would fill — the
-        // STUB derives deterministic fake dimensions from the payload
-        struct(
-          lit("fake/raw").as("format"),
-          (pmod(xxhash64($"bin"), lit(1280)) + 64).cast("int").as("width"),
-          (pmod(xxhash64($"bin", lit(1)), lit(720)) + 64).cast("int").as("height")).as("meta"),
-        floor(length($"bin") / 64).cast("int").as("n_frames"),
-        // frame sampling: every 4th 64-byte "frame" offset (STUB of video
-        // frame selection; the plumbing — bounded array per row — is real)
-        // guarded: sequence(0, -1) would yield a DESCENDING [0, -1] for
-        // sub-frame payloads — short assets must sample zero frames
-        expr("""CASE WHEN length(bin) >= 64 THEN
-               |  filter(transform(sequence(0, cast(length(bin) / 64 as int) - 1),
-               |                 f -> f * 64),
-               |         o -> pmod(o / 64, 4) = 0)
-               |ELSE array() END""".stripMargin).as("sampled_frame_offsets"),
-        // resize: target dimensions a real decoder would scale to — pure
-        // metadata transform here (no pixels in the container)
-        least((pmod(xxhash64($"bin"), lit(1280)) + 64), lit(224)).cast("int").as("resized_w"),
-        least((pmod(xxhash64($"bin", lit(1)), lit(720)) + 64), lit(224)).cast("int").as("resized_h"),
-        expr(
-          """transform(sequence(0, 7),
-            |  i -> pmod(xxhash64(substring(bin, i * 8 + 1, 8)), 1000) / 1000.0)"""
-            .stripMargin).as("features"))
-      .orderBy($"doc_id")
+  // --- deterministic image synthesis (the corpus fixture) ---------------
+
+  /** splitmix64 finalizer: a pure, JVM-version-stable bit mixer. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
-  /** Scalar-flattened view of [[decodeFeaturesNested]] for the driver's
-    * correctness gate: the meta struct becomes width/height int columns and
-    * each array column becomes an xxhash64 digest of its comma-joined
-    * elements — fully deterministic, sortable, hashable. */
-  def decodeFeaturesStub(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    decodeFeaturesNested(s, d)
-      .select($"doc_id",
-        $"meta.format".as("format"),
-        $"meta.width".as("width"),
-        $"meta.height".as("height"),
-        $"n_frames",
-        size($"sampled_frame_offsets").as("n_sampled_frames"),
-        xxhash64(concat_ws(",",
-          expr("transform(sampled_frame_offsets, o -> cast(o as string))")))
-          .as("frame_offsets_digest"),
-        $"resized_w", $"resized_h",
-        xxhash64(concat_ws(",",
-          expr("transform(features, x -> cast(x as string))")))
-          .as("features_digest"))
-      .orderBy($"doc_id")
+  /** FNV-ish text hash (explicit loop: stable by construction, no reliance
+    * on String.hashCode staying what it is). */
+  private def textSeed(text: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < text.length) { h = 31 * h + text.charAt(i); i += 1 }
+    mix(h)
   }
 
-  /** Batched decode plumbing via typed mapPartitions — the Scala analog of
-    * `mapInPandas`: rows are drained in fixed-size batches (the shape a
-    * native codec/model wants), decoded batch-at-a-time, re-emitted as
-    * typed rows. The decode itself is the same clearly-marked STUB (no
-    * media libs in this container): a deterministic hash of the payload.
-    * Partition-parallel, constant memory per task (one batch in flight). */
-  def decodeBatchedNested(s: SparkSession, d: String, batchSize: Int = 64): DataFrame = {
+  /** Render one REAL PNG from a document's text: dimensions 16..32 × 16..28
+    * and every pixel derive from the text seed only — identical texts give
+    * bit-identical images (so perceptual dup-grouping below mirrors exact
+    * text dedup), and the bytes are a genuine PNG stream (magic, IHDR,
+    * zlib-compressed scanlines) produced by the JDK encoder. `frame`
+    * perturbs the seed for multi-frame clips. */
+  private[operators] def renderPng(text: String, frame: Int = 0): Array[Byte] = {
+    val seed = mix(textSeed(text) ^ (frame.toLong << 40))
+    val w = 16 + java.lang.Long.remainderUnsigned(seed, 17L).toInt
+    val h = 16 + java.lang.Long.remainderUnsigned(mix(seed), 13L).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = mix(seed ^ (x.toLong << 32) ^ y.toLong)
+        img.setRGB(x, y, (p & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One real PNG per document of any (doc_id, text) relation. */
+  def imageDocsOf(docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", binCol.as("bin"))
-      .as[(Long, Array[Byte])]
+    docs
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, renderPng(text)) }
+  }
+
+  /** The multimodal corpus: one real PNG per document as a binary column. */
+  def imageDocs(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] =
+    imageDocsOf(Tables.documents(s, d))
+
+  // --- the real decoder -------------------------------------------------
+
+  /** Decoded features of one PNG payload: (width, height, mean_r, mean_g,
+    * mean_b, ahash). The aHash is the classic perceptual fingerprint:
+    * resize to 8×8 (NEAREST — exact integer arithmetic, deterministic
+    * across JVMs), gray = (r+g+b)/3, bit i set iff gray_i ≥ mean gray.
+    * Near-identical images land within a few Hamming bits; identical
+    * images collide exactly. */
+  private[operators] def decodePng(bytes: Array[Byte]): (Int, Int, Double, Double, Double, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    def r4(v: Double): Double = math.rint(v * 10000d) / 10000d
+    val small = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    val g2 = small.createGraphics()
+    g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+      RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+    g2.drawImage(img, 0, 0, 8, 8, null)
+    g2.dispose()
+    val grays = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      val p = small.getRGB(i % 8, i / 8)
+      grays(i) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+      i += 1
+    }
+    val mean = grays.sum / 64.0
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (grays(i) >= mean) hash |= (1L << i); i += 1 }
+    (w, h, r4(sr / n), r4(sg / n), r4(sb / n), hash)
+  }
+
+  /** Batched real decode — the Scala analog of `mapInPandas`: rows drain
+    * in fixed-size batches (the shape a codec/model wants), each batch is
+    * decoded together, results re-emit as typed rows. Constant memory per
+    * task (one batch of decoded images in flight), partition-parallel,
+    * batch size must not affect results (OperatorSpec asserts). */
+  def decodeImagesOf(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    imageDocsOf(docs)
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // STUB batch decode: a real implementation hands `batch` to a
-          // native decoder in one call; here each payload deterministically
-          // yields (n_frames, 4-dim feature vector) from its bytes.
-          batch.map { case (docId, bytes) =>
-            val frames = bytes.length / 64
-            val feats = (0 until 4).map { i =>
-              val slice = bytes.drop(i * 16).take(16)
-              (java.util.Arrays.hashCode(slice) & 0xffff) / 65536.0
-            }
-            (docId, frames, feats)
+          batch.map { case (id, png) =>
+            val (w, h, mr, mg, mb, ah) = decodePng(png)
+            (id, w, h, mr, mg, mb, ah)
           }
         }
       }
-      .toDF("doc_id", "n_frames", "features")
+      .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "ahash")
       .orderBy($"doc_id")
   }
 
-  /** Scalar-flattened view of [[decodeBatchedNested]] for the correctness
-    * gate (the feature array becomes an xxhash64 digest). */
-  def decodeBatchedStub(s: SparkSession, d: String, batchSize: Int = 64): DataFrame = {
+  def decodeImages(s: SparkSession, d: String, batchSize: Int = 64): DataFrame =
+    decodeImagesOf(Tables.documents(s, d), batchSize)
+
+  /** The documents relation with PLANTED exact duplicates: every 50th doc
+    * is copied to doc_id + 1e9. The small-sf corpora contain zero natural
+    * exact dups (an empty — if correct — dup report), so the registered
+    * perceptual-dedup query plants its own ground truth, like the
+    * embedding-cluster fixture (Similarity.plantedEmbeddingClusters). */
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    decodeBatchedNested(s, d, batchSize)
-      .select($"doc_id",
-        $"n_frames",
-        xxhash64(concat_ws(",",
-          expr("transform(features, x -> cast(x as string))")))
-          .as("features_digest"))
+    val base = Tables.documents(s, d).select($"doc_id", $"text")
+    base.unionByName(
+      base.filter($"doc_id" % 50 === 0)
+        .select(($"doc_id" + 1000000000L).as("doc_id"), $"text"))
+  }
+
+  /** Perceptual duplicate groups over the decoded fingerprints: documents
+    * whose rendered images aHash-collide — with this corpus fixture,
+    * exactly the exact-text duplicate groups (planted + any natural),
+    * which is what pins it (MultimodalCodecSpec cross-checks against the
+    * text-level ground truth). One tiny shuffle on the 64-bit
+    * fingerprint, never on pixels. */
+  def ahashDupGroups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeImagesOf(plantedDocs(s, d))
+      .groupBy($"ahash")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("rep_doc"), max($"doc_id").as("max_doc"))
+      .filter($"n_docs" > 1)
+      .select($"rep_doc", $"max_doc", $"n_docs")
+      .orderBy($"rep_doc")
+  }
+
+  // --- video-shaped clips: frame sampling over array<binary> ------------
+
+  /** Clip corpus: every 10th document becomes a short "video" — an
+    * array<binary> of 2..6 per-frame PNGs (real encoded frames, seed
+    * perturbed per frame index). The 1/10 subsample bounds the clip
+    * corpus the way a media table is far smaller than a text table. */
+  def clipDocs(s: SparkSession, d: String): Dataset[(Long, Seq[Array[Byte]])] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val nFrames = 2 + java.lang.Long.remainderUnsigned(textSeed(text), 5L).toInt
+        (id, (0 until nFrames).map(f => renderPng(text, f)))
+      }
+  }
+
+  /** Frame sampling + per-frame decode: keep every `stride`-th frame
+    * (frame selection is an array slice — no decode cost for dropped
+    * frames), decode only the sampled ones, emit clip-level features.
+    * The expensive step runs on len/stride of the data, which is the
+    * entire point of sampling before decoding. */
+  def frameSample(s: SparkSession, d: String, stride: Int = 2): DataFrame = {
+    import s.implicits._
+    clipDocs(s, d)
+      .map { case (id, frames) =>
+        val sampled = frames.zipWithIndex.collect { case (f, i) if i % stride == 0 => f }
+        val feats = sampled.map(decodePng)
+        val meanGray = feats.map { case (_, _, mr, mg, mb, _) => (mr + mg + mb) / 3 }
+        (id, frames.length, sampled.length,
+          math.rint(meanGray.sum / meanGray.length * 10000d) / 10000d,
+          feats.head._6)
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "mean_gray", "first_frame_ahash")
       .orderBy($"doc_id")
   }
 
   val defs: Seq[Q] = Seq(
     Q("mm_binary_meta", Some(binaryMetaOracle), binaryMeta),
-    Q("mm_decode_stub", None, decodeFeaturesStub),
-    Q("mm_decode_batched", None, (s, d) => decodeBatchedStub(s, d)))
+    Q("mm_decode_batched", None, (s, d) => decodeImages(s, d)),
+    Q("mm_ahash_dup_groups", None, ahashDupGroups),
+    Q("mm_frame_sample", None, (s, d) => frameSample(s, d)))
 }

@@ -190,14 +190,17 @@ class OperatorSpec extends SparkSuite {
     assert(got.collect().toSeq == brute.collect().toSeq)
   }
 
-  test("batched decode: deterministic, full coverage, frame math") {
-    val a = Multimodal.decodeBatchedStub(spark, Sf).collect()
-    val b = Multimodal.decodeBatchedStub(spark, Sf, batchSize = 7).collect()
+  test("batched decode: deterministic, full coverage, real dimensions") {
+    val a = Multimodal.decodeImages(spark, Sf).collect()
+    val b = Multimodal.decodeImages(spark, Sf, batchSize = 7).collect()
     assert(a.toSeq == b.toSeq) // batch size must not affect results
     assert(a.length == Tables.documents(spark, Sf).count())
-    val meta = Multimodal.binaryMeta(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    a.foreach(r => assert(r.getInt(1) == (meta(r.getLong(0)) / 64).toInt))
+    // decoded dimensions are the renderer's declared range — they came
+    // back through the real PNG reader, not from metadata
+    a.foreach { r =>
+      val (w, h) = (r.getInt(1), r.getInt(2))
+      assert(w >= 16 && w <= 32 && h >= 16 && h <= 28, s"$w x $h")
+    }
   }
 
   test("sketch expressions: single-element identities") {
