@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search"): split each 64-dim embedding into M=8
+  * subvectors, quantize each against a K=16-codeword codebook, and store
+  * only the M code bytes — 8 bytes per vector instead of 256, a 32×
+  * compression that is what lets a 100 TB embedding corpus keep its
+  * whole index hot. Queries score candidates with ADC (asymmetric
+  * distance computation): one M×K lookup table of
+  * `dot(query_sub_m, codeword)` built per query, then each candidate's
+  * score is M table lookups — no float math per candidate at all.
+  *
+  * Design choices, pinned by PqSpec:
+  *  - assignment is max-dot and IDENTICAL in train, encode, and score —
+  *    so an exact duplicate of the query attains the globally maximal
+  *    ADC score (its code picks the argmax LUT entry per subspace), the
+  *    property the planted-duplicate spec asserts;
+  *  - the codebook trains on a deterministic hash-ordered sample
+  *    (≤2048 vectors) on the driver — FAISS-style sampled training;
+  *    bounded driver data by construction, memoized per corpus like the
+  *    IVF centroids;
+  *  - encoding is one narrow map over a broadcast codebook; scoring is
+  *    one narrow map over a broadcast LUT + TakeOrderedAndProject. No
+  *    shuffle anywhere.
+  */
+object Pq {
+
+  val M = 8        // subspaces
+  val SubDim = 8   // dims per subspace (M * SubDim = 64)
+  val K = 16       // codewords per subspace → 4 bits, stored as 1 byte
+
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0d; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Nearest codeword by max dot; ties resolve to the lowest index. */
+  private def assign(sub: Array[Double], cb: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.NegativeInfinity; var k = 0
+    while (k < cb.length) {
+      val dd = dot(sub, cb(k))
+      if (dd > bestD) { bestD = dd; best = k }
+      k += 1
+    }
+    best
+  }
+
+  /** Train M codebooks with 5 Lloyd rounds over a deterministic sample.
+    * Seeds are the first K subvectors of the hash-ordered sample; empty
+    * cells keep their previous codeword (same conventions as the IVF
+    * quantizer in Similarity.kmeansCentroids). */
+  private[operators] def codebooksOf(emb: DataFrame, corpusKey: String): Array[Array[Array[Double]]] =
+    codebookCache.getOrElseUpdate(corpusKey, {
+      val sample = emb
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(2048)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      Array.tabulate(M) { m =>
+        val subs = sample.map(v => v.slice(m * SubDim, (m + 1) * SubDim))
+        var cents = subs.take(K).map(_.clone())
+        for (_ <- 1 to 5) {
+          val sums = Array.fill(K)(new Array[Double](SubDim))
+          val counts = new Array[Int](K)
+          subs.foreach { p =>
+            val k = assign(p, cents)
+            counts(k) += 1
+            var i = 0
+            while (i < SubDim) { sums(k)(i) += p(i); i += 1 }
+          }
+          cents = Array.tabulate(K) { k =>
+            if (counts(k) == 0) cents(k)
+            else sums(k).map(_ / counts(k))
+          }
+        }
+        cents
+      }
+    })
+
+  /** (vec_id, label, pq_code) — the stored index form: M bytes per
+    * vector. */
+  private[operators] def encodedOf(emb: DataFrame, corpusKey: String): DataFrame = {
+    val s = emb.sparkSession
+    val bc = s.sparkContext.broadcast(codebooksOf(emb, corpusKey))
+    val enc = udf { (v: Seq[Float]) =>
+      val cb = bc.value
+      val arr = v.map(_.toDouble).toArray
+      Array.tabulate(M)(m =>
+        assign(arr.slice(m * SubDim, (m + 1) * SubDim), cb(m)).toByte)
+    }
+    emb.withColumn("pq_code", enc(col("embedding")))
+  }
+
+  /** ADC top-k over the PQ codes for a given query vector. */
+  private[operators] def knnPqOf(emb: DataFrame, corpusKey: String,
+      qv: Array[Double], k: Int = 10): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cb = codebooksOf(emb, corpusKey)
+    val lut: Array[Array[Double]] = Array.tabulate(M) { m =>
+      val qSub = qv.slice(m * SubDim, (m + 1) * SubDim)
+      Array.tabulate(K)(j => dot(qSub, cb(m)(j)))
+    }
+    val bcLut = s.sparkContext.broadcast(lut)
+    val score = udf { (code: Array[Byte]) =>
+      val t = bcLut.value
+      var sc = 0d; var m = 0
+      while (m < M) { sc += t(m)(code(m) & 0xff); m += 1 }
+      math.rint(sc * 1e6) / 1e6
+    }
+    encodedOf(emb, corpusKey)
+      .filter($"vec_id" =!= 0L)
+      .select($"vec_id", $"label", score($"pq_code").as("adc"))
+      .orderBy($"adc".desc, $"vec_id")
+      .limit(k)
+  }
+
+  /** Registered form: query vector is vec_id=0, like the other kNN
+    * variants. Rows-only (ADC is approximate by design; PqSpec pins the
+    * duplicate-attains-max property and the code width). */
+  def knnPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    knnPqOf(emb, d, qv)
+  }
+
+  val defs: Seq[Q] = Seq(
+    Q("sim_knn_pq", None, knnPq))
+}

@@ -170,6 +170,69 @@ object Ingest {
       }
       .start()
 
+  /** One incremental-maintenance step of the minute rollup: aggregate the
+    * batch, merge with the CURRENT rollup rows of only the touched
+    * minute-partitions, and rewrite exactly those partitions (dynamic
+    * partition overwrite). Cost per batch is O(batch + touched
+    * partitions), never O(rollup) — the property that makes a
+    * continuously-maintained materialized view viable when the rollup
+    * history is years long. The driver only ever holds the distinct
+    * touched minutes (bounded by batch time-span). */
+  def upsertRollup(batch: DataFrame, rollupDir: String): Unit = {
+    val s = batch.sparkSession
+    val delta = batch
+      .groupBy(col("event_minute"), col("event_type"), col("status"))
+      .agg(count(lit(1)).as("cnt"))
+    val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val existing =
+      if (new java.io.File(rollupDir).exists())
+        // localCheckpoint: materialize the touched slice BEFORE the write —
+        // Spark (rightly) refuses a plan that overwrites a path it is
+        // still reading; the checkpoint cuts the plan's tie to the path,
+        // and the slice is small (touched minutes × type × status)
+        s.read.parquet(rollupDir)
+          .filter(col("event_minute").isin(touched: _*))
+          .localCheckpoint()
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          delta.schema)
+    existing.unionByName(delta)
+      .groupBy(col("event_minute"), col("event_type"), col("status"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_minute")
+      .parquet(rollupDir)
+  }
+
+  /** Continuously-maintained minute rollup (incremental materialized
+    * view): foreachBatch applies [[upsertRollup]] per micro-batch. A
+    * batch-id marker makes replays after a mid-stream restart no-ops —
+    * NOT full exactly-once (a crash between the upsert and the marker
+    * write would re-apply on restart; counts are not idempotent): true
+    * transactional upsert needs a sink with atomic commit (a table
+    * format), which parquet alone does not give. Documented divergence,
+    * same honesty rule as the T5/T8 notes. RollupSpec asserts
+    * increment ≡ full recompute and replay no-op. */
+  def startRollupMaintenance(
+      events: DataFrame,
+      rollupDir: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new java.io.File(s"$rollupDir/_applied/$batchId")
+        if (!marker.exists()) {
+          upsertRollup(batch.toDF(), rollupDir)
+          marker.getParentFile.mkdirs()
+          marker.createNewFile()
+          ()
+        }
+      }
+      .start()
+
   /** Stream-static enrichment join: every micro-batch joined against a
     * (small) dimension table, broadcast so the stream side never shuffles.
     * Spark re-plans the static side per micro-batch, so a dimension
