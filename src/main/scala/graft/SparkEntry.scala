@@ -15,7 +15,8 @@ object SparkEntry {
   def allDefs: Seq[Q] =
     Relational.defs ++ EventOps.defs ++ Temporal.defs ++ Functions.defs ++
       SqlSurface.defs ++ TextOps.defs ++ Dedup.defs ++ Similarity.defs ++
-      Pq.defs ++ Sampling.defs ++ Multimodal.defs ++ graft.sources.Bucketed.defs
+      Pq.defs ++ Sampling.defs ++ Hll.defs ++ Multimodal.defs ++
+      graft.sources.Bucketed.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+  * Spark as `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`).
+  *
+  * THE pre-aggregation pattern for distinct counts at 100 TB:
+  * `COUNT(DISTINCT)` does not decompose over partial aggregates — every
+  * re-slicing of the question (per-day → per-week → per-source → total)
+  * forces another full pass over raw events, because the distinct SETS,
+  * not their sizes, have to be carried between grains. An HLL sketch
+  * column decomposes: build the sketch ONCE at the finest grain you will
+  * ever ask about, persist the few-KB sketch bytes next to the additive
+  * counters in the rollup (plain parquet `binary` — [[userSketchRollup]]),
+  * and answer every coarser grain by `hll_union_agg` over ~bytes. Raw
+  * events are never re-touched; the union is associative and commutative,
+  * so it map-side-combines and re-shuffles like any algebraic aggregate.
+  * Same family as the CMS rollup (CountMinAggregator.scala), but for
+  * cardinality instead of frequency.
+  *
+  * Exactness note, and why these queries CAN be oracle-checked: a
+  * DataSketches HLL sketch stays in exact "coupon" mode until it collects
+  * ~3·2^lgK/4 distinct items (lgK=12 default → thousands); below that the
+  * estimate is the exact coupon count. The test corpora carry ≤1.5k
+  * distinct users, so both queries return exact integers and are checked
+  * against DuckDB's exact `COUNT(DISTINCT)` — while the PLAN is the
+  * approximate mergeable-bytes one that carries unchanged to billions of
+  * users at ~1.6% error (lgK=12). HllSpec pins the exact regime, the
+  * parquet round-trip of the sketch bytes, re-slicing equivalence, and
+  * the approximate regime's error bound on a 50k-id corpus.
+  */
+object Hll {
+
+  /** The persisted rollup at the finest grain: one row per
+    * (day, event_type) carrying the mergeable user-id sketch plus the
+    * additive event counter. At scale this table is what a nightly job
+    * appends to — a few KB per cell, irrespective of event volume. */
+  def userSketchRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type")
+      .agg(hll_sketch_agg($"user_id").as("user_sketch"),
+        count(lit(1)).as("events"))
+  }
+
+  /** Per-day distinct users answered FROM the (day, type) rollup grain by
+    * unioning sketches across types — the twin of `ev_daily_active_users`
+    * that never expands a distinct set: the second aggregation's state is
+    * sketch bytes, so the shuffle after the rollup carries days × KB no
+    * matter how many users exist. */
+  def hllDailyUsers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    userSketchRollup(s, d)
+      .groupBy($"day")
+      .agg(hll_sketch_estimate(hll_union_agg($"user_sketch")).as("dau"),
+        sum($"events").as("events"))
+      .orderBy($"day")
+  }
+
+  val hllDailyUsersOracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+      |       CAST(count(*) AS BIGINT) AS events
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Corpus-total distinct users from the same rollup — the "any coarser
+    * grain for free" readout: one union over every cell's sketch, a single
+    * row to the driver. */
+  def hllTotalUsers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    userSketchRollup(s, d)
+      .agg(hll_sketch_estimate(hll_union_agg($"user_sketch")).as("users"),
+        sum($"events").as("events"))
+  }
+
+  val hllTotalUsersOracle: String =
+    """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+      |       CAST(count(*) AS BIGINT) AS events
+      |FROM events""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("ev_hll_daily_users", Some(hllDailyUsersOracle), hllDailyUsers),
+    Q("ev_hll_union_total", Some(hllTotalUsersOracle), hllTotalUsers))
+}

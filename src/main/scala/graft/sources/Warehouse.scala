@@ -87,6 +87,49 @@ object Warehouse {
       .sortWithinPartitions(col("event_minute"), col("event_type"), col("event_timestamp"))
       .write.mode("overwrite").partitionBy("event_minute").parquet(outPath)
 
+  /** Targeted delete (the right-to-be-forgotten path every event
+    * warehouse eventually needs): remove every event of the given users,
+    * rewriting ONLY the minute-partitions that contain them. Plain
+    * parquet has no row-level delete, so the unit of rewrite is the
+    * partition — the design job is keeping the rewrite set small and the
+    * discovery pass cheap:
+    *
+    *  - the user set arrives as a DataFrame (at scale it is a table of
+    *    erasure requests, not a literal list) and is broadcast into both
+    *    the discovery scan and the anti-join — the big side never
+    *    shuffles;
+    *  - discovery reads only (user_id, event_minute) (column-pruned) and
+    *    the driver receives just the distinct touched minutes — bounded
+    *    by partitions touched, never by events;
+    *  - the rewrite is a dynamic-partition overwrite of exactly those
+    *    minutes (same mechanism as Ingest.upsertRollup), restoring the
+    *    clustering sort; untouched partitions' files are not opened, let
+    *    alone rewritten (DeleteSpec asserts via mtime).
+    *
+    * The localCheckpoint materializes the touched slice before the write
+    * because Spark (rightly) refuses a plan that overwrites a path it is
+    * still reading. The slice is O(touched partitions), the honest floor
+    * for a format without delete vectors; a table format with row-level
+    * deletes shrinks the rewrite, not the discovery shape. */
+  def deleteUsers(spark: SparkSession, path: String, users: DataFrame): Unit = {
+    val events = readEvents(spark, path)
+    val ids = broadcast(users.select(col("user_id")).distinct())
+    val touched = events.join(ids, "user_id")
+      .select("event_minute").distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val cols = events.columns.map(col)
+    events.filter(col("event_minute").isin(touched: _*))
+      .join(ids, Seq("user_id"), "left_anti")
+      .select(cols: _*)
+      .localCheckpoint()
+      .repartition(col("event_minute"))
+      .sortWithinPartitions(col("event_minute"), col("event_type"), col("event_timestamp"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_minute")
+      .parquet(path)
+  }
+
   /** Single-object JSON report sink (S4). Spark write → works unchanged
     * against object stores; coalesce(1) mimics the reference's one report
     * object per minute. */
