@@ -14,7 +14,8 @@ object SparkEntry {
   /** All operator definitions, in module order. */
   def allDefs: Seq[Q] =
     Relational.defs ++ EventOps.defs ++ Temporal.defs ++ Functions.defs ++
-      SqlSurface.defs ++ TextOps.defs ++ Dedup.defs ++ Similarity.defs ++
+      SqlSurface.defs ++ TextOps.defs ++ Dedup.defs ++ CorpusDedup.defs ++
+      Similarity.defs ++
       Pq.defs ++ Sampling.defs ++ Hll.defs ++ Multimodal.defs ++
       graft.sources.Bucketed.defs
 

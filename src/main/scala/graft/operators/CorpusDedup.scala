@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-level exact-substructure dedup and decontamination — the
+  * remaining first-class LLM-training-data operators (builder brief):
+  *
+  *  - segment-level corpus dedup (the C4 recipe: drop every repeated
+  *    fixed-size span corpus-wide, keeping only its first occurrence);
+  *  - duplicated-substring span detection (the Lee et al. 2021
+  *    "Deduplicating Training Data Makes Language Models Better"
+  *    ExactSubstr shape: find maximal token ranges shared verbatim across
+  *    documents);
+  *  - benchmark decontamination (flag training documents sharing any
+  *    n-gram with a held-out eval slice — the PaLM/GPT-3 appendix check);
+  *  - unigram-LM surprise scoring (the CCNet-style proxy for perplexity
+  *    filtering: score each document against the corpus's own unigram
+  *    distribution).
+  *
+  * None of these exist in the reference (its only text artifact is the
+  * event_type enum — SURVEY.md §2.8); they extend the dedup family in
+  * [[Dedup]] from whole-document identity to sub-document structure.
+  *
+  * All four are pure DataFrame plans: explode/sequence/slice expressions
+  * stay inside WholeStageCodegen, every shuffle is keyed on either a
+  * content hash (uniform by construction — no skew) or doc_id, and the
+  * only broadcast is a provably small side (the eval n-gram set / the
+  * 1-row corpus total). Everything is oracle-checked — md5 over the
+  * joined token window matches DuckDB's md5 exactly.
+  */
+object CorpusDedup {
+
+  /** Token k-gram width shared by span detection and decontamination.
+    * 8 consecutive tokens is selective on this corpus (only the planted
+    * near-duplicate families collide) while short enough that every
+    * document (min 10 tokens) contributes windows. */
+  private[operators] val GramK = 8
+
+  /** Segment width for C4-style dedup: non-overlapping 10-token spans. */
+  private[operators] val SegLen = 10
+
+  /** Every-50th document is the held-out "benchmark" slice for
+    * decontamination — deterministic, so both engines agree. */
+  private[operators] val EvalMod = 50
+
+  /** (doc_id, pos, h): one row per overlapping k-token window, h = md5 of
+    * the space-joined window text, pos = 0-based start token index.
+    * Narrow explode, no shuffle; output is ~n_tokens rows per doc. */
+  private[operators] def tokenWindows(docs: DataFrame, k: Int = GramK): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $k),
+           |          i -> named_struct(
+           |            'pos', i,
+           |            'h', md5(cast(array_join(slice(toks, i + 1, $k), ' ') as binary))))"""
+          .stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+
+  /** DuckDB twin of [[tokenWindows]] as a CTE body (w: doc_id, pos, h). */
+  private def windowsCte(k: Int = GramK): String =
+    s"""w AS (
+       |  SELECT doc_id, pos, md5(array_to_string(toks[pos + 1 : pos + $k], ' ')) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |        WHERE len(string_split(text, ' ')) >= $k) t,
+       |       LATERAL (SELECT unnest(generate_series(0, len(toks) - $k)) AS pos) p)"""
+      .stripMargin
+
+  // ---------------------------------------------------------------------
+  // C4-style segment dedup
+  // ---------------------------------------------------------------------
+
+  /** C4-style corpus dedup over non-overlapping [[SegLen]]-token segments:
+    * each segment is kept iff it is the corpus-wide FIRST occurrence of
+    * its exact text (first = smallest (doc_id, seg_idx)); per document,
+    * report how much survives.
+    *
+    * Scale shape — this is the canonical 100 TB dedup plan: one explode
+    * into (doc_id, seg_idx, seg_md5) rows, ONE shuffle keyed on the
+    * content hash (uniform; a hot segment costs one window partition, not
+    * a hot node), a per-hash `row_number` window to elect the first
+    * occurrence, then a doc_id re-aggregation. No joins, no driver state,
+    * nothing proportional to corpus size on any single node. */
+  def segmentDedupStats(docs: DataFrame, segLen: Int = SegLen): DataFrame = {
+    val segs = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, cast(ceil(size(toks) / $segLen.0) as int) - 1),
+           |          si -> named_struct(
+           |            'seg_idx', si,
+           |            'seg_md5', md5(cast(array_join(slice(toks, si * $segLen + 1, $segLen), ' ') as binary))))"""
+          .stripMargin)).as("sg"))
+      .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"), col("sg.seg_md5").as("seg_md5"))
+    val firstWin = Window.partitionBy(col("seg_md5"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    segs
+      .withColumn("rn", row_number().over(firstWin))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(col("rn") === 1, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+          .as("kept_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def segmentDedup(s: SparkSession, d: String): DataFrame =
+    segmentDedupStats(Tables.documents(s, d))
+
+  val segmentDedupOracle: String =
+    s"""WITH segs AS (
+       |  SELECT doc_id, si AS seg_idx,
+       |         md5(array_to_string(toks[si * $SegLen + 1 : si * $SegLen + $SegLen], ' ')) AS seg_md5
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       |       LATERAL (SELECT unnest(generate_series(0,
+       |                  CAST(ceil(len(toks) / $SegLen.0) AS INT) - 1)) AS si) p),
+       |ranked AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (PARTITION BY seg_md5 ORDER BY doc_id, seg_idx) AS rn
+       |  FROM segs)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_segments,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(round(CAST(sum(CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END) / count(*)
+       |       AS DECIMAL(18,8)), 4) AS DOUBLE) AS kept_frac
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Duplicated-substring spans (ExactSubstr)
+  // ---------------------------------------------------------------------
+
+  /** Maximal duplicated-substring spans: every token range whose
+    * [[GramK]]-gram windows ALL occur verbatim in at least one other
+    * document, merged to maximal runs (the gaps-and-islands step). Output
+    * one row per (doc, span): start/end token index and window count.
+    *
+    * Scale shape: window rows → hash-keyed aggregation electing hashes
+    * with ≥2 distinct documents (two-phase, map-side combined) → LEFT SEMI
+    * join of windows against that duplicated-hash relation (equi-join on
+    * the hash; AQE picks broadcast when the dup set is small, shuffle-hash
+    * when it is not) → per-doc sort to merge adjacent positions. The
+    * quadratic all-pairs comparison of naive substring dedup never
+    * appears; cost is linear in corpus windows plus the dup-set join. */
+  def substringSpanStats(docs: DataFrame, k: Int = GramK): DataFrame = {
+    val w = tokenWindows(docs, k)
+    val dup = w.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val islands = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    w.join(dup, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(islands))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  def substringSpans(s: SparkSession, d: String): DataFrame =
+    substringSpanStats(Tables.documents(s, d))
+
+  val substringSpansOracle: String =
+    s"""WITH ${windowsCte()},
+       |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |d AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)),
+       |isl AS (SELECT doc_id, pos,
+       |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM d)
+       |SELECT doc_id,
+       |  CAST(min(pos) AS INT) AS span_start,
+       |  CAST(max(pos) + ${GramK - 1} AS INT) AS span_end,
+       |  CAST(count(*) AS BIGINT) AS n_windows
+       |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination
+  // ---------------------------------------------------------------------
+
+  /** Benchmark decontamination: documents `doc_id % EvalMod = 0` form the
+    * held-out eval slice; every other (training) document is flagged with
+    * the number of its [[GramK]]-gram windows that appear verbatim
+    * anywhere in the eval slice. Only contaminated documents are emitted.
+    *
+    * Scale shape: the eval n-gram set is smaller than the corpus by
+    * construction (a benchmark is KBs–MBs against a 100 TB corpus), so it
+    * is distinct-ed and explicitly `broadcast` — the training-side scan
+    * never shuffles; contamination detection is a map-side hash probe
+    * inside codegen, then one doc_id aggregation of the few hits. The
+    * same plan with the broadcast replaced by a bloom filter trades exact
+    * hit counts for a fixed-size probe when the benchmark suite is huge. */
+  def decontaminateStats(docs: DataFrame, k: Int = GramK, evalMod: Int = EvalMod): DataFrame = {
+    val w = tokenWindows(docs, k)
+    val evalGrams = w.filter(col("doc_id") % evalMod === 0)
+      .select(col("h")).distinct()
+    w.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalGrams), Seq("h"), "inner")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminateStats(Tables.documents(s, d))
+
+  val decontaminateOracle: String =
+    s"""WITH ${windowsCte()},
+       |eg AS (SELECT DISTINCT h FROM w WHERE doc_id % $EvalMod = 0)
+       |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |FROM w JOIN eg USING (h)
+       |WHERE w.doc_id % $EvalMod <> 0
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Unigram-LM surprise (perplexity-proxy quality score)
+  // ---------------------------------------------------------------------
+
+  /** CCNet-style LM-proxy scoring: build the corpus's own unigram
+    * distribution, then score each document by its mean token surprise
+    * −ln p(token). High-surprise documents are off-distribution (noise,
+    * wrong language); low-surprise ones are repetitive boilerplate — both
+    * tails are what perplexity filtering drops before LLM training.
+    *
+    * Scale shape: the unigram table is one two-phase count aggregation
+    * (vocab-sized, not corpus-sized); the corpus total is a single global
+    * count — one Long on the driver regardless of corpus size (the same
+    * bounded-driver-scalar pattern as RankStats' offsets; a constant-key
+    * broadcast join would constant-fold into a nested-loop join, and a
+    * `sum over ()` window would plan an Exchange SinglePartition over the
+    * vocab). Scoring joins tokens to the vocab on the token key — AQE
+    * broadcasts it while it fits, falls back to a hash-keyed shuffle join
+    * for open-web-scale vocabularies. The final doc_id aggregation is the
+    * only corpus-wide shuffle. */
+  def unigramSurpriseStats(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+    val vocab = tok.groupBy(col("tk")).agg(count(lit(1)).as("c"))
+    val total = tok.count()
+    val withP = vocab
+      .select(col("tk"), (col("c").cast("double") / lit(total).cast("double")).as("p"))
+    // The per-token surprise is quantized to DECIMAL(28,8) and summed in
+    // exact decimal arithmetic before the (identical-on-both-sides) double
+    // division — a plain double avg() is summation-order-dependent and
+    // flipped a 4-dp round boundary between engines at sf0.1.
+    tok.join(withP, Seq("tk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum((-log(col("p"))).cast("decimal(28,8)")).cast("double")
+          / count(lit(1)), 4).as("avg_surprise"))
+      .orderBy(col("doc_id"))
+  }
+
+  def unigramSurprise(s: SparkSession, d: String): DataFrame =
+    unigramSurpriseStats(Tables.documents(s, d))
+
+  val unigramSurpriseOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |v AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+      |t AS (SELECT sum(c) AS total FROM v)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  -- single round of the (bit-identical) double quotient: an
+      |  -- intermediate DECIMAL(18,8) cast here would DOUBLE-ROUND
+      |  -- (…49997 → …5000 → up) and diverge from Spark's round(x, 4)
+      |  CAST(round(CAST(sum(CAST(-ln(c * 1.0 / total) AS DECIMAL(28,8))) AS DOUBLE)
+      |       / count(*), 4) AS DOUBLE) AS avg_surprise
+      |FROM tok JOIN v USING (tk) CROSS JOIN t
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("text_segment_dedup", Some(segmentDedupOracle), segmentDedup),
+    Q("dedup_substring_spans", Some(substringSpansOracle), substringSpans),
+    Q("text_decontaminate", Some(decontaminateOracle), decontaminate),
+    Q("text_unigram_surprise", Some(unigramSurpriseOracle), unigramSurprise))
+}
