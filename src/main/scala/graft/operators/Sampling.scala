@@ -67,7 +67,114 @@ object Sampling {
       |       CAST(sum(n_chars) AS BIGINT) AS n_chars
       |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
+  /** Temperature-based mixture resampling (α = 0.5): the
+    * training-mixture reweighting step (multilingual/multi-domain corpus
+    * builds resample source s with probability ∝ p_s^α so dominant
+    * sources shrink and rare ones survive; keyed on `lang` here — the one
+    * skewed dimension of this corpus, and the canonical multilingual
+    * case). Keep-rate per language is
+    * r_s = p_s^(α−1) / max_t p_t^(α−1) — the rarest language keeps
+    * everything — applied as a deterministic md5 hex-prefix draw against
+    * a per-source integer threshold (floor(r_s·256)), so the sample is
+    * reproducible and oracle-checkable like everything else here.
+    *
+    * Scale shape: language rates come from one count aggregation
+    * (key-cardinality-sized); the corpus total and the max weight are
+    * single driver scalars (bounded at any corpus size — same pattern as
+    * RankStats offsets); the rate table broadcasts (1M domains ≈ a few
+    * MB) and the draw itself is a narrow per-row filter. */
+  def mixtureSample(s: SparkSession, d: String, alpha: Double = 0.5): DataFrame =
+    mixtureSampleOf(Tables.documents(s, d), alpha)
+
+  def mixtureSampleOf(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val total = docs.count().toDouble
+    val weighted = docs.groupBy($"lang")
+      .agg(count(lit(1)).cast("double").as("n"))
+      .select($"lang", pow($"n" / total, alpha - 1).as("w"))
+    val maxW = weighted.agg(max($"w")).first().getDouble(0)
+    val th = weighted.select($"lang",
+      floor($"w" / maxW * 256).cast("int").as("thr_int"))
+    docs.join(broadcast(th), Seq("lang"))
+      .filter($"thr_int" >= 256 ||
+        hexPrefix(2) < lower(lpad(hex($"thr_int"), 2, "0")))
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val mixtureSampleOracle: String =
+    """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+      |t AS (SELECT sum(n) AS tot FROM c),
+      |r AS (SELECT lang, pow(n / (SELECT tot FROM t), -0.5) AS w FROM c),
+      |th AS (SELECT lang,
+      |         CAST(floor(w / (SELECT max(w) FROM r) * 256) AS INT) AS thr_int
+      |       FROM r)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN th USING (lang)
+      |WHERE thr_int >= 256
+      |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |      lower(lpad(to_hex(thr_int), 2, '0'))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Leakage-free train/test split: the split draw keys on the CONTENT
+    * fingerprint, not the doc id, so every member of an exact-duplicate
+    * family lands in the same split — a doc-id draw leaks duplicated
+    * text across the boundary and inflates eval scores. (Near-dup-family
+    * splitting composes the same way with `Dedup.nearDupClusters`'
+    * cluster_id as the key; that variant is spec-checked, not registered,
+    * because LSH clusters have no SQL oracle.) Narrow per-row
+    * expressions, no shuffle. */
+  def leakageFreeSplit(s: SparkSession, d: String): DataFrame =
+    leakageFreeSplitOf(Tables.documents(s, d))
+
+  def leakageFreeSplitOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", md5(lower($"text").cast("binary")).as("fp"))
+      .withColumn("split",
+        when(substring(md5($"fp".cast("binary")), 1, 1) < "c", lit("train"))
+          .otherwise(lit("test")))
+      .select($"doc_id", $"fp", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val leakageFreeSplitOracle: String =
+    """SELECT doc_id, md5(lower(text)) AS fp,
+      |       CASE WHEN substr(md5(md5(lower(text))), 1, 1) < 'c'
+      |            THEN 'train' ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-source quota capping: keep at most `cap` docs per source,
+    * elected by md5 order (a deterministic uniform draw — doc_id order
+    * would bias toward whatever happened to be crawled first). The rank
+    * filter compiles to Spark's WindowGroupLimit, which prunes to the
+    * top-`cap` per source BEFORE the shuffle — each map task forwards at
+    * most `cap` rows per source it sees, so a 100 TB scan shuffles
+    * O(sources × cap × tasks) rows, not the corpus. */
+  def sourceCap(s: SparkSession, d: String, cap: Int = 20): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= cap)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val sourceCapOracle: String =
+    """SELECT doc_id, source FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY source
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("doc_stratified_sample", Some(stratifiedSampleOracle), stratifiedSample),
-    Q("doc_train_test_split", Some(trainTestSplitOracle), trainTestSplit))
+    Q("doc_train_test_split", Some(trainTestSplitOracle), trainTestSplit),
+    Q("doc_mixture_sample", Some(mixtureSampleOracle), mixtureSample(_, _)),
+    Q("doc_leakage_split", Some(leakageFreeSplitOracle), leakageFreeSplit),
+    Q("doc_source_cap", Some(sourceCapOracle), sourceCap(_, _)))
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import graft.SparkSuite
+
+/** Ground-truth checks for the deterministic sampling family — the
+  * oracle gate proves Spark≡DuckDB; these prove the selection semantics
+  * (leakage containment, temperature rates, cap pre-shuffle pruning). */
+class SamplingSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("leakage-free split puts exact-duplicate texts in the same split") {
+    val docs = (1L to 400L).map { i =>
+      // 100 texts, each duplicated 4× under different doc ids
+      (i, s"shared text number ${i % 100}")
+    }.toDF("doc_id", "text")
+    val out = Sampling.leakageFreeSplitOf(docs)
+      .select("fp", "split").distinct()
+      .groupBy("fp").count().filter($"count" > 1).count()
+    assert(out === 0, "a duplicate family was split across train/test")
+    // and both splits are actually populated on this corpus
+    val splits = Sampling.leakageFreeSplitOf(docs)
+      .select("split").distinct().as[String].collect().toSet
+    assert(splits === Set("train", "test"))
+  }
+
+  test("temperature mixture keeps all of the rarest language, downsamples the dominant") {
+    val docs = ((1L to 90L).map(i => (i, "x", "en")) ++
+      (91L to 100L).map(i => (i, "x", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val kept = Sampling.mixtureSampleOf(docs)
+      .as[(Long, String)].collect().toSeq
+    // fr is the rarest: w_fr = (0.1)^-0.5 is the max weight → thr 256 → all kept
+    assert(kept.count(_._2 == "fr") === 10)
+    // en threshold: floor((0.9^-0.5 / 0.1^-0.5) * 256) = floor(85.33) = 85 = 0x55
+    val expectedEn = (1L to 90L).filter(i => md5hex(i.toString).take(2) < "55")
+    assert(kept.filter(_._2 == "en").map(_._1) === expectedEn)
+  }
+
+  test("source cap keeps at most `cap` docs per source via WindowGroupLimit") {
+    val capped = Sampling.sourceCap(spark, Sf, cap = 3)
+    val counts = capped.groupBy("source").count().as[(String, Long)].collect()
+    assert(counts.nonEmpty && counts.forall(_._2 <= 3))
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      plan.linesIterator.take(10).mkString("\n"))
+  }
+}
