@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming gap-based sessionization — the stateful-operator surface
   * (SURVEY.md T10, absent from the reference; the batch twin is
@@ -76,5 +76,93 @@ object Sessionize {
             closed.result().iterator
           }
       }
+  }
+
+  /** The transformWithState twin's per-batch fold: sessions closed by
+    * gaps plus the resulting open session (never null — the batch has ≥1
+    * row). Deliberately a SEPARATE implementation from the inline fold in
+    * [[sessions]]: the spec asserts the two APIs produce equal output, and
+    * that check is only meaningful while the logic isn't shared. */
+  private def foldBatch(uid: Long, sorted: Array[Long], prev: Open,
+      gapMs: Long): (Seq[Session], Open) = {
+    var open = prev
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { t =>
+      open match {
+        case null => open = Open(t, t, 1)
+        case o if t - o.endMs > gapMs =>
+          closed += Session(uid,
+            new java.sql.Timestamp(o.startMs),
+            new java.sql.Timestamp(o.endMs), o.n)
+          open = Open(t, t, 1)
+        case o if t < o.startMs - gapMs =>
+          closed += Session(uid,
+            new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
+        case o =>
+          open = Open(math.min(o.startMs, t), math.max(o.endMs, t), o.n + 1)
+      }
+    }
+    (closed.result(), open)
+  }
+
+  /** The same sessionization on the `transformWithState` API (Spark 4's
+    * StatefulProcessor — typed state handles + explicit event-time
+    * timers, replacing flatMapGroupsWithState's single state value and
+    * implicit timeout). Semantics are identical to [[sessions]] — the
+    * spec runs both on the same micro-batches and asserts equal output.
+    *
+    * Differences that matter at scale: state lives in named column
+    * families in the RocksDB state store (transformWithState requires
+    * that provider), so per-user state is still O(1) — the open session
+    * plus one registered timer — and timer bookkeeping is explicit:
+    * extending a session DELETES the stale timer before registering the
+    * new close time, where the old API silently overwrote its timeout. */
+  final class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), Session] {
+    @transient private var open: ValueState[Open] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[Open]("open", Encoders.product[Open], TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.map(_._2.getTime).toArray.sorted
+      val prev = if (open.exists()) open.get() else null
+      val (closed, next) = foldBatch(uid, sorted, prev, gapMs)
+      if (prev != null && prev.endMs != next.endMs)
+        getHandle.deleteTimer(prev.endMs + gapMs)
+      open.update(next)
+      if (prev == null || prev.endMs != next.endMs)
+        getHandle.registerTimer(next.endMs + gapMs)
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(
+        uid: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[Session] = {
+      // A timer only survives to expiry if no later batch replaced it, so
+      // the open session it guards is still the current state.
+      if (!open.exists()) Iterator.empty
+      else {
+        val o = open.get()
+        open.clear()
+        Iterator.single(Session(uid,
+          new java.sql.Timestamp(o.startMs),
+          new java.sql.Timestamp(o.endMs), o.n))
+      }
+    }
+  }
+
+  /** [[sessions]] re-expressed on `transformWithState`. Input contract is
+    * identical (watermarked (user_id, event-time) pairs). */
+  def sessionsTws(
+      events: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -94,6 +94,52 @@ class SessionizeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState twin emits exactly the flatMapGroupsWithState sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // scripted batches: in-stream gap close, cross-batch session extension
+    // (exercises the twin's deleteTimer-then-register path), and
+    // watermark-driven timer closes
+    val script: Seq[Seq[(Long, java.sql.Timestamp)]] = Seq(
+      Seq((1L, ts(0)), (1L, ts(5)), (2L, ts(1))),
+      Seq((1L, ts(40))), // > 30-min gap: closes user 1's first session
+      Seq((1L, ts(50))), // extends the open session, replacing its timer
+      Seq((3L, ts(600))), // watermark jump expires every pending timer
+      Seq((3L, ts(601))))
+
+    def run(name: String,
+        mk: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)] =>
+          org.apache.spark.sql.Dataset[Sessionize.Session]): Set[(Long, Long, Long, Long)] = {
+      val in = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = mk(in.toDS().toDF("user_id", "ts")
+          .withWatermark("ts", "0 seconds")
+          .as[(Long, java.sql.Timestamp)])
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        script.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[Sessionize.Session].collect()
+          .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events))
+          .toSet
+      } finally q.stop()
+    }
+
+    val legacy = run("tws_eq_legacy", Sessionize.sessions(_))
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tws =
+      try run("tws_eq_new", Sessionize.sessionsTws(_))
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert(legacy.nonEmpty)
+    // both observed the gap close, the extension, and the timer closes
+    assert(legacy.contains((1L, ts(0).getTime, ts(5).getTime, 2L)))
+    assert(legacy.contains((1L, ts(40).getTime, ts(50).getTime, 2L)))
+    assert(legacy.contains((2L, ts(1).getTime, ts(1).getTime, 1L)))
+    assert(tws === legacy, s"tws-only: ${(tws -- legacy).take(3)}; legacy-only: ${(legacy -- tws).take(3)}")
+  }
+
   test("late-but-in-watermark event extends the session backwards, not end-first") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
