@@ -341,7 +341,201 @@ object SqlSurface {
     s.sql(idleRichCustomersSql)
   }
 
+  // -------------------------------------------------------------------
+  // Remaining TPC-H query shapes (Q4/Q6/Q9/Q11/Q12/Q13/Q15/Q16/Q17/Q20),
+  // adapted to the testdata star schema (no partsupp table, no
+  // commit/receipt dates or ship modes — the JOIN/subquery/decorrelation
+  // shape of each query is what is preserved). SQL is byte-identical on
+  // both engines.
+  // -------------------------------------------------------------------
+
+  /** Q4 shape: date-windowed EXISTS semi-join counted per priority. */
+  private val q4PriorityCountSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def q4PriorityCount(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders", "lineitem")
+    s.sql(q4PriorityCountSql)
+  }
+
+  /** Q6 shape: single-table multi-predicate forecast-revenue aggregate —
+    * every predicate reaches the parquet scan as a pushed filter. */
+  private val q6ForecastRevenueSql =
+    """SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 25.0""".stripMargin
+
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem")
+    s.sql(q6ForecastRevenueSql)
+  }
+
+  /** Q9 shape: five-table join with revenue by (nation, order year).
+    * Revenue uses the exact-integer-cents idiom (see Relational.q7): at
+    * sf0.01 two of 175 groups landed on a cent boundary and plain
+    * double-sum rounding flipped differently per engine. floor((u+50) /
+    * 100.0) is the dialect-portable half-up integer division — exact
+    * because multiples of 100 are exactly representable and non-multiples
+    * sit ≥ 1/100 from the floor boundary. */
+  private val q9NationYearRevenueSql =
+    """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+      |       CAST(floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                       CAST(round((1.0 - l_discount) * 100) AS BIGINT)) + 50)
+      |                  / 100.0) AS DOUBLE) / 100 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_name LIKE '%gear%'
+      |GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+      |ORDER BY n_name, o_year""".stripMargin
+
+  def q9NationYearRevenue(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem", "orders", "supplier", "nation", "part")
+    s.sql(q9NationYearRevenueSql)
+  }
+
+  /** Q11 shape: HAVING against a scalar fraction of the same aggregate
+    * over the whole table (the CTE is evaluated once, not per group). */
+  private val q11ImportantSuppliersSql =
+    """WITH sup_value AS (
+      |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS value
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT l_suppkey, round(CAST(value AS DOUBLE), 2) AS value
+      |FROM sup_value
+      |WHERE value > (SELECT sum(value) * 0.011 FROM sup_value)
+      |ORDER BY l_suppkey""".stripMargin
+
+  def q11ImportantSuppliers(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem")
+    s.sql(q11ImportantSuppliersSql)
+  }
+
+  /** Q12 shape: join + conditional two-way counts per group. */
+  private val q12PriorityShippingSql =
+    """SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def q12PriorityShipping(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders", "lineitem")
+    s.sql(q12PriorityShippingSql)
+  }
+
+  /** Q13 shape: LEFT OUTER join + two-level aggregation (order-count
+    * distribution over customers, including zero-order customers). */
+  private val q13CustomerDistributionSql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  def q13CustomerDistribution(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "customer", "orders")
+    s.sql(q13CustomerDistributionSql)
+  }
+
+  /** Q15 shape: CTE reused twice — top supplier(s) by windowed revenue
+    * vs the max over the same CTE. Revenue is rounded INSIDE the CTE so
+    * the cross-engine equality on the max is over already-stabilized
+    * values. */
+  private val q15TopSupplierSql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "supplier", "lineitem")
+    s.sql(q15TopSupplierSql)
+  }
+
+  /** Q16 shape: NOT IN anti-join + count(DISTINCT) per group. */
+  private val q16SupplierCountSql =
+    """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type LIKE 'SMALL%'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  def q16SupplierCount(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem", "part", "supplier")
+    s.sql(q16SupplierCountSql)
+  }
+
+  /** Q17 shape: correlated scalar-average subquery against the outer
+    * row's part — decorrelates to an aggregate + join, never per-row
+    * re-execution. */
+  private val q17SmallQuantityRevenueSql =
+    """SELECT round(CAST(sum(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
+
+  def q17SmallQuantityRevenue(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem", "part")
+    s.sql(q17SmallQuantityRevenueSql)
+  }
+
+  /** Q20 shape: IN-chain semi-joins with a scalar-subquery HAVING — the
+    * quantity threshold is RELATIVE (1.1× the mean per-supplier total) so
+    * selectivity is scale-factor-free. */
+  private val q20ExcessSuppliersSql =
+    """SELECT s_name, s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |  GROUP BY l_suppkey
+      |  HAVING sum(l_quantity) > (
+      |    SELECT 1.1 * avg(q) FROM (
+      |      SELECT sum(l_quantity) AS q FROM lineitem
+      |      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |      GROUP BY l_suppkey) totals))
+      |ORDER BY s_name""".stripMargin
+
+  def q20ExcessSuppliers(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "supplier", "lineitem", "part")
+    s.sql(q20ExcessSuppliersSql)
+  }
+
   val defs: Seq[Q] = Seq(
+    Q("sql_q4_priority_count", Some(q4PriorityCountSql), q4PriorityCount),
+    Q("sql_q6_forecast_revenue", Some(q6ForecastRevenueSql), q6ForecastRevenue),
+    Q("sql_q9_nation_year_revenue", Some(q9NationYearRevenueSql), q9NationYearRevenue),
+    Q("sql_q11_important_suppliers", Some(q11ImportantSuppliersSql), q11ImportantSuppliers),
+    Q("sql_q12_priority_shipping", Some(q12PriorityShippingSql), q12PriorityShipping),
+    Q("sql_q13_customer_distribution", Some(q13CustomerDistributionSql), q13CustomerDistribution),
+    Q("sql_q15_top_supplier", Some(q15TopSupplierSql), q15TopSupplier),
+    Q("sql_q16_supplier_count", Some(q16SupplierCountSql), q16SupplierCount),
+    Q("sql_q17_small_quantity_revenue", Some(q17SmallQuantityRevenueSql), q17SmallQuantityRevenue),
+    Q("sql_q20_excess_suppliers", Some(q20ExcessSuppliersSql), q20ExcessSuppliers),
     Q("sql_bool_agg", Some(boolAggSql), boolAgg),
     Q("sql_bit_suite", Some(bitSuiteSql), bitSuite),
     Q("sql_win_rank_stats", Some(winRankStatsSql), winRankStats),
