@@ -41,7 +41,7 @@ object CorpusDedup {
   private[operators] val GramK = 8
 
   /** Segment width for C4-style dedup: non-overlapping 10-token spans. */
-  private[operators] val SegLen = 10
+  private[graft] val SegLen = 10
 
   /** Every-50th document is the held-out "benchmark" slice for
     * decontamination — deterministic, so both engines agree. */
@@ -86,16 +86,27 @@ object CorpusDedup {
     * a hot node), a per-hash `row_number` window to elect the first
     * occurrence, then a doc_id re-aggregation. No joins, no driver state,
     * nothing proportional to corpus size on any single node. */
-  def segmentDedupStats(docs: DataFrame, segLen: Int = SegLen): DataFrame = {
-    val segs = docs
+  /** Explode each document into its non-overlapping `segLen`-token
+    * segments, appending (seg_idx, seg_md5) and KEEPING every other input
+    * column — shared by the batch dedup below and the streaming
+    * first-occurrence dedup (streaming/CorpusStream). Narrow, no shuffle;
+    * works identically on a streaming DataFrame. */
+  def withSegments(docs: DataFrame, segLen: Int = SegLen): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
+      .withColumn("sg", explode(expr(
         s"""transform(sequence(0, cast(ceil(size(toks) / $segLen.0) as int) - 1),
            |          si -> named_struct(
            |            'seg_idx', si,
            |            'seg_md5', md5(cast(array_join(slice(toks, si * $segLen + 1, $segLen), ' ') as binary))))"""
-          .stripMargin)).as("sg"))
-      .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"), col("sg.seg_md5").as("seg_md5"))
+          .stripMargin)))
+      .withColumn("seg_idx", col("sg.seg_idx"))
+      .withColumn("seg_md5", col("sg.seg_md5"))
+      .drop("toks", "sg")
+
+  def segmentDedupStats(docs: DataFrame, segLen: Int = SegLen): DataFrame = {
+    val segs = withSegments(docs.select(col("doc_id"), col("text")), segLen)
+      .select(col("doc_id"), col("seg_idx"), col("seg_md5"))
     val firstWin = Window.partitionBy(col("seg_md5"))
       .orderBy(col("doc_id"), col("seg_idx"))
     segs
