@@ -285,9 +285,73 @@ object CorpusDedup {
       |FROM tok JOIN v USING (tk) CROSS JOIN t
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Bloom-prefiltered decontamination
+  // ---------------------------------------------------------------------
+
+  /** Per-task lazy bloom probe: each task deserializes the broadcast
+    * filter ONCE (readFrom on a ~1 MB bitset), then probes rows against
+    * the decoded bitset — the same broadcast-sketch shape as
+    * [[graft.functions.CountMinAggregator.BroadcastEstimator]]. */
+  final class BloomProbe(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]) extends Serializable {
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bc.value))
+    def apply(h: String): Boolean = bf.mightContainString(h)
+  }
+
+  /** [[decontaminateStats]] with a bloom-filter prefilter — the variant
+    * for when the benchmark suite is too large to broadcast as a hash
+    * relation but fits as a fixed-size bitset. Three stages:
+    *
+    *  1. build a bloom over the eval slice's distinct gram hashes with
+    *     `stat.bloomFilter` — a DISTRIBUTED aggregate whose partials are
+    *     fixed-size bitsets OR-merged on the driver; the driver holds only
+    *     the final ~1 MB filter, never the gram set;
+    *  2. probe every training-side window against the broadcast bitset
+    *     (narrow map, no shuffle) — at 1% fpp this discards ~99% of the
+    *     clean corpus BEFORE any exchange, so the join input shrinks from
+    *     |corpus windows| to |true hits| + 1% noise;
+    *  3. an exact inner join of the few survivors against the eval gram
+    *     relation removes the false positives, making the output
+    *     BYTE-IDENTICAL to the exact [[decontaminateStats]] plan — which
+    *     is why this query shares its DuckDB oracle.
+    *
+    * At 100 TB stage 2 is the whole story: the exact plan must broadcast
+    * (or worse, shuffle) every training window into a join; this plan
+    * exchanges only the candidate set, orders of magnitude smaller.
+    * CorpusDedupSpec pins output equality with the exact plan and the
+    * candidate-reduction factor. */
+  def decontaminateBloomStats(
+      docs: DataFrame, k: Int = GramK, evalMod: Int = EvalMod): DataFrame = {
+    val spark = docs.sparkSession
+    val w = tokenWindows(docs, k)
+    val evalGrams = w.filter(col("doc_id") % evalMod === 0)
+      .select(col("h")).distinct()
+    val bloom = evalGrams.stat.bloomFilter("h", 200000L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = new BloomProbe(spark.sparkContext.broadcast(bytes))
+    val mightContain = udf((h: String) => probe(h))
+    w.filter(col("doc_id") % evalMod =!= 0)
+      .filter(mightContain(col("h")))
+      .join(broadcast(evalGrams), Seq("h"), "inner")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame =
+    decontaminateBloomStats(Tables.documents(s, d))
+
   val defs: Seq[Q] = Seq(
     Q("text_segment_dedup", Some(segmentDedupOracle), segmentDedup),
     Q("dedup_substring_spans", Some(substringSpansOracle), substringSpans),
     Q("text_decontaminate", Some(decontaminateOracle), decontaminate),
+    Q("text_decontaminate_bloom", Some(decontaminateOracle), decontaminateBloom),
     Q("text_unigram_surprise", Some(unigramSurpriseOracle), unigramSurprise))
 }

@@ -382,7 +382,61 @@ object TextOps {
       |        - len(string_split(text, ' '))) / 4096.0) AS INT) AS bin
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top-`k` terms per document — the classic keyword/topic-signal
+    * extraction step of a corpus-curation pipeline (smooth idf:
+    * ln((N+1)/(df+1)) + 1, the scikit-learn convention).
+    *
+    * Scale shape: term frequencies are ONE two-phase (doc_id, term)
+    * aggregation; document frequencies reduce that relation again to
+    * vocab size; N is a single bounded driver scalar (same pattern as
+    * unigram surprise). The score join is token-keyed — AQE broadcasts
+    * the vocab-sized side while it fits. The per-doc top-k filter sits
+    * directly on the row_number window, which Spark rewrites to
+    * WindowGroupLimit: every map task prunes to k rows per doc BEFORE the
+    * window shuffle (plan-asserted in TfidfSpec, like doc_source_cap).
+    *
+    * Cross-engine determinism: the double score is quantized to
+    * DECIMAL(18,6) BEFORE ranking on both engines (ties then broken by
+    * term), so rank order can never diverge on a last-ulp ln() flip —
+    * the same idiom that de-flaked unigram surprise. */
+  def tfidfTopKOf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("sd").desc, col("term"))
+    tf.join(dft, Seq("term"))
+      .withColumn("sd",
+        (col("tf") * (log(lit((n + 1).toDouble) / (col("dft") + lit(1.0))) + lit(1.0)))
+          .cast("decimal(18,6)"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("sd").cast("double").as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  def tfidfTopK(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    tfidfTopKOf(Tables.documents(s, d), k)
+
+  val tfidfTopKOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |sc AS (SELECT doc_id, term,
+      |              CAST(tf * (ln((n + 1.0) / (dft + 1.0)) + 1.0) AS DECIMAL(18,6)) AS sd
+      |       FROM tf JOIN dft USING (term) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, sd,
+      |             row_number() OVER (PARTITION BY doc_id ORDER BY sd DESC, term) AS rnk
+      |      FROM sc)
+      |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, CAST(sd AS DOUBLE) AS tfidf
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("text_tfidf_topk", Some(tfidfTopKOracle), (s, d) => tfidfTopK(s, d)),
     Q("text_token_stats", Some(tokenStatsOracle), tokenStats),
     Q("text_quality_score", Some(qualityScoreOracle), qualityScore),
     Q("text_lang_profile", Some(langProfileOracle), langProfile),

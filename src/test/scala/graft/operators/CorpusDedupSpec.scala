@@ -66,6 +66,27 @@ class CorpusDedupSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(8).mkString("\n"))
   }
 
+  test("bloom-prefiltered decontamination is byte-identical to the exact plan") {
+    val exact = CorpusDedup.decontaminate(spark, Sf).as[(Long, Long)].collect().toSeq
+    val viaBloom = CorpusDedup.decontaminateBloom(spark, Sf).as[(Long, Long)].collect().toSeq
+    assert(exact.nonEmpty) // the fixture corpus must actually be contaminated
+    assert(viaBloom === exact)
+  }
+
+  test("bloom prefilter discards most clean training windows before the join") {
+    val w = CorpusDedup.tokenWindows(graft.Tables.documents(spark, Sf))
+    val evalGrams = w.filter($"doc_id" % CorpusDedup.EvalMod === 0).select($"h").distinct()
+    val bf = evalGrams.stat.bloomFilter("h", 200000L, 0.01)
+    val probe = org.apache.spark.sql.functions.udf((h: String) => bf.mightContainString(h))
+    val train = w.filter($"doc_id" % CorpusDedup.EvalMod =!= 0)
+    val nTrain = train.count()
+    val nCandidates = train.filter(probe($"h")).count()
+    val nTrueHits = train.join(evalGrams, Seq("h"), "left_semi").count()
+    assert(nCandidates >= nTrueHits)          // no false negatives, ever
+    assert(nCandidates < nTrain / 5,          // join input shrank ≥5×
+      s"candidates $nCandidates of $nTrain train windows ($nTrueHits true)")
+  }
+
   test("unigram surprise matches the hand-computed distribution") {
     // vocab {a: 3, b: 3}, total 6 → every token has p = 0.5,
     // surprise = ln 2 → avg rounds to 0.6931 for both docs
