@@ -518,7 +518,32 @@ object EventOps {
       .limit(k)
   }
 
+  /** Per-type value quantiles via the t-digest Aggregator: one pass, a
+    * ~3 KB centroid digest per group instead of a full per-group sort —
+    * the bounded-state quantile shape for a 100 TB column (beside HLL for
+    * distinct counts and CMS for frequencies; exact distributed ranks
+    * live in RankStats when the error bound must be zero). Estimates are
+    * merge-order-dependent within the rank-error bound → rows-only check;
+    * TDigestSpec pins accuracy, mergeability, and state bounds. */
+  def valueTdigestQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val td = new graft.functions.TDigestAggregator.TDigest().toColumn.name("qs")
+    Tables.events(s, d)
+      .select($"event_type", $"value").na.drop()
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(td)
+      .map { case (et, qs) =>
+        def r2(x: Double) = math.round(x * 100) / 100.0
+        (et, r2(qs(0)), r2(qs(1)), r2(qs(2)))
+      }
+      .toDF("event_type", "p50_est", "p90_est", "p99_est")
+      .orderBy($"event_type")
+  }
+
   val defs: Seq[Q] = Seq(
+    Q("agg_tdigest_quantiles", None, valueTdigestQuantiles),
     Q("ref_minute_report", None, refMinuteReport),
     Q("ev_hourly_ohlc", Some(hourlyOhlcOracle), hourlyOhlc),
     Q("ev_trailing_1h_sum", Some(trailing1hSumOracle), trailing1hSum),

@@ -366,7 +366,51 @@ object Similarity {
       |       round(CAST(avg(embedding[1]) AS DOUBLE), 4) AS avg_c0
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  /** Corpus clustering profile over the memoized spherical-k-means
+    * quantizer (the same 16 centroids the IVF index uses): every vector is
+    * assigned to its argmax-cosine cell in ONE narrow codegen'd pass (the
+    * centroid matrix is a plan literal — 16×64 doubles, ~8 KB), then a
+    * cell-keyed aggregation profiles each cluster: size, mean cosine to
+    * the centroid (cohesion), and the dominant label with its purity.
+    *
+    * This is the curation view of clustering (topic buckets + how pure
+    * they are) as opposed to the retrieval view (knnIvf*). At 100 TB the
+    * assignment stays a scan — no shuffle until the 16-row aggregation —
+    * and a production build raises k so cells stay bounded.
+    *
+    * Deterministic (seeded centroid init ordered by xxhash64, fixed Lloyd
+    * rounds) but not SQL-expressible → rows-only check; KmeansProfileSpec
+    * pins the invariants and a planted-structure ground truth. */
+  def kmeansProfile(s: SparkSession, d: String): DataFrame =
+    kmeansProfileOf(Tables.embeddings(s, d), kmeansCentroids(s, d))
+
+  private[operators] def kmeansProfileOf(
+      emb: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val best = greatest(cents.map { case (i, c) =>
+      struct((dot(col("embedding"), typedlit(c)) / norm(col("embedding"))).as("cos"),
+        lit(i).as("cell")) }: _*)
+    val perLabelWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("n_label").desc, col("label"))
+    val assigned = emb
+      .select(col("label"), best.getField("cell").as("cell"),
+        best.getField("cos").as("cos"))
+    val labelCounts = assigned
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n_label"))
+      .withColumn("rn", row_number().over(perLabelWin))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("label").as("top_label"), col("n_label"))
+    assigned
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), round(avg(col("cos")), 4).as("avg_cos"))
+      .join(labelCounts, Seq("cell"))
+      .select(col("cell"), col("n"), col("avg_cos"), col("top_label"),
+        round(col("n_label").cast("double") / col("n"), 4).as("purity"))
+      .orderBy(col("cell"))
+  }
+
   val defs: Seq[Q] = Seq(
+    Q("sim_kmeans_profile", None, kmeansProfile),
     Q("sim_knn_brute", None, knnBrute),
     Q("sim_knn_lsh", None, knnLsh),
     Q("sim_knn_ivf", None, (s, d) => knnIvf(s, d)),
