@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.defs ++ EventOps.defs ++ Temporal.defs ++ Functions.defs ++
       SqlSurface.defs ++ TextOps.defs ++ Dedup.defs ++ CorpusDedup.defs ++
       Similarity.defs ++
-      Pq.defs ++ Sampling.defs ++ Hll.defs ++ Multimodal.defs ++
+      Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Multimodal.defs ++
       graft.sources.Bucketed.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

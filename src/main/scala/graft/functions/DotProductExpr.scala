@@ -86,6 +86,7 @@ case class DotProductExpr(left: Expression, right: Expression)
 /** Session-level registration for graft's native functions. Idempotent. */
 object GraftFunctions {
   val DotName = "graft_dot"
+  val ByteDotName = "graft_byte_dot"
   val SimHashName = "graft_simhash64"
   val MinHashName = "graft_minhash_sig"
   val WindowMinName = "graft_window_min"
@@ -103,6 +104,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(DotName,
       exprs => DotProductExpr(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(ByteDotName,
+      exprs => ByteDotExpr(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(SimHashName,
       exprs => SimHash64Expr(exprs.head), "built-in")
     // Signature length comes from Dedup.MinHashK — the single source of

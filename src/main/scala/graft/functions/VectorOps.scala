@@ -22,6 +22,11 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Σᵢ (codes[i] & 0xFF)·weights[i] over (binary, array<double>) — the
+    * SQ8 asymmetric-distance inner loop ([[ByteDotExpr]]). */
+  def byteDot(codes: Column, weights: Column): Column =
+    call_function(GraftFunctions.ByteDotName, codes, weights)
+
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
