@@ -297,6 +297,28 @@ object Ingest {
       queryName)
   }
 
+  /** Windowed latency quantiles: per 1-hour tumbling window, a t-digest
+    * of request_latency_ms read out as p50/p90/p99 — the streaming twin
+    * of the batch agg_tdigest_quantiles, and the shape a latency SLO
+    * monitor wants: per-window state is the ~1.6 KB centroid list (the
+    * udaf wraps the same Aggregator, so partials merge map-side), never
+    * the window's raw latencies. Beside the windowed CMS (frequencies)
+    * this completes the bounded-state sketch pair in-stream. */
+  def startWindowedLatencyQuantiles(events: DataFrame, queryName: String): StreamingQuery = {
+    val td = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TDigestAggregator.TDigest(),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    startLatestToMemory(
+      events
+        .groupBy(window(col("event_timestamp"), "1 hour"))
+        .agg(td(col("request_latency_ms").cast("double")).as("qs"))
+        .select(col("window.start").as("hour_start"),
+          element_at(col("qs"), 1).as("p50"),
+          element_at(col("qs"), 2).as("p90"),
+          element_at(col("qs"), 3).as("p99")),
+      queryName)
+  }
+
   /** Latest-report-only store (reference keeps a deque(maxlen=1),
     * dashboard_api.py:13): complete-mode aggregate into the memory sink —
     * the caller reads the most recent row per key. Complete mode also means

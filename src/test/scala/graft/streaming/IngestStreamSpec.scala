@@ -171,6 +171,33 @@ class IngestStreamSpec extends SparkSuite {
     }
   }
 
+  test("streaming windowed t-digest tracks per-window latency quantiles") {
+    import spark.implicits._
+    val stage = tmpDir("graft-td-stage")
+    val events = Events.generate(spark, 3000, 1704067200000L, intervalMs = 1000)
+    events.write.mode("overwrite").parquet(stage)
+    val src = spark.readStream.schema(Events.schema).parquet(stage)
+    val q = Ingest.startWindowedLatencyQuantiles(src, "latency_quantiles")
+    q.awaitTermination(120000)
+    val rows = spark.table("latency_quantiles")
+      .as[(java.sql.Timestamp, Double, Double, Double)].collect()
+    assert(rows.nonEmpty, "expected at least one window")
+    rows.foreach { case (hourStart, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99)
+      val windowed = events.filter(
+        col("event_timestamp") >= lit(hourStart) &&
+        col("event_timestamp") < lit(new java.sql.Timestamp(hourStart.getTime + 3600 * 1000)))
+        .select($"request_latency_ms".cast("double")).as[Double].collect().sorted
+      // estimate must land within 2% rank error of the exact quantile
+      for ((q0, est) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99)) {
+        val i = java.util.Arrays.binarySearch(windowed, est)
+        val rank = (if (i >= 0) i else -i - 1).toDouble / windowed.length
+        assert(math.abs(rank - q0) <= 0.02,
+          s"window $hourStart q=$q0 est=$est rank=$rank over n=${windowed.length}")
+      }
+    }
+  }
+
   test("stream-stream interval join bounds matches and respects the window") {
     val stage = tmpDir("graft-ssj-stage")
     Events.generate(spark, 20000, 1704067200000L, intervalMs = 100) // ~33 min span
