@@ -14,7 +14,7 @@ object SparkEntry {
   /** All operator definitions, in module order. */
   def allDefs: Seq[Q] =
     Relational.defs ++ EventOps.defs ++ Temporal.defs ++ Functions.defs ++
-      SqlSurface.defs ++ TextOps.defs ++ Dedup.defs ++ CorpusDedup.defs ++
+      SqlSurface.defs ++ TextOps.defs ++ Search.defs ++ Dedup.defs ++ CorpusDedup.defs ++
       Similarity.defs ++
       Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Multimodal.defs ++
       graft.sources.Bucketed.defs

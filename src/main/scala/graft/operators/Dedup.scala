@@ -419,8 +419,43 @@ object Dedup {
     result
   }
 
+  /** Keep-best canonicalization over the near-dup clusters: instead of
+    * electing the min-doc_id representative (what [[nearDupClusters]]'s
+    * `keep` flag does), elect the HIGHEST-QUALITY member — here the
+    * longest document (n_chars desc, doc_id asc tiebreak), the "keep the
+    * most complete variant" policy a corpus dedup actually wants when the
+    * near-dup family is {page, truncated page, paginated fragment}.
+    *
+    * Output: one row per cluster — representative doc, member count, and
+    * how many characters the policy saved vs min-id election. The cluster
+    * relation is tiny relative to the corpus (only clustered docs appear),
+    * so the quality join broadcasts under AQE; the per-cluster election is
+    * a WindowGroupLimit-prunable row_number. Rows-only check (clusters
+    * derive from LSH; no portable SQL oracle) — ClusterDedupSpec pins the
+    * policy on a hand-built fixture. */
+  def keepBestClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val clusters = nearDupClusters(s, d)
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+    val quality = Tables.documents(s, d).select($"doc_id", $"n_chars")
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"n_chars".desc, $"doc_id")
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select(
+        $"cluster_id",
+        $"doc_id".as("kept_doc"),
+        $"cluster_size".as("n_members"),
+        $"n_chars".as("kept_chars"),
+        ($"doc_id" =!= $"cluster_id").cast("int").as("differs_from_min_id"))
+      .orderBy($"cluster_id")
+  }
+
   val defs: Seq[Q] = Seq(
     Q("dedup_exact", Some(exactDedupOracle), exactDedup),
+    Q("dedup_keep_best", None, keepBestClusters),
     Q("dedup_exact_by_hash", Some(exactDedupByHashOracle), exactDedupByHash),
     Q("dedup_ngram_jaccard", None, ngramJaccardPairs),
     Q("dedup_simhash_docs", None, simhashDocs),

@@ -171,8 +171,41 @@ object Sampling {
       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic k-fold cross-validation assignment (k = 4): the fold
+    * is read off the first two hex chars of md5(doc_id) against equal
+    * [0x00, 0x40, 0x80, 0xc0) boundaries — a uniform draw, so folds are
+    * balanced in expectation within every stratum without any shuffle
+    * (the assignment is a narrow projection; reproducible across runs,
+    * partitionings, and engines, unlike anything rand()-based). The
+    * registered output is the per-(fold, lang) audit a split review
+    * reads; the `fold` expression itself composes into any downstream
+    * query as a pushed-down filter (`fold <> i` = train slice i). */
+  def kfoldAssign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fold = when(hexPrefix(2) < "40", 0)
+      .when(hexPrefix(2) < "80", 1)
+      .when(hexPrefix(2) < "c0", 2)
+      .otherwise(3)
+    Tables.documents(s, d)
+      .withColumn("fold", fold)
+      .groupBy($"fold", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"fold", $"lang")
+  }
+
+  val kfoldAssignOracle: String =
+    """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40' THEN 0
+      |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' THEN 1
+      |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' THEN 2
+      |            ELSE 3 END AS fold,
+      |       lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("doc_stratified_sample", Some(stratifiedSampleOracle), stratifiedSample),
+    Q("doc_kfold_assign", Some(kfoldAssignOracle), kfoldAssign),
     Q("doc_train_test_split", Some(trainTestSplitOracle), trainTestSplit),
     Q("doc_mixture_sample", Some(mixtureSampleOracle), mixtureSample(_, _)),
     Q("doc_leakage_split", Some(leakageFreeSplitOracle), leakageFreeSplit),

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Full-text retrieval over the documents table: an inverted index
+  * (postings of per-document term frequencies) and BM25 top-k scoring
+  * against it, plus corpus-wide n-gram frequency mining.
+  *
+  * Nothing like this exists in the reference (SURVEY.md §2.8 — its only
+  * text artifact is the event_type enum); these are the retrieval legs a
+  * training-data pipeline needs: BM25 is how you pull topical slices out
+  * of a 100 TB corpus ("give me the docs about X for targeted evals"),
+  * and top n-grams is the boilerplate detector that feeds stop-lists.
+  *
+  * Scale shape:
+  *  - The inverted index is ONE shuffle keyed on (term) after a narrow
+  *    explode — term keys are near-uniform by Zipf-tail mass, and the
+  *    per-(doc,term) pre-aggregation is map-side combinable.
+  *  - A query touches only its own terms' postings: the tf relation is
+  *    filtered to the query's terms BEFORE the aggregation, so the
+  *    shuffled volume is O(postings of the query terms), not O(corpus).
+  *  - Corpus statistics (N, avgdl) are two bounded driver scalars — the
+  *    same pattern as [[CorpusDedup.unigramSurpriseStats]]; df joins on
+  *    the terms key (a handful of rows, AQE-broadcast).
+  *  - Final ranking is orderBy+limit → TakeOrderedAndProject; the driver
+  *    only ever sees k rows.
+  */
+object Search {
+
+  /** BM25 parameters — conventional defaults, inlined as literals in the
+    * oracle SQL so both engines evaluate the same textual formula. */
+  private val K1 = 1.2
+  private val B  = 0.75
+
+  /** Deterministic example query over the synthetic corpus vocabulary. */
+  private[operators] val QueryTerms = Seq("hash", "vector", "stream")
+
+  /** Per-(doc_id, term) term frequencies restricted to `terms` — the
+    * postings slice a query actually reads. Narrow explode + filter, one
+    * map-side-combinable aggregation keyed on (doc_id, term). */
+  private[operators] def postingsFor(docs: DataFrame, terms: Seq[String]): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k: score every document holding at least one query term by
+    * sum over query terms of
+    * `ln((N - df + 0.5)/(df + 0.5) + 1) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`.
+    *
+    * Per-term contributions are quantized to DECIMAL(28,8) and summed in
+    * exact decimal (the [[CorpusDedup.unigramSurpriseStats]] idiom) so the
+    * 4-dp round can never flip on cross-engine double-summation order.
+    * N and avgdl are exact-integer-derived driver scalars, so both
+    * engines see bit-identical constants. */
+  def bm25TopK(s: SparkSession, d: String,
+               terms: Seq[String] = QueryTerms, k: Int = 20): DataFrame =
+    bm25TopKOf(Tables.documents(s, d), terms, k)
+
+  def bm25TopKOf(docs: DataFrame,
+                 terms: Seq[String] = QueryTerms, k: Int = 20): DataFrame = {
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    // Two bounded scalars (a Long and a Long/Long quotient), not a
+    // constant-key join: sum and count are exact in Long, so the double
+    // quotient is bit-identical to DuckDB's sum(dl)*1.0/count(*).
+    val (dlSum, nDocs) = {
+      val r = dl.agg(sum(col("dl")).cast("long"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val avgdl = dlSum.toDouble / nDocs.toDouble
+    val tf = postingsFor(docs, terms)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))
+    val contrib = idf * (col("tf") * lit(K1 + 1.0)) / norm
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(contrib.cast("decimal(28,8)")).cast("double"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  private def termListSql = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  val bm25TopKOracle: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (SELECT sum(dl) * 1.0 / count(*) AS avgdl, count(*) * 1.0 AS n FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term IN ($termListSql) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |              CAST(sum(CAST(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |                            * (tf * ${K1 + 1.0}) / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl))
+       |                       AS DECIMAL(28,8))) AS DOUBLE) AS s
+       |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |       GROUP BY 1)
+       |SELECT doc_id, CAST(round(s, 4) AS DOUBLE) AS bm25
+       |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Corpus-wide top-20 bigrams with counts — the boilerplate/stock-phrase
+    * detector. One narrow explode into overlapping 2-token windows, one
+    * count aggregation keyed on the gram text (map-side combinable), then
+    * TakeOrderedAndProject for the top slice. Count ties at the cut are
+    * broken by gram text, so the boundary is deterministic. */
+  def topBigrams(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    topBigramsOf(Tables.documents(s, d), k)
+
+  def topBigramsOf(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))"))
+        .as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+
+  val topBigramsOracle: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |g AS (SELECT array_to_string(toks[pos + 1 : pos + 2], ' ') AS gram
+      |      FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) - 2)) AS pos) p)
+      |SELECT gram, CAST(count(*) AS BIGINT) AS n
+      |FROM g GROUP BY 1 ORDER BY n DESC, gram LIMIT 20""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("text_bm25_topk", Some(bm25TopKOracle), (s, d) => bm25TopK(s, d)),
+    Q("text_top_bigrams", Some(topBigramsOracle), (s, d) => topBigrams(s, d)))
+}
