@@ -24,6 +24,10 @@ case class ByteDotExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Nullable regardless of child nullability — null weight elements
+    * null-propagate (see DotProductExpr.nullable). */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
@@ -45,20 +49,27 @@ case class ByteDotExpr(left: Expression, right: Expression)
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName, not fixed names — see DotProductExpr.doGenCode: duplicate
+    // locals across two calls in one method silently kill codegen for the
+    // whole projection.
+    val n = ctx.freshName("graftN")
+    val s = ctx.freshName("graftS")
+    val i = ctx.freshName("graftI")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int graftN = java.lang.Math.min($a.length, $b.numElements());
-         |double graftS = 0.0;
-         |for (int graftI = 0; graftI < graftN; graftI++) {
-         |  if ($b.isNullAt(graftI)) {
+         |int $n = java.lang.Math.min($a.length, $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($b.isNullAt($i)) {
          |    ${ev.isNull} = true;
          |    break;
          |  }
-         |  graftS += ($a[graftI] & 0xFF) * $b.getDouble(graftI);
+         |  $s += ($a[$i] & 0xFF) * $b.getDouble($i);
          |}
-         |${ev.value} = graftS;
+         |${ev.value} = $s;
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ByteDotExpr =

@@ -23,6 +23,13 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Nullable even when both inputs are non-nullable: a null ELEMENT
+    * null-propagates the result. Inheriting child nullability here makes
+    * codegen treat the isNull slot as a constant, and the in-loop
+    * `isNull = true` assignment fails to compile — silently demoting the
+    * whole projection to interpreted mode (CodegenHygieneSpec). */
+  override def nullable: Boolean = true
+
   /** Accepts array<float> and array<double> on either side (embeddings are
     * float; hyperplane literals are double). Products accumulate in double
     * regardless — slightly MORE precise than the float-product HOF
@@ -63,18 +70,25 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def get(arr: String, idx: String, float: Boolean) =
       if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+    // freshName, not fixed names: two dot calls in one generated method
+    // (cosine alone expands to three) would otherwise redeclare the same
+    // locals — a javac error that silently demotes the WHOLE projection
+    // to interpreted mode.
+    val n = ctx.freshName("graftN")
+    val s = ctx.freshName("graftS")
+    val i = ctx.freshName("graftI")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graftS = 0.0;
-         |for (int graftI = 0; graftI < graftN; graftI++) {
-         |  if ($a.isNullAt(graftI) || $b.isNullAt(graftI)) {
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |    ${ev.isNull} = true;
          |    break;
          |  }
-         |  graftS += ${get(a, "graftI", isFloat(left))} * ${get(b, "graftI", isFloat(right))};
+         |  $s += ${get(a, i, isFloat(left))} * ${get(b, i, isFloat(right))};
          |}
-         |${ev.value} = graftS;
+         |${ev.value} = $s;
        """.stripMargin)
   }
 

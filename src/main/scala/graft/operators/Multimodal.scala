@@ -257,8 +257,64 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // --- binaryFile source: the object-store landing zone -----------------
+
+  /** One-time materialization of the PNG corpus as individual files — the
+    * landing-zone shape every real multimodal corpus starts from (an
+    * object store of image files, not a parquet binary column). Memoized
+    * per corpus dir like Similarity's ANN indexes; local temp stands in
+    * for the object store (same single-filesystem caveat as everything
+    * else in local mode — a cluster build writes to s3/gcs/hdfs). */
+  private val imageStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[operators] def imageFileDir(s: SparkSession, d: String): String =
+    imageStoreCache.getOrElseUpdate(d, {
+      val path = java.nio.file.Files.createTempDirectory("graft-img-store").toString
+      imageDocs(s, d).foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+        it.foreach { case (id, bytes) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, f"doc_$id%08d.png"), bytes)
+        }
+      }
+      path
+    })
+
+  /** Ingest loose image files through Spark's `binaryFile` source — the
+    * missing first hop of the multimodal pipeline (everything above reads
+    * the binary column AFTER it landed in a table). The source gives
+    * (path, modificationTime, length, content) per file with `*.png` glob
+    * pushdown; we recover doc_id from the filename, decode for real, and
+    * emit the same feature shape as [[decodeImages]].
+    *
+    * Scale shape: binaryFile is a FileScan — files split across tasks by
+    * size, the glob prunes at listing time, and `length` comes from file
+    * status (no read) — so a size filter never opens a file. Decode is a
+    * narrow per-task map. Rows-only check (DuckDB cannot decode PNGs);
+    * MultimodalCodecSpec pins equality against the column-based decoder. */
+  def binaryFileScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = imageFileDir(s, d)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(dir)
+      .select(
+        regexp_extract($"path", "doc_(\\d+)\\.png$", 1).cast("long").as("doc_id"),
+        $"length".cast("long").as("n_bytes"),
+        $"content")
+      .as[(Long, Long, Array[Byte])]
+      .map { case (id, n, bytes) =>
+        val (w, h, mr, mg, mb, ahash) = decodePng(bytes)
+        (id, n, w, h, mr, mg, mb, ahash)
+      }
+      .toDF("doc_id", "n_bytes", "width", "height",
+        "mean_r", "mean_g", "mean_b", "ahash")
+      .orderBy($"doc_id")
+  }
+
   val defs: Seq[Q] = Seq(
     Q("mm_binary_meta", Some(binaryMetaOracle), binaryMeta),
+    Q("mm_binaryfile_scan", None, binaryFileScan),
     Q("mm_decode_batched", None, (s, d) => decodeImages(s, d)),
     Q("mm_ahash_dup_groups", None, ahashDupGroups),
     Q("mm_frame_sample", None, (s, d) => frameSample(s, d)))

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Retrieval-augmented-generation preprocessing: chunk the corpus into
+  * context windows, embed every chunk, and answer nearest-chunk queries —
+  * the chunk→embed→retrieve composition a RAG stack runs over its corpus.
+  *
+  * The embedder is a hashed bag-of-words projection (each token lands on
+  * every dimension with a ±1 sign drawn from xxhash64(token, dim)): a
+  * deterministic, vocabulary-free featurizer — the classic feature-hashing
+  * trick — chosen because it needs no model weights (none are shippable
+  * here) while exercising the REAL pipeline shape: a narrow per-chunk
+  * embedding pass, cosine scoring against a broadcast query vector, and a
+  * TakeOrderedAndProject top-k. Swapping in a learned encoder changes only
+  * the embed expression, nothing about the plan.
+  *
+  * Scale shape: chunking and embedding are narrow (explode + hash math in
+  * codegen); the query vector is a literal (broadcast by value); scoring
+  * is a full scan ONLY because this is the brute-force baseline — the
+  * indexed variants (Similarity.knnIvfIndexed/knnLshIndexed) show the
+  * pruned path, and this embedder composes with them unchanged. Rows-only
+  * check (cosine top-k is not portably SQL-expressible); RagSpec pins
+  * self-retrieval exactness and ranking invariants.
+  */
+object Rag {
+
+  /** Embedding dimensionality — small enough to read in test output,
+    * large enough that random 40-token chunks essentially never collide. */
+  private[operators] val Dim = 16
+
+  /** Chunks WITH their text (TextOps.chunkDocs carries only the md5 —
+    * right for dedup bookkeeping, useless for embedding). 40-token
+    * windows, 10-token overlap. */
+  private[operators] def chunksWithText(docs: DataFrame,
+                                        chunk: Int = 40, overlap: Int = 10): DataFrame = {
+    val stride = chunk - overlap
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, int(greatest(ceil((size(toks) - $overlap) / $stride.0) - 1, 0))),
+           |          c -> named_struct(
+           |            'chunk_idx', c,
+           |            'chunk_text', concat_ws(' ', slice(toks, c * $stride + 1, $chunk))))"""
+          .stripMargin)).as("ch"))
+      .select(col("doc_id"), col("ch.chunk_idx").as("chunk_idx"),
+        col("ch.chunk_text").as("chunk_text"))
+  }
+
+  /** Hashed bag-of-words embedding of a space-tokenized text column:
+    * emb[i] = Σ_tokens sign(xxhash64(token, i)). Stays entirely inside
+    * codegen (higher-order aggregate over the token array). */
+  private[operators] def embedCol(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    array((0 until Dim).map { i =>
+      aggregate(toks, lit(0.0d), (acc, t) =>
+        acc + when(pmod(xxhash64(t, lit(i)), lit(2)) === 0, lit(1.0d)).otherwise(lit(-1.0d)))
+    }: _*)
+  }
+
+  /** Deterministic example query over the synthetic vocabulary. */
+  private[operators] val QueryText = "hash join stream table window sort"
+
+  /** Top-k chunks for a query string, by cosine over the hashed-BoW
+    * embeddings. Zero-vector chunks (possible when every token's signs
+    * cancel) are excluded rather than letting NaN cosines float to the
+    * top of the sort. */
+  def retrieveTopK(docs: DataFrame, query: String = QueryText, k: Int = 5): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val qv: Seq[Double] = s.range(1)
+      .select(embedCol(lit(query)).as("e"))
+      .as[Seq[Double]].head()
+    val chunks = chunksWithText(docs)
+      .withColumn("emb", embedCol(col("chunk_text")))
+      .filter(VectorOps.dot(col("emb"), col("emb")) > 0)
+    chunks
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk_text"), " ")).as("n_tokens"),
+        round(VectorOps.cosine(col("emb"), typedlit(qv)), 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"), col("chunk_idx"))
+      .limit(k)
+  }
+
+  def chunkRetrieve(s: SparkSession, d: String): DataFrame =
+    retrieveTopK(Tables.documents(s, d))
+
+  val defs: Seq[Q] = Seq(
+    Q("rag_chunk_retrieve", None, chunkRetrieve))
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Ground truth for the RAG retrieval composite: self-retrieval exactness
+  * (a query identical to a chunk's text must retrieve that chunk at
+  * cosine 1), ranking/plan invariants, and the binaryFile ingest leg's
+  * equality with the column-based decoder. */
+class RagSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("query identical to a chunk retrieves that chunk first at cos 1") {
+    // doc 1's first 40 tokens form chunk 0 exactly; unrelated filler docs
+    val target = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, target),
+      (2L, (1 to 35).map(i => s"other$i").mkString(" ")),
+      (3L, (1 to 35).map(i => s"noise$i").mkString(" "))).toDF("doc_id", "text")
+    val top = Rag.retrieveTopK(docs, query = target, k = 3)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(top.head._1 === 1L && top.head._2 === 0)
+    assert(top.head._4 === 1.0, s"self-similarity must round to 1.0: ${top.head}")
+    // the unrelated docs cannot tie a perfect match
+    assert(top.tail.forall(_._4 < 1.0))
+  }
+
+  test("retrieval is TakeOrderedAndProject and never surfaces NaN cosines") {
+    val out = Rag.chunkRetrieve(spark, Sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      plan.linesIterator.take(8).mkString("\n"))
+    val rows = out.as[(Long, Int, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r._4.isNaN))
+    // scores arrive sorted descending with deterministic tiebreaks
+    assert(rows.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("binaryFile ingest equals the column-based decoder feature-for-feature") {
+    val viaFiles = Multimodal.binaryFileScan(spark, Sf)
+    val plan = viaFiles.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("binaryfile"),
+      plan.linesIterator.take(8).mkString("\n"))
+    val a = viaFiles
+      .select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "ahash")
+      .as[(Long, Int, Int, Double, Double, Double, Long)].collect().toSeq
+    val b = Multimodal.decodeImages(spark, Sf)
+      .select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "ahash")
+      .as[(Long, Int, Int, Double, Double, Double, Long)].collect().toSeq
+    assert(a === b)
+    // n_bytes is file-status metadata and must equal the rendered payload
+    val nb = Multimodal.binaryFileScan(spark, Sf)
+      .select("doc_id", "n_bytes").as[(Long, Long)].collect().toMap
+    val rendered = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    rendered.foreach { case (id, text) =>
+      assert(nb(id) === Multimodal.renderPng(text).length.toLong)
+    }
+  }
+}
