@@ -52,14 +52,20 @@ object Rag {
   }
 
   /** Hashed bag-of-words embedding of a space-tokenized text column:
-    * emb[i] = Σ_tokens sign(xxhash64(token, i)). Stays entirely inside
-    * codegen (higher-order aggregate over the token array). */
+    * emb[i] = Σ_tokens sign(bit i of xxhash64(token)). ONE hash per token
+    * (the 16 dims read successive bits of the same 64-bit hash), one walk
+    * over the token array with an array accumulator — versus the naive
+    * per-dimension formulation that re-aggregates the tokens Dim times
+    * with Dim hashes per token (measured 2.7 s → see SCALE_NOTES). HOF
+    * lambdas evaluate interpreted, so hash count is the cost driver. */
   private[operators] def embedCol(textCol: Column): Column = {
-    val toks = split(textCol, " ")
-    array((0 until Dim).map { i =>
-      aggregate(toks, lit(0.0d), (acc, t) =>
-        acc + when(pmod(xxhash64(t, lit(i)), lit(2)) === 0, lit(1.0d)).otherwise(lit(-1.0d)))
-    }: _*)
+    val hashes = transform(split(textCol, " "), t => xxhash64(t))
+    val dimSigns = (h: Column) =>
+      transform(sequence(lit(0), lit(Dim - 1)), i =>
+        when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 0L,
+          lit(1.0d)).otherwise(lit(-1.0d)))
+    aggregate(hashes, expr(s"array_repeat(cast(0.0 as double), $Dim)"),
+      (acc, h) => zip_with(acc, dimSigns(h), (a, sgn) => a + sgn))
   }
 
   /** Deterministic example query over the synthetic vocabulary. */
