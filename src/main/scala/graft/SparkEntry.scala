@@ -13,11 +13,13 @@ object SparkEntry {
 
   /** All operator definitions, in module order. */
   def allDefs: Seq[Q] =
-    Relational.defs ++ EventOps.defs ++ Temporal.defs ++ Functions.defs ++
+    Relational.defs ++ EventOps.defs ++ Temporal.defs ++ Timeseries.defs ++
+      Functions.defs ++
       SqlSurface.defs ++ TextOps.defs ++ Search.defs ++ Dedup.defs ++ CorpusDedup.defs ++
-      Similarity.defs ++ Rag.defs ++
+      Similarity.defs ++ Rag.defs ++ Classifier.defs ++
       Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Multimodal.defs ++
-      graft.sources.Bucketed.defs
+      Audit.defs ++ EntityRes.defs ++
+      graft.sources.Bucketed.defs ++ graft.sources.Formats.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Entity-resolution and dimension-maintenance operators: blocked fuzzy
+  * matching (the record-linkage primitive) and SCD-2 merge (the
+  * slowly-changing-dimension upsert every warehouse runs nightly).
+  *
+  * Scale shape — fuzzy join:
+  *  - Never all-pairs. Candidate pairs are generated ONLY inside blocks
+  *    (here: the head noun of the name — in a real pipeline a phonetic
+  *    key, a sorted-neighborhood window, or an LSH bucket, exactly like
+  *    [[Dedup.minHashLsh]]). The cross join is per-block, so its cost is
+  *    Σ|block|², bounded by the block-size cap a production run enforces,
+  *    not |corpus|².
+  *  - Matching runs on the DISTINCT entity strings, not the raw rows:
+  *    at 100 TB you dedupe to the entity vocabulary first (bounded —
+  *    names, brands, addresses repeat), match once, and semi-join the
+  *    verdicts back.
+  *  - `levenshtein` is Spark's codegen'd native expression; the block
+  *    key equality is the shuffle key.
+  *
+  * Scale shape — SCD-2 merge:
+  *  - One shuffle join between the current dimension and the update
+  *    batch on the natural key; every output branch (carried, closed,
+  *    opened) is a narrow projection of that join. No driver state, no
+  *    per-key loops; with the dimension bucketed by key (see
+  *    [[graft.sources.Bucketed]]) the join is exchange-free, and a real
+  *    sink rewrites only touched partitions (the
+  *    [[graft.streaming.Ingest.upsertRollup]] pattern).
+  */
+object EntityRes {
+
+  /** Fuzzy self-match of part names: pairs of distinct names that share
+    * a block (their last word) and are within Levenshtein distance 3.
+    * The classic record-linkage candidate+verify shape. */
+  def fuzzyJoinBlocked(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val names = Tables.part(s, d)
+      .select($"p_name".as("name")).distinct()
+      .withColumn("block", regexp_extract($"name", "[a-z]+$", 0))
+    val a = names.select($"name".as("name_a"), $"block")
+    val b = names.select($"name".as("name_b"), $"block")
+    a.join(b, Seq("block"))
+      .filter($"name_a" < $"name_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= 3)
+      .select($"block", $"name_a", $"name_b", $"dist")
+      .orderBy($"block", $"name_a", $"name_b")
+  }
+
+  val fuzzyJoinBlockedOracle: String =
+    """WITH names AS (
+      |  SELECT DISTINCT p_name AS name FROM part),
+      |b AS (
+      |  SELECT name, regexp_extract(name, '[a-z]+$') AS block FROM names)
+      |SELECT a.block AS block, a.name AS name_a, c.name AS name_b,
+      |       CAST(levenshtein(a.name, c.name) AS INT) AS dist
+      |FROM b a JOIN b c ON a.block = c.block AND a.name < c.name
+      |WHERE levenshtein(a.name, c.name) <= 3
+      |ORDER BY block, name_a, name_b""".stripMargin
+
+  /** SCD-2 merge: apply an update batch (deterministically derived here —
+    * every 7th customer moves to segment 'RESEGMENTED' effective
+    * 2024-06-01) to the type-2 history seeded from the current dimension
+    * (all rows valid from 2024-01-01, open-ended).
+    *
+    * Output is the full post-merge history: unchanged keys keep their
+    * open row; changed keys get their old row closed at the effective
+    * date plus a new open row. */
+  def scd2Upsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.customer(s, d)
+      .select($"c_custkey".as("custkey"), $"c_mktsegment".as("segment"))
+    val updates = dim.filter($"custkey" % 7 === 0)
+      .select($"custkey", lit("RESEGMENTED").as("new_segment"))
+    val seeded = dim.join(updates, Seq("custkey"), "left")
+    // Validity bounds ride as ISO-8601 strings: the driver compare
+    // stringifies date objects differently across engines, and a type-2
+    // key is an interval label, not date arithmetic.
+    val carried = seeded.filter($"new_segment".isNull)
+      .select($"custkey", $"segment",
+        lit("2024-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+    val closed = seeded.filter($"new_segment".isNotNull)
+      .select($"custkey", $"segment",
+        lit("2024-01-01").as("valid_from"),
+        lit("2024-06-01").as("valid_to"),
+        lit(false).as("is_current"))
+    val opened = seeded.filter($"new_segment".isNotNull)
+      .select($"custkey", $"new_segment".as("segment"),
+        lit("2024-06-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+    carried.unionAll(closed).unionAll(opened)
+      .orderBy($"custkey", $"valid_from")
+  }
+
+  val scd2UpsertOracle: String =
+    """WITH dim AS (
+      |  SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer),
+      |upd AS (
+      |  SELECT custkey, 'RESEGMENTED' AS new_segment FROM dim WHERE custkey % 7 = 0),
+      |seeded AS (
+      |  SELECT dim.custkey, dim.segment, upd.new_segment
+      |  FROM dim LEFT JOIN upd USING (custkey))
+      |SELECT * FROM (
+      |  SELECT custkey, segment, '2024-01-01' AS valid_from,
+      |         CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+      |  FROM seeded WHERE new_segment IS NULL
+      |  UNION ALL
+      |  SELECT custkey, segment, '2024-01-01', '2024-06-01', FALSE
+      |  FROM seeded WHERE new_segment IS NOT NULL
+      |  UNION ALL
+      |  SELECT custkey, new_segment, '2024-06-01', CAST(NULL AS VARCHAR), TRUE
+      |  FROM seeded WHERE new_segment IS NOT NULL)
+      |ORDER BY custkey, valid_from""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("join_fuzzy_blocked", Some(fuzzyJoinBlockedOracle), fuzzyJoinBlocked),
+    Q("dim_scd2_upsert", Some(scd2UpsertOracle), scd2Upsert))
+}

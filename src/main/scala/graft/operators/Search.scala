@@ -103,6 +103,76 @@ object Search {
        |SELECT doc_id, CAST(round(s, 4) AS DOUBLE) AS bm25
        |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Index-build memo: the full inverted index is materialized once per
+    * corpus (the [[Similarity]] index idiom). */
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Number of term-hash partitions of the postings index. */
+  private[operators] val TermBuckets = 32
+
+  /** One-time inverted-index build: the COMPLETE postings list
+    * (doc_id, term, tf, dl — dl denormalized onto every posting, the
+    * Lucene norm idiom) partitioned on a 32-way term-hash bucket, plus a
+    * one-row corpus-stats file (N, Σdl).
+    *
+    * This is the materialized half of the production layout: build once
+    * per corpus snapshot, query many times. Partitioning by a hash of the
+    * TERM means a query only lists/reads the partitions its own terms
+    * hash into — a partition-pruned scan of ~|terms|/32 of the index
+    * instead of re-tokenizing 100 TB of raw text per query (which is what
+    * [[bm25TopK]] does, and why it is the from-scratch baseline). */
+  private[operators] def postingsIndexDir(s: SparkSession, d: String): String =
+    indexCache.getOrElseUpdate(d, {
+      val path = java.nio.file.Files.createTempDirectory("graft-bm25-index").toString
+      val docs = Tables.documents(s, d)
+      val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+      docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .withColumn("bucket", pmod(crc32(col("term")), lit(TermBuckets)).cast("int"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      dl.agg(sum(col("dl")).cast("long").as("dl_sum"), count(lit(1)).as("n_docs"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+      path
+    })
+
+  /** CRC32 of the UTF-8 term bytes mod [[TermBuckets]] — the driver-side
+    * twin of the `pmod(crc32(term), 32)` partition key above. */
+  private def termBucket(t: String): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(t.getBytes("UTF-8"))
+    (c.getValue % TermBuckets).toInt
+  }
+
+  /** BM25 top-k against the materialized index: identical scores to
+    * [[bm25TopK]] (same oracle SQL), but the scan is the postings index
+    * with `bucket IN (buckets of the query terms)` as a PARTITION filter
+    * — at most |terms| of the 32 term partitions are listed, and the raw
+    * text is never touched. */
+  def bm25TopKIndexed(s: SparkSession, d: String,
+                      terms: Seq[String] = QueryTerms, k: Int = 20): DataFrame = {
+    val root = postingsIndexDir(s, d)
+    val st = s.read.parquet(s"$root/stats").head()
+    val (dlSum, nDocs) = (st.getLong(0), st.getLong(1))
+    val avgdl = dlSum.toDouble / nDocs.toDouble
+    val buckets = terms.map(termBucket).distinct
+    val tf = s.read.parquet(s"$root/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))
+    val contrib = idf * (col("tf") * lit(K1 + 1.0)) / norm
+    tf.join(broadcast(df), "term")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(contrib.cast("decimal(28,8)")).cast("double"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus-wide top-20 bigrams with counts — the boilerplate/stock-phrase
     * detector. One narrow explode into overlapping 2-token windows, one
     * count aggregation keyed on the gram text (map-side combinable), then
@@ -133,5 +203,6 @@ object Search {
 
   val defs: Seq[Q] = Seq(
     Q("text_bm25_topk", Some(bm25TopKOracle), (s, d) => bm25TopK(s, d)),
+    Q("text_bm25_indexed", Some(bm25TopKOracle), (s, d) => bm25TopKIndexed(s, d)),
     Q("text_top_bigrams", Some(topBigramsOracle), (s, d) => topBigrams(s, d)))
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series regularization: turn the irregular per-minute event stream
+  * into a dense, gap-free grid with linearly interpolated values — the
+  * resample step every metrics/feature pipeline runs before training a
+  * forecaster or joining series of different densities.
+  *
+  * Nothing like this exists in the reference (its minute report simply
+  * drops empty minutes, SURVEY.md §2 P6); this is the standard extension.
+  *
+  * Scale shape:
+  *  - The observed side is the usual map-side-combinable minute
+  *    aggregation (one shuffle keyed on (type, minute)).
+  *  - The grid is |series| × |minutes-in-range| — generated, never
+  *    shuffled from data. The cross join broadcasts the (tiny) distinct
+  *    series keys against the generated minute spine.
+  *  - Interpolation is two window passes (forward + backward) partitioned
+  *    by the series key. At 100 TB you'd partition the window by
+  *    (series, day) and stitch the day boundaries with a one-row-per-day
+  *    exchange — the per-series sort here is the local[32]-scale version
+  *    of that, and the partition key is the series, so no single global
+  *    sort ever happens.
+  */
+object Timeseries {
+
+  // One fixed day of the synthetic stream — a literal so both engines
+  // generate the identical 1,440-minute spine per series.
+  private val DayStart = "2024-01-05 00:00:00"
+  private val DayEnd   = "2024-01-05 23:59:00"
+
+  /** Dense per-(event_type, minute) series over one day with linear
+    * interpolation across gaps. `v_filled` is:
+    *   - the observed minute sum where the minute has events;
+    *   - linear interpolation between the nearest observed neighbours
+    *     (weighted by minute distance) inside a gap;
+    *   - the nearest observed value at the open ends (no extrapolation);
+    *   - null only if the series has no observations at all.
+    *
+    * The interpolation arithmetic is written with the same association
+    * on both engines (`prev + (next-prev)*(t-tp)/(tn-tp)`) and rounded to
+    * 4 dp, so cross-engine doubles cannot diverge. */
+  def gapfillInterpolate(s: SparkSession, d: String): DataFrame =
+    gapfillInterpolateOf(Tables.events(s, d), DayStart, DayEnd)
+
+  /** The same regularization over any (event_type, ts, value) relation and
+    * minute spine — spec entry point. */
+  def gapfillInterpolateOf(ev: DataFrame, spineStart: String, spineEnd: String): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val obs = ev
+      .filter($"ts" >= lit(spineStart).cast("timestamp") &&
+        $"ts" < lit(spineEnd).cast("timestamp") + expr("interval 1 minute"))
+      .groupBy($"event_type", date_trunc("minute", $"ts").as("minute"))
+      .agg(sum($"value".cast("decimal(28,8)")).cast("double").as("v"))
+    val grid = ev.select($"event_type").distinct()
+      .crossJoin(s.sql(
+        s"SELECT explode(sequence(timestamp'$spineStart', timestamp'$spineEnd', interval 1 minute)) AS minute"))
+    val fwd = Window.partitionBy($"event_type").orderBy($"minute")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy($"event_type").orderBy($"minute")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsMin = when($"v".isNotNull, $"minute")
+    val j = grid.join(obs, Seq("event_type", "minute"), "left")
+      .withColumn("pv", last($"v", ignoreNulls = true).over(fwd))
+      .withColumn("pm", last(obsMin, ignoreNulls = true).over(fwd))
+      .withColumn("nv", first($"v", ignoreNulls = true).over(bwd))
+      .withColumn("nm", first(obsMin, ignoreNulls = true).over(bwd))
+    val t  = unix_timestamp($"minute")
+    val tp = unix_timestamp($"pm")
+    val tn = unix_timestamp($"nm")
+    val filled = when($"v".isNotNull, $"v")
+      .when($"pv".isNull, $"nv")
+      .when($"nv".isNull, $"pv")
+      .otherwise($"pv" + ($"nv" - $"pv") * (t - tp) / (tn - tp))
+    // Quantize through DECIMAL(28,8) before the 4-dp round: rounding a raw
+    // double at 4 dp is engine-dependent exactly at half-boundaries (the
+    // double 8.71375 rounds differently under Spark's BigDecimal HALF_UP
+    // vs DuckDB's scaled-multiply — observed at sf0.01); both engines cast
+    // the identical double to the identical 8-dp decimal, and decimal
+    // rounding is exact HALF_UP on both.
+    j.select(
+        $"event_type", $"minute",
+        round(filled.cast("decimal(28,8)"), 4).cast("double").as("v_filled"),
+        $"v".isNotNull.as("observed"))
+      .orderBy($"event_type", $"minute")
+  }
+
+  val gapfillInterpolateOracle: String =
+    s"""WITH obs AS (
+       |  SELECT event_type, date_trunc('minute', ts) AS minute,
+       |         CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS v
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '$DayStart'
+       |    AND ts < TIMESTAMP '$DayEnd' + INTERVAL 1 MINUTE
+       |  GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT t.event_type, g.minute
+       |  FROM (SELECT DISTINCT event_type FROM events) t
+       |  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '$DayStart',
+       |                   TIMESTAMP '$DayEnd', INTERVAL 1 MINUTE)) AS minute) g),
+       |j AS (
+       |  SELECT grid.event_type, grid.minute, obs.v,
+       |    last_value(obs.v IGNORE NULLS) OVER w_fwd AS pv,
+       |    last_value(CASE WHEN obs.v IS NOT NULL THEN grid.minute END IGNORE NULLS) OVER w_fwd AS pm,
+       |    first_value(obs.v IGNORE NULLS) OVER w_bwd AS nv,
+       |    first_value(CASE WHEN obs.v IS NOT NULL THEN grid.minute END IGNORE NULLS) OVER w_bwd AS nm
+       |  FROM grid LEFT JOIN obs USING (event_type, minute)
+       |  WINDOW
+       |    w_fwd AS (PARTITION BY grid.event_type ORDER BY grid.minute
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    w_bwd AS (PARTITION BY grid.event_type ORDER BY grid.minute
+       |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT event_type, minute,
+       |  CAST(round(CAST(CASE WHEN v IS NOT NULL THEN v
+       |                  WHEN pv IS NULL THEN nv
+       |                  WHEN nv IS NULL THEN pv
+       |                  ELSE pv + (nv - pv) * (epoch(minute) - epoch(pm))
+       |                              / (epoch(nm) - epoch(pm)) END AS DECIMAL(28,8)), 4) AS DOUBLE) AS v_filled,
+       |  (v IS NOT NULL) AS observed
+       |FROM j ORDER BY event_type, minute""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("ev_gapfill_interpolate", Some(gapfillInterpolateOracle), gapfillInterpolate))
+}

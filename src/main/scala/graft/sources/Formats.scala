@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.Q
+
+/** Interchange-format sources/sinks beyond parquet: CSV, JSON lines, and
+  * ORC, exercised as full write→read round-trips whose results are
+  * oracle-checked against the parquet originals — i.e. the check proves
+  * the sink and the source preserve values exactly, not just that the
+  * files appear.
+  *
+  * Spark-first notes:
+  *  - Text formats (CSV/JSON) serialize doubles via shortest-round-trip
+  *    `Double.toString`, so numeric round-trips are bit-exact; both
+  *    readers get EXPLICIT schemas — schema inference over 100 TB of text
+  *    is a full extra pass and is never acceptable at scale.
+  *  - CSV/JSON are row formats: Spark does push filters into the text
+  *    scans, but a pushed filter there only skips rows AFTER parsing the
+  *    line — every byte is still read and tokenized, and there are no
+  *    column statistics to skip whole chunks with. At scale they are
+  *    INGEST formats: land them, convert once to parquet/ORC (columnar
+  *    row-group statistics → real IO skipping), query the columnar copy.
+  *  - ORC is columnar with stripe-level statistics pushdown (FormatsSpec
+  *    asserts PushedFilters on its scan), the one non-parquet format you
+  *    might actually query in place.
+  *
+  * Each round-trip materializes once per (sf, format) into a temp dir
+  * (the [[graft.operators.Similarity]] index-memo idiom).
+  */
+object Formats {
+
+  private val dirCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Materialized round-trip dir, if this session already built one
+    * (spec hook for raw re-reads). */
+  private[sources] def dirFor(d: String, fmt: String): Option[String] =
+    dirCache.get((d, fmt))
+
+  private def roundtripDir(s: SparkSession, d: String, fmt: String,
+                           write: (DataFrame, String) => Unit,
+                           src: DataFrame): String =
+    dirCache.getOrElseUpdate((d, fmt), {
+      val path = java.nio.file.Files.createTempDirectory(s"graft-$fmt-rt").toString
+      write(src, path)
+      path
+    })
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", LongType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  /** CSV round-trip: customer → headered CSV → explicit-schema read →
+    * per-segment balance profile. Values must survive the text round-trip
+    * exactly for the oracle (which reads the parquet original) to match. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = roundtripDir(s, d, "csv",
+      (df, p) => df.write.mode("overwrite").option("header", "true").csv(p),
+      Tables.customer(s, d))
+    s.read.schema(customerSchema).option("header", "true").csv(dir)
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"c_acctbal".cast("decimal(28,8)")).cast("double"), 2).as("total_bal"),
+        round(min($"c_acctbal"), 2).as("min_bal"),
+        round(max($"c_acctbal"), 2).as("max_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val segmentProfileSql =
+    """SELECT c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE), 2) AS DOUBLE) AS total_bal,
+      |       CAST(round(min(c_acctbal), 2) AS DOUBLE) AS min_bal,
+      |       CAST(round(max(c_acctbal), 2) AS DOUBLE) AS max_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** JSON-lines round-trip: same customer profile through `.json`. */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = roundtripDir(s, d, "json",
+      (df, p) => df.write.mode("overwrite").json(p),
+      Tables.customer(s, d))
+    s.read.schema(customerSchema).json(dir)
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"c_acctbal".cast("decimal(28,8)")).cast("double"), 2).as("total_bal"),
+        round(min($"c_acctbal"), 2).as("min_bal"),
+        round(max($"c_acctbal"), 2).as("max_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** ORC round-trip: orders → ORC → filtered aggregate. ORC is columnar,
+    * so unlike the text formats this scan does take pushed filters. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = roundtripDir(s, d, "orc",
+      (df, p) => df.write.mode("overwrite").orc(p),
+      Tables.orders(s, d))
+    s.read.orc(dir)
+      .filter($"o_totalprice" > 100000.0)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice".cast("decimal(28,8)")).cast("double"), 2).as("revenue"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val orcRoundtripOracle: String =
+    """SELECT o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE), 2) AS DOUBLE) AS revenue
+      |FROM orders WHERE o_totalprice > 100000.0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("src_csv_roundtrip", Some(segmentProfileSql), csvRoundtrip),
+    Q("src_json_roundtrip", Some(segmentProfileSql), jsonRoundtrip),
+    Q("src_orc_roundtrip", Some(orcRoundtripOracle), orcRoundtrip))
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Ground-truth specs for the round-5 fourth batch: gap-fill
+  * interpolation, the constraint audit, blocked fuzzy matching, SCD-2
+  * merge, and the hashed linear classifier. Each oracle-checked query
+  * also gets an independent hand-computed check here (the oracle proves
+  * cross-engine agreement; these prove the semantics are the intended
+  * ones, on inputs small enough to verify by hand).
+  */
+class BatchOpsSpec extends SparkSuite {
+
+  test("gapfill: grid is dense, observed rows exact, gaps linearly interpolated") {
+    import spark.implicits._
+    val out = Timeseries.gapfillInterpolate(spark, Sf).cache()
+    // dense grid: |types| × 1440 minutes, no holes
+    val types = out.select($"event_type").distinct().count()
+    assert(out.count() == types * 1440)
+    // observed rows carry the exact minute sum
+    val obs = graft.Tables.events(spark, Sf)
+      .filter($"ts" >= "2024-01-05" && $"ts" < "2024-01-06")
+      .groupBy($"event_type", date_trunc("minute", $"ts").as("minute"))
+      .agg(round(sum($"value".cast("decimal(28,8)")).cast("double")
+        .cast("decimal(28,8)"), 4).cast("double").as("v"))
+    val joined = out.filter($"observed").join(obs, Seq("event_type", "minute"))
+    assert(joined.count() == out.filter($"observed").count())
+    assert(joined.filter($"v_filled" =!= $"v").count() == 0)
+    // every gap value lies within [min, max] of its series' observations
+    // (linear interpolation + endpoint carry can never extrapolate)
+    val bounds = obs.groupBy($"event_type")
+      .agg(min($"v").as("lo"), max($"v").as("hi"))
+    val oob = out.filter(!$"observed").join(bounds, "event_type")
+      .filter($"v_filled" < $"lo" || $"v_filled" > $"hi")
+    assert(oob.count() == 0)
+    out.unpersist()
+  }
+
+  test("gapfill: hand-built series — endpoint carry and linear midpoints") {
+    import spark.implicits._
+    // observations at 10:00 (v=10) and 10:04 (v=30); spine 09:58..10:06
+    val ev = Seq(
+      ("a", "2024-01-05 10:00:30", 4.0),
+      ("a", "2024-01-05 10:00:40", 6.0),   // same minute: sums to 10
+      ("a", "2024-01-05 10:04:10", 30.0))
+      .toDF("event_type", "tss", "value")
+      .select($"event_type", $"tss".cast("timestamp").as("ts"), $"value")
+    val out = Timeseries
+      .gapfillInterpolateOf(ev, "2024-01-05 09:58:00", "2024-01-05 10:06:00")
+      .collect()
+      .map(r => r.getTimestamp(1).toString.substring(11, 16) -> r.getDouble(2))
+      .toMap
+    assert(out.size == 9)
+    assert(out("09:58") == 10.0 && out("09:59") == 10.0) // left carry
+    assert(out("10:00") == 10.0 && out("10:04") == 30.0) // observed
+    assert(out("10:01") == 15.0 && out("10:02") == 20.0 && out("10:03") == 25.0)
+    assert(out("10:05") == 30.0 && out("10:06") == 30.0) // right carry
+  }
+
+  test("audit: clean table passes every constraint; violations are caught") {
+    import spark.implicits._
+    val clean = Audit.auditOrders(spark, Sf).cache()
+    assert(clean.count() == 5)
+    assert(clean.filter(!$"passed").count() == 0)
+    // break completeness, uniqueness, range and enum in a 4-row fixture
+    val dirty = Seq(
+      (1L, Some(10L), "O", 50.0),
+      (1L, Some(11L), "F", -2.0),      // dup key + negative price
+      (2L, None, "X", 10.0),           // null custkey + bad enum
+      (3L, Some(12L), "P", 30.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val rep = Audit.auditOf(dirty).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(!rep("uniqueness_o_orderkey")._2 && rep("uniqueness_o_orderkey")._1 == 0.75)
+    assert(!rep("completeness_o_custkey")._2 && rep("completeness_o_custkey")._1 == 0.75)
+    assert(!rep("compliance_positive_price")._2)
+    assert(!rep("compliance_status_enum")._2)
+    assert(!rep("min_o_totalprice")._2 && rep("min_o_totalprice")._1 == -2.0)
+    clean.unpersist()
+  }
+
+  test("fuzzy join: pairs share a block, respect the distance bound, no self/dup pairs") {
+    import spark.implicits._
+    val out = EntityRes.fuzzyJoinBlocked(spark, Sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter($"dist" > 3 || $"dist" < 1).count() == 0)
+    assert(out.filter($"name_a" >= $"name_b").count() == 0)
+    // block key really is the last word of both names
+    assert(out.filter(!$"name_a".endsWith($"block") || !$"name_b".endsWith($"block"))
+      .count() == 0)
+    // spot ground truth: 'old bolt' ↔ 'red bolt' differ by 2 edits
+    val pair = out.filter($"name_a" === "old bolt" && $"name_b" === "red bolt")
+    assert(pair.select($"dist").as[Int].head() == 2)
+    out.unpersist()
+  }
+
+  test("scd2: changed keys close+reopen, unchanged carry, one current row per key") {
+    import spark.implicits._
+    val out = EntityRes.scd2Upsert(spark, Sf).cache()
+    val perKey = out.groupBy($"custkey").agg(
+      count(lit(1)).as("n"),
+      sum(when($"is_current", 1).otherwise(0)).as("cur"))
+    assert(perKey.filter($"cur" =!= 1).count() == 0)
+    assert(perKey.filter($"custkey" % 7 === 0 && $"n" =!= 2).count() == 0)
+    assert(perKey.filter($"custkey" % 7 =!= 0 && $"n" =!= 1).count() == 0)
+    // closed rows: historic segment, bounded validity; opened: RESEGMENTED, open-ended
+    val changed = out.filter($"custkey" % 7 === 0)
+    assert(changed.filter($"is_current")
+      .filter($"segment" =!= "RESEGMENTED" || $"valid_to".isNotNull).count() == 0)
+    assert(changed.filter(!$"is_current")
+      .filter($"segment" === "RESEGMENTED" || $"valid_to".isNull).count() == 0)
+    out.unpersist()
+  }
+
+  test("classifier: logit equals the JVM-computed hash-weight sum") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta beta"), (2L, "gamma")).toDF("doc_id", "text")
+    def w(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1000 - 500
+    }
+    val got = Classifier.qualityClassifierOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val exp1 = w("alpha") + 2 * w("beta")
+    val exp2 = w("gamma")
+    assert(got(1L) == ((3L, exp1, exp1 > 0)))
+    assert(got(2L) == ((1L, exp2, exp2 > 0)))
+  }
+}

@@ -48,6 +48,18 @@ class SearchSpec extends SparkSuite {
     assert(got === Seq("x y" -> 2L, "y x" -> 2L))
   }
 
+  test("indexed bm25 ≡ from-scratch bm25, with term-bucket partition pruning") {
+    val scan = Search.bm25TopK(spark, Sf).as[(Long, Double)].collect().toSeq
+    val viaIndex = Search.bm25TopKIndexed(spark, Sf)
+    val got = viaIndex.as[(Long, Double)].collect().toSeq
+    assert(got === scan)
+    // the postings scan must be pruned on the term-hash bucket partitions
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.isDefined, plan.linesIterator.take(12).mkString("\n"))
+    assert(pf.get.contains("bucket"), pf.get)
+  }
+
   test("keep-best elects the longest member of every near-dup cluster") {
     val clusters = Dedup.nearDupClusters(spark, Sf)
       .select("doc_id", "cluster_id").as[(Long, Long)].collect()
