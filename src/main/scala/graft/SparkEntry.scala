@@ -18,7 +18,7 @@ object SparkEntry {
       SqlSurface.defs ++ TextOps.defs ++ Search.defs ++ Dedup.defs ++ CorpusDedup.defs ++
       Similarity.defs ++ Rag.defs ++ Classifier.defs ++
       Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Multimodal.defs ++
-      Audit.defs ++ EntityRes.defs ++
+      Audit.defs ++ EntityRes.defs ++ Drift.defs ++
       graft.sources.Bucketed.defs ++ graft.sources.Formats.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distribution-drift monitoring — the statistical tripwires a production
+  * training-data pipeline runs between corpus snapshots / ingest windows
+  * before letting a new batch into the training mix: a chi-square
+  * independence test over two categorical dimensions and the Population
+  * Stability Index over a binned numeric distribution.
+  *
+  * Scale shape: both are ONE map-side-combinable aggregation over the
+  * full table down to a bounded cell grid (|langs|×|sources|, or a fixed
+  * bin count), then pure arithmetic on that tiny grid — the canonical
+  * sketch-then-compute split. Nothing per-row ever reaches the driver;
+  * adding a monitored dimension adds a grid, not a pass.
+  *
+  * Cross-engine determinism: cell counts are exact integers; each cell's
+  * double contribution is computed with identical operation order on both
+  * engines, quantized to DECIMAL(28,8), and summed in exact decimal (the
+  * [[Search.bm25TopK]] / [[CorpusDedup]] idiom), so the 4-dp round can
+  * never flip on summation order.
+  */
+object Drift {
+
+  /** Chi-square test of independence for documents' lang × source: the
+    * "did my language mix shift per source?" alarm. Output is one row:
+    * the statistic, degrees of freedom, and the grid size it came from.
+    * The full grid (including unobserved cells, whose expected counts
+    * still contribute) is formed by crossing the marginals. */
+  def chi2LangSource(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val cells = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+    val rows = docs.groupBy($"lang").agg(count(lit(1)).as("rn"))
+    val cols = docs.groupBy($"source").agg(count(lit(1)).as("cn"))
+    val n = docs.count()
+    val grid = rows.crossJoin(cols)
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce($"o", lit(0L)))
+    val e = $"rn" * $"cn" / lit(n.toDouble)
+    val contrib = ($"o" - e) * ($"o" - e) / e
+    grid.agg(
+        round(sum(contrib.cast("decimal(28,8)")).cast("double"), 4).as("chi2"),
+        ((countDistinct($"lang") - 1) * (countDistinct($"source") - 1)).as("dof"),
+        count(lit(1)).as("n_cells"))
+      .orderBy($"chi2")
+  }
+
+  val chi2LangSourceOracle: String =
+    """WITH cells AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, count(*) AS rn FROM documents GROUP BY 1),
+      |c AS (SELECT source, count(*) AS cn FROM documents GROUP BY 1),
+      |n AS (SELECT count(*) * 1.0 AS n FROM documents),
+      |grid AS (
+      |  SELECT r.lang, c.source, r.rn, c.cn, coalesce(cells.o, 0) AS o
+      |  FROM r CROSS JOIN c
+      |  LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source)
+      |SELECT
+      |  CAST(round(CAST(sum(CAST((o - rn * cn / n) * (o - rn * cn / n) / (rn * cn / n)
+      |       AS DECIMAL(28,8))) AS DOUBLE), 4) AS DOUBLE) AS chi2,
+      |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+      |  CAST(count(*) AS BIGINT) AS n_cells
+      |FROM grid CROSS JOIN n""".stripMargin
+
+  /** PSI of the event `value` distribution, week 1 vs week 2 of the
+    * stream, over 10 fixed-width bins on [0, 500) (the synthetic range;
+    * production bins come from the reference window's quantiles). Laplace
+    * (+1) smoothing keeps empty bins finite and both engines identical.
+    * PSI < 0.1 is conventionally "no shift" — the report emits per-bin
+    * contributions plus the total under bin = -1, so the alarm and its
+    * explanation come from the same scan. */
+  def psiValueDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .filter($"ts" >= "2024-01-01" && $"ts" < "2024-01-15")
+    val binned = ev.select(
+      least(floor($"value" / 50.0), lit(9L)).cast("long").as("bin"),
+      when($"ts" < "2024-01-08", lit("a")).otherwise(lit("b")).as("win"))
+    // Dense bin spine: an empty bin still contributes its smoothed mass
+    // (and its absence from the report would hide exactly the interesting
+    // case — all of a bin's mass draining away between windows).
+    val counts = s.sql("SELECT explode(sequence(0, 9)) AS bin")
+      .select($"bin".cast("long").as("bin"))
+      .join(
+        binned.groupBy($"bin").agg(
+          sum(when($"win" === "a", 1L).otherwise(0L)).as("an"),
+          sum(when($"win" === "b", 1L).otherwise(0L)).as("bn")),
+        Seq("bin"), "left")
+      .select($"bin", coalesce($"an", lit(0L)).as("an"), coalesce($"bn", lit(0L)).as("bn"))
+    // Bounded grid from here on. Totals ride along via a window-free
+    // cross join of one aggregated row (broadcast, no second scan of ev).
+    val tot = counts.agg(sum($"an").as("ta"), sum($"bn").as("tb"))
+    val g = counts.crossJoin(broadcast(tot))
+    val p = ($"an" + lit(1.0)) / ($"ta" + lit(10.0))
+    val q = ($"bn" + lit(1.0)) / ($"tb" + lit(10.0))
+    val contrib = (p - q) * log(p / q)
+    val perBin = g.select($"bin",
+      round(contrib.cast("decimal(28,8)"), 6).cast("double").as("psi"))
+    val total = g.agg(
+      lit(-1L).as("bin"),
+      round(sum(contrib.cast("decimal(28,8)")).cast("double"), 6).as("psi"))
+    perBin.unionAll(total).orderBy($"bin")
+  }
+
+  val psiValueDriftOracle: String =
+    """WITH ev AS (
+      |  SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin,
+      |         CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 'a' ELSE 'b' END AS win
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'),
+      |obs AS (
+      |  SELECT bin,
+      |         sum(CASE WHEN win = 'a' THEN 1 ELSE 0 END) AS an,
+      |         sum(CASE WHEN win = 'b' THEN 1 ELSE 0 END) AS bn
+      |  FROM ev GROUP BY 1),
+      |counts AS (
+      |  SELECT s.bin, coalesce(obs.an, 0) AS an, coalesce(obs.bn, 0) AS bn
+      |  FROM (SELECT unnest(generate_series(0, 9)) AS bin) s
+      |  LEFT JOIN obs ON obs.bin = s.bin),
+      |tot AS (SELECT sum(an) AS ta, sum(bn) AS tb FROM counts),
+      |g AS (SELECT * FROM counts CROSS JOIN tot)
+      |SELECT bin, CAST(round(CAST(
+      |         ((an + 1.0) / (ta + 10.0) - (bn + 1.0) / (tb + 10.0))
+      |         * ln(((an + 1.0) / (ta + 10.0)) / ((bn + 1.0) / (tb + 10.0)))
+      |       AS DECIMAL(28,8)), 6) AS DOUBLE) AS psi
+      |FROM g
+      |UNION ALL
+      |SELECT -1, CAST(round(CAST(sum(CAST(
+      |         ((an + 1.0) / (ta + 10.0) - (bn + 1.0) / (tb + 10.0))
+      |         * ln(((an + 1.0) / (ta + 10.0)) / ((bn + 1.0) / (tb + 10.0)))
+      |       AS DECIMAL(28,8))) AS DOUBLE), 6) AS DOUBLE)
+      |FROM g
+      |ORDER BY bin""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("audit_chi2_lang_source", Some(chi2LangSourceOracle), chi2LangSource),
+    Q("audit_psi_value_drift", Some(psiValueDriftOracle), psiValueDrift))
+}
