@@ -30,9 +30,12 @@ object Drift {
     * the statistic, degrees of freedom, and the grid size it came from.
     * The full grid (including unobserved cells, whose expected counts
     * still contribute) is formed by crossing the marginals. */
-  def chi2LangSource(s: SparkSession, d: String): DataFrame = {
+  def chi2LangSource(s: SparkSession, d: String): DataFrame =
+    chi2Of(Tables.documents(s, d))
+
+  def chi2Of(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, d)
     val cells = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
     val rows = docs.groupBy($"lang").agg(count(lit(1)).as("rn"))
     val cols = docs.groupBy($"source").agg(count(lit(1)).as("cn"))

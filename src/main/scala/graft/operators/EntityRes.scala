@@ -37,9 +37,13 @@ object EntityRes {
   /** Fuzzy self-match of part names: pairs of distinct names that share
     * a block (their last word) and are within Levenshtein distance 3.
     * The classic record-linkage candidate+verify shape. */
-  def fuzzyJoinBlocked(s: SparkSession, d: String): DataFrame = {
+  def fuzzyJoinBlocked(s: SparkSession, d: String): DataFrame =
+    fuzzyJoinBlockedOf(Tables.part(s, d))
+
+  def fuzzyJoinBlockedOf(part: DataFrame): DataFrame = {
+    val s = part.sparkSession
     import s.implicits._
-    val names = Tables.part(s, d)
+    val names = part
       .select($"p_name".as("name")).distinct()
       .withColumn("block", regexp_extract($"name", "[a-z]+$", 0))
     val a = names.select($"name".as("name_a"), $"block")
@@ -71,9 +75,13 @@ object EntityRes {
     * Output is the full post-merge history: unchanged keys keep their
     * open row; changed keys get their old row closed at the effective
     * date plus a new open row. */
-  def scd2Upsert(s: SparkSession, d: String): DataFrame = {
+  def scd2Upsert(s: SparkSession, d: String): DataFrame =
+    scd2UpsertOf(Tables.customer(s, d))
+
+  def scd2UpsertOf(customer: DataFrame): DataFrame = {
+    val s = customer.sparkSession
     import s.implicits._
-    val dim = Tables.customer(s, d)
+    val dim = customer
       .select($"c_custkey".as("custkey"), $"c_mktsegment".as("segment"))
     val updates = dim.filter($"custkey" % 7 === 0)
       .select($"custkey", lit("RESEGMENTED").as("new_segment"))
