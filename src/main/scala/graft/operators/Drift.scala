@@ -40,15 +40,23 @@ object Drift {
     val rows = docs.groupBy($"lang").agg(count(lit(1)).as("rn"))
     val cols = docs.groupBy($"source").agg(count(lit(1)).as("cn"))
     val n = docs.count()
-    val grid = rows.crossJoin(cols)
-      .join(cells, Seq("lang", "source"), "left")
-      .withColumn("o", coalesce($"o", lit(0L)))
+    // Only OBSERVED cells are materialized. Unobserved cells contribute
+    // (0−E)²/E = E, and Σ_all E = N exactly, so
+    //   χ² = Σ_obs[(O−E)²/E] + (N − Σ_obs E)
+    // — the sparse-contingency identity. At scale this matters: the
+    // observed cells are at most the data, while the crossed grid
+    // |langs|×|sources| can dwarf it (and would need a nested-loop cross).
+    val grid = cells
+      .join(broadcast(rows), "lang")
+      .join(broadcast(cols), "source")
     val e = $"rn" * $"cn" / lit(n.toDouble)
     val contrib = ($"o" - e) * ($"o" - e) / e
     grid.agg(
-        round(sum(contrib.cast("decimal(28,8)")).cast("double"), 4).as("chi2"),
+        round(
+          sum(contrib.cast("decimal(28,8)")) - sum(e.cast("decimal(28,8)")) +
+            lit(n).cast("decimal(28,8)"), 4).cast("double").as("chi2"),
         ((countDistinct($"lang") - 1) * (countDistinct($"source") - 1)).as("dof"),
-        count(lit(1)).as("n_cells"))
+        (countDistinct($"lang") * countDistinct($"source")).as("n_cells"))
       .orderBy($"chi2")
   }
 
@@ -56,17 +64,20 @@ object Drift {
     """WITH cells AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
       |r AS (SELECT lang, count(*) AS rn FROM documents GROUP BY 1),
       |c AS (SELECT source, count(*) AS cn FROM documents GROUP BY 1),
-      |n AS (SELECT count(*) * 1.0 AS n FROM documents),
+      |n AS (SELECT count(*) * 1.0 AS n, count(*) AS nc FROM documents),
       |grid AS (
-      |  SELECT r.lang, c.source, r.rn, c.cn, coalesce(cells.o, 0) AS o
-      |  FROM r CROSS JOIN c
-      |  LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source)
+      |  SELECT cells.lang, cells.source, r.rn, c.cn, cells.o
+      |  FROM cells JOIN r ON cells.lang = r.lang
+      |             JOIN c ON cells.source = c.source)
       |SELECT
-      |  CAST(round(CAST(sum(CAST((o - rn * cn / n) * (o - rn * cn / n) / (rn * cn / n)
-      |       AS DECIMAL(28,8))) AS DOUBLE), 4) AS DOUBLE) AS chi2,
+      |  CAST(round(sum(CAST((o - rn * cn / n) * (o - rn * cn / n) / (rn * cn / n)
+      |                      AS DECIMAL(28,8)))
+      |             - sum(CAST(rn * cn / n AS DECIMAL(28,8)))
+      |             + CAST(nc AS DECIMAL(28,8)), 4) AS DOUBLE) AS chi2,
       |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
-      |  CAST(count(*) AS BIGINT) AS n_cells
-      |FROM grid CROSS JOIN n""".stripMargin
+      |  CAST(count(DISTINCT lang) * count(DISTINCT source) AS BIGINT) AS n_cells
+      |FROM grid CROSS JOIN n
+      |GROUP BY nc""".stripMargin
 
   /** PSI of the event `value` distribution, week 1 vs week 2 of the
     * stream, over 10 fixed-width bins on [0, 500) (the synthetic range;
@@ -93,19 +104,28 @@ object Drift {
           sum(when($"win" === "b", 1L).otherwise(0L)).as("bn")),
         Seq("bin"), "left")
       .select($"bin", coalesce($"an", lit(0L)).as("an"), coalesce($"bn", lit(0L)).as("bn"))
-    // Bounded grid from here on. Totals ride along via a window-free
-    // cross join of one aggregated row (broadcast, no second scan of ev).
-    val tot = counts.agg(sum($"an").as("ta"), sum($"bn").as("tb"))
-    val g = counts.crossJoin(broadcast(tot))
-    val p = ($"an" + lit(1.0)) / ($"ta" + lit(10.0))
-    val q = ($"bn" + lit(1.0)) / ($"tb" + lit(10.0))
+    // Bounded grid from here on: persist the 10-row bin census, read the
+    // two window totals back as DRIVER SCALARS (exact longs — the
+    // [[Search.bm25TopK]] N/avgdl idiom; RankStats precedent for bounded
+    // driver data), and inline them as literals. No totals join exists in
+    // the plan at all — a constant-key join would constant-fold into the
+    // nested-loop shape PlanHygieneSpec forbids. The tiny result is then
+    // materialized and the census released.
+    val cached = counts.persist()
+    val totRow = cached.agg(sum($"an"), sum($"bn")).head()
+    val (ta, tb) = (totRow.getLong(0), totRow.getLong(1))
+    val p = ($"an" + lit(1.0)) / lit(ta + 10.0)
+    val q = ($"bn" + lit(1.0)) / lit(tb + 10.0)
     val contrib = (p - q) * log(p / q)
-    val perBin = g.select($"bin",
+    val perBin = cached.select($"bin",
       round(contrib.cast("decimal(28,8)"), 6).cast("double").as("psi"))
-    val total = g.agg(
+    val total = cached.agg(
       lit(-1L).as("bin"),
       round(sum(contrib.cast("decimal(28,8)")).cast("double"), 6).as("psi"))
-    perBin.unionAll(total).orderBy($"bin")
+    val out = perBin.unionAll(total).orderBy($"bin")
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    cached.unpersist(blocking = false)
+    s.createDataFrame(rows, out.schema)
   }
 
   val psiValueDriftOracle: String =

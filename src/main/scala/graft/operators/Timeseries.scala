@@ -58,9 +58,13 @@ object Timeseries {
         $"ts" < lit(spineEnd).cast("timestamp") + expr("interval 1 minute"))
       .groupBy($"event_type", date_trunc("minute", $"ts").as("minute"))
       .agg(sum($"value".cast("decimal(28,8)")).cast("double").as("v"))
+    // The spine is exploded PER series key off the (aggregated, tiny)
+    // distinct-series relation — a narrow Generate, not a cross join: the
+    // grid never exists as a join of two relations, so nothing here can
+    // ever degrade to a nested-loop plan (PlanHygieneSpec's invariant).
     val grid = ev.select($"event_type").distinct()
-      .crossJoin(s.sql(
-        s"SELECT explode(sequence(timestamp'$spineStart', timestamp'$spineEnd', interval 1 minute)) AS minute"))
+      .select($"event_type", explode(expr(
+        s"sequence(timestamp'$spineStart', timestamp'$spineEnd', interval 1 minute)")).as("minute"))
     val fwd = Window.partitionBy($"event_type").orderBy($"minute")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bwd = Window.partitionBy($"event_type").orderBy($"minute")
