@@ -115,6 +115,8 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = registeredSessions.synchronized {
     if (!registeredSessions.add(spark)) return
+    // Optimizer rules ride the same once-per-session hook as functions.
+    graft.plans.EditDistancePrefilter.install(spark)
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(DotName,
       exprs => DotProductExpr(exprs.head, exprs(1)), "built-in")
