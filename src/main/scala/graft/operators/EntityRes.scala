@@ -128,7 +128,52 @@ object EntityRes {
       |  FROM seeded WHERE new_segment IS NOT NULL)
       |ORDER BY custkey, valid_from""".stripMargin
 
+  /** Snapshot diff: compare the dimension BEFORE and AFTER the SCD-2
+    * update batch (both derived deterministically here) and classify every
+    * key as unchanged / changed. The general op also yields added/removed
+    * keys from the same full-outer join — the synthetic batch has none, so
+    * the changed/unchanged split is the observable output; the audit every
+    * nightly dimension load runs before publishing.
+    *
+    * Scale: ONE full-outer shuffle join on the key (exchange-free if both
+    * snapshots are bucketed on it); the classification is a narrow
+    * projection. Reported as per-class counts — bounded output. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val before = Tables.customer(s, d)
+      .select($"c_custkey".as("custkey"), $"c_mktsegment".as("seg_before"))
+    val after = before
+      .withColumn("seg_after",
+        when($"custkey" % 7 === 0, lit("RESEGMENTED")).otherwise($"seg_before"))
+      .select($"custkey", $"seg_after")
+    before.join(after, Seq("custkey"), "full_outer")
+      .select(
+        when($"seg_before".isNull, lit("added"))
+          .when($"seg_after".isNull, lit("removed"))
+          .when($"seg_before" === $"seg_after", lit("unchanged"))
+          .otherwise(lit("changed")).as("diff_class"))
+      .groupBy($"diff_class")
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy($"diff_class")
+  }
+
+  val snapshotDiffOracle: String =
+    """WITH before_s AS (
+      |  SELECT c_custkey AS custkey, c_mktsegment AS seg_before FROM customer),
+      |after_s AS (
+      |  SELECT custkey,
+      |         CASE WHEN custkey % 7 = 0 THEN 'RESEGMENTED' ELSE seg_before END AS seg_after
+      |  FROM before_s)
+      |SELECT CASE WHEN seg_before IS NULL THEN 'added'
+      |            WHEN seg_after IS NULL THEN 'removed'
+      |            WHEN seg_before = seg_after THEN 'unchanged'
+      |            ELSE 'changed' END AS diff_class,
+      |       CAST(count(*) AS BIGINT) AS n_keys
+      |FROM before_s FULL OUTER JOIN after_s USING (custkey)
+      |GROUP BY 1 ORDER BY diff_class""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("join_fuzzy_blocked", Some(fuzzyJoinBlockedOracle), fuzzyJoinBlocked),
-    Q("dim_scd2_upsert", Some(scd2UpsertOracle), scd2Upsert))
+    Q("dim_scd2_upsert", Some(scd2UpsertOracle), scd2Upsert),
+    Q("dim_snapshot_diff", Some(snapshotDiffOracle), snapshotDiff))
 }

@@ -167,9 +167,64 @@ object Temporal {
       |WHERE v.event_type = 'view'
       |GROUP BY v.event_id ORDER BY view_id""".stripMargin
 
+  /** Linear multi-touch attribution: every purchase's value is split
+    * EVENLY across the user's clicks in the preceding hour (the standard
+    * linear model; [[asofClickAttribution]] is its last-touch sibling),
+    * then re-aggregated per user. Purchases with no qualifying touch drop
+    * out (a "direct" bucket is the same query with a left join).
+    *
+    * Scale shape: the touch join is the bucketed range join of
+    * [[rangeJoinPurchasesAfterView]] — the hour-bucket explode gives
+    * Catalyst (user, bucket) equi-keys so the range is a hash-join
+    * residual, never a nested loop. The per-purchase touch count is a
+    * window over the purchase key (co-partitioned with the join output),
+    * and the per-touch shares are decimal-quantized before the per-user
+    * sum so cross-engine order cannot flip the round. */
+  def multitouchAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("cts"),
+        floor(unix_timestamp($"ts") / 3600).as("bucket"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("pts"), $"value",
+        explode(array(floor(unix_timestamp($"ts") / 3600),
+          floor(unix_timestamp($"ts") / 3600) - 1)).as("p_bucket"))
+    val touches = clicks.join(purchases,
+      $"user_id" === $"p_user" && $"bucket" === $"p_bucket" &&
+        $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" < $"pts")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"purchase_id")
+    touches
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .select($"user_id",
+        ($"value" / $"n_touches").cast("decimal(28,8)").as("share"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum($"share").cast("double"), 4).as("attributed"))
+      .orderBy($"user_id")
+  }
+
+  val multitouchOracle: String =
+    """WITH touches AS (
+      |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id, p.value
+      |  FROM events c JOIN events p
+      |    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+      |   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |  WHERE c.event_type = 'click'),
+      |shares AS (
+      |  SELECT user_id,
+      |         CAST(value / (count(*) OVER (PARTITION BY purchase_id)) AS DECIMAL(28,8)) AS share
+      |  FROM touches)
+      |SELECT user_id,
+      |       CAST(count(*) AS BIGINT) AS n_touches,
+      |       CAST(round(CAST(sum(share) AS DOUBLE), 4) AS DOUBLE) AS attributed
+      |FROM shares GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("asof_click_attribution", Some(asofOracle), asofClickAttribution),
     Q("ev_sessionize", Some(sessionizeOracle), sessionize),
     Q("ev_session_window_native", Some(sessionWindowOracle), sessionWindowNative),
-    Q("range_join_purchases_1h", Some(rangeJoinOracle), rangeJoinPurchasesAfterView))
+    Q("range_join_purchases_1h", Some(rangeJoinOracle), rangeJoinPurchasesAfterView),
+    Q("ev_multitouch_attribution", Some(multitouchOracle), multitouchAttribution))
 }

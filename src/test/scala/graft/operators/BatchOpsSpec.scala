@@ -114,6 +114,36 @@ class BatchOpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("snapshot diff: changed = keys divisible by 7, nothing added/removed") {
+    import spark.implicits._
+    val out = EntityRes.snapshotDiff(spark, Sf)
+      .as[(String, Long)].collect().toMap
+    val keys = graft.Tables.customer(spark, Sf)
+      .select($"c_custkey").as[Long].collect()
+    assert(out.getOrElse("changed", 0L) == keys.count(_ % 7 == 0))
+    assert(out.getOrElse("unchanged", 0L) == keys.count(_ % 7 != 0))
+    assert(!out.contains("added") && !out.contains("removed"))
+  }
+
+  test("multi-touch attribution conserves the attributed purchase value") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, Sf)
+    // ground truth: every purchase with >=1 click in the prior hour
+    // contributes its FULL value exactly once, split across touches
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect()
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)].collect()
+    val attributedTotal = purchases.filter { case (_, u, pts, _) =>
+      clicks.exists { case (cu, cts) =>
+        cu == u && cts.getTime >= pts.getTime - 3600000L && cts.getTime < pts.getTime }
+    }.map(_._4).sum
+    val got = Temporal.multitouchAttribution(spark, Sf)
+      .agg(org.apache.spark.sql.functions.sum($"attributed")).as[Double].head()
+    assert(math.abs(got - attributedTotal) < 1e-2, s"$got vs $attributedTotal")
+  }
+
   test("classifier: logit equals the JVM-computed hash-weight sum") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta beta"), (2L, "gamma")).toDF("doc_id", "text")
