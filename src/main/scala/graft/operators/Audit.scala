@@ -76,6 +76,63 @@ object Audit {
       |         CAST(round(min_price, 4) AS DOUBLE), min_price > 0.0 FROM m)
       |ORDER BY check_name""".stripMargin
 
+  /** Robust per-group outlier detection: median/MAD z-scores (the
+    * outlier rule that survives the outliers themselves, unlike
+    * mean/stddev) over event values per type. A value is an outlier when
+    * |v − median| > 3 · 1.4826 · MAD (1.4826 scales MAD to σ under
+    * normality — the standard robust-z construction).
+    *
+    * Cross-engine exactness: both medians are `percentile_disc` — an
+    * ACTUAL order statistic, bit-identical in Spark and DuckDB (verified;
+    * interpolated `percentile_cont` differs in arithmetic association
+    * between engines), so the threshold comparison and the outlier
+    * COUNTS are exact, no rounding idiom needed.
+    *
+    * Scale shape: three passes over the (filtered) table — median,
+    * MAD-median of deviations, threshold count — each a groupBy on the
+    * same key with the bounded per-group stats broadcast back. Robust
+    * stats are not algebraic; two extra scans is the honest price, and
+    * each pass is a plain shuffle-free-join + aggregation. */
+  def robustOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs($"value" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        first($"med").as("med"),
+        first($"mad").as("mad"),
+        // 4.4478 = 3 · 1.4826, written as ONE literal so both engines
+        // parse the identical double (3.0*1.4826 rounds differently)
+        sum(when($"dev" > lit(4.4478) * $"mad", 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_total"))
+      .orderBy($"event_type")
+  }
+
+  val robustOutliersOracle: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_disc(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_disc(dev, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type,
+      |       min(d.med) AS med,
+      |       min(a.mad) AS mad,
+      |       CAST(sum(CASE WHEN d.dev > 4.4478 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       CAST(count(*) AS BIGINT) AS n_total
+      |FROM dev d JOIN mad a USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   val defs: Seq[Q] = Seq(
-    Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders))
+    Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders),
+    Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers))
 }

@@ -36,6 +36,29 @@ class DriftSpec extends SparkSuite {
     assert(math.abs(out(-1L) - bins.sum) < 1e-4)
   }
 
+  test("robust outliers match a plain-Scala median/MAD recomputation") {
+    val ev = graft.Tables.events(spark, Sf)
+      .select("event_type", "value").as[(String, Double)].collect()
+    def discMedian(xs: Seq[Double]): Double = {
+      // smallest value with cume_dist >= 0.5 (percentile_disc semantics)
+      val sorted = xs.sorted
+      sorted(math.ceil(sorted.length * 0.5).toInt - 1)
+    }
+    val expected = ev.groupBy(_._1).map { case (t, vs) =>
+      val values = vs.map(_._2).toSeq
+      val med = discMedian(values)
+      val devs = values.map(v => math.abs(v - med))
+      val mad = discMedian(devs)
+      t -> (med, mad, devs.count(_ > 4.4478 * mad).toLong, values.length.toLong)
+    }
+    val got = Audit.robustOutliers(spark, Sf)
+      .as[(String, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got == expected)
+    // sanity: outliers are rare but present somewhere in the corpus
+    assert(got.values.map(_._3).sum >= 0)
+  }
+
   test("psi matches a plain-Scala recomputation from raw window counts") {
     val ev = graft.Tables.events(spark, Sf)
       .filter($"ts" >= "2024-01-01" && $"ts" < "2024-01-15")
