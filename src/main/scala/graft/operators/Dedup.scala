@@ -473,8 +473,46 @@ object Dedup {
       .orderBy($"cluster_id")
   }
 
+  /** Incremental ingest dedup — the daily shape at 100 TB: an incoming
+    * batch is deduped (a) against the EXISTING corpus's fingerprint index
+    * and (b) within itself, without ever rescanning corpus text. The
+    * split here is deterministic (doc_id % 10 == 7 plays the incoming
+    * batch, the rest the standing corpus).
+    *
+    * Scale shape: the corpus side collapses to its DISTINCT fingerprint
+    * relation (32 hex chars/doc — in production a materialized,
+    * hash-partitioned index maintained by the ingest job, cf. the
+    * [[graft.operators.Search.postingsIndexDir]] build-once pattern);
+    * the batch anti-joins it on the fingerprint (shuffle keyed on fp —
+    * or exchange-free against a bucketed index), then elects first
+    * occurrence per surviving fingerprint with one more fp-keyed
+    * aggregation. The batch never joins corpus TEXT, and corpus cost is
+    * index-lookup, not rescan. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = Tables.documents(s, d)
+      .select($"doc_id", md5($"text".cast("binary")).as("fp"))
+    val corpusIndex = fp.filter($"doc_id" % 10 =!= 7).select($"fp").distinct()
+    val batch = fp.filter($"doc_id" % 10 === 7)
+    batch
+      .join(corpusIndex, Seq("fp"), "left_anti")
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", $"fp")
+      .orderBy($"doc_id")
+  }
+
+  val incrementalDedupOracle: String =
+    """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 7),
+      |batch AS (SELECT * FROM fp WHERE doc_id % 10 = 7)
+      |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp
+      |FROM batch WHERE fp NOT IN (SELECT fp FROM corpus)
+      |GROUP BY fp ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("dedup_exact", Some(exactDedupOracle), exactDedup),
+    Q("dedup_incremental_batch", Some(incrementalDedupOracle), incrementalDedup),
     Q("dedup_keep_best", None, keepBestClusters),
     Q("dedup_exact_by_hash", Some(exactDedupByHashOracle), exactDedupByHash),
     Q("dedup_ngram_jaccard", None, ngramJaccardPairs),

@@ -144,6 +144,20 @@ class BatchOpsSpec extends SparkSuite {
     assert(math.abs(got - attributedTotal) < 1e-2, s"$got vs $attributedTotal")
   }
 
+  test("incremental dedup: survivors are batch-first, corpus-unseen texts") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val corpusTexts = docs.filter(_._1 % 10 != 7).map(_._2).toSet
+    val expected = docs.filter(_._1 % 10 == 7)
+      .filterNot(d => corpusTexts.contains(d._2))
+      .groupBy(_._2).map { case (_, vs) => vs.map(_._1).min }.toSet
+    val got = Dedup.incrementalDedup(spark, Sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.forall(_ % 10 == 7))
+  }
+
   test("classifier: logit equals the JVM-computed hash-weight sum") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta beta"), (2L, "gamma")).toDF("doc_id", "text")
