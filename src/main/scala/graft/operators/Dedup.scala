@@ -333,8 +333,59 @@ object Dedup {
     *                under-deletes) and must not pass silently
     * @return (doc_id, cluster_id) — cluster_id is the component's min doc
     */
+  /** Edge-count ceiling for the driver union-find shortcut: 2M edges ×
+    * 16 bytes is a 32 MB bounded artifact — the same budget class as the
+    * cluster-result memo. Above it, the distributed loop runs. */
+  private[operators] val DriverCcMaxEdges = 2000000L
+
   def connectedComponents(edges: DataFrame, maxIters: Int = 20,
-                          strict: Boolean = true): DataFrame = {
+                          strict: Boolean = true): DataFrame =
+    connectedComponents(edges, maxIters, strict, DriverCcMaxEdges)
+
+  /** Size-adaptive connected components. The candidate graph a near-dup
+    * pipeline emits is orders of magnitude smaller than the corpus (it is
+    * the post-banding, post-verification edge set), so at local/medium
+    * scale it fits the driver with room to spare — and an iterative
+    * shuffle loop whose per-round FIXED cost is ~0.3 s cannot beat an
+    * O(E·α) union-find that finishes in milliseconds. The ceiling keeps
+    * the shortcut honest: past [[DriverCcMaxEdges]] the distributed
+    * min-label/pointer-jumping loop below takes over unchanged (that path
+    * stays spec-pinned via the threshold override in ClusterDedupSpec,
+    * and both paths are asserted label-equivalent on the same graphs). */
+  private[operators] def connectedComponents(edges: DataFrame, maxIters: Int,
+                          strict: Boolean, driverMaxEdges: Long): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val pairs = edges.select($"doc_a", $"doc_b").persist()
+    val nEdges = pairs.count()
+    if (nEdges <= driverMaxEdges) {
+      val es = pairs.as[(Long, Long)].collect()
+      pairs.unpersist(blocking = false)
+      // path-compressing union-find; roots = min vertex id of the
+      // component so labels match the distributed loop's min-label fixpoint
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val p = parent(c); parent(c) = r; c = p }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val labels = parent.keys.toSeq.map(v => (v, find(v)))
+      s.createDataFrame(labels).toDF("doc_id", "cluster_id")
+    } else {
+      pairs.unpersist(blocking = false)
+      connectedComponentsDistributed(edges, maxIters, strict)
+    }
+  }
+
+  private[operators] def connectedComponentsDistributed(
+      edges: DataFrame, maxIters: Int = 20, strict: Boolean = true): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     // localCheckpoint (not persist) each iteration: an iterative DataFrame

@@ -8,22 +8,37 @@ import graft.SparkSuite
 class ClusterDedupSpec extends SparkSuite {
   import spark.implicits._
 
+  // both execution paths of the size-adaptive CC: the driver union-find
+  // (default below the edge ceiling) and the distributed min-label loop
   private def components(edges: (Long, Long)*): Map[Long, Long] =
     Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
       .as[(Long, Long)].collect().toMap
 
-  test("recovers components exactly, including transitive chains") {
+  private def componentsDistributed(edges: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponentsDistributed(edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("recovers components exactly, including transitive chains (both paths)") {
     // {1,2,3} via chain 1-2-3 (no 1-3 edge), {10,11}, {20,21,22} star on 21
-    val got = components(1L -> 2L, 2L -> 3L, 10L -> 11L, 21L -> 20L, 21L -> 22L)
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val edges = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L, 21L -> 20L, 21L -> 22L)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(components(edges: _*) == want)
+    assert(componentsDistributed(edges: _*) == want)
   }
 
-  test("long path converges within the iteration bound") {
+  test("long path converges within the iteration bound (both paths)") {
     // a 9-hop path: worst diameter case for min-label propagation
     val edges = (0L until 9L).map(i => i -> (i + 1))
-    val got = components(edges: _*)
-    assert(got.values.toSet == Set(0L), s"path must collapse to one component: $got")
+    assert(components(edges: _*).values.toSet == Set(0L))
+    assert(componentsDistributed(edges: _*).values.toSet == Set(0L))
+  }
+
+  test("driver union-find and distributed loop agree on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(600)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(e => e._1 != e._2)
+    assert(components(edges: _*) == componentsDistributed(edges: _*))
   }
 
   test("corpus keep-list invariants: one representative per cluster") {
