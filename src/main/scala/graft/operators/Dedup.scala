@@ -194,12 +194,30 @@ object Dedup {
       sigs)
   }
 
+  /** Verified-pair memo: the (doc_a, doc_b, exact jaccard) relation that
+    * survives the est≥0.25 prefilter is BOUNDED (post-banding candidates
+    * only — a few thousand rows at sf0.1) and consumed by two registered
+    * queries (top-20 pairs, clustering) plus keep-best downstream.
+    * Same weak-session-keyed pattern and staleness caveat as
+    * [[clusterCache]]. */
+  private val pairsCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private[operators] def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val perSession = pairsCache.synchronized {
+      pairsCache.computeIfAbsent(s, _ =>
+        scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    perSession.getOrElseUpdate(d, {
+      val (pairs, sigs) = exactJaccardPairs(s, d)
+      materializeAndRelease(pairs, sigs)
+    })
+  }
+
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (pairs, sigs) = exactJaccardPairs(s, d)
-    materializeAndRelease(
-      pairs.orderBy($"jaccard".desc, $"doc_a", $"doc_b").limit(20),
-      sigs)
+    verifiedPairs(s, d).orderBy($"jaccard".desc, $"doc_a", $"doc_b").limit(20)
   }
 
   /** MinHash-estimated Jaccard on the LSH candidate set: top-50 pairs. */
@@ -476,8 +494,8 @@ object Dedup {
 
   private def nearDupClustersUncached(s: SparkSession, d: String, jThreshold: Double): DataFrame = {
     import s.implicits._
-    val (pairs, sigs) = exactJaccardPairs(s, d)
-    val edges = pairs.filter($"jaccard" >= jThreshold).select($"doc_a", $"doc_b")
+    val edges = verifiedPairs(s, d)
+      .filter($"jaccard" >= jThreshold).select($"doc_a", $"doc_b")
     val clusters = connectedComponents(edges)
     val out = clusters
       .withColumn("cluster_size",
@@ -485,7 +503,7 @@ object Dedup {
       .withColumn("keep", ($"doc_id" === $"cluster_id").cast("int"))
       .select($"doc_id", $"cluster_id", $"cluster_size".cast("long").as("cluster_size"), $"keep")
       .orderBy($"doc_id")
-    val result = materializeAndRelease(out, sigs)
+    val result = materializeAndRelease(out)
     clusters.unpersist(blocking = false)
     result
   }
