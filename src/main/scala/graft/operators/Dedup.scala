@@ -202,17 +202,18 @@ object Dedup {
     * [[clusterCache]]. */
   private val pairsCache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+      scala.collection.concurrent.TrieMap[String, Memo]]()
 
   private[operators] def verifiedPairs(s: SparkSession, d: String): DataFrame = {
     val perSession = pairsCache.synchronized {
       pairsCache.computeIfAbsent(s, _ =>
-        scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+        scala.collection.concurrent.TrieMap.empty[String, Memo])
     }
-    perSession.getOrElseUpdate(d, {
+    val (rows, schema) = perSession.getOrElseUpdate(d, {
       val (pairs, sigs) = exactJaccardPairs(s, d)
-      materializeAndRelease(pairs, sigs)
+      rememo(s, materializeAndRelease(pairs, sigs))
     })
+    s.createDataFrame(rows, schema)
   }
 
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
@@ -351,10 +352,14 @@ object Dedup {
     *                under-deletes) and must not pass silently
     * @return (doc_id, cluster_id) — cluster_id is the component's min doc
     */
-  /** Edge-count ceiling for the driver union-find shortcut: 2M edges ×
-    * 16 bytes is a 32 MB bounded artifact — the same budget class as the
-    * cluster-result memo. Above it, the distributed loop runs. */
-  private[operators] val DriverCcMaxEdges = 2000000L
+  /** Edge-count ceiling for the driver union-find shortcut. The honest
+    * heap cost is JVM-object cost, not payload: 1M collected Row/boxed
+    * tuples plus a boxed HashMap of ≤2M entries is ~100–200 MB transient —
+    * trivial for this driver (128 GiB) but 10× the raw 16 B/edge, so the
+    * ceiling is set for the OBJECT cost (a production tightening is a
+    * primitive-long sorted-array union-find, ~16 MB at this ceiling).
+    * Above it, the distributed loop runs on the still-persisted edges. */
+  private[operators] val DriverCcMaxEdges = 1000000L
 
   def connectedComponents(edges: DataFrame, maxIters: Int = 20,
                           strict: Boolean = true): DataFrame =
@@ -397,8 +402,13 @@ object Dedup {
       val labels = parent.keys.toSeq.map(v => (v, find(v)))
       s.createDataFrame(labels).toDF("doc_id", "cluster_id")
     } else {
+      // Hand the PERSISTED relation to the distributed loop — its first
+      // localCheckpoint (eager) reads the cached partitions instead of
+      // re-deriving the candidate-join lineage, which is the costliest
+      // input exactly in this branch; release only after that has run.
+      val labels = connectedComponentsDistributed(pairs, maxIters, strict)
       pairs.unpersist(blocking = false)
-      connectedComponentsDistributed(edges, maxIters, strict)
+      labels
     }
   }
 
@@ -480,16 +490,29 @@ object Dedup {
     * Verify/Bench session for identical output. Weak-keyed on the session
     * (DataFrames die with it); same staleness caveat as Similarity's ANN
     * index memo — a production build keys on a table snapshot/version. */
+  // Memo values are (rows, schema), NOT DataFrames: a cached DataFrame
+  // strongly references its SparkSession, and a WeakHashMap whose value
+  // refers to its own key can never reclaim the entry — stopped sessions
+  // (and their collected artifacts) would pin forever. Plain Rows carry
+  // no session reference; each read rebuilds a LocalRelation.
+  private type Memo = (java.util.List[org.apache.spark.sql.Row],
+    org.apache.spark.sql.types.StructType)
+
+  private def rememo(s: SparkSession, df: DataFrame): Memo =
+    (java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   private val clusterCache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, Double), DataFrame]]()
+      scala.collection.concurrent.TrieMap[(String, Double), Memo]]()
 
   def nearDupClusters(s: SparkSession, d: String, jThreshold: Double = 0.5): DataFrame = {
     val perSession = clusterCache.synchronized {
       clusterCache.computeIfAbsent(s, _ =>
-        scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame])
+        scala.collection.concurrent.TrieMap.empty[(String, Double), Memo])
     }
-    perSession.getOrElseUpdate((d, jThreshold), nearDupClustersUncached(s, d, jThreshold))
+    val (rows, schema) = perSession.getOrElseUpdate((d, jThreshold),
+      rememo(s, nearDupClustersUncached(s, d, jThreshold)))
+    s.createDataFrame(rows, schema)
   }
 
   private def nearDupClustersUncached(s: SparkSession, d: String, jThreshold: Double): DataFrame = {

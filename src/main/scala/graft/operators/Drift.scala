@@ -36,10 +36,13 @@ object Drift {
   def chi2Of(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val cells = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
-    val rows = docs.groupBy($"lang").agg(count(lit(1)).as("rn"))
-    val cols = docs.groupBy($"source").agg(count(lit(1)).as("cn"))
-    val n = docs.count()
+    // ONE pass over the table: the marginals and the grand total are sums
+    // over the observed-cell aggregate (every doc lands in a cell), so
+    // they derive from `cells`, never from re-scanning docs.
+    val cells = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("o")).persist()
+    val rows = cells.groupBy($"lang").agg(sum($"o").as("rn"))
+    val cols = cells.groupBy($"source").agg(sum($"o").as("cn"))
+    val n = cells.agg(sum($"o")).head().getLong(0)
     // Only OBSERVED cells are materialized. Unobserved cells contribute
     // (0−E)²/E = E, and Σ_all E = N exactly, so
     //   χ² = Σ_obs[(O−E)²/E] + (N − Σ_obs E)
@@ -51,13 +54,17 @@ object Drift {
       .join(broadcast(cols), "source")
     val e = $"rn" * $"cn" / lit(n.toDouble)
     val contrib = ($"o" - e) * ($"o" - e) / e
-    grid.agg(
+    val out = grid.agg(
         round(
           sum(contrib.cast("decimal(28,8)")) - sum(e.cast("decimal(28,8)")) +
             lit(n).cast("decimal(28,8)"), 4).cast("double").as("chi2"),
         ((countDistinct($"lang") - 1) * (countDistinct($"source") - 1)).as("dof"),
         (countDistinct($"lang") * countDistinct($"source")).as("n_cells"))
       .orderBy($"chi2")
+    // one-row result: materialize and release the persisted cell census
+    val rows0 = java.util.Arrays.asList(out.collect(): _*)
+    cells.unpersist(blocking = false)
+    s.createDataFrame(rows0, out.schema)
   }
 
   val chi2LangSourceOracle: String =

@@ -43,9 +43,14 @@ object EntityRes {
   def fuzzyJoinBlockedOf(part: DataFrame): DataFrame = {
     val s = part.sparkSession
     import s.implicits._
+    // Names with no [a-z] tail would all share block "" — one vacuous
+    // mega-block that quietly recreates the all-pairs blowup blocking
+    // exists to prevent. Such names get no block and no candidates (a
+    // production pipeline routes them to a second blocking key instead).
     val names = part
       .select($"p_name".as("name")).distinct()
       .withColumn("block", regexp_extract($"name", "[a-z]+$", 0))
+      .filter($"block" =!= "")
     val a = names.select($"name".as("name_a"), $"block")
     val b = names.select($"name".as("name_b"), $"block")
     a.join(b, Seq("block"))
@@ -60,7 +65,8 @@ object EntityRes {
     """WITH names AS (
       |  SELECT DISTINCT p_name AS name FROM part),
       |b AS (
-      |  SELECT name, regexp_extract(name, '[a-z]+$') AS block FROM names)
+      |  SELECT name, regexp_extract(name, '[a-z]+$') AS block FROM names
+      |  WHERE regexp_extract(name, '[a-z]+$') <> '')
       |SELECT a.block AS block, a.name AS name_a, c.name AS name_b,
       |       CAST(levenshtein(a.name, c.name) AS INT) AS dist
       |FROM b a JOIN b c ON a.block = c.block AND a.name < c.name

@@ -15,14 +15,16 @@ import org.apache.spark.sql.types.IntegerType
   *   abs(length(a) - length(b)) <= k          -- O(1) guard: a length gap
   *                                            -- > k already implies d > k
   *   AND levenshtein(a, b, k) >= 0            -- banded DP: O(k·min(n,m))
-  *   AND levenshtein(a, b, k) <= k            -- instead of O(n·m), exits
+  *                                            -- instead of O(n·m), exits
   *                                            -- the row as soon as the
   *                                            -- band exceeds k
   *
   * The thresholded `Levenshtein` (public Spark expression, 3.5+) returns
-  * -1 when the distance exceeds the threshold — which satisfies `<= k`!
-  * Hence the `>= 0` conjunct; dropping it is the obvious latent bug, and
-  * EditDistancePrefilterSpec pins it with a pair whose distance exceeds k.
+  * -1 when the distance exceeds the threshold and the true distance
+  * (which is then necessarily <= k) otherwise — so `>= 0` is the complete
+  * rewritten predicate. A naive hand-rewrite to `levenshtein(a,b,k) <= k`
+  * is the latent bug (-1 satisfies it); EditDistancePrefilterSpec pins
+  * the trap with a same-length pair whose distance exceeds k.
   *
   * Why a Rule[LogicalPlan] and not a smarter operator: the predicate is
   * what users naturally write (and what [[graft.operators.EntityRes]]
@@ -58,10 +60,10 @@ object EditDistancePrefilter extends Rule[LogicalPlan] {
 
   private def banded(a: Expression, b: Expression, k: Literal): Expression = {
     val lengthGap = LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k)
-    val thresholded = Levenshtein(a, b, Some(k))
-    And(lengthGap,
-      And(GreaterThanOrEqual(thresholded, Literal(0, IntegerType)),
-        LessThanOrEqual(thresholded, k)))
+    // `>= 0` is the COMPLETE predicate: the thresholded expression returns
+    // either a distance that is already <= k, or -1. A `<= k` conjunct
+    // would be dead code that re-evaluates the band walk per row.
+    And(lengthGap, GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0, IntegerType)))
   }
 
   /** Idempotently add the rule to a live session's optimizer. */

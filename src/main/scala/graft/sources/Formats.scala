@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.operators.Q
@@ -50,12 +49,10 @@ object Formats {
       path
     })
 
-  private val customerSchema = StructType(Seq(
-    StructField("c_custkey", LongType),
-    StructField("c_name", StringType),
-    StructField("c_nationkey", LongType),
-    StructField("c_acctbal", DoubleType),
-    StructField("c_mktsegment", StringType)))
+  // The catalog schema, not a local copy — a drifted duplicate (e.g.
+  // c_nationkey long vs the catalog's int) would silently type the
+  // round-tripped relation differently from every other customer path.
+  private val customerSchema = Tables.customerSchema
 
   /** CSV round-trip: customer → headered CSV → explicit-schema read →
     * per-segment balance profile. Values must survive the text round-trip

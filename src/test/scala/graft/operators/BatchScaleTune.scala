@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *  - part ×20 (ids shifted, names unchanged) → the fuzzy join's DISTINCT
   *    entity vocabulary is UNCHANGED, so its output must be IDENTICAL and
   *    its wall-time ~flat — the entity-vocabulary bound in action;
-  *  - events ×20 by value-preserving ts jitter inside the same minute →
-  *    gap-fill grid stays 7,200 rows (spine-bounded) while the observed
-  *    aggregation scans 20× the rows.
+  *  - events ×20 as plain unioned copies (same minutes, so every observed
+  *    minute sum scales ×20) → gap-fill grid stays 7,200 rows
+  *    (spine-bounded) while the observed aggregation scans 20× the rows.
   */
 object BatchScaleTune {
   def main(args: Array[String]): Unit = {
