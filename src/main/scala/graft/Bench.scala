@@ -75,18 +75,49 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
-    // Two runs per query, second one timed: the first pays one-off codegen/
-    // JIT/scan-listing costs that a warm service never sees (the reference's
-    // 22.16 s baseline is dominated by exactly such fixed overhead —
-    // BASELINE.md). Queries run in sorted name order for stable output.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The 10M-event scale leg runs FIRST, before the sweep: round 5 ran it
+    // after 158 queries and shipped a 5× "regression" that was really the
+    // sweep session's accumulated state (memo artifacts, FileStatusCache,
+    // pending unpersists, GC pressure) charged to the leg. First-run
+    // numbers measure the warehouse, not the session's history.
+    val scale =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1") == "0") Seq.empty
+      else try scaleLeg(spark)
+      catch { case _: Throwable => Seq("scale_leg_failed" -> -1.0) }
+
+    // Per query: (1) a warm-up run pays one-off codegen/JIT/scan-listing
+    // costs that a warm service never sees (the reference's 22.16 s
+    // baseline is dominated by exactly such fixed overhead — BASELINE.md);
+    // (2) graft's session memo/artifact caches are CLEARED so the timed
+    // run measures the query's pipeline, not a cache read (round 5's
+    // headline was inflated 2.57 s by one query reading its own memo);
+    // (3) the timed run — for artifact-building queries this times the
+    // full build+serve; (4) queries that registered session artifacts get
+    // a second timed run measuring the warm SERVE path (reported
+    // separately — for index-backed queries like sim_knn_ivf_indexed the
+    // amortized serve time is the operationally honest number, for
+    // one-shot pipelines the build time is). Sorted name order for stable
+    // output.
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count()
+        graft.operators.SessionCaches.clear(spark)
+        val before = graft.operators.SessionCaches.size(spark)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => name -> -1.0 }
-    }.toMap
+        val cold = (System.nanoTime() - t0) / 1e9
+        val warm =
+          if (graft.operators.SessionCaches.size(spark) == before) None
+          else {
+            val t1 = System.nanoTime()
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t1) / 1e9)
+          }
+        (name, cold, warm)
+      } catch { case _: Throwable => (name, -1.0, None) }
+    }
+    val results = timings.map { case (n, cold, _) => n -> cold }.toMap
+    val warmServe = timings.collect { case (n, _, Some(w)) => n -> w }
 
     // Locale.ROOT: f"$v%.4f" uses the JVM default locale — a comma-decimal
     // host (de_DE, fr_FR) would print 12,3456 and break the JSON parse.
@@ -101,16 +132,14 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val nFailed = results.values.count(_ < 0)
     val headline = Headline.flatMap(h => results.get(h).map(h -> _))
-    val scale =
-      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1") == "0") Seq.empty
-      else try scaleLeg(spark)
-      catch { case _: Throwable => Seq("scale_leg_failed" -> -1.0) }
     val headlineTotal = headline.map(_._2).filter(_ >= 0).sum
+    val artifactBacked = warmServe.map(_._1).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val headlineJson =
-      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"scale_10m":${jmap(scale)},"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"detail":"bench_detail.json"}"""
+      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"scale_10m":${jmap(scale)},"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"timing":"cold pipeline (graft session caches cleared before the timed run); artifact-backed queries also report a warm-serve time in bench_detail.json","artifact_backed":$artifactBacked,"detail":"bench_detail.json"}"""
     // Full sweep → file (not stdout: ~100 entries overflow log capture).
     scala.util.Try(Files.writeString(Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"n_failed":$nFailed,"scale_10m":${jmap(scale)},"queries":${jmap(results.toSeq.sortBy(_._1))}}"""))
+      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"n_failed":$nFailed,"scale_10m":${jmap(scale)},"queries":${jmap(results.toSeq.sortBy(_._1))},"warm_serve":${jmap(warmServe.sortBy(_._1))}}"""))
     // The driver-parseable headline, BOTH ways (BENCH_r01-r03 were all
     // `parsed: null` because sbt's log prefix + warning spam mangled the
     // stdout tail): (1) the exact object as a bare one-line FILE the driver

@@ -194,27 +194,23 @@ object Dedup {
       sigs)
   }
 
-  /** Verified-pair memo: the (doc_a, doc_b, exact jaccard) relation that
-    * survives the est≥0.25 prefilter is BOUNDED (post-banding candidates
-    * only — a few thousand rows at sf0.1) and consumed by two registered
-    * queries (top-20 pairs, clustering) plus keep-best downstream.
-    * Same weak-session-keyed pattern and staleness caveat as
-    * [[clusterCache]]. */
-  private val pairsCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Memo]]()
-
-  private[operators] def verifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val perSession = pairsCache.synchronized {
-      pairsCache.computeIfAbsent(s, _ =>
-        scala.collection.concurrent.TrieMap.empty[String, Memo])
-    }
-    val (rows, schema) = perSession.getOrElseUpdate(d, {
+  /** Verified-pair artifact: the (doc_a, doc_b, exact jaccard) relation
+    * that survives the est≥0.25 prefilter is consumed by two registered
+    * queries (top-20 pairs, clustering) plus keep-best downstream —
+    * building the LSH→Jaccard pipeline once per session is right. But the
+    * relation is proportional to corpus NEAR-DUPLICATION (1.7M candidates
+    * at just 100k docs — SCALE_NOTES Leg 2), so it is materialized as a
+    * session-scoped parquet artifact and served as a FileScan, exactly
+    * like [[Similarity.ivfIndexDir]]; it never rides through the driver
+    * (the round-5 driver-row memo here was a 100×-scale driver OOM by
+    * design). Staleness caveat as ever: keyed on the corpus dir, which is
+    * content-addressed enough for the static test corpora. */
+  private[operators] def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    SessionCaches.parquetArtifact(s, s"dedup-verified-pairs:$d") { dir =>
       val (pairs, sigs) = exactJaccardPairs(s, d)
-      rememo(s, materializeAndRelease(pairs, sigs))
-    })
-    s.createDataFrame(rows, schema)
-  }
+      pairs.write.mode("overwrite").parquet(dir)
+      sigs.unpersist(blocking = false)
+    }
 
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -310,17 +306,29 @@ object Dedup {
     * Output shape matches [[nearDupClusters]]. Rows-only check. */
   def simhashClusters(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
     import s.implicits._
-    val (edges, hashed) = simhashEdges(s, d, maxHamming)
-    val clusters = connectedComponents(edges.select($"doc_a", $"doc_b"))
-    val out = clusters
+    // The cluster mapping is proportional to corpus near-duplication —
+    // artifact, not driver rows (see verifiedPairs). Ordering is applied
+    // after the FileScan: parquet does not preserve row order.
+    SessionCaches.parquetArtifact(s, s"dedup-simhash-clusters:$d:$maxHamming") { dir =>
+      val (edges, hashed) = simhashEdges(s, d, maxHamming)
+      val clusters = connectedComponents(edges.select($"doc_a", $"doc_b"))
+      clusterMapping(clusters).write.mode("overwrite").parquet(dir)
+      hashed.unpersist(blocking = false)
+      clusters.unpersist(blocking = false)
+    }.orderBy($"doc_id")
+  }
+
+  /** (doc_id, cluster_id) labels → the registered cluster-mapping shape:
+    * cluster size attached, `keep = 1` on the min-id representative. */
+  private[operators] def clusterMapping(clusters: DataFrame): DataFrame = {
+    val s = clusters.sparkSession
+    import s.implicits._
+    clusters
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")))
       .withColumn("keep", ($"doc_id" === $"cluster_id").cast("int"))
-      .select($"doc_id", $"cluster_id", $"cluster_size".cast("long").as("cluster_size"), $"keep")
-      .orderBy($"doc_id")
-    val result = materializeAndRelease(out, hashed)
-    clusters.unpersist(blocking = false)
-    result
+      .select($"doc_id", $"cluster_id",
+        $"cluster_size".cast("long").as("cluster_size"), $"keep")
   }
 
   /** Connected components over a pair graph, by iterative min-label
@@ -482,53 +490,21 @@ object Dedup {
     * for clustered docs — `keep = 1` marks the cluster representative (min
     * doc id), which is exactly the delete-list a corpus dedup applies.
     * Rows-only check (LSH-derived; no portable SQL oracle). */
-  /** Cluster-result memo: the clustered mapping is a bounded, already
-    * driver-materialized artifact (see [[materializeAndRelease]]) that
-    * several consumers read — the registered cluster query, keep-best
-    * election, and specs. Rebuilding the LSH→Jaccard→CC pipeline per
-    * consumer doubles the most expensive query family in every
-    * Verify/Bench session for identical output. Weak-keyed on the session
-    * (DataFrames die with it); same staleness caveat as Similarity's ANN
-    * index memo — a production build keys on a table snapshot/version. */
-  // Memo values are (rows, schema), NOT DataFrames: a cached DataFrame
-  // strongly references its SparkSession, and a WeakHashMap whose value
-  // refers to its own key can never reclaim the entry — stopped sessions
-  // (and their collected artifacts) would pin forever. Plain Rows carry
-  // no session reference; each read rebuilds a LocalRelation.
-  private type Memo = (java.util.List[org.apache.spark.sql.Row],
-    org.apache.spark.sql.types.StructType)
-
-  private def rememo(s: SparkSession, df: DataFrame): Memo =
-    (java.util.Arrays.asList(df.collect(): _*), df.schema)
-
-  private val clusterCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, Double), Memo]]()
-
+  /** Cluster-mapping artifact: several consumers read the clustered
+    * mapping — the registered cluster query, keep-best election, and
+    * specs — so the LSH→Jaccard→CC pipeline builds once per session. The
+    * mapping is proportional to corpus near-duplication, so like
+    * [[verifiedPairs]] it is a parquet artifact served as a FileScan,
+    * never driver rows. */
   def nearDupClusters(s: SparkSession, d: String, jThreshold: Double = 0.5): DataFrame = {
-    val perSession = clusterCache.synchronized {
-      clusterCache.computeIfAbsent(s, _ =>
-        scala.collection.concurrent.TrieMap.empty[(String, Double), Memo])
-    }
-    val (rows, schema) = perSession.getOrElseUpdate((d, jThreshold),
-      rememo(s, nearDupClustersUncached(s, d, jThreshold)))
-    s.createDataFrame(rows, schema)
-  }
-
-  private def nearDupClustersUncached(s: SparkSession, d: String, jThreshold: Double): DataFrame = {
     import s.implicits._
-    val edges = verifiedPairs(s, d)
-      .filter($"jaccard" >= jThreshold).select($"doc_a", $"doc_b")
-    val clusters = connectedComponents(edges)
-    val out = clusters
-      .withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")))
-      .withColumn("keep", ($"doc_id" === $"cluster_id").cast("int"))
-      .select($"doc_id", $"cluster_id", $"cluster_size".cast("long").as("cluster_size"), $"keep")
-      .orderBy($"doc_id")
-    val result = materializeAndRelease(out)
-    clusters.unpersist(blocking = false)
-    result
+    SessionCaches.parquetArtifact(s, s"dedup-neardup-clusters:$d:$jThreshold") { dir =>
+      val edges = verifiedPairs(s, d)
+        .filter($"jaccard" >= jThreshold).select($"doc_a", $"doc_b")
+      val clusters = connectedComponents(edges)
+      clusterMapping(clusters).write.mode("overwrite").parquet(dir)
+      clusters.unpersist(blocking = false)
+    }.orderBy($"doc_id")
   }
 
   /** Keep-best canonicalization over the near-dup clusters: instead of

@@ -262,23 +262,19 @@ object Multimodal {
   /** One-time materialization of the PNG corpus as individual files — the
     * landing-zone shape every real multimodal corpus starts from (an
     * object store of image files, not a parquet binary column). Memoized
-    * per corpus dir like Similarity's ANN indexes; local temp stands in
-    * for the object store (same single-filesystem caveat as everything
-    * else in local mode — a cluster build writes to s3/gcs/hdfs). */
-  private val imageStoreCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
+    * per (session, corpus dir) like Similarity's ANN indexes; local temp
+    * stands in for the object store (same single-filesystem caveat as
+    * everything else in local mode — a cluster build writes to
+    * s3/gcs/hdfs). */
   private[operators] def imageFileDir(s: SparkSession, d: String): String =
-    imageStoreCache.getOrElseUpdate(d, {
-      val path = java.nio.file.Files.createTempDirectory("graft-img-store").toString
+    SessionCaches.dirMemo(s, s"img-store:$d") { path =>
       imageDocs(s, d).foreachPartition { it: Iterator[(Long, Array[Byte])] =>
         it.foreach { case (id, bytes) =>
           java.nio.file.Files.write(
             java.nio.file.Paths.get(path, f"doc_$id%08d.png"), bytes)
         }
       }
-      path
-    })
+    }
 
   /** Ingest loose image files through Spark's `binaryFile` source — the
     * missing first hop of the multimodal pipeline (everything above reads

@@ -34,9 +34,6 @@ object Pq {
   val SubDim = 8   // dims per subspace (M * SubDim = 64)
   val K = 16       // codewords per subspace → 4 bits, stored as 1 byte
 
-  private val codebookCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
-
   private def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0d; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -57,9 +54,10 @@ object Pq {
   /** Train M codebooks with 5 Lloyd rounds over a deterministic sample.
     * Seeds are the first K subvectors of the hash-ordered sample; empty
     * cells keep their previous codeword (same conventions as the IVF
-    * quantizer in Similarity.kmeansCentroids). */
+    * quantizer in Similarity.kmeansCentroids). Memoized per (session,
+    * corpus) via [[SessionCaches]] — bounded value (M×K×SubDim doubles). */
   private[operators] def codebooksOf(emb: DataFrame, corpusKey: String): Array[Array[Array[Double]]] =
-    codebookCache.getOrElseUpdate(corpusKey, {
+    SessionCaches.memo(emb.sparkSession, s"pq-codebooks:$corpusKey") {
       val sample = emb
         .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(2048)
         .select(col("embedding")).collect()
@@ -83,7 +81,7 @@ object Pq {
         }
         cents
       }
-    })
+    }
 
   /** (vec_id, label, pq_code) — the stored index form: M bytes per
     * vector. */

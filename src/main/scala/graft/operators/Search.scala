@@ -104,9 +104,8 @@ object Search {
        |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   /** Index-build memo: the full inverted index is materialized once per
-    * corpus (the [[Similarity]] index idiom). */
-  private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    * (session, corpus) via [[SessionCaches]] (the [[Similarity]] index
+    * idiom). */
 
   /** Number of term-hash partitions of the postings index. */
   private[operators] val TermBuckets = 32
@@ -123,8 +122,7 @@ object Search {
     * instead of re-tokenizing 100 TB of raw text per query (which is what
     * [[bm25TopK]] does, and why it is the from-scratch baseline). */
   private[operators] def postingsIndexDir(s: SparkSession, d: String): String =
-    indexCache.getOrElseUpdate(d, {
-      val path = java.nio.file.Files.createTempDirectory("graft-bm25-index").toString
+    SessionCaches.dirMemo(s, s"bm25-postings:$d") { path =>
       val docs = Tables.documents(s, d)
       val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
       docs
@@ -136,8 +134,7 @@ object Search {
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
       dl.agg(sum(col("dl")).cast("long").as("dl_sum"), count(lit(1)).as("n_docs"))
         .write.mode("overwrite").parquet(s"$path/stats")
-      path
-    })
+    }
 
   /** CRC32 of the UTF-8 term bytes mod [[TermBuckets]] — the driver-side
     * twin of the `pmod(crc32(term), 32)` partition key above. */

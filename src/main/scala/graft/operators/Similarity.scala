@@ -114,6 +114,19 @@ object Similarity {
   def embeddingClustersOf(emb: DataFrame, minCos: Double = 0.95): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
+    // The mapping is proportional to corpus near-duplication — write it as
+    // a parquet artifact and serve a FileScan (never collect it to the
+    // driver; see Dedup.verifiedPairs). No stable cache key exists for a
+    // caller-supplied relation, so the dir is unkeyed-but-registered: the
+    // session's SessionCaches.clear() still reclaims the disk.
+    val dir = SessionCaches.freshDir(s, "emb-clusters")
+    writeEmbeddingClusters(emb, minCos, dir)
+    s.read.parquet(dir).orderBy($"vec_id")
+  }
+
+  private def writeEmbeddingClusters(emb: DataFrame, minCos: Double, dir: String): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
     val sigs = emb
       .select($"vec_id", $"embedding", sigCol($"embedding").as("sig"),
         norm($"embedding").as("nrm"))
@@ -133,17 +146,11 @@ object Similarity {
       .select($"doc_a", $"doc_b")
       .dropDuplicates("doc_a", "doc_b")
     val clusters = Dedup.connectedComponents(edges)
-    val out = clusters
-      .withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")))
-      .withColumn("keep", ($"doc_id" === $"cluster_id").cast("int"))
-      .select($"doc_id".as("vec_id"), $"cluster_id",
-        $"cluster_size".cast("long").as("cluster_size"), $"keep")
-      .orderBy($"vec_id")
-    val rows = java.util.Arrays.asList(out.collect(): _*)
+    Dedup.clusterMapping(clusters)
+      .select($"doc_id".as("vec_id"), $"cluster_id", $"cluster_size", $"keep")
+      .write.mode("overwrite").parquet(dir)
     sigs.unpersist(blocking = false)
     clusters.unpersist(blocking = false)
-    s.createDataFrame(rows, out.schema)
   }
 
   /** Registered embedding-evidence clustering (round-3 verdict #8): the sf
@@ -156,10 +163,14 @@ object Similarity {
     * check; ClusterDedupSpec pins the planted ground truth. */
   def plantedEmbeddingClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-    val planted = base.filter($"vec_id" % 50 === 0)
-      .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
-    embeddingClustersOf(base.unionByName(planted))
+    // Registered query → stable corpus-dir key, so the artifact builds
+    // once per session instead of once per call.
+    SessionCaches.parquetArtifact(s, s"sim-planted-clusters:$d") { dir =>
+      val base = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      val planted = base.filter($"vec_id" % 50 === 0)
+        .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+      writeEmbeddingClusters(base.unionByName(planted), 0.95, dir)
+    }.orderBy($"vec_id")
   }
 
   /** Spherical k-means coarse quantizer for the IVF index, entirely in
@@ -178,15 +189,16 @@ object Similarity {
     * them on a sample, which this structure permits (pass a sampled df). */
   /** Index-build memo: an IVF quantizer is built once per corpus and
     * amortized over every query — rebuilding the Lloyd iterations per
-    * query call would charge the index build to each lookup. Keyed by
-    * (corpus dir, k, iters); content-addressed enough for the static test
-    * corpora (a production build keys on a table snapshot/version). */
-  private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(Int, Seq[Double])]]
-
+    * query call would charge the index build to each lookup. Session-weak
+    * keyed via [[SessionCaches]] (a global map keyed only by corpus dir
+    * would outlive every session — round-5 verdict hygiene item); the
+    * value is bounded (k×dim doubles). Keyed by (corpus dir, k, iters);
+    * content-addressed enough for the static test corpora (a production
+    * build keys on a table snapshot/version). */
   private[operators] def kmeansCentroids(s: SparkSession, d: String,
       k: Int = 16, iters: Int = 3): Seq[(Int, Seq[Double])] =
-    centroidCache.getOrElseUpdate((d, k, iters), kmeansCentroidsUncached(s, d, k, iters))
+    SessionCaches.memo(s, s"sim-centroids:$d:$k:$iters")(
+      kmeansCentroidsUncached(s, d, k, iters))
 
   private def kmeansCentroidsUncached(s: SparkSession, d: String,
       k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
@@ -252,14 +264,11 @@ object Similarity {
   // pruned read — the scan lists only the probed directories, exactly the
   // mechanism ZOrder/Bucketed demonstrate for other tables. AnnIndexSpec
   // asserts `PartitionFilters` in the plan and result-equality with the
-  // scan variants. Memoized per corpus dir, like the centroids: an index
-  // is built once and amortized over every query (a production build keys
-  // on a table snapshot/version and writes to the warehouse, not a temp
-  // dir).
+  // scan variants. Memoized per (session, corpus dir) via SessionCaches,
+  // like the centroids: an index is built once and amortized over every
+  // query (a production build keys on a table snapshot/version and writes
+  // to the warehouse, not a temp dir).
   // ---------------------------------------------------------------------
-  private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-
   private def cellAssign(centroids: Seq[(Int, Seq[Double])])(
       emb: org.apache.spark.sql.Column) =
     greatest(centroids.map { case (i, c) =>
@@ -270,24 +279,20 @@ object Similarity {
     * partition write). k=16 cells here; a 100 TB corpus uses k in the
     * thousands so each cell-directory stays scannable. */
   private[operators] def ivfIndexDir(s: SparkSession, d: String): String =
-    indexCache.getOrElseUpdate((d, "ivf"), {
-      val path = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    SessionCaches.dirMemo(s, s"sim-ivf-index:$d") { path =>
       Tables.embeddings(s, d)
         .withColumn("cell", cellAssign(kmeansCentroids(s, d))(col("embedding")))
         .write.mode("overwrite").partitionBy("cell").parquet(path)
-      path
-    })
+    }
 
   /** One-time LSH index build: embeddings partitioned by their 8-bit
     * hyperplane signature (256 buckets). */
   private[operators] def lshIndexDir(s: SparkSession, d: String): String =
-    indexCache.getOrElseUpdate((d, "lsh"), {
-      val path = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+    SessionCaches.dirMemo(s, s"sim-lsh-index:$d") { path =>
       Tables.embeddings(s, d)
         .withColumn("sig", sigCol(col("embedding")))
         .write.mode("overwrite").partitionBy("sig").parquet(path)
-      path
-    })
+    }
 
   /** IVF kNN against the materialized index: the `cell IN (probes)` filter
     * is a PARTITION filter — the scan never lists, let alone reads, the

@@ -34,13 +34,12 @@ object Sq8 {
 
   final case class Params(mins: Array[Double], steps: Array[Double])
 
-  private val paramsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Params]
-
   /** Per-dimension [min, max] → (min, step) with step = (max−min)/255;
-    * a constant dimension gets step 0 (every code 0, decodes to min). */
+    * a constant dimension gets step 0 (every code 0, decodes to min).
+    * Memoized per (session, corpus) via [[SessionCaches]] — bounded value
+    * (2×64 doubles). */
   private[operators] def paramsOf(emb: DataFrame, corpusKey: String): Params =
-    paramsCache.getOrElseUpdate(corpusKey, {
+    SessionCaches.memo(emb.sparkSession, s"sq8-params:$corpusKey") {
       val rows = emb
         .select(posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("pos"))
@@ -50,7 +49,7 @@ object Sq8 {
       val mins = rows.map(_.getFloat(1).toDouble)
       val steps = rows.map(r => (r.getFloat(2).toDouble - r.getFloat(1)) / 255.0)
       Params(mins, steps)
-    })
+    }
 
   /** (…, sq8_code binary, sq8_norm double): the stored index form. The
     * norm is of the DEQUANTIZED vector so ADC cosine is internally

@@ -32,22 +32,16 @@ import graft.operators.Q
   */
 object Formats {
 
-  private val dirCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-
   /** Materialized round-trip dir, if this session already built one
     * (spec hook for raw re-reads). */
-  private[sources] def dirFor(d: String, fmt: String): Option[String] =
-    dirCache.get((d, fmt))
+  private[sources] def dirFor(s: SparkSession, d: String, fmt: String): Option[String] =
+    graft.operators.SessionCaches.peekDir(s, s"format-rt:$d:$fmt")
 
   private def roundtripDir(s: SparkSession, d: String, fmt: String,
                            write: (DataFrame, String) => Unit,
                            src: DataFrame): String =
-    dirCache.getOrElseUpdate((d, fmt), {
-      val path = java.nio.file.Files.createTempDirectory(s"graft-$fmt-rt").toString
-      write(src, path)
-      path
-    })
+    graft.operators.SessionCaches.dirMemo(s, s"format-rt:$d:$fmt")(
+      path => write(src, path))
 
   // The catalog schema, not a local copy — a drifted duplicate (e.g.
   // c_nationkey long vs the catalog's int) would silently type the

@@ -17,7 +17,7 @@ class FormatsSpec extends SparkSuite {
     val back = {
       // csvRoundtrip aggregates; re-read its materialized dir raw
       Formats.csvRoundtrip(spark, Sf).count() // force the write
-      val dir = Formats.dirFor(Sf, "csv").get
+      val dir = Formats.dirFor(spark, Sf, "csv").get
       spark.read.schema(orig.schema).option("header", "true").csv(dir)
     }
     assert(rows(back) === rows(orig))
@@ -27,7 +27,7 @@ class FormatsSpec extends SparkSuite {
     val orig = graft.Tables.customer(spark, Sf)
     val back = {
       Formats.jsonRoundtrip(spark, Sf).count()
-      val dir = Formats.dirFor(Sf, "json").get
+      val dir = Formats.dirFor(spark, Sf, "json").get
       spark.read.schema(orig.schema).json(dir)
     }
     assert(rows(back) === rows(orig))
@@ -37,7 +37,7 @@ class FormatsSpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     val orig = graft.Tables.orders(spark, Sf)
     Formats.orcRoundtrip(spark, Sf).count()
-    val dir = Formats.dirFor(Sf, "orc").get
+    val dir = Formats.dirFor(spark, Sf, "orc").get
     val back = spark.read.orc(dir)
     assert(rows(back) === rows(orig))
     val plan = back.filter(col("o_totalprice") > 100000.0)
