@@ -131,6 +131,44 @@ object Pq {
     knnPqOf(emb, d, qv)
   }
 
+  /** Two-stage PQ serving — the standard production ANN shape (shortlist
+    * with the compressed index, re-rank the shortlist exactly): ADC over
+    * the 8-byte codes selects `shortlist` (= 4k) candidate ids, then ONLY
+    * those ids are re-scored with exact cosine against the full vectors
+    * and the true top-k returned.
+    *
+    * Why this matters at 100 TB: ADC quantization error makes raw PQ
+    * rankings approximate; re-ranking restores exact scores while still
+    * reading full vectors for just `shortlist` rows. The shortlist is
+    * driver-bounded (≤ 4k ids) and rejoins via a broadcast hash join —
+    * the full-vector side stays a pruned scan, never a shuffle. PqSpec
+    * pins: reported cosines are exactly the brute-force values, and with
+    * a corpus-sized shortlist the output equals brute force row-for-row. */
+  private[operators] def knnPqRerankOf(emb: DataFrame, corpusKey: String,
+      qvFloats: Seq[Float], k: Int = 10, shortlist: Int = 40): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val qv = qvFloats.map(_.toDouble).toArray
+    val ids = knnPqOf(emb, corpusKey, qv, shortlist).select($"vec_id")
+    val q = typedlit(qvFloats)
+    emb.join(broadcast(ids), "vec_id")
+      .select($"vec_id", $"label",
+        round(graft.functions.VectorOps.cosine($"embedding", q), 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(k)
+  }
+
+  /** Registered form (query = vec_id 0, excluded from candidates like the
+    * other kNN variants). Rows-only; PqSpec pins the exactness and
+    * full-shortlist-equals-brute properties. */
+  def knnPqRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    knnPqRerankOf(emb, d, qv)
+  }
+
   val defs: Seq[Q] = Seq(
-    Q("sim_knn_pq", None, knnPq))
+    Q("sim_knn_pq", None, knnPq),
+    Q("sim_knn_pq_rerank", None, knnPqRerank))
 }

@@ -173,6 +173,78 @@ object Similarity {
     }.orderBy($"vec_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding space with k-means and
+    * comparing pairs ONLY within a cell — the published recipe for
+    * web-scale corpora, and the third edge-evidence family beside the
+    * hyperplane-LSH buckets above and the minhash/simhash text paths.
+    * Within-cell exact cosine ≥ `minCos` edges feed the shared
+    * connected-components step; output is the standard cluster mapping
+    * (`keep = 1` elects the min-id representative, i.e. SemDeDup's
+    * "keep one per semantic group" delete-list).
+    *
+    * Scale shape: the pairwise step is confined to cells, so its cost is
+    * Σ|cell|² — k is the knob that keeps cells bounded (the paper uses
+    * k=11k on 50M embeddings; here k=16 matches the IVF quantizer on the
+    * small test corpora). Assignment is one narrow codegen pass against
+    * broadcast-literal centroids; the only shuffles are the cell-keyed
+    * self-join and CC. Unlike the multi-probe LSH path, a near-dup pair
+    * straddling a cell boundary is missed — that is SemDeDup's documented
+    * approximation, not a defect of this implementation. */
+  private[operators] def writeSemDedup(emb: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], minCos: Double, dir: String): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val assigned = emb
+      .select($"vec_id", $"embedding",
+        cellAssign(centroids)($"embedding").as("cell"),
+        norm($"embedding").as("nrm"))
+      .persist()
+    val a = assigned.select($"cell", $"vec_id".as("doc_a"),
+      $"embedding".as("emb_a"), $"nrm".as("n_a"))
+    val b = assigned.select($"cell", $"vec_id".as("doc_b"),
+      $"embedding".as("emb_b"), $"nrm".as("n_b"))
+    val edges = a.join(b, Seq("cell"))
+      .filter($"doc_a" < $"doc_b")
+      .filter(dot($"emb_a", $"emb_b") / ($"n_a" * $"n_b") >= minCos)
+      .select($"doc_a", $"doc_b")
+    val clusters = Dedup.connectedComponents(edges)
+    Dedup.clusterMapping(clusters)
+      .select($"doc_id".as("vec_id"), $"cluster_id", $"cluster_size", $"keep")
+      .write.mode("overwrite").parquet(dir)
+    assigned.unpersist(blocking = false)
+    clusters.unpersist(blocking = false)
+  }
+
+  /** SemDeDup over any (vec_id, embedding) relation with corpus-`d`-trained
+    * centroids (train-on-sample, assign-everything — the paper's shape). */
+  def semDedupOf(s: SparkSession, d: String, emb: DataFrame,
+      minCos: Double = 0.95): DataFrame = {
+    import s.implicits._
+    val dir = SessionCaches.freshDir(s, "semdedup")
+    writeSemDedup(emb, kmeansCentroids(s, d), minCos, dir)
+    s.read.parquet(dir).orderBy($"vec_id")
+  }
+
+  /** Registered SemDeDup: the sf corpora are isotropic (zero true
+    * semantic dups — an empty-if-correct result), so like
+    * [[plantedEmbeddingClusters]] the query PLANTS ground truth: every
+    * 50th vector gets an exact duplicate at vec_id + 1e9. An exact
+    * duplicate assigns to the same k-means cell as its source (identical
+    * embedding → identical argmax), so cell-confinement cannot split the
+    * planted pairs — the output is deterministically those pairs.
+    * Rows-only; SemDedupSpec pins planted recovery, agreement with the
+    * LSH evidence path, and the cell-straddle miss semantics. */
+  def plantedSemDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    SessionCaches.parquetArtifact(s, s"sim-semdedup-planted:$d") { dir =>
+      val base = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      val planted = base.filter($"vec_id" % 50 === 0)
+        .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+      writeSemDedup(base.unionByName(planted), kmeansCentroids(s, d), 0.95, dir)
+    }.orderBy($"vec_id")
+  }
+
   /** Spherical k-means coarse quantizer for the IVF index, entirely in
     * DataFrame ops. Seeds are the k vectors with the smallest
     * xxhash64(vec_id) — a deterministic uniform sample, not the first k
@@ -270,9 +342,12 @@ object Similarity {
   // to the warehouse, not a temp dir).
   // ---------------------------------------------------------------------
   private def cellAssign(centroids: Seq[(Int, Seq[Double])])(
-      emb: org.apache.spark.sql.Column) =
-    greatest(centroids.map { case (i, c) =>
+      emb: org.apache.spark.sql.Column) = centroids match {
+    // greatest() requires >= 2 args; a single cell is a constant assignment
+    case Seq((i, _)) => lit(i)
+    case cs => greatest(cs.map { case (i, c) =>
       struct(dot(emb, typedlit(c)).as("d"), lit(i).as("cell")) }: _*)("cell")
+  }
 
   /** One-time IVF index build: one narrow assignment pass + one
     * partitioned write; no shuffle (partitionBy is a per-task dynamic-
@@ -424,5 +499,6 @@ object Similarity {
     Q("sim_knn_aggregator", None, knnAggregator),
     Q("sim_neardup_pairs", None, nearDupPairs),
     Q("sim_embedding_clusters", None, plantedEmbeddingClusters),
+    Q("sim_semdedup", None, plantedSemDedup),
     Q("sim_label_centroid", Some(labelCentroidOracle), labelCentroid))
 }

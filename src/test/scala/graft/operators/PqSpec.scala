@@ -59,4 +59,55 @@ class PqSpec extends SparkSuite {
     // (chance overlap would be ~1; see SCALE_NOTES Leg 3 on this corpus)
     assert(overlap >= 3, s"overlap $overlap")
   }
+
+  test("re-rank reports EXACT cosines (brute-force values for its ids)") {
+    val emb = Tables.embeddings(spark, Sf)
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Float](0)
+    val reranked = Pq.knnPqRerankOf(emb, Sf, qv)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // brute-force exact cosine over the whole corpus, driver-side
+    val q = qv.map(_.toDouble).toArray
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val exact = emb.filter($"vec_id" =!= 0L)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        val vd = v.map(_.toDouble).toArray
+        val vn = math.sqrt(vd.map(x => x * x).sum)
+        id -> math.rint(vd.zip(q).map { case (a, b) => a * b }.sum / (vn * qn) * 1e6) / 1e6
+      }.toMap
+    reranked.foreach { case (id, cos) =>
+      assert(math.abs(cos - exact(id)) < 1e-9,
+        s"re-ranked cosine for $id is not the exact value: $cos vs ${exact(id)}")
+    }
+  }
+
+  test("a corpus-sized shortlist makes re-rank equal brute force row-for-row") {
+    val emb = Tables.embeddings(spark, Sf)
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Float](0)
+    val n = emb.count().toInt
+    val full = Pq.knnPqRerankOf(emb, Sf, qv, k = 10, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val brute = Similarity.knnBrute(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(full.toSeq == brute.toSeq)
+  }
+
+  test("re-rank is at least as good as raw ADC ranking (recall vs exact top-10)") {
+    val emb = Tables.embeddings(spark, Sf)
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Float](0)
+    val exactTop = Similarity.knnBrute(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    val raw = Pq.knnPqOf(emb, Sf, qv.map(_.toDouble).toArray, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val rr = Pq.knnPqRerankOf(emb, Sf, qv).collect().map(_.getLong(0)).toSet
+    val (rawRecall, rrRecall) =
+      (raw.intersect(exactTop).size, rr.intersect(exactTop).size)
+    info(s"recall@10 — raw ADC: $rawRecall/10, re-ranked: $rrRecall/10")
+    // re-ranking can only fix ordering INSIDE the shortlist; with a 4k
+    // shortlist it must not do worse than the raw top-k it contains
+    assert(rrRecall >= rawRecall, s"re-rank lost recall: $rrRecall < $rawRecall")
+  }
 }
