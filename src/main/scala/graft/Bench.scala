@@ -106,13 +106,15 @@ object Bench {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val cold = (System.nanoTime() - t0) / 1e9
+        // the warm run gets its own Try: a warm-serve failure must degrade
+        // to warm=None, not discard the already-measured cold timing
         val warm =
           if (graft.operators.SessionCaches.size(spark) == before) None
-          else {
+          else scala.util.Try {
             val t1 = System.nanoTime()
             fn(spark, sfDir).count()
-            Some((System.nanoTime() - t1) / 1e9)
-          }
+            (System.nanoTime() - t1) / 1e9
+          }.toOption
         (name, cold, warm)
       } catch { case _: Throwable => (name, -1.0, None) }
     }

@@ -40,7 +40,10 @@ object Scheduler {
   sealed trait StepStatus
   case object Succeeded extends StepStatus
   case object Failed extends StepStatus
-  /** Upstream failed and `fail_fast=True` — never attempted. */
+  /** Upstream failed — never attempted. Airflow's default `all_success`
+    * trigger rule skips downstream of a failed task regardless of
+    * `fail_fast` (fail_fast additionally cancels parallel branches, which
+    * a linear chain doesn't have). */
   case object Skipped extends StepStatus
 
   final case class StepReport(
@@ -54,7 +57,9 @@ object Scheduler {
   /** Execute one DAG run: steps in order, each attempted `1 + retries`
     * times with `retryDelayMs` between attempts (the reference's
     * `retries: 1, retry_delay: 3s`); a step that exhausts its attempts
-    * fails the run and — fail_fast — SKIPS every downstream step.
+    * fails the run and SKIPS every downstream step (Airflow's default
+    * `all_success` trigger rule — independent of `fail_fast`, which only
+    * adds cross-branch cancellation a linear chain doesn't exercise).
     * `onSuccess`/`onFailure` fire per task, like Airflow's task-level
     * callbacks (pipeline.py:44-79 log dag_id/task_id/run_id). */
   def runOnce(
@@ -68,7 +73,7 @@ object Scheduler {
     var upstream: Option[Any] = None
     var failed = false
     steps.foreach { step =>
-      if (failed && cfg.failFast) {
+      if (failed) {
         reports += StepReport(step.name, 0, Skipped, None)
       } else {
         var attempt = 0
@@ -155,12 +160,16 @@ object Scheduler {
       landingDir: String,
       reportDir: String,
       intervalStart: Instant): Seq[Step] = {
-    val trigger = intervalStart.plus(1, ChronoUnit.MINUTES)
-    val fileName = reference.MinuteReport.tehranMinuteFileName(trigger)
+    // Same convention as [[Pipeline.minutelyReport]](intervalStart): the
+    // reference's stream task reads and names data_interval_start − 1min
+    // (pipeline.py timestamp = data_interval_start − timedelta(minutes=1);
+    // test_integration_stream.py pins filename = data_interval_start − 1).
+    val fileName = reference.MinuteReport.tehranMinuteFileName(intervalStart)
     Seq(
       Step("extract", { _ =>
         val minute = java.sql.Timestamp.from(
-          intervalStart.truncatedTo(ChronoUnit.MINUTES))
+          intervalStart.truncatedTo(ChronoUnit.MINUTES)
+            .minus(1, ChronoUnit.MINUTES))
         val rows = sources.Warehouse.readMinute(spark, warehouseDir, minute)
         if (rows.isEmpty) fileName.stripSuffix(".parquet")
         else {
@@ -174,9 +183,9 @@ object Scheduler {
           case Some(p) if p.endsWith(".parquet") =>
             val t0 = System.nanoTime()
             val report = reference.MinuteReport.analyze(
-              spark.read.parquet(p), fileName,
-              processTime = (System.nanoTime() - t0) / 1e9)
-            reference.MinuteReport.toJson(report)
+              spark.read.parquet(p), fileName)
+            reference.MinuteReport.toJson(
+              report.copy(processTime = (System.nanoTime() - t0) / 1e9))
           case other =>
             reference.MinuteReport.noDataJson(
               other.getOrElse(fileName.stripSuffix(".parquet")))

@@ -41,17 +41,43 @@ object SessionCaches {
   def memo[V](s: SparkSession, key: String)(build: => V): V =
     perSession(s).getOrElseUpdate("val:" + key, build).asInstanceOf[V]
 
+  /** One artifact build, run at most once. `lazy val` gives per-holder
+    * synchronization: concurrent callers of [[dirMemo]] race only on
+    * `putIfAbsent` of an UNBUILT holder — the losing holder is discarded
+    * before it ever creates a temp dir, so concurrent first calls (e.g.
+    * under [[graft.Scheduler.runDue]]) cannot leak a directory or build
+    * twice. `built` exposes the dir without forcing a build, for
+    * [[peekDir]]/[[clear]]. */
+  private final class DirHolder(build: String => Unit) {
+    @volatile var built: Option[String] = None
+    lazy val dir: String = {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-artifact-").toString
+      built = Some(p) // registered before building: clear() can reclaim a failed build
+      build(p)
+      p
+    }
+  }
+
   /** Build-once artifact directory per (session, key): `build` is handed a
     * fresh temp dir and writes whatever layout it wants (possibly several
     * parquet relations — cf. the BM25 postings + stats pair). Returns the
-    * dir; the registry deletes it on [[clear]]. */
-  def dirMemo(s: SparkSession, key: String)(build: String => Unit): String =
-    perSession(s).getOrElseUpdate("dir:" + key, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-artifact-").toString
-      build(p)
-      p
-    }).asInstanceOf[String]
+    * dir; the registry deletes it on [[clear]]. Builds for the same key are
+    * serialized (see [[DirHolder]]). */
+  def dirMemo(s: SparkSession, key: String)(build: String => Unit): String = {
+    val m = perSession(s)
+    val k = "dir:" + key
+    val holder = m.get(k) match {
+      case Some(h: DirHolder) => h
+      case _ =>
+        val fresh = new DirHolder(build)
+        m.putIfAbsent(k, fresh) match {
+          case Some(existing: DirHolder) => existing
+          case _ => fresh
+        }
+    }
+    holder.dir
+  }
 
   /** [[dirMemo]] specialized to a single parquet relation, served as a
     * FileScan. Row order is NOT preserved across the write/read boundary —
@@ -63,7 +89,10 @@ object SessionCaches {
   /** The artifact dir for `key` if this session already built one —
     * never builds. */
   def peekDir(s: SparkSession, key: String): Option[String] =
-    perSession(s).get("dir:" + key).map(_.asInstanceOf[String])
+    perSession(s).get("dir:" + key).flatMap {
+      case h: DirHolder => h.built
+      case v => Some(v.asInstanceOf[String]) // freshDir entries are plain paths
+    }
 
   /** Register an unkeyed artifact dir (built for a relation with no stable
     * cache key, e.g. clustering over a caller-supplied DataFrame) so
@@ -82,8 +111,11 @@ object SessionCaches {
   /** Drop every memo for the session and delete artifact directories. */
   def clear(s: SparkSession): Unit = {
     val m = perSession(s)
-    m.toSeq.foreach { case (k, v) =>
-      if (k.startsWith("dir:")) deleteRecursively(new java.io.File(v.asInstanceOf[String]))
+    m.toSeq.foreach {
+      case (_, h: DirHolder) =>
+        h.built.foreach(p => deleteRecursively(new java.io.File(p)))
+      case (k, v) =>
+        if (k.startsWith("dir:")) deleteRecursively(new java.io.File(v.asInstanceOf[String]))
     }
     m.clear()
   }

@@ -44,11 +44,26 @@ class SchedulerSpec extends SparkSuite {
     assert(rep.steps.head.attempts == 2)
     assert(rep.steps.head.status == Failed)
     assert(rep.steps.head.error.exists(_.contains("boom")))
-    // fail_fast=True: downstream tasks are Skipped, never attempted
+    // Airflow's default all_success trigger rule: downstream tasks are
+    // Skipped, never attempted
     assert(rep.steps.tail.map(_.status) == Seq(Skipped, Skipped))
     assert(downstream.get() == 0)
     // the failure callback fired for the failing task only
     assert(failures.result() == Seq("extract"))
+  }
+
+  test("runOnce: downstream skip does not depend on fail_fast (all_success trigger rule)") {
+    val downstream = new AtomicInteger(0)
+    val rep = runOnce(
+      at("2024-01-01T00:01:00Z"),
+      Seq(Step("extract", _ => sys.error("boom")),
+        Step("analyze", { _ => downstream.incrementAndGet(); "never" })),
+      cfg = Config(failFast = false),
+      sleep = _ => ())
+    assert(!rep.succeeded)
+    assert(rep.steps.last.status == Skipped)
+    assert(downstream.get() == 0,
+      "a failed upstream must skip downstream even with fail_fast=False")
   }
 
   test("runOnce: success callback fires per task, in DAG order") {
@@ -123,16 +138,29 @@ class SchedulerSpec extends SparkSuite {
     sources.Warehouse.writeEvents(
       Events.generate(spark, 12000, 1704067200000L, intervalMs = 10), wh)
 
-    // interval 00:01 → 00:02 (trigger 00:02) has 6000 rows
+    // interval start 00:01 reads the COMPLETED minute 00:00 (6000 rows) and
+    // names it tehran(00:01 − 1min) = 03:30+3:30 — the reference's
+    // data_interval_start − 1min convention (pipeline.py; pinned by its
+    // test_integration_stream.py filename golden)
     val ok = runOnce(at("2024-01-01T00:01:00Z"),
       minutelySteps(spark, wh, landing, reportsDir, at("2024-01-01T00:01:00Z")))
     assert(ok.succeeded, ok)
     assert(ok.steps.map(_.name) == Seq("extract", "analyze", "report"))
     val landed = new java.io.File(landing).listFiles().map(_.getName).toSeq
-    assert(landed == Seq("2024-01-01_03-31.parquet"), landed)
+    assert(landed == Seq("2024-01-01_03-30.parquet"), landed)
     val reportJson = sources.Warehouse.readReportJson(
-      spark, s"$reportsDir/2024-01-01_03-31")
+      spark, s"$reportsDir/2024-01-01_03-30")
     assert(reportJson.contains(""""total_events": 6000"""), reportJson)
+    // process_time reflects the actual pivot+collect, not lazy plan
+    // construction (it can legitimately be small, but never exactly 0.0)
+    assert(!reportJson.contains(""""process_time": 0.0,"""), reportJson)
+
+    // same convention as the fused Pipeline.minutelyReport entry point
+    val viaPipeline = Pipeline.minutelyReport(
+      spark, wh, tmpDir("graft-sched-pipe"), at("2024-01-01T00:01:00Z"))
+    assert(viaPipeline.contains(""""file_name": "2024-01-01_03-30.parquet""""),
+      viaPipeline)
+    assert(viaPipeline.contains(""""total_events": 6000"""), viaPipeline)
 
     // an empty minute takes the extension-less no-data path: nothing is
     // landed, the sentinel JSON is still reported
@@ -140,9 +168,9 @@ class SchedulerSpec extends SparkSuite {
       minutelySteps(spark, wh, landing, reportsDir, at("2024-01-01T09:00:00Z")))
     assert(empty.succeeded, empty)
     val sentinel = sources.Warehouse.readReportJson(
-      spark, s"$reportsDir/2024-01-01_12-30")
-    assert(sentinel == """{"report": "No data for 2024-01-01_12-30."}""", sentinel)
+      spark, s"$reportsDir/2024-01-01_12-29")
+    assert(sentinel == """{"report": "No data for 2024-01-01_12-29."}""", sentinel)
     assert(new java.io.File(landing).listFiles().map(_.getName).toSeq
-      == Seq("2024-01-01_03-31.parquet"))
+      == Seq("2024-01-01_03-30.parquet"))
   }
 }
