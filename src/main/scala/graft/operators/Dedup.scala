@@ -223,8 +223,12 @@ object Dedup {
     val (cands, sigs) = lshCandidates(s, d)
     materializeAndRelease(
       cands
+        // double, not decimal: the estimate is an exact multiple of 1/16,
+        // and the golden oracle round-trips through DuckDB, which widens
+        // decimals to float64 (a decimal column would hash-mismatch on
+        // dtype alone)
         .select($"doc_a", $"doc_b",
-          round(estJaccardExpr, 4).as("est_jaccard"))
+          round(estJaccardExpr, 4).cast("double").as("est_jaccard"))
         .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
         .limit(50),
       sigs)
@@ -581,12 +585,12 @@ object Dedup {
   val defs: Seq[Q] = Seq(
     Q("dedup_exact", Some(exactDedupOracle), exactDedup),
     Q("dedup_incremental_batch", Some(incrementalDedupOracle), incrementalDedup),
-    Q("dedup_keep_best", None, keepBestClusters),
+    Q("dedup_keep_best", Some(Golden.parquet("dedup_keep_best")), keepBestClusters),
     Q("dedup_exact_by_hash", Some(exactDedupByHashOracle), exactDedupByHash),
-    Q("dedup_ngram_jaccard", None, ngramJaccardPairs),
-    Q("dedup_simhash_docs", None, simhashDocs),
-    Q("dedup_simhash_pairs", None, simhashPairs),
-    Q("dedup_minhash_lsh", None, minhashLshPairs),
-    Q("dedup_cluster_docs", None, (s, d) => nearDupClusters(s, d)),
-    Q("dedup_simhash_clusters", None, (s, d) => simhashClusters(s, d)))
+    Q("dedup_ngram_jaccard", Some(Golden.parquet("dedup_ngram_jaccard")), ngramJaccardPairs),
+    Q("dedup_simhash_docs", Some(Golden.parquet("dedup_simhash_docs")), simhashDocs),
+    Q("dedup_simhash_pairs", Some(Golden.parquet("dedup_simhash_pairs")), simhashPairs),
+    Q("dedup_minhash_lsh", Some(Golden.parquet("dedup_minhash_lsh")), minhashLshPairs),
+    Q("dedup_cluster_docs", Some(Golden.parquet("dedup_cluster_docs")), (s, d) => nearDupClusters(s, d)),
+    Q("dedup_simhash_clusters", Some(Golden.parquet("dedup_simhash_clusters")), (s, d) => simhashClusters(s, d)))
 }

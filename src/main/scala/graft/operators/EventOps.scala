@@ -410,14 +410,36 @@ object EventOps {
   /** The reference's flagship workload at its published scale (BASELINE.md:
     * 5,805 events in the sample minute, analyzed in 22.16 s by the
     * reference's spark-submit job): seeded generation of one minute at that
-    * rate + the pivot report, warm-session. Rows-only check (the generator
-    * has no SQL oracle); the per-query bench time is the direct
-    * baseline comparison. */
+    * rate + the pivot report, warm-session. The per-query bench time is the
+    * direct baseline comparison. Oracle: the generator is seeded and
+    * deterministic, so the pivoted report is a fixed 5-row table — pinned
+    * as a VALUES golden (committed below), which hash-checks the whole
+    * generate → pivot → zero-fill chain every round. */
   def refMinuteReport(s: SparkSession, d: String): DataFrame = {
     val events = graft.reference.Events.generate(
       s, 5805, 1704067200000L, intervalMs = 10, errorProb = 0.241)
     graft.reference.MinuteReport.pivotCounts(events)
   }
+
+  /** The same pivot over the driver's `events` TABLE (any sf), with a
+    * status derived from a value threshold so both pivot columns populate
+    * per type — the flagship's A2/A3/A4 semantics (explicit pivot value
+    * list, zero-fill, type ordering) against a true conditional-count
+    * DuckDB oracle on real table data, which the seeded-generator twin
+    * above cannot give (SURVEY §7.4 item 5's pivot→conditional-count
+    * rewrite; round-6 verdict "Next round" #1). */
+  def refMinuteReportSql(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withStatus = Tables.events(s, d).withColumn("status",
+      when($"value" < 25.0, lit("ERROR")).otherwise(lit("SUCCESS")))
+    graft.reference.MinuteReport.pivotCounts(withStatus)
+  }
+
+  val refMinuteReportSqlOracle: String =
+    """SELECT event_type,
+      |  CAST(count(CASE WHEN value < 25.0 THEN 1 END) AS BIGINT) AS ERROR,
+      |  CAST(count(CASE WHEN value >= 25.0 THEN 1 END) AS BIGINT) AS SUCCESS
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Hourly OHLC bars over the event value — the time-series shape every
     * metrics/market pipeline derives. Open/close are pinned by the TOTAL
@@ -543,11 +565,17 @@ object EventOps {
   }
 
   val defs: Seq[Q] = Seq(
+    // The ONE deliberate rows-only holdout (SURVEY §8): t-digest centroid
+    // merging is structurally merge-order-sensitive, so a frozen golden
+    // could diverge beyond the checker's 1e-9 atol under a different
+    // shuffle fetch order; TDigestSpec pins estimates against exact
+    // quantiles with the paper's error bound instead.
     Q("agg_tdigest_quantiles", None, valueTdigestQuantiles),
-    Q("ref_minute_report", None, refMinuteReport),
+    Q("ref_minute_report", Some(Golden.refMinuteReportValues), refMinuteReport),
+    Q("ref_minute_report_sql", Some(refMinuteReportSqlOracle), refMinuteReportSql),
     Q("ev_hourly_ohlc", Some(hourlyOhlcOracle), hourlyOhlc),
     Q("ev_trailing_1h_sum", Some(trailing1hSumOracle), trailing1hSum),
-    Q("ev_user_cms_topk", None, (s, d) => userCmsTopK(s, d)),
+    Q("ev_user_cms_topk", Some(Golden.parquet("ev_user_cms_topk")), (s, d) => userCmsTopK(s, d)),
     Q("ev_minute_type_counts", Some(minuteTypeCountsOracle), minuteTypeCounts),
     Q("ev_pivot_day_type", Some(pivotDayTypeOracle), pivotDayType),
     Q("ev_filter_project", Some(filterProjectOracle), filterProject),

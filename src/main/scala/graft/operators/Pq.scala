@@ -169,6 +169,6 @@ object Pq {
   }
 
   val defs: Seq[Q] = Seq(
-    Q("sim_knn_pq", None, knnPq),
-    Q("sim_knn_pq_rerank", None, knnPqRerank))
+    Q("sim_knn_pq", Some(Golden.parquet("sim_knn_pq")), knnPq),
+    Q("sim_knn_pq_rerank", Some(Golden.parquet("sim_knn_pq_rerank")), knnPqRerank))
 }

@@ -98,5 +98,5 @@ object Rag {
     retrieveTopK(Tables.documents(s, d))
 
   val defs: Seq[Q] = Seq(
-    Q("rag_chunk_retrieve", None, chunkRetrieve))
+    Q("rag_chunk_retrieve", Some(Golden.parquet("rag_chunk_retrieve")), chunkRetrieve))
 }

@@ -678,7 +678,7 @@ object Relational {
     Q("agg_rollup", Some(aggRollupOracle), aggRollup),
     Q("agg_cube", Some(aggCubeOracle), aggCube),
     Q("agg_distinct", Some(aggDistinctOracle), aggDistinct),
-    Q("agg_approx_distinct", None, aggApproxDistinct),
+    Q("agg_approx_distinct", Some(Golden.parquet("agg_approx_distinct")), aggApproxDistinct),
     Q("agg_stats", Some(aggStatsOracle), aggStats),
     Q("agg_corr", Some(aggCorrOracle), aggCorr),
     Q("win_top_order_per_customer", Some(winTopOrderOracle), winTopOrderPerCustomer),

@@ -19,8 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Keying: WeakHashMap on the SparkSession (entries die with the session;
   * values hold no session reference, so the weak key can actually clear) →
   * TrieMap on a caller-chosen string key. The string key embeds the corpus
-  * dir — content-addressed enough for static test corpora; a production
-  * build keys on a table snapshot/version.
+  * dir by convention.
+  *
+  * Durability: with `spark.graft.artifact.root` (or
+  * `SPARK_GRAFT_ARTIFACT_ROOT`) set, keyed artifacts are CONTENT-ADDRESSED
+  * under that root — key + a stat digest of the source dirs the key embeds
+  * — and survive the session: a second session serves the index instead of
+  * rebuilding it (SessionCachesSpec pins build-in-A/serve-in-B and
+  * rebuild-on-source-change). Unset, artifacts are session-weak temp dirs.
   *
   * [[clear]] drops every memo and deletes artifact directories. Bench
   * calls it between the warm-up and the timed run so a timed query
@@ -41,21 +47,90 @@ object SessionCaches {
   def memo[V](s: SparkSession, key: String)(build: => V): V =
     perSession(s).getOrElseUpdate("val:" + key, build).asInstanceOf[V]
 
-  /** One artifact build, run at most once. `lazy val` gives per-holder
-    * synchronization: concurrent callers of [[dirMemo]] race only on
-    * `putIfAbsent` of an UNBUILT holder — the losing holder is discarded
-    * before it ever creates a temp dir, so concurrent first calls (e.g.
-    * under [[graft.Scheduler.runDue]]) cannot leak a directory or build
-    * twice. `built` exposes the dir without forcing a build, for
-    * [[peekDir]]/[[clear]]. */
-  private final class DirHolder(build: String => Unit) {
+  /** Marker written after a durable build completes; its presence is the
+    * only thing that makes a durable dir servable, so a crashed build is
+    * never mistaken for an artifact. */
+  private val CompleteMarker = "_GRAFT_COMPLETE"
+
+  /** Optional persistent artifact root (round-6 verdict "Next round" #4):
+    * when set, keyed artifacts live under it content-addressed and survive
+    * the session — a new session SERVES instead of rebuilding (at 100 TB a
+    * rebuild is hours of cluster time; the root would be an object-store
+    * prefix). Unset (the default, and what Bench runs under), artifacts
+    * are session-weak temp dirs exactly as before. */
+  private def persistentRoot(s: SparkSession): Option[String] =
+    s.conf.getOption("spark.graft.artifact.root")
+      .orElse(sys.env.get("SPARK_GRAFT_ARTIFACT_ROOT"))
+      .filter(_.nonEmpty)
+
+  /** Content address: the caller's key plus a stat digest (sorted file
+    * list + sizes + mtimes) of every absolute path the key embeds — keys
+    * here embed their corpus dir by convention (`"img-store:/…/sf0.1"`),
+    * so a changed/regenerated source table changes the address and the
+    * stale artifact is simply never hit. */
+  private[operators] def contentStamp(key: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(key.getBytes("UTF-8"))
+    key.split(':').filter(_.startsWith("/")).foreach { p =>
+      def walk(f: java.io.File): Unit =
+        if (f.isFile) {
+          md.update(s"${f.getPath}|${f.length}|${f.lastModified}\n".getBytes("UTF-8"))
+        } else {
+          Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).foreach(walk)
+        }
+      val f = new java.io.File(p)
+      if (f.exists()) walk(f)
+    }
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  private def durableName(key: String): String =
+    key.replaceAll("[^A-Za-z0-9._-]", "_").take(80) + "-" + contentStamp(key)
+
+  /** One artifact build, run at most once per session. `lazy val` gives
+    * per-holder synchronization: concurrent callers of [[dirMemo]] race
+    * only on `putIfAbsent` of an UNBUILT holder — the losing holder is
+    * discarded before it ever creates a dir, so concurrent first calls
+    * (e.g. under [[graft.Scheduler.runDue]]) cannot leak a directory or
+    * build twice. `built` exposes the dir without forcing a build, for
+    * [[peekDir]]/[[clear]]; `durable` dirs are exempt from [[clear]]'s
+    * deletion (durability is their point — only the in-memory layer
+    * drops). Cross-SESSION races on a durable artifact are settled by
+    * build-into-temp-sibling + atomic rename: a half-built dir is never
+    * visible under the final name. */
+  private final class DirHolder(s: SparkSession, key: String, build: String => Unit) {
     @volatile var built: Option[String] = None
-    lazy val dir: String = {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-artifact-").toString
-      built = Some(p) // registered before building: clear() can reclaim a failed build
-      build(p)
-      p
+    @volatile var durable: Boolean = false
+    lazy val dir: String = persistentRoot(s) match {
+      case Some(root) =>
+        durable = true
+        val dst = new java.io.File(root, durableName(key))
+        val marker = new java.io.File(dst, CompleteMarker)
+        if (!marker.exists()) {
+          dst.getParentFile.mkdirs()
+          val tmp = java.nio.file.Files
+            .createTempDirectory(dst.getParentFile.toPath, dst.getName + ".build-")
+            .toFile
+          try {
+            build(tmp.toString)
+            java.nio.file.Files.writeString(
+              new java.io.File(tmp, CompleteMarker).toPath, "")
+            if (!tmp.renameTo(dst) && !marker.exists()) {
+              throw new IllegalStateException(
+                s"could not promote artifact build $tmp -> $dst")
+            }
+            // rename failed but marker exists: another session promoted
+            // first — serve theirs, drop ours (finally below)
+          } finally if (tmp.exists()) deleteRecursively(tmp)
+        }
+        built = Some(dst.toString)
+        dst.toString
+      case None =>
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-artifact-").toString
+        built = Some(p) // registered before building: clear() can reclaim a failed build
+        build(p)
+        p
     }
   }
 
@@ -70,7 +145,7 @@ object SessionCaches {
     val holder = m.get(k) match {
       case Some(h: DirHolder) => h
       case _ =>
-        val fresh = new DirHolder(build)
+        val fresh = new DirHolder(s, key, build)
         m.putIfAbsent(k, fresh) match {
           case Some(existing: DirHolder) => existing
           case _ => fresh
@@ -108,12 +183,24 @@ object SessionCaches {
     * detect which queries are artifact-backed. */
   def size(s: SparkSession): Int = perSession(s).size
 
-  /** Drop every memo for the session and delete artifact directories. */
+  /** Keys of registered artifact DIRECTORIES only (no bounded `memo`
+    * values) — ArtifactServeSpec diffs this across a query construction to
+    * find the dir-artifact-backed queries it must plan-audit. */
+  def dirKeys(s: SparkSession): Set[String] =
+    perSession(s).keySet.filter(_.startsWith("dir:")).toSet
+
+  /** Drop every memo for the session and delete session-weak artifact
+    * directories. Durable artifacts (persistent root configured) keep
+    * their on-disk form — only the in-memory layer drops; a fresh
+    * [[dirMemo]] re-serves them by content address. Bench runs with no
+    * persistent root, so its clear-between-runs cold-timing discipline is
+    * unchanged. */
   def clear(s: SparkSession): Unit = {
     val m = perSession(s)
     m.toSeq.foreach {
       case (_, h: DirHolder) =>
-        h.built.foreach(p => deleteRecursively(new java.io.File(p)))
+        if (!h.durable)
+          h.built.foreach(p => deleteRecursively(new java.io.File(p)))
       case (k, v) =>
         if (k.startsWith("dir:")) deleteRecursively(new java.io.File(v.asInstanceOf[String]))
     }

@@ -245,6 +245,89 @@ object Similarity {
     }.orderBy($"vec_id")
   }
 
+  /** Incremental (batch-vs-corpus) SemDeDup — the semantic family's
+    * missing incremental form (round-6 verdict "Next round" #8), same
+    * daily-ingest contract as [[Dedup.incrementalDedup]]: an incoming
+    * embedding batch is flagged against the STANDING corpus and within
+    * itself, without an all-corpus pairwise pass. A batch vector is
+    *  - `dup_corpus` if a same-cell corpus vector has cosine ≥ minCos
+    *    (dup_src = the smallest such corpus id),
+    *  - else `dup_batch` if a same-cell SMALLER-ID batch vector does
+    *    (first-occurrence election, exactly incrementalDedup's min-id
+    *    rule — direct-pair, not transitive: the full transitive
+    *    clustering stays the batch job's role, [[plantedSemDedup]]),
+    *  - else `novel`.
+    *
+    * Scale shape: the corpus side is its cell-assigned semantic index
+    * (in production materialized once and maintained by ingest, like
+    * Search.postingsIndexDir); both comparisons are cell-keyed joins, so
+    * the pair cost is Σ|cell∩batch|·|cell| — never corpus×batch. The
+    * fixture plants true semantic dups (every 50th corpus vector
+    * duplicated into the batch at +1e9); the isotropic remainder is
+    * novel-if-correct. */
+  private[operators] def writeIncrementalSemDedup(corpus: DataFrame,
+      batch: DataFrame, centroids: Seq[(Int, Seq[Double])], minCos: Double,
+      dir: String): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    def assigned(df: DataFrame, p: String) = df.select(
+      col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
+      cellAssign(centroids)(col("embedding")).as("cell"),
+      norm(col("embedding")).as(s"${p}_nrm"))
+    val corpusIdx = assigned(corpus, "c")
+    val batchA = assigned(batch, "b").persist()
+    val vsCorpus = batchA.join(corpusIdx, Seq("cell"))
+      .filter(dot($"b_emb", $"c_emb") / ($"b_nrm" * $"c_nrm") >= minCos)
+      .groupBy($"b_id").agg(min($"c_id").as("dup_corpus"))
+    val earlier = batchA.select($"cell", $"b_id".as("a_id"),
+      $"b_emb".as("a_emb"), $"b_nrm".as("a_nrm"))
+    val withinBatch = batchA.join(earlier, Seq("cell"))
+      .filter($"a_id" < $"b_id")
+      .filter(dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm") >= minCos)
+      .groupBy($"b_id").agg(min($"a_id").as("dup_batch"))
+    batchA.select($"b_id".as("vec_id"))
+      .join(vsCorpus.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left")
+      .join(withinBatch.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"dup_corpus", $"dup_batch").as("dup_src"),
+        when($"dup_corpus".isNotNull, lit("dup_corpus"))
+          .when($"dup_batch".isNotNull, lit("dup_batch"))
+          .otherwise(lit("novel")).as("status"))
+      .write.mode("overwrite").parquet(dir)
+    batchA.unpersist(blocking = false)
+  }
+
+  /** The standing corpus's cell-assigned semantic index — the static side
+    * of streaming admission ([[graft.streaming.CorpusStream
+    * .semanticAdmission]]) and the corpus side of [[incrementalSemDedup]];
+    * same deterministic corpus split (vec_id % 10 ≠ 7). In production this
+    * is a materialized table maintained by ingest, not recomputed. */
+  def corpusSemIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = kmeansCentroids(s, d)
+    Tables.embeddings(s, d)
+      .filter($"vec_id" % 10 =!= 7)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"),
+        cellAssign(cents)($"embedding").as("cell"),
+        norm($"embedding").as("c_nrm"))
+  }
+
+  /** Registered incremental SemDeDup over the deterministic corpus/batch
+    * split (vec_id % 10 == 7 plays the incoming batch) with planted
+    * corpus duplicates, served as a parquet artifact. */
+  def incrementalSemDedup(s: SparkSession, d: String,
+      minCos: Double = 0.95): DataFrame = {
+    import s.implicits._
+    SessionCaches.parquetArtifact(s, s"sim-semdedup-incr:$d:$minCos") { dir =>
+      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      val corpus = emb.filter($"vec_id" % 10 =!= 7)
+      val planted = corpus.filter($"vec_id" % 50 === 0)
+        .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+      val batch = emb.filter($"vec_id" % 10 === 7).unionByName(planted)
+      writeIncrementalSemDedup(corpus, batch, kmeansCentroids(s, d), minCos, dir)
+    }.orderBy($"vec_id")
+  }
+
   /** Spherical k-means coarse quantizer for the IVF index, entirely in
     * DataFrame ops. Seeds are the k vectors with the smallest
     * xxhash64(vec_id) — a deterministic uniform sample, not the first k
@@ -267,7 +350,7 @@ object Similarity {
     * value is bounded (k×dim doubles). Keyed by (corpus dir, k, iters);
     * content-addressed enough for the static test corpora (a production
     * build keys on a table snapshot/version). */
-  private[operators] def kmeansCentroids(s: SparkSession, d: String,
+  private[graft] def kmeansCentroids(s: SparkSession, d: String,
       k: Int = 16, iters: Int = 3): Seq[(Int, Seq[Double])] =
     SessionCaches.memo(s, s"sim-centroids:$d:$k:$iters")(
       kmeansCentroidsUncached(s, d, k, iters))
@@ -341,7 +424,7 @@ object Similarity {
   // query (a production build keys on a table snapshot/version and writes
   // to the warehouse, not a temp dir).
   // ---------------------------------------------------------------------
-  private def cellAssign(centroids: Seq[(Int, Seq[Double])])(
+  private[graft] def cellAssign(centroids: Seq[(Int, Seq[Double])])(
       emb: org.apache.spark.sql.Column) = centroids match {
     // greatest() requires >= 2 args; a single cell is a constant assignment
     case Seq((i, _)) => lit(i)
@@ -490,15 +573,16 @@ object Similarity {
   }
 
   val defs: Seq[Q] = Seq(
-    Q("sim_kmeans_profile", None, kmeansProfile),
-    Q("sim_knn_brute", None, knnBrute),
-    Q("sim_knn_lsh", None, knnLsh),
-    Q("sim_knn_ivf", None, (s, d) => knnIvf(s, d)),
-    Q("sim_knn_lsh_indexed", None, knnLshIndexed),
-    Q("sim_knn_ivf_indexed", None, (s, d) => knnIvfIndexed(s, d)),
-    Q("sim_knn_aggregator", None, knnAggregator),
-    Q("sim_neardup_pairs", None, nearDupPairs),
-    Q("sim_embedding_clusters", None, plantedEmbeddingClusters),
-    Q("sim_semdedup", None, plantedSemDedup),
+    Q("sim_kmeans_profile", Some(Golden.parquet("sim_kmeans_profile")), kmeansProfile),
+    Q("sim_knn_brute", Some(Golden.parquet("sim_knn_brute")), knnBrute),
+    Q("sim_knn_lsh", Some(Golden.parquet("sim_knn_lsh")), knnLsh),
+    Q("sim_knn_ivf", Some(Golden.parquet("sim_knn_ivf")), (s, d) => knnIvf(s, d)),
+    Q("sim_knn_lsh_indexed", Some(Golden.parquet("sim_knn_lsh_indexed")), knnLshIndexed),
+    Q("sim_knn_ivf_indexed", Some(Golden.parquet("sim_knn_ivf_indexed")), (s, d) => knnIvfIndexed(s, d)),
+    Q("sim_knn_aggregator", Some(Golden.parquet("sim_knn_aggregator")), knnAggregator),
+    Q("sim_neardup_pairs", Some(Golden.parquet("sim_neardup_pairs")), nearDupPairs),
+    Q("sim_embedding_clusters", Some(Golden.parquet("sim_embedding_clusters")), plantedEmbeddingClusters),
+    Q("sim_semdedup", Some(Golden.parquet("sim_semdedup")), plantedSemDedup),
+    Q("sim_semdedup_incremental", Some(Golden.parquet("sim_semdedup_incremental")), (s, d) => incrementalSemDedup(s, d)),
     Q("sim_label_centroid", Some(labelCentroidOracle), labelCentroid))
 }

@@ -110,5 +110,5 @@ object Sq8 {
   }
 
   val defs: Seq[Q] = Seq(
-    Q("sim_knn_sq8", None, knnSq8))
+    Q("sim_knn_sq8", Some(Golden.parquet("sim_knn_sq8")), knnSq8))
 }

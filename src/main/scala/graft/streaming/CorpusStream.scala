@@ -35,4 +35,45 @@ object CorpusStream {
           .select(col("doc_id"), col("ts"), col("text")), segLen)
       .select(col("doc_id"), col("ts"), col("seg_idx"), col("seg_md5"))
       .dropDuplicatesWithinWatermark(Seq("seg_md5"))
+
+  /** The SemDeDup family's STREAMING twin (round-6 verdict "Next round"
+    * #8): semantic admission control at ingest time. Arrivals
+    * (vec_id, embedding, ts) that semantically duplicate the standing
+    * corpus — cosine ≥ `minCos` against a same-cell corpus vector — are
+    * dropped before they land; survivors flow on unchanged.
+    *
+    * Mechanics, all bounded-state:
+    *  - exact repeats within the watermark are suppressed first by
+    *    content signature (`dropDuplicatesWithinWatermark` — state
+    *    bounded by arrival rate × window, like [[dedupedSegments]]);
+    *  - the vs-corpus check is a STATELESS stream-static LEFT ANTI join
+    *    against the corpus's cell-assigned semantic index
+    *    ([[graft.operators.Similarity.corpusSemIndex]]) with the cosine
+    *    predicate in the join condition — cell equality confines the
+    *    pair work exactly as batch SemDeDup's Σ|cell|² bound does.
+    *
+    * Cross-arrival NEAR-dup election (non-identical arrivals duplicating
+    * each other) is deliberately NOT streamed: that state grows with
+    * history, which is the incremental batch job's role
+    * ([[graft.operators.Similarity.incrementalSemDedup]]) — same
+    * division of labor as exact-global vs windowed segment dedup above. */
+  def semanticAdmission(s: org.apache.spark.sql.SparkSession, d: String,
+      arrivals: DataFrame, minCos: Double = 0.95,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.Similarity
+    val cents = Similarity.kmeansCentroids(s, d)
+    val idx = Similarity.corpusSemIndex(s, d)
+    val a = arrivals
+      .withWatermark("ts", watermark)
+      .withColumn("sig", md5(to_json(struct(col("embedding")))))
+      .dropDuplicatesWithinWatermark(Seq("sig"))
+      .withColumn("cell", Similarity.cellAssign(cents)(col("embedding")))
+      .withColumn("nrm", graft.functions.VectorOps.norm(col("embedding")))
+    a.join(idx,
+        a("cell") === idx("cell") &&
+          graft.functions.VectorOps.dot(a("embedding"), idx("c_emb")) /
+            (a("nrm") * idx("c_nrm")) >= minCos,
+        "left_anti")
+      .drop("sig", "cell", "nrm")
+  }
 }

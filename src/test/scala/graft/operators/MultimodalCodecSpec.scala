@@ -38,6 +38,20 @@ class MultimodalCodecSpec extends SparkSuite {
     assert(ahash == expected, f"ahash ${ahash}%016x != ${expected}%016x")
   }
 
+  test("encodePng round-trips pixel-exactly through the JDK reader") {
+    val rnd = new scala.util.Random(7)
+    val img = new BufferedImage(23, 17, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 17; x <- 0 until 23)
+      img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+    val bytes = Multimodal.encodePng(img)
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(back.getWidth == 23 && back.getHeight == 17)
+    for (y <- 0 until 17; x <- 0 until 23)
+      assert((back.getRGB(x, y) & 0xffffff) == (img.getRGB(x, y) & 0xffffff),
+        s"pixel ($x,$y) corrupted by encode round-trip")
+  }
+
   test("render is deterministic and text-keyed; payloads are real PNGs") {
     val a = Multimodal.renderPng("the quick brown fox")
     val b = Multimodal.renderPng("the quick brown fox")

@@ -31,6 +31,44 @@ class SemDedupSpec extends SparkSuite {
     assert(Similarity.semDedupOf(spark, Sf, emb).isEmpty)
   }
 
+  test("incremental: planted corpus dups flag dup_corpus with the source id; naturals are novel") {
+    val out = Similarity.incrementalSemDedup(spark, Sf)
+      .as[(Long, Option[Long], String)].collect()
+    val nBase = Tables.embeddings(spark, Sf).count()
+    val plantedSrcs = (0L until nBase by 50L).toSet // all %50==0 ids are corpus (%10==0)
+    val naturals = (0L until nBase).filter(_ % 10 == 7).toSet
+    assert(out.map(_._1).toSet == naturals ++ plantedSrcs.map(_ + 1000000000L))
+    out.foreach {
+      case (id, src, status) if id >= 1000000000L =>
+        assert(status == "dup_corpus", s"planted $id: $status")
+        assert(src.contains(id - 1000000000L), s"planted $id: dup_src $src")
+      case (id, src, status) =>
+        assert(status == "novel" && src.isEmpty, s"natural $id: $status/$src")
+    }
+  }
+
+  test("incremental: within-batch dups elect the first occurrence (min-id), direct-pair") {
+    // corpus = one isolated direction; batch = two identical arrivals plus
+    // a corpus-dup arrival — exercises all three statuses in one shot
+    val dim = 64
+    def vec(s: Seq[Double]): Seq[Float] = (s ++ Seq.fill(dim - s.size)(0.0)).map(_.toFloat)
+    val centroids = Seq(0 -> (Seq(1.0) ++ Seq.fill(dim - 1)(0.0)))
+    val corpus = Seq((5L, vec(Seq(1.0, 0.1)))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (20L, vec(Seq(0.0, 1.0))), // novel direction, first occurrence
+      (21L, vec(Seq(0.0, 1.0))), // identical to 20 -> dup_batch of 20
+      (22L, vec(Seq(1.0, 0.1)))  // identical to corpus 5 -> dup_corpus
+    ).toDF("vec_id", "embedding")
+    val dir = tmpDir("semdedup-incr-unit")
+    Similarity.writeIncrementalSemDedup(corpus, batch, centroids, 0.95, dir)
+    val got = spark.read.parquet(dir)
+      .as[(Long, Option[Long], String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (20L, None, "novel"),
+      (21L, Some(20L), "dup_batch"),
+      (22L, Some(5L), "dup_corpus")), got.toString)
+  }
+
   test("cell-straddling near-dups are missed — SemDeDup's documented approximation") {
     // handcrafted 2-cell geometry: a and b have cosine ~0.994 (>= 0.95)
     // but argmax-dot-assign to DIFFERENT cells, so no edge can form

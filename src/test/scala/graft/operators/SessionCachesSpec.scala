@@ -50,6 +50,62 @@ class SessionCachesSpec extends SparkSuite {
     assert(SessionCaches.peekDir(spark, key).contains(d1))
   }
 
+  test("durable root: build in session A, serve in session B without rebuilding") {
+    val root = tmpDir("graft-durable-root")
+    val srcDir = tmpDir("graft-durable-src")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(srcDir, "part-0.parquet"), "source-bytes")
+    val builds = new AtomicInteger(0)
+    val key = s"ivf-index:$srcDir" // embeds its source dir, like real keys
+    def build(dir: String): Unit = {
+      builds.incrementAndGet()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "idx"), "v1")
+    }
+    val a = spark.newSession()
+    val b = spark.newSession()
+    a.conf.set("spark.graft.artifact.root", root)
+    b.conf.set("spark.graft.artifact.root", root)
+    val d1 = SessionCaches.dirMemo(a, key)(build)
+    assert(builds.get() == 1)
+    assert(new java.io.File(d1, "idx").exists())
+    val d2 = SessionCaches.dirMemo(b, key)(build)
+    assert(builds.get() == 1, "session B must serve, not rebuild")
+    assert(d1 == d2)
+    // clear() drops the in-memory layer but NOT the durable artifact;
+    // a third session still serves without rebuilding
+    SessionCaches.clear(a)
+    SessionCaches.clear(b)
+    assert(new java.io.File(d1, "idx").exists(),
+      "clear() must not delete durable artifacts")
+    val c = spark.newSession()
+    c.conf.set("spark.graft.artifact.root", root)
+    assert(SessionCaches.dirMemo(c, key)(build) == d1 && builds.get() == 1)
+  }
+
+  test("durable root: a changed source table changes the address and rebuilds") {
+    val root = tmpDir("graft-durable-root2")
+    val srcDir = tmpDir("graft-durable-src2")
+    val src = java.nio.file.Paths.get(srcDir, "part-0.parquet")
+    java.nio.file.Files.writeString(src, "v1")
+    val builds = new AtomicInteger(0)
+    val key = s"postings:$srcDir"
+    val a = spark.newSession()
+    a.conf.set("spark.graft.artifact.root", root)
+    val d1 = SessionCaches.dirMemo(a, key)(_ => builds.incrementAndGet())
+    // regenerate the source with different content (size change: mtime
+    // granularity is filesystem-dependent, size is not)
+    java.nio.file.Files.writeString(src, "v2-longer")
+    val b = spark.newSession()
+    b.conf.set("spark.graft.artifact.root", root)
+    val d2 = SessionCaches.dirMemo(b, key)(_ => builds.incrementAndGet())
+    assert(builds.get() == 2, "changed source must miss the old address")
+    assert(d1 != d2)
+    // a half-written dir without the completion marker is never served:
+    // both artifacts carry the marker exactly because they completed
+    assert(new java.io.File(d1, "_GRAFT_COMPLETE").exists())
+    assert(new java.io.File(d2, "_GRAFT_COMPLETE").exists())
+  }
+
   test("clear: reclaims built dirs AND dirs whose build threw") {
     val okKey = "ok-" + System.nanoTime()
     val badKey = "bad-" + System.nanoTime()

@@ -50,6 +50,33 @@ class CorpusStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("semantic admission: corpus dups dropped, novel passes, exact repeat suppressed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, Sf)
+    // vec 10 is IN the corpus split (10 % 10 = 0): an arrival carrying its
+    // embedding is a semantic duplicate. vec 7 is NOT (7 % 10 = 7), and
+    // the corpus is isotropic, so its embedding is novel.
+    val dupVec = emb.filter($"vec_id" === 10L).select("embedding").head.getSeq[Float](0)
+    val novelVec = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])]
+    val out = CorpusStream.semanticAdmission(
+      spark, Sf, in.toDS().toDF("vec_id", "ts", "embedding"),
+      watermark = "60 minutes")
+    val q = out.writeStream.format("memory").queryName("sem_admit")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((900001L, ts(0), dupVec), (900002L, ts(1), novelVec))
+      q.processAllAvailable()
+      // an exact repeat of the admitted novel arrival, still in-watermark:
+      // suppressed by the content-signature stage, not re-admitted
+      in.addData((900003L, ts(2), novelVec))
+      q.processAllAvailable()
+      val got = spark.table("sem_admit").select("vec_id").as[Long].collect().toSet
+      assert(got === Set(900002L), s"got $got")
+    } finally q.stop()
+  }
+
   test("dedup state expires once the watermark passes a segment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
