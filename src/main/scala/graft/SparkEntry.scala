@@ -19,7 +19,8 @@ object SparkEntry {
       Similarity.defs ++ Rag.defs ++ Classifier.defs ++
       Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Multimodal.defs ++
       Audit.defs ++ EntityRes.defs ++ Drift.defs ++
-      graft.sources.Bucketed.defs ++ graft.sources.Formats.defs
+      graft.sources.Bucketed.defs ++ graft.sources.Formats.defs ++
+      graft.sources.Manifest.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Q, SessionCaches}
+import graft.reference.Events
+
+/** File-level min/max data-skipping index — the `add.stats` half of what a
+  * lakehouse table format (Delta/Iceberg) layers over parquet, built here
+  * as a first-class engine artifact:
+  *
+  *  - [[fileStats]]: ONE column-pruned scan grouped by `input_file_name()`
+  *    → per-file row count + min/max per indexed column. The manifest is
+  *    O(files), not O(rows) — at 100 TB that is ~1M rows of metadata for
+  *    100K 1-GB files, a trivially small parquet.
+  *  - [[prunedScan]]: predicate ∩ manifest on the DRIVER selects the file
+  *    list, then a plain parquet read of only those files. This is
+  *    METADATA-ONLY skipping: unlike parquet row-group pruning (which
+  *    still opens every footer — one round-trip per file against an
+  *    object store), skipped files are never listed, opened, or footed.
+  *    The driver-side manifest filter + collect is bounded by file count —
+  *    exactly the work a Delta/Iceberg driver does per query.
+  *
+  * Composes with [[ZOrder]]: the z-ordered layout gives every file a tight
+  * bounding box in BOTH clustered dimensions, so a 2-D box predicate
+  * skips most files (ManifestSpec measures it); on a linear layout the
+  * same manifest only prunes the leading key.
+  */
+object Manifest {
+
+  /** Per-file stats for `cols` over a parquet dir: (file, n_rows,
+    * min_c/max_c per col, as doubles — exact for integers < 2^53, and
+    * range-pruning needs bounds, not exact types). */
+  def fileStats(s: SparkSession, dataDir: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c")))
+    s.read.parquet(dataDir)
+      .select(cols.map(col) :+ input_file_name().as("file"): _*)
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Manifest as a session artifact (durable under an artifact root),
+    * keyed on the data dir it indexes. */
+  def manifestDir(s: SparkSession, dataDir: String, cols: Seq[String]): String =
+    SessionCaches.dirMemo(s, s"manifest:$dataDir:${cols.mkString(",")}")(path =>
+      fileStats(s, dataDir, cols).coalesce(1).write.mode("overwrite").parquet(path))
+
+  /** Driver-side file selection: files whose [min, max] intersects every
+    * range. Returns (selected files, total files) — the collect is bounded
+    * by file count (the manifest has one row per file). */
+  def selectFiles(s: SparkSession, dataDir: String,
+                  ranges: Seq[(String, Double, Double)]): (Seq[String], Long) = {
+    val m = s.read.parquet(manifestDir(s, dataDir, ranges.map(_._1)))
+    val overlap = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val total = m.count()
+    val files = m.filter(overlap).select("file")
+      .collect().map(_.getString(0)).toSeq.sorted
+    (files, total)
+  }
+
+  /** Manifest-pruned scan: read ONLY overlapping files, then re-apply the
+    * row-level predicate (file stats admit whole files; rows inside still
+    * need the filter — same two-level contract as any skipping index). */
+  def prunedScan(s: SparkSession, dataDir: String,
+                 ranges: Seq[(String, Double, Double)]): DataFrame = {
+    val (files, _) = selectFiles(s, dataDir, ranges)
+    val rowPred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (files.isEmpty)
+      // schema-preserving empty relation (zero files selected is a valid,
+      // maximally-pruned outcome, not an error)
+      s.read.parquet(dataDir).filter(rowPred).limit(0)
+    else s.read.parquet(files: _*).filter(rowPred)
+  }
+
+  // ---------------------------------------------------------------------
+  // Driver-contract queries
+  // ---------------------------------------------------------------------
+
+  /** lineitem z-ordered on (l_partkey, l_suppkey), one artifact per sf. */
+  private[sources] def zorderedLineitemDir(s: SparkSession, d: String): String =
+    SessionCaches.dirMemo(s, s"zorder:lineitem:$d")(path =>
+      ZOrder.writeZOrdered(
+        Tables.lineitem(s, d).select(
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag")),
+        "l_partkey", "l_suppkey", path))
+
+  /** The shared 2-D box: [min + 25% span, min + 50% span] on both keys.
+    * Same double arithmetic on the Spark side and in the oracle SQL
+    * (FLOOR over IEEE doubles), so the literals agree bit-for-bit. */
+  private[sources] def boxBounds(s: SparkSession, d: String): (Long, Long, Long, Long) =
+    SessionCaches.memo(s, s"zorder-box:$d") {
+      val r = Tables.lineitem(s, d).agg(
+        min(col("l_partkey")).cast("double"), max(col("l_partkey")).cast("double"),
+        min(col("l_suppkey")).cast("double"), max(col("l_suppkey")).cast("double")).head()
+      def cut(lo: Double, hi: Double, f: Double) =
+        math.floor(lo + f * (hi - lo)).toLong
+      (cut(r.getDouble(0), r.getDouble(1), 0.25), cut(r.getDouble(0), r.getDouble(1), 0.50),
+       cut(r.getDouble(2), r.getDouble(3), 0.25), cut(r.getDouble(2), r.getDouble(3), 0.50))
+    }
+
+  private def boxAgg(df: DataFrame, p1: Long, p2: Long, s1: Long, s2: Long): DataFrame =
+    df.filter(col("l_partkey").between(p1, p2) && col("l_suppkey").between(s1, s2))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Box aggregate over the z-ordered layout (row-group stats prune on
+    * both dims inside the ordinary parquet scan). */
+  def zorderBoxAgg(s: SparkSession, d: String): DataFrame = {
+    val (p1, p2, s1, s2) = boxBounds(s, d)
+    boxAgg(s.read.parquet(zorderedLineitemDir(s, d)), p1, p2, s1, s2)
+  }
+
+  /** Same box aggregate through the manifest: driver-side file skipping
+    * first, row filter second. Result must equal [[zorderBoxAgg]] — the
+    * index changes I/O, never answers. */
+  def manifestPrunedAgg(s: SparkSession, d: String): DataFrame = {
+    val (p1, p2, s1, s2) = boxBounds(s, d)
+    val pruned = prunedScan(s, zorderedLineitemDir(s, d), Seq(
+      ("l_partkey", p1.toDouble, p2.toDouble),
+      ("l_suppkey", s1.toDouble, s2.toDouble)))
+    boxAgg(pruned, p1, p2, s1, s2)
+  }
+
+  private val boxAggOracle: String =
+    """WITH b AS (SELECT
+      |    CAST(FLOOR(min(l_partkey) + 0.25*(max(l_partkey) - min(l_partkey))) AS BIGINT) AS p1,
+      |    CAST(FLOOR(min(l_partkey) + 0.50*(max(l_partkey) - min(l_partkey))) AS BIGINT) AS p2,
+      |    CAST(FLOOR(min(l_suppkey) + 0.25*(max(l_suppkey) - min(l_suppkey))) AS BIGINT) AS s1,
+      |    CAST(FLOOR(min(l_suppkey) + 0.50*(max(l_suppkey) - min(l_suppkey))) AS BIGINT) AS s2
+      |  FROM lineitem)
+      |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+      |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |       ROUND(SUM(l_extendedprice), 2) AS sum_price
+      |FROM lineitem, b
+      |WHERE l_partkey BETWEEN b.p1 AND b.p2 AND l_suppkey BETWEEN b.s1 AND b.s2
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Fragmented warehouse (two seeded appends → ≥2 files per minute
+    * partition) → [[Warehouse.compact]] → aggregate over the compacted
+    * copy. The generation is fully seeded, so the aggregate is a fixed
+    * 5-row table (VALUES oracle, same mechanism as the flagship golden);
+    * WarehouseSpec separately asserts the file-merge and clustering-sort
+    * invariants. */
+  def compactRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val comp = SessionCaches.dirMemo(s, "wh-compact-rt:v1") { path =>
+      val frag = SessionCaches.freshDir(s, "wh-frag")
+      Warehouse.writeEvents(Events.generate(s, 6000, 1704067200000L), frag)
+      Events.withEventMinute(Events.generate(s, 6000, 1704067200000L, seed = 7L))
+        .write.mode("append").partitionBy("event_minute").parquet(frag)
+      Warehouse.compact(s, frag, path)
+    }
+    Warehouse.readEvents(s, comp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col("status") === "ERROR", 1)).as("errors"))
+      .orderBy(col("event_type"))
+  }
+
+  val defs: Seq[Q] = Seq(
+    Q("src_zorder_box_agg", Some(boxAggOracle), zorderBoxAgg),
+    Q("src_manifest_pruned_agg", Some(boxAggOracle), manifestPrunedAgg),
+    Q("wh_compact_roundtrip", Some(compactRoundtripOracle), compactRoundtrip))
+
+  /** Fixed pivot of the two seeded 6,000-event generations (seeds 42 and
+    * 7 — deterministic; regenerate by running the query and dumping the 5
+    * rows). */
+  private lazy val compactRoundtripOracle: String =
+    """SELECT event_type, CAST(cnt AS BIGINT) AS cnt, CAST(errors AS BIGINT) AS errors
+      |FROM (VALUES
+      |  ('ADD_TO_CART',  2385, 623),
+      |  ('CHECKOUT',     2324, 553),
+      |  ('PAYMENT',      2381, 568),
+      |  ('SEARCH',       2431, 604),
+      |  ('VIEW_PRODUCT', 2479, 612)
+      |) AS t(event_type, cnt, errors)
+      |ORDER BY event_type""".stripMargin
+}
