@@ -52,6 +52,18 @@ object SessionCaches {
     * never mistaken for an artifact. */
   private val CompleteMarker = "_GRAFT_COMPLETE"
 
+  /** Re-stamp an artifact dir after an IN-PLACE maintenance rewrite
+    * (e.g. [[graft.sources.Manifest.refreshManifest]]'s overwrite, which
+    * wipes the dir including any completion marker). Underscore-prefixed
+    * files are invisible to parquet listings (same convention as
+    * _SUCCESS), so stamping a session-weak dir is harmless. */
+  def remarkComplete(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    if (d.isDirectory && !new java.io.File(d, CompleteMarker).exists())
+      java.nio.file.Files.writeString(
+        new java.io.File(d, CompleteMarker).toPath, "")
+  }
+
   /** Optional persistent artifact root (round-6 verdict "Next round" #4):
     * when set, keyed artifacts live under it content-addressed and survive
     * the session — a new session SERVES instead of rebuilding (at 100 TB a

@@ -30,17 +30,80 @@ import graft.reference.Events
   */
 object Manifest {
 
-  /** Per-file stats for `cols` over a parquet dir: (file, n_rows,
-    * min_c/max_c per col, as doubles — exact for integers < 2^53, and
-    * range-pruning needs bounds, not exact types). */
-  def fileStats(s: SparkSession, dataDir: String, cols: Seq[String]): DataFrame = {
+  /** `input_file_name()` yields a `file://` URI locally and an `s3a://...`
+    * URI on an object store; stats rows keep the scheme-stripped path so
+    * the listing diff in [[refreshManifest]] compares like with like.
+    * (Paths with URL-escapable characters would need a decode here.) */
+  private val fileCol =
+    regexp_replace(input_file_name(), "^[a-z0-9+.-]+:(//)?", "").as("file")
+
+  /** Per-file stats for `cols` over a parquet dir or explicit file list:
+    * (file, n_rows, min_c/max_c per col, as doubles — exact for integers
+    * < 2^53, and range-pruning needs bounds, not exact types). */
+  def fileStats(s: SparkSession, paths: Seq[String], cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"min_$c"),
       max(col(c)).cast("double").as(s"max_$c")))
-    s.read.parquet(dataDir)
-      .select(cols.map(col) :+ input_file_name().as("file"): _*)
+    s.read.parquet(paths: _*)
+      .select(cols.map(col) :+ fileCol: _*)
       .groupBy(col("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  def fileStats(s: SparkSession, dataDir: String, cols: Seq[String]): DataFrame =
+    fileStats(s, Seq(dataDir), cols)
+
+  /** Current data files of a dir, scheme-stripped, via the Hadoop FS API
+    * (same object-store reach as every other path in the engine). */
+  private def listDataFiles(s: SparkSession, dataDir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val out = Set.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) out += f.toUri.getPath
+    }
+    out.result()
+  }
+
+  /** Incremental maintenance (the 100 TB form — a nightly append adds
+    * ~0.1% of files; re-statting the other 99.9% would be the full scan
+    * the manifest exists to avoid): stat ONLY files absent from the
+    * manifest, drop rows for files that vanished (compaction), keep every
+    * other row untouched. Returns (files statted, rows dropped). */
+  def refreshManifest(s: SparkSession, dataDir: String,
+                      cols: Seq[String]): (Long, Long) = {
+    val mDir = manifestDir(s, dataDir, cols)
+    val existing = s.read.parquet(mDir)
+    // bounded: one row per file — the same driver-side scale contract as
+    // selectFiles
+    val known = existing.select("file").collect().map(_.getString(0)).toSet
+    val current = listDataFiles(s, dataDir)
+    val added = (current -- known).toSeq.sorted
+    val dropped = known -- current
+    if (added.nonEmpty || dropped.nonEmpty) {
+      import s.implicits._
+      // semi-join, not isin: the keep-list is O(files) — an isin literal
+      // over ~1M file names would blow up the expression tree
+      val currentDf = current.toSeq.toDF("file")
+      val kept = existing.join(broadcast(currentDf), Seq("file"), "left_semi")
+      val next =
+        if (added.isEmpty) kept
+        else kept.unionByName(fileStats(s, added, cols))
+      // localCheckpoint: materialize before overwriting the dir the plan
+      // reads (same self-overwrite rule as Warehouse.deleteUsers)
+      next.localCheckpoint().coalesce(1)
+        .write.mode("overwrite").parquet(mDir)
+      // the overwrite wiped the dir; restore the durable completion
+      // marker so a later session still recognizes the artifact (the
+      // refresh itself is maintenance-in-place, not crash-atomic — a
+      // crashed refresh is repaired by the next refresh, which re-stats
+      // whatever the manifest lost)
+      SessionCaches.remarkComplete(mDir)
+      s.catalog.refreshByPath(mDir)
+    }
+    (added.size.toLong, dropped.size.toLong)
   }
 
   /** Manifest as a session artifact (durable under an artifact root),

@@ -45,6 +45,43 @@ class ManifestSpec extends SparkSuite {
     assert(pruned.sameElements(full), "pruned scan changed the answer")
   }
 
+  test("refresh stats only appended files and drops vanished ones") {
+    import spark.implicits._
+    val dir = tmpDir("manifest-refresh")
+    val cols = Seq("k")
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).write.mode("overwrite").parquet(dir)
+    Manifest.manifestDir(spark, dir, cols)
+    assert(Manifest.refreshManifest(spark, dir, cols) == (0L, 0L),
+      "unchanged dir must be a no-op")
+
+    // append: only the new files get statted
+    (101 to 140).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(2).write.mode("append").parquet(dir)
+    val (added, dropped) = Manifest.refreshManifest(spark, dir, cols)
+    assert(added == 2 && dropped == 0L, s"got ($added, $dropped)")
+    val m = spark.read.parquet(Manifest.manifestDir(spark, dir, cols))
+    assert(m.agg(sum("n_rows")).head().getLong(0) == 140)
+    // the refreshed manifest still prunes correctly
+    val (files, total) = Manifest.selectFiles(spark, dir, Seq(("k", 101.0, 140.0)))
+    assert(files.nonEmpty && files.size < total,
+      s"append-only range should not need all $total files")
+
+    // compaction: old entries dropped, new file statted, totals intact
+    val all = spark.read.parquet(dir).localCheckpoint()
+    new java.io.File(dir).listFiles().foreach(f => if (!f.getName.startsWith("_")) {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
+      }
+      rm(f)
+    })
+    all.coalesce(1).write.mode("append").parquet(dir)
+    val (a2, d2) = Manifest.refreshManifest(spark, dir, cols)
+    assert(a2 == 1L && d2 >= 6L, s"got ($a2, $d2)")
+    val m2 = spark.read.parquet(Manifest.manifestDir(spark, dir, cols))
+    assert(m2.count() >= 1 && m2.agg(sum("n_rows")).head().getLong(0) == 140)
+  }
+
   test("zero-overlap predicate selects zero files and returns empty, schema intact") {
     val ranges = Seq(("l_partkey", -100.0, -1.0))
     val (files, _) = Manifest.selectFiles(spark, zDir, ranges)
