@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -97,6 +98,52 @@ object Rag {
   def chunkRetrieve(s: SparkSession, d: String): DataFrame =
     retrieveTopK(Tables.documents(s, d))
 
+  /** Hybrid sparse+dense retrieval with reciprocal-rank fusion — the
+    * standard production serving shape (BM25 leg + embedding leg, fused
+    * by Σ 1/(60 + rank) so neither leg's score scale dominates; Cormack
+    * et al. 2009's RRF constant). Both legs run over the SAME corpus with
+    * the SAME query text, each returning a deeper candidate list (50)
+    * than the fused top-k (10) — fusion can promote a document mid-ranked
+    * by both legs over one top-ranked by a single leg.
+    *
+    * Scale shape: the legs are the engine's existing retrieval operators
+    * unchanged (BM25 = postings-sliced aggregation; dense = narrow embed
+    * + TakeOrderedAndProject — or the partition-pruned IVF/LSH index at
+    * real scale); fusion itself touches 2×50 rows — a full-outer join on
+    * doc_id of two driver-bounded lists. Golden-pinned (the dense leg's
+    * cosine is not portably SQL-expressible); RagSpec pins the RRF
+    * arithmetic and the promote-the-consensus-document property. */
+  def hybridRrf(s: SparkSession, d: String, k: Int = 10,
+                depth: Int = 50): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val query = Search.QueryTerms.mkString(" ")
+    val sparse = Search.bm25TopKOf(docs, Search.QueryTerms, depth)
+      .withColumn("r_sparse", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+    val qv: Seq[Double] = s.range(1)
+      .select(embedCol(lit(query)).as("e")).as[Seq[Double]].head()
+    val denseScored = docs
+      .withColumn("emb", embedCol(col("text")))
+      .filter(VectorOps.dot(col("emb"), col("emb")) > 0)
+      .select(col("doc_id"),
+        round(VectorOps.cosine(col("emb"), typedlit(qv)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(depth)
+    val dense = denseScored.withColumn("r_dense", row_number().over(
+      Window.orderBy(col("cos").desc, col("doc_id"))))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(60.0) + col("r_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_dense")), lit(0.0)),
+          6).as("rrf"),
+        col("r_sparse"), col("r_dense"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val defs: Seq[Q] = Seq(
-    Q("rag_chunk_retrieve", Some(Golden.parquet("rag_chunk_retrieve")), chunkRetrieve))
+    Q("rag_chunk_retrieve", Some(Golden.parquet("rag_chunk_retrieve")), chunkRetrieve),
+    Q("rag_hybrid_rrf", Some(Golden.parquet("rag_hybrid_rrf")), (s, d) => hybridRrf(s, d)))
 }

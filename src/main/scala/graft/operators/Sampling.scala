@@ -203,7 +203,30 @@ object Sampling {
       |       CAST(sum(n_chars) AS BIGINT) AS n_chars
       |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin
 
+  /** Deterministic global shuffle — the shuffle-before-pack step every
+    * pretraining run needs: a reproducible pseudo-random permutation of
+    * the corpus, here ORDER BY md5(salt ‖ doc_id). No global rank is
+    * materialized (that would be a single-partition window): the sort IS
+    * the operation — Catalyst plans a range shuffle + per-partition sort,
+    * and the sorted write order is the permutation. Re-running with a new
+    * salt reshuffles; same salt is bit-stable across partitionings. */
+  def globalShuffle(s: SparkSession, d: String,
+                    salt: String = "shuffle-v1"): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        substring(md5(concat(lit(salt + ":"), $"doc_id".cast("string"))), 1, 16)
+          .as("skey"))
+      .orderBy($"skey", $"doc_id")
+  }
+
+  val globalShuffleOracle: String =
+    """SELECT doc_id,
+      |       substr(md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)), 1, 16) AS skey
+      |FROM documents ORDER BY skey, doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("doc_global_shuffle", Some(globalShuffleOracle), globalShuffle(_, _)),
     Q("doc_stratified_sample", Some(stratifiedSampleOracle), stratifiedSample),
     Q("doc_kfold_assign", Some(kfoldAssignOracle), kfoldAssign),
     Q("doc_train_test_split", Some(trainTestSplitOracle), trainTestSplit),

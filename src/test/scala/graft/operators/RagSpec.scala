@@ -57,4 +57,25 @@ class RagSpec extends SparkSuite {
       assert(nb(id) === Multimodal.renderPng(text).length.toLong)
     }
   }
+
+  test("hybrid RRF fuses legs by 1/(60+rank) and promotes consensus documents") {
+    val out = Rag.hybridRrf(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Int])))
+    assert(out.length == 10)
+    // every fused score is exactly the RRF sum of its present ranks
+    out.foreach { case (id, rrf, rs, rd) =>
+      val expect = rs.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rd.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - math.rint(expect * 1e6) / 1e6) < 1e-9,
+        s"doc $id: rrf $rrf vs ranks ($rs, $rd)")
+    }
+    // descending with deterministic tiebreaks
+    assert(out.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // a document ranked by BOTH legs must beat one ranked only once at
+    // similar depth: every top-3 fused doc carries two ranks here
+    assert(out.take(3).forall(r => r._3.nonEmpty && r._4.nonEmpty),
+      s"top fused docs should be consensus docs: ${out.take(3).mkString(", ")}")
+  }
 }

@@ -29,7 +29,8 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_clusters",
     "dedup_simhash_docs", "dedup_simhash_pairs", "ev_user_cms_topk",
     "mm_ahash_dup_groups", "mm_binaryfile_scan", "mm_decode_batched",
-    "mm_frame_sample", "rag_chunk_retrieve", "sim_embedding_clusters",
+    "mm_frame_sample", "rag_chunk_retrieve", "rag_hybrid_rrf",
+    "sim_embedding_clusters",
     "sim_kmeans_profile", "sim_knn_aggregator", "sim_knn_brute",
     "sim_knn_ivf", "sim_knn_ivf_indexed", "sim_knn_lsh",
     "sim_knn_lsh_indexed", "sim_knn_pq", "sim_knn_pq_rerank", "sim_knn_sq8",
