@@ -225,7 +225,54 @@ object Sampling {
       |       substr(md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)), 1, 16) AS skey
       |FROM documents ORDER BY skey, doc_id""".stripMargin
 
+  /** Token-budget mixture: pretraining mixes are specified in TOKENS, not
+    * documents (a few long docs can dominate a doc-balanced sample).
+    * Here: equalize per-source token mass — every source is downsampled
+    * to the token mass of the lightest source (rate_s = min_tokens /
+    * tokens_s, quantized to the same 256-bucket md5 threshold as
+    * [[mixtureSampleOf]]; the binding source keeps everything).
+    *
+    * Scale shape: one map-side-combinable token-mass aggregation (source-
+    * cardinality-sized), one driver scalar (the min), a broadcast rate
+    * table, and a narrow per-row draw — no shuffle of the corpus. */
+  def tokenBudgetMix(s: SparkSession, d: String): DataFrame =
+    tokenBudgetMixOf(Tables.documents(s, d))
+
+  def tokenBudgetMixOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tok = docs.select($"doc_id", $"source",
+      size(split($"text", " ")).as("n_tok"))
+    val mass = tok.groupBy($"source")
+      .agg(sum($"n_tok").cast("long").as("tokens"))
+    val minMass = mass.agg(min($"tokens")).head().getLong(0)
+    val th = mass.select($"source",
+      floor(lit(minMass.toDouble) / $"tokens".cast("double") * 256)
+        .cast("int").as("thr_int"))
+    tok.join(broadcast(th), Seq("source"))
+      .filter($"thr_int" >= 256 ||
+        hexPrefix(2) < lower(lpad(hex($"thr_int"), 2, "0")))
+      .select($"doc_id", $"source", $"n_tok")
+      .orderBy($"doc_id")
+  }
+
+  val tokenBudgetMixOracle: String =
+    """WITH tok AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+      |             FROM documents),
+      |m AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens FROM tok GROUP BY 1),
+      |th AS (SELECT source,
+      |         CAST(floor(CAST((SELECT min(tokens) FROM m) AS DOUBLE)
+      |                    / CAST(tokens AS DOUBLE) * 256) AS INT) AS thr_int
+      |       FROM m)
+      |SELECT t.doc_id, t.source, t.n_tok
+      |FROM tok t JOIN th USING (source)
+      |WHERE thr_int >= 256
+      |   OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 2) <
+      |      lower(lpad(to_hex(thr_int), 2, '0'))
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("doc_token_budget_mix", Some(tokenBudgetMixOracle), tokenBudgetMix),
     Q("doc_global_shuffle", Some(globalShuffleOracle), globalShuffle(_, _)),
     Q("doc_stratified_sample", Some(stratifiedSampleOracle), stratifiedSample),
     Q("doc_kfold_assign", Some(kfoldAssignOracle), kfoldAssign),

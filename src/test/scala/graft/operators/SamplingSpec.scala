@@ -51,4 +51,24 @@ class SamplingSpec extends SparkSuite {
     assert(plan.contains("WindowGroupLimit"),
       plan.linesIterator.take(10).mkString("\n"))
   }
+
+  test("token-budget mix fully keeps the lightest source and downsamples the heaviest") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val tok = docs.selectExpr("doc_id", "source", "size(split(text, ' ')) AS n_tok")
+    val mass = tok.groupBy("source").sum("n_tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lightest = mass.minBy(_._2)._1
+    val heaviest = mass.maxBy(_._2)._1
+    val kept = Sampling.tokenBudgetMix(spark, Sf)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = tok.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept(lightest) == counts(lightest),
+      s"binding source $lightest must keep all ${counts(lightest)} docs")
+    assert(kept.getOrElse(heaviest, 0L) < counts(heaviest),
+      s"heaviest source $heaviest must be downsampled")
+    // the draw is a per-doc md5 threshold: kept set is a subset, never a reorder
+    assert(kept.values.sum <= counts.values.sum)
+  }
 }
