@@ -26,8 +26,12 @@ package graft.operators
   */
 object Golden {
 
-  /** Absolute because DuckDB resolves paths relative to its own cwd. */
-  val Root = "/root/repo/golden"
+  /** Absolute because DuckDB resolves paths relative to its own cwd.
+    * Overridable (`-Dgraft.golden.root` / `GRAFT_GOLDEN_ROOT`) so a clone
+    * at any other path can still serve the committed goldens. */
+  val Root: String = sys.props.get("graft.golden.root")
+    .orElse(sys.env.get("GRAFT_GOLDEN_ROOT"))
+    .getOrElse("/root/repo/golden")
 
   private val SfEvents = Map(
     "sf0.001" -> 1000L, "sf0.01" -> 10000L, "sf0.1" -> 100000L)

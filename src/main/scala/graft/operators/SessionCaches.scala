@@ -173,6 +173,33 @@ object SessionCaches {
       build: String => Unit): DataFrame =
     s.read.parquet(dirMemo(s, key)(build))
 
+  /** Re-home a durable artifact after an in-place maintenance rewrite
+    * whose SOURCE also changed (an append moved the content address): the
+    * dir is renamed to the address of the CURRENT source stamp and the
+    * session holder dropped, so this session's next [[dirMemo]] — and any
+    * later session — resolves straight to the refreshed artifact instead
+    * of missing the stale address and rebuilding from scratch (round-7
+    * ADVICE on [[graft.sources.Manifest.refreshManifest]]). No-op without
+    * a persistent root: session-weak dirs are not content-addressed.
+    * Returns the dir to use from now on. */
+  def rehomeDurable(s: SparkSession, key: String, dir: String): String =
+    persistentRoot(s) match {
+      case Some(root) =>
+        val src = new java.io.File(dir)
+        val dst = new java.io.File(root, durableName(key))
+        if (src.getCanonicalPath == dst.getCanonicalPath) dir
+        else {
+          remarkComplete(dir)
+          // a concurrent session may have promoted its own build at the
+          // new address first — theirs wins, ours stays servable in place
+          if (new java.io.File(dst, CompleteMarker).exists() || src.renameTo(dst)) {
+            perSession(s).remove("dir:" + key)
+            dst.toString
+          } else dir
+        }
+      case None => dir
+    }
+
   /** The artifact dir for `key` if this session already built one —
     * never builds. */
   def peekDir(s: SparkSession, key: String): Option[String] =

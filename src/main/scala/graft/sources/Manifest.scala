@@ -30,12 +30,24 @@ import graft.reference.Events
   */
 object Manifest {
 
-  /** `input_file_name()` yields a `file://` URI locally and an `s3a://...`
-    * URI on an object store; stats rows keep the scheme-stripped path so
-    * the listing diff in [[refreshManifest]] compares like with like.
+  /** `input_file_name()` yields `file:/…` or `file:///…` locally and
+    * `s3a://bucket/key` on an object store. Canonical form on BOTH sides
+    * of the [[refreshManifest]] diff is the full URI with an explicit
+    * (possibly empty) authority — `scheme://auth/path` — so stats rows,
+    * the live listing, and the file lists handed to `spark.read.parquet`
+    * all agree AND still resolve on the filesystem they came from. The old
+    * scheme-stripped form (round-7 ADVICE) kept the authority on one side,
+    * dropped it on the other, and produced read paths missing the bucket.
     * (Paths with URL-escapable characters would need a decode here.) */
   private val fileCol =
-    regexp_replace(input_file_name(), "^[a-z0-9+.-]+:(//)?", "").as("file")
+    regexp_replace(input_file_name(), "^([a-z0-9+.-]+):/(?=[^/])", "$1:///").as("file")
+
+  /** Same canonical `scheme://auth/path` form for a Hadoop path (Path's
+    * own toString renders an empty authority as `file:/x`, one slash). */
+  private def canonUri(p: org.apache.hadoop.fs.Path): String = {
+    val u = p.toUri
+    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+  }
 
   /** Per-file stats for `cols` over a parquet dir or explicit file list:
     * (file, n_rows, min_c/max_c per col, as doubles — exact for integers
@@ -53,7 +65,7 @@ object Manifest {
   def fileStats(s: SparkSession, dataDir: String, cols: Seq[String]): DataFrame =
     fileStats(s, Seq(dataDir), cols)
 
-  /** Current data files of a dir, scheme-stripped, via the Hadoop FS API
+  /** Current data files of a dir as canonical URIs, via the Hadoop FS API
     * (same object-store reach as every other path in the engine). */
   private def listDataFiles(s: SparkSession, dataDir: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(dataDir)
@@ -62,7 +74,7 @@ object Manifest {
     val out = Set.newBuilder[String]
     while (it.hasNext) {
       val f = it.next().getPath
-      if (f.getName.endsWith(".parquet")) out += f.toUri.getPath
+      if (f.getName.endsWith(".parquet")) out += canonUri(f)
     }
     out.result()
   }
@@ -102,6 +114,10 @@ object Manifest {
       // whatever the manifest lost)
       SessionCaches.remarkComplete(mDir)
       s.catalog.refreshByPath(mDir)
+      // the append moved the source's content stamp, so a durable dir must
+      // move to the NEW address or every later session misses it and
+      // rebuilds from scratch, orphaning the refresh (round-7 ADVICE)
+      SessionCaches.rehomeDurable(s, s"manifest:$dataDir:${cols.mkString(",")}", mDir)
     }
     (added.size.toLong, dropped.size.toLong)
   }

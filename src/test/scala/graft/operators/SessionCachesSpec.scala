@@ -106,6 +106,40 @@ class SessionCachesSpec extends SparkSuite {
     assert(new java.io.File(d2, "_GRAFT_COMPLETE").exists())
   }
 
+  test("rehomeDurable: refreshed artifact moves to the new source address, no rebuild") {
+    val root = tmpDir("graft-durable-root3")
+    val srcDir = tmpDir("graft-durable-src3")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(srcDir, "part-0.parquet"), "v1")
+    val builds = new AtomicInteger(0)
+    val key = s"manifest:$srcDir"
+    val a = spark.newSession()
+    a.conf.set("spark.graft.artifact.root", root)
+    val d1 = SessionCaches.dirMemo(a, key) { dir =>
+      builds.incrementAndGet()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "m"), "stats-v1")
+    }
+    // the source grows (append) and the artifact is maintained IN PLACE —
+    // the refreshManifest shape — which strands it at the OLD address...
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(srcDir, "part-1.parquet"), "appended")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(d1, "m"), "stats-v2")
+    // ...unless re-homed to the address of the new source stamp
+    val d2 = SessionCaches.rehomeDurable(a, key, d1)
+    assert(d2 != d1, "append must move the content address")
+    assert(!new java.io.File(d1).exists(), "old address must not linger")
+    assert(SessionCaches.dirMemo(a, key)(_ => builds.incrementAndGet()) == d2,
+      "the re-homing session itself must resolve the new address")
+    val b = spark.newSession()
+    b.conf.set("spark.graft.artifact.root", root)
+    val d3 = SessionCaches.dirMemo(b, key)(_ => builds.incrementAndGet())
+    assert(d3 == d2, "a later session must resolve the re-homed artifact")
+    assert(builds.get() == 1, "re-homed artifact must serve, not rebuild")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(d3, "m")) == "stats-v2",
+      "the REFRESHED content must be what gets served")
+  }
+
   test("clear: reclaims built dirs AND dirs whose build threw") {
     val okKey = "ok-" + System.nanoTime()
     val badKey = "bad-" + System.nanoTime()

@@ -82,6 +82,29 @@ class ManifestSpec extends SparkSuite {
     assert(m2.count() >= 1 && m2.agg(sum("n_rows")).head().getLong(0) == 140)
   }
 
+  test("durable refresh re-homes to the appended source's address; later session serves") {
+    import spark.implicits._
+    val root = tmpDir("manifest-durable-root")
+    val dir = tmpDir("manifest-durable-data")
+    val cols = Seq("k")
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).write.mode("overwrite").parquet(dir)
+    val a = spark.newSession()
+    a.conf.set("spark.graft.artifact.root", root)
+    val d1 = Manifest.manifestDir(a, dir, cols)
+    (101 to 140).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(2).write.mode("append").parquet(dir)
+    assert(Manifest.refreshManifest(a, dir, cols) == (2L, 0L))
+    val d2 = Manifest.manifestDir(a, dir, cols)
+    assert(d2 != d1 && !new java.io.File(d1).exists(),
+      "refresh must move the durable manifest to the new source address")
+    val b = spark.newSession()
+    b.conf.set("spark.graft.artifact.root", root)
+    assert(Manifest.manifestDir(b, dir, cols) == d2,
+      "a later session must serve the refreshed manifest, not rebuild")
+    assert(b.read.parquet(d2).agg(sum("n_rows")).head().getLong(0) == 140)
+  }
+
   test("zero-overlap predicate selects zero files and returns empty, schema intact") {
     val ranges = Seq(("l_partkey", -100.0, -1.0))
     val (files, _) = Manifest.selectFiles(spark, zDir, ranges)
