@@ -582,14 +582,43 @@ object Dedup {
       |FROM batch WHERE fp NOT IN (SELECT fp FROM corpus)
       |GROUP BY fp ORDER BY doc_id""".stripMargin
 
+  /** Invariant twin: the golden pins WHICH pairs the LSH surfaced; their
+    * exact 3-gram-shingle Jaccard is recomputed from the documents table
+    * in DuckDB (list_transform shingling + list_intersect/list_distinct —
+    * the same set algebra, independently implemented). A wrong Jaccard
+    * frozen at pin time now fails the hard gate. */
+  private def jaccardRecomputed: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |       FROM toks WHERE len(t) >= 3),
+       |g AS (${Golden.dispatch("dedup_ngram_jaccard")})
+       |SELECT g.doc_a, g.doc_b,
+       |       round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+       |             len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+       |FROM g JOIN sh a ON g.doc_a = a.doc_id JOIN sh b ON g.doc_b = b.doc_id
+       |ORDER BY g.__row""".stripMargin
+
+  /** Invariant twin: pair Hamming distances recomputed in DuckDB as
+    * bit_count(xor) over the per-doc simhashes (themselves pinned by the
+    * dedup_simhash_docs golden) — the pair arithmetic and the consistency
+    * between the two goldens are both independently checked. */
+  private def hammingRecomputed: String =
+    s"""WITH h AS (SELECT doc_id, simhash FROM (${Golden.dispatch("dedup_simhash_docs")}) hh),
+       |g AS (${Golden.dispatch("dedup_simhash_pairs")})
+       |SELECT g.doc_a, g.doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM g JOIN h a ON g.doc_a = a.doc_id JOIN h b ON g.doc_b = b.doc_id
+       |ORDER BY g.__row""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("dedup_exact", Some(exactDedupOracle), exactDedup),
     Q("dedup_incremental_batch", Some(incrementalDedupOracle), incrementalDedup),
     Q("dedup_keep_best", Some(Golden.parquet("dedup_keep_best")), keepBestClusters),
     Q("dedup_exact_by_hash", Some(exactDedupByHashOracle), exactDedupByHash),
-    Q("dedup_ngram_jaccard", Some(Golden.parquet("dedup_ngram_jaccard")), ngramJaccardPairs),
+    Q("dedup_ngram_jaccard", Some(jaccardRecomputed), ngramJaccardPairs),
     Q("dedup_simhash_docs", Some(Golden.parquet("dedup_simhash_docs")), simhashDocs),
-    Q("dedup_simhash_pairs", Some(Golden.parquet("dedup_simhash_pairs")), simhashPairs),
+    Q("dedup_simhash_pairs", Some(hammingRecomputed), simhashPairs),
     Q("dedup_minhash_lsh", Some(Golden.parquet("dedup_minhash_lsh")), minhashLshPairs),
     Q("dedup_cluster_docs", Some(Golden.parquet("dedup_cluster_docs")), (s, d) => nearDupClusters(s, d)),
     Q("dedup_simhash_clusters", Some(Golden.parquet("dedup_simhash_clusters")), (s, d) => simhashClusters(s, d)))

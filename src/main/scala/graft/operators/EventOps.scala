@@ -575,7 +575,21 @@ object EventOps {
     Q("ref_minute_report_sql", Some(refMinuteReportSqlOracle), refMinuteReportSql),
     Q("ev_hourly_ohlc", Some(hourlyOhlcOracle), hourlyOhlc),
     Q("ev_trailing_1h_sum", Some(trailing1hSumOracle), trailing1hSum),
-    Q("ev_user_cms_topk", Some(Golden.parquet("ev_user_cms_topk")), (s, d) => userCmsTopK(s, d)),
+    // Invariant twin: the top-10 selection stays golden-pinned, but each
+    // estimate is sandwiched against the EXACT per-user count recomputed
+    // from the events table — the CMS guarantee (est ≥ exact, and within
+    // the sketch's ε·N = 0.005·N slack on this pinned data). A violating
+    // estimate collapses to -1 in the oracle and fails the hash compare.
+    Q("ev_user_cms_topk", Some(
+      s"""WITH ex AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+         |n AS (SELECT count(*) AS n FROM events),
+         |g AS (${Golden.dispatch("ev_user_cms_topk")})
+         |SELECT g.user_id,
+         |       CASE WHEN g.est_cnt >= ex.c
+         |             AND g.est_cnt <= ex.c + CAST(ceil(0.005 * n.n) AS BIGINT)
+         |            THEN g.est_cnt ELSE -1 END AS est_cnt
+         |FROM g JOIN ex USING (user_id) CROSS JOIN n ORDER BY g.__row""".stripMargin),
+      (s, d) => userCmsTopK(s, d)),
     Q("ev_minute_type_counts", Some(minuteTypeCountsOracle), minuteTypeCounts),
     Q("ev_pivot_day_type", Some(pivotDayTypeOracle), pivotDayType),
     Q("ev_filter_project", Some(filterProjectOracle), filterProject),

@@ -36,6 +36,16 @@ object Golden {
   private val SfEvents = Map(
     "sf0.001" -> 1000L, "sf0.01" -> 10000L, "sf0.1" -> 100000L)
 
+  /** The sf-dispatched golden relation (INCLUDING `__row`) as a subquery,
+    * for embedding in larger oracle SQL — the building block of the
+    * "invariant twin" oracles below (round-7 verdict "Next round" #2). */
+  def dispatch(name: String,
+      sfs: Seq[String] = Seq("sf0.001", "sf0.01", "sf0.1")): String =
+    sfs.map { sf =>
+      s"""SELECT * FROM read_parquet('$Root/$sf/$name.parquet')
+         |WHERE (SELECT count(*) FROM events) = ${SfEvents(sf)}""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "")
+
   /** Dispatch oracle: serve the committed golden for whichever sf the
     * checker registered. Goldens carry a `__row` column freezing the
     * Spark query's exact row order (the checker compares row-by-row), so
@@ -44,12 +54,46 @@ object Golden {
     * `sfs` lists the scale factors a golden exists for (any other sf
     * fails loudly — zero golden rows vs a nonempty Spark result). */
   def parquet(name: String,
-      sfs: Seq[String] = Seq("sf0.001", "sf0.01", "sf0.1")): String = {
-    val branches = sfs.map { sf =>
-      s"""SELECT * FROM read_parquet('$Root/$sf/$name.parquet')
-         |WHERE (SELECT count(*) FROM events) = ${SfEvents(sf)}""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "")
-    s"SELECT * EXCLUDE (__row) FROM (\n$branches\n) g ORDER BY __row"
+      sfs: Seq[String] = Seq("sf0.001", "sf0.01", "sf0.1")): String =
+    s"SELECT * EXCLUDE (__row) FROM (\n${dispatch(name, sfs)}\n) g ORDER BY __row"
+
+  // ---------------------------------------------------------------------
+  // Invariant twins (round-7 verdict "Next round" #2): where a golden's
+  // VALUES are recomputable from the base tables, the oracle recomputes
+  // them in DuckDB instead of re-serving the engine's frozen output — a
+  // bug frozen into the pin at golden time now fails the hard gate. The
+  // golden keeps pinning SELECTION and ORDER (which rows, which sequence);
+  // every recomputable value column comes from DuckDB's own arithmetic
+  // over documents/embeddings/events/lineitem. Verified bit-agreeing at
+  // all three sfs before adoption (cosines: DuckDB list_dot_product over
+  // DOUBLE[] accumulates left-to-right in double exactly like
+  // DotProductExpr.nullSafeEval/doGenCode).
+  // ---------------------------------------------------------------------
+
+  /** DuckDB-side exact cosine vs query vector vec_id=0, recomputed from
+    * the embeddings table for the golden's returned ids. */
+  def knnCosRecomputed(name: String): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |g AS (${dispatch(name)})
+       |SELECT g.vec_id, e.label,
+       |       round(list_dot_product(e.v, q.qv) /
+       |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+       |FROM g JOIN e USING (vec_id) CROSS JOIN q ORDER BY g.__row""".stripMargin
+
+  /** Fully-independent brute-force top-10 cosine oracle: DuckDB computes
+    * the ids AND the values from the embeddings table alone — no golden
+    * involved. Orders by the rounded cosine with the vec_id tiebreak,
+    * exactly the engine's sort key. */
+  def knnExactTopK(withLabel: Boolean): String = {
+    val label = if (withLabel) " e.label," else ""
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id,$label
+       |       round(list_dot_product(e.v, q.qv) /
+       |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+       |FROM e CROSS JOIN q WHERE e.vec_id != 0
+       |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
   }
 
   /** Pivot of the seeded 5,805-event flagship generation (deterministic:

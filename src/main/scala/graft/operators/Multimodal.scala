@@ -368,10 +368,62 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Invariant-twin oracle for the decode family: pixels/ahash stay
+    * golden-pinned (DuckDB cannot decode PNGs), but (a) COMPLETENESS is
+    * anchored to the documents table — `documents LEFT JOIN golden` emits
+    * a null-featured row for any document the engine missed at pin time,
+    * breaking the row/hash compare — and (b) the decoded dimensions and
+    * channel means are range-guarded against [[renderPng]]'s a-priori
+    * contract (16..32 × 16..28, means in [0,255]); a violating value
+    * collapses to NULL. `withBytes` adds the n_bytes > 57 guard (a valid
+    * 1×1 PNG is 57+ bytes — anything smaller is not a PNG stream). */
+  private def decodeFamilyOracle(name: String, withBytes: Boolean): String = {
+    val bytesCol =
+      if (withBytes) "\n       CASE WHEN g.n_bytes > 57 THEN g.n_bytes END AS n_bytes," else ""
+    s"""WITH g AS (${Golden.dispatch(name)})
+       |SELECT d.doc_id,$bytesCol
+       |       CASE WHEN g.width BETWEEN 16 AND 32 THEN g.width END AS width,
+       |       CASE WHEN g.height BETWEEN 16 AND 28 THEN g.height END AS height,
+       |       CASE WHEN g.mean_r BETWEEN 0 AND 255 THEN g.mean_r END AS mean_r,
+       |       CASE WHEN g.mean_g BETWEEN 0 AND 255 THEN g.mean_g END AS mean_g,
+       |       CASE WHEN g.mean_b BETWEEN 0 AND 255 THEN g.mean_b END AS mean_b,
+       |       g.ahash
+       |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** FULLY independent oracle: pixels are a pure function of the text, so
+    * aHash dup groups must equal exact-TEXT dup groups over the planted ∪
+    * natural corpus — recomputed in DuckDB from the documents table alone
+    * (GROUP BY text over base docs plus the every-50th planted copies).
+    * A 64-bit aHash collision across different texts would break this —
+    * that is the point: it would be a real finding. */
+  private def ahashGroupsOracle: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 50 = 0)
+      |SELECT min(doc_id) AS rep_doc, max(doc_id) AS max_doc,
+      |       CAST(count(*) AS BIGINT) AS n_docs
+      |FROM all_docs GROUP BY text HAVING count(*) > 1 ORDER BY rep_doc""".stripMargin
+
+  /** Invariant twin: per-frame features stay golden-pinned, but clip
+    * completeness (every 10th doc), the frame-count range 2..6, and the
+    * stride-2 sampling arithmetic n_sampled = ⌈n_frames/2⌉ are all
+    * independently checked. */
+  private def frameSampleOracle: String =
+    s"""WITH g AS (${Golden.dispatch("mm_frame_sample")})
+       |SELECT d.doc_id,
+       |       CASE WHEN g.n_frames BETWEEN 2 AND 6 THEN g.n_frames ELSE -1 END AS n_frames,
+       |       CASE WHEN g.n_sampled = (g.n_frames + 1) // 2 THEN g.n_sampled ELSE -1 END AS n_sampled,
+       |       CASE WHEN g.mean_gray BETWEEN 0 AND 255 THEN g.mean_gray END AS mean_gray,
+       |       g.first_frame_ahash
+       |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+       |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("mm_binary_meta", Some(binaryMetaOracle), binaryMeta),
-    Q("mm_binaryfile_scan", Some(Golden.parquet("mm_binaryfile_scan")), binaryFileScan),
-    Q("mm_decode_batched", Some(Golden.parquet("mm_decode_batched")), (s, d) => decodeImages(s, d)),
-    Q("mm_ahash_dup_groups", Some(Golden.parquet("mm_ahash_dup_groups")), ahashDupGroups),
-    Q("mm_frame_sample", Some(Golden.parquet("mm_frame_sample")), (s, d) => frameSample(s, d)))
+    Q("mm_binaryfile_scan", Some(decodeFamilyOracle("mm_binaryfile_scan", withBytes = true)), binaryFileScan),
+    Q("mm_decode_batched", Some(decodeFamilyOracle("mm_decode_batched", withBytes = false)), (s, d) => decodeImages(s, d)),
+    Q("mm_ahash_dup_groups", Some(ahashGroupsOracle), ahashDupGroups),
+    Q("mm_frame_sample", Some(frameSampleOracle), (s, d) => frameSample(s, d)))
 }

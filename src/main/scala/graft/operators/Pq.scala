@@ -169,6 +169,10 @@ object Pq {
   }
 
   val defs: Seq[Q] = Seq(
+    // ADC scores are approximate by construction — golden-pinned; PqSpec
+    // carries the exactness ground truth
     Q("sim_knn_pq", Some(Golden.parquet("sim_knn_pq")), knnPq),
-    Q("sim_knn_pq_rerank", Some(Golden.parquet("sim_knn_pq_rerank")), knnPqRerank))
+    // the re-rank stage reports EXACT cosines, so the invariant twin
+    // recomputes them from the embeddings table (ids stay golden-pinned)
+    Q("sim_knn_pq_rerank", Some(Golden.knnCosRecomputed("sim_knn_pq_rerank")), knnPqRerank))
 }

@@ -148,7 +148,31 @@ object Rag {
       .limit(k)
   }
 
+  /** Invariant twin: chunk ids + cosines stay golden-pinned (the hashed-
+    * BoW embedding is xxhash64-based — not reproducible in DuckDB), but
+    * n_tokens is recomputed from the documents table via the chunk
+    * geometry (40-token windows, stride 30): a wrong chunker frozen at
+    * pin time now fails the hard gate. */
+  private def chunkGeometryRecomputed: String =
+    s"""WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+       |g AS (${Golden.dispatch("rag_chunk_retrieve")})
+       |SELECT g.doc_id, g.chunk_idx,
+       |       CAST(least(40, t.n - 30 * g.chunk_idx) AS INT) AS n_tokens,
+       |       g.cos
+       |FROM g JOIN toks t USING (doc_id) ORDER BY g.__row""".stripMargin
+
+  /** Invariant twin: the fused list stays golden-pinned (the dense leg's
+    * cosine is not portably SQL-expressible), but the RRF score itself is
+    * recomputed in DuckDB from the two rank columns — the fusion
+    * arithmetic (Σ 1/(60+rank), round 6) is independently verified. */
+  private def rrfRecomputed: String =
+    s"""SELECT doc_id,
+       |       round(coalesce(1.0 / (60.0 + r_sparse), 0.0) +
+       |             coalesce(1.0 / (60.0 + r_dense), 0.0), 6) AS rrf,
+       |       r_sparse, r_dense
+       |FROM (${Golden.dispatch("rag_hybrid_rrf")}) g ORDER BY __row""".stripMargin
+
   val defs: Seq[Q] = Seq(
-    Q("rag_chunk_retrieve", Some(Golden.parquet("rag_chunk_retrieve")), chunkRetrieve),
-    Q("rag_hybrid_rrf", Some(Golden.parquet("rag_hybrid_rrf")), (s, d) => hybridRrf(s, d)))
+    Q("rag_chunk_retrieve", Some(chunkGeometryRecomputed), chunkRetrieve),
+    Q("rag_hybrid_rrf", Some(rrfRecomputed), (s, d) => hybridRrf(s, d)))
 }

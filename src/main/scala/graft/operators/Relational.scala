@@ -678,7 +678,20 @@ object Relational {
     Q("agg_rollup", Some(aggRollupOracle), aggRollup),
     Q("agg_cube", Some(aggCubeOracle), aggCube),
     Q("agg_distinct", Some(aggDistinctOracle), aggDistinct),
-    Q("agg_approx_distinct", Some(Golden.parquet("agg_approx_distinct")), aggApproxDistinct),
+    // Invariant twin: each HLL++ estimate is checked against the EXACT
+    // distinct count recomputed in DuckDB, within 5× the configured rsd
+    // (0.02) — an estimate drifting past 10% collapses to -1 in the
+    // oracle and fails the hash compare. Sketch internals stay pinned by
+    // the golden's exact values.
+    Q("agg_approx_distinct", Some(
+      s"""WITH ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS c
+         |           FROM lineitem GROUP BY l_returnflag),
+         |g AS (${Golden.dispatch("agg_approx_distinct")})
+         |SELECT g.l_returnflag,
+         |       CASE WHEN abs(g.approx_parts - ex.c) <= 0.1 * ex.c
+         |            THEN g.approx_parts ELSE -1 END AS approx_parts
+         |FROM g JOIN ex USING (l_returnflag) ORDER BY g.__row""".stripMargin),
+      aggApproxDistinct),
     Q("agg_stats", Some(aggStatsOracle), aggStats),
     Q("agg_corr", Some(aggCorrOracle), aggCorr),
     Q("win_top_order_per_customer", Some(winTopOrderOracle), winTopOrderPerCustomer),

@@ -580,15 +580,30 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** Near-dup pair oracle: ids pinned by the golden, cosines recomputed
+    * in DuckDB from the embeddings table (invariant twin). */
+  private def nearDupCosRecomputed: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |g AS (${Golden.dispatch("sim_neardup_pairs")})
+       |SELECT g.id_a, g.id_b,
+       |       round(list_dot_product(a.v, b.v) /
+       |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+       |FROM g JOIN e a ON g.id_a = a.vec_id JOIN e b ON g.id_b = b.vec_id
+       |ORDER BY g.__row""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("sim_kmeans_profile", Some(Golden.parquet("sim_kmeans_profile")), kmeansProfile),
-    Q("sim_knn_brute", Some(Golden.parquet("sim_knn_brute")), knnBrute),
-    Q("sim_knn_lsh", Some(Golden.parquet("sim_knn_lsh")), knnLsh),
-    Q("sim_knn_ivf", Some(Golden.parquet("sim_knn_ivf")), (s, d) => knnIvf(s, d)),
-    Q("sim_knn_lsh_indexed", Some(Golden.parquet("sim_knn_lsh_indexed")), knnLshIndexed),
-    Q("sim_knn_ivf_indexed", Some(Golden.parquet("sim_knn_ivf_indexed")), (s, d) => knnIvfIndexed(s, d)),
-    Q("sim_knn_aggregator", Some(Golden.parquet("sim_knn_aggregator")), knnAggregator),
-    Q("sim_neardup_pairs", Some(Golden.parquet("sim_neardup_pairs")), nearDupPairs),
+    // brute force + aggregator: FULLY independent DuckDB top-k (ids and
+    // cosines from the embeddings table — no golden involved)
+    Q("sim_knn_brute", Some(Golden.knnExactTopK(withLabel = true)), knnBrute),
+    // approximate variants: the golden pins WHICH ids the index selected;
+    // their cosines are recomputed from the base table in DuckDB
+    Q("sim_knn_lsh", Some(Golden.knnCosRecomputed("sim_knn_lsh")), knnLsh),
+    Q("sim_knn_ivf", Some(Golden.knnCosRecomputed("sim_knn_ivf")), (s, d) => knnIvf(s, d)),
+    Q("sim_knn_lsh_indexed", Some(Golden.knnCosRecomputed("sim_knn_lsh_indexed")), knnLshIndexed),
+    Q("sim_knn_ivf_indexed", Some(Golden.knnCosRecomputed("sim_knn_ivf_indexed")), (s, d) => knnIvfIndexed(s, d)),
+    Q("sim_knn_aggregator", Some(Golden.knnExactTopK(withLabel = false)), knnAggregator),
+    Q("sim_neardup_pairs", Some(nearDupCosRecomputed), nearDupPairs),
     Q("sim_embedding_clusters", Some(Golden.parquet("sim_embedding_clusters")), plantedEmbeddingClusters),
     Q("sim_semdedup", Some(Golden.parquet("sim_semdedup")), plantedSemDedup),
     Q("sim_semdedup_incremental", Some(Golden.parquet("sim_semdedup_incremental")), (s, d) => incrementalSemDedup(s, d)),

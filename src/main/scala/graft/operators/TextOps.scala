@@ -457,7 +457,18 @@ object TextOps {
     Q("text_fingerprint", Some(fingerprintOracle), fingerprint),
     Q("text_word_count", Some(wordCountOracle), wordCount),
     Q("text_token_bpe", Some(tokenCountBpeOracle), tokenCountBpe),
-    Q("text_winnow_fingerprint", Some(Golden.parquet("text_winnow_fingerprint")), winnowFingerprint),
+    // Invariant twin: fingerprints stay golden-pinned (xxhash grams are
+    // not reproducible in DuckDB), but COMPLETENESS is anchored to the
+    // documents table — a doc missing from the engine's output surfaces
+    // as an unmatched oracle row — and the winnowing guarantee n_fp ≥ 1
+    // collapses a violating row to -1.
+    Q("text_winnow_fingerprint", Some(
+      s"""WITH g AS (${Golden.dispatch("text_winnow_fingerprint")})
+         |SELECT d.doc_id,
+         |       CASE WHEN g.n_fp >= 1 THEN g.n_fp ELSE -1 END AS n_fp,
+         |       g.fp_xor, g.fp_min
+         |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+      winnowFingerprint),
     Q("text_langid_heuristic", Some(langIdHeuristicOracle), langIdHeuristic),
     Q("text_gopher_stats", Some(gopherStatsOracle), gopherStats),
     Q("text_pii_scrub", Some(piiScrubOracle), piiScrub),
