@@ -195,7 +195,16 @@ object Bench {
     val scaleWarm =
       if (!scaleOn) Seq.empty
       else try {
-        val runs = (1 to 3).map(_ => scaleLeg(spark).toMap)
+        val runs = (1 to 3).map { _ =>
+          // pay the accumulated dirty-page flush backlog OUTSIDE the timed
+          // region: the 168-query sweep (and each previous warm rep's
+          // ~300 MB warehouse) leaves unflushed writes that would
+          // otherwise be charged to whichever warm write runs next —
+          // measured as a 23-47 s scatter on a leg that times at a steady
+          // ~7 s in isolation (WriteDegrade experiment, round 8)
+          scala.util.Try(new ProcessBuilder("sync").start().waitFor())
+          scaleLeg(spark).toMap
+        }
         runs.head.keys.toSeq.sorted.flatMap { k =>
           val vs = runs.map(_(k)).sorted
           Seq(s"${k}_warm" -> vs(vs.size / 2),

@@ -121,20 +121,55 @@ object Search {
     * hash into — a partition-pruned scan of ~|terms|/32 of the index
     * instead of re-tokenizing 100 TB of raw text per query (which is what
     * [[bm25TopK]] does, and why it is the from-scratch baseline). */
+  /** Tokenize `docs` into postings rows and write them into
+    * `$root/postings` — shared by the one-time build and the incremental
+    * refresh so the two paths cannot drift. Returns the (Σdl, n_docs)
+    * pair of exact-integer corpus stats for the written docs. */
+  private def writePostings(docs: DataFrame, root: String, mode: String): (Long, Long) = {
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .withColumn("bucket", pmod(crc32(col("term")), lit(TermBuckets)).cast("int"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$root/postings")
+    val r = dl.agg(sum(col("dl")).cast("long"), count(lit(1))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def writeStats(s: SparkSession, root: String, dlSum: Long, nDocs: Long): Unit = {
+    import s.implicits._
+    Seq((dlSum, nDocs)).toDF("dl_sum", "n_docs")
+      .write.mode("overwrite").parquet(s"$root/stats")
+  }
+
   private[operators] def postingsIndexDir(s: SparkSession, d: String): String =
     SessionCaches.dirMemo(s, s"bm25-postings:$d") { path =>
-      val docs = Tables.documents(s, d)
-      val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
-      docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-        .join(dl, "doc_id")
-        .withColumn("bucket", pmod(crc32(col("term")), lit(TermBuckets)).cast("int"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-      dl.agg(sum(col("dl")).cast("long").as("dl_sum"), count(lit(1)).as("n_docs"))
-        .write.mode("overwrite").parquet(s"$path/stats")
+      val (dlSum, nDocs) = writePostings(Tables.documents(s, d), path, "overwrite")
+      writeStats(s, path, dlSum, nDocs)
     }
+
+  /** Incremental postings refresh (round-7 verdict "Next round" #4): the
+    * new docs' postings APPEND into the term-hash partitions (a posting
+    * row is per (doc_id, term) — disjoint from every existing doc's rows,
+    * so append ≡ full rebuild exactly), and the one-row corpus stats
+    * accumulate in exact integer arithmetic (old Σdl + delta Σdl is the
+    * same Long the full recompute produces). Cost ∝ |delta|; pre-existing
+    * postings files are left byte-identical (IndexRefreshSpec asserts).
+    * Durable indexes re-home to the grown corpus's content address, the
+    * refreshManifest lifecycle. Returns the index dir to use from now on. */
+  def refreshPostingsIndex(s: SparkSession, d: String, newDocs: DataFrame): String = {
+    val root = postingsIndexDir(s, d)
+    val st = s.read.parquet(s"$root/stats").head()
+    val (oldDl, oldN) = (st.getLong(0), st.getLong(1))
+    val (dDl, dN) = writePostings(newDocs, root, "append")
+    writeStats(s, root, oldDl + dDl, oldN + dN)
+    SessionCaches.remarkComplete(root)
+    s.catalog.refreshByPath(s"$root/postings")
+    s.catalog.refreshByPath(s"$root/stats")
+    SessionCaches.rehomeDurable(s, s"bm25-postings:$d", root)
+  }
 
   /** CRC32 of the UTF-8 term bytes mod [[TermBuckets]] — the driver-side
     * twin of the `pmod(crc32(term), 32)` partition key above. */

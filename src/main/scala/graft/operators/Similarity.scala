@@ -432,33 +432,89 @@ object Similarity {
       struct(dot(emb, typedlit(c)).as("d"), lit(i).as("cell")) }: _*)("cell")
   }
 
+  /** Cell-assign `emb` against `centroids` and write into `path`
+    * partitioned by cell — shared by the one-time build and the
+    * incremental refresh so the two paths cannot drift. The repartition
+    * on the partition key is the Warehouse.writeEvents rule: without it
+    * ONE task writes every cell file sequentially — and at scale each
+    * writer task would open files × cells. */
+  private[operators] def writeIvfCells(emb: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], path: String, mode: String): Unit =
+    emb
+      .withColumn("cell", cellAssign(centroids)(col("embedding")))
+      .repartition(col("cell"))
+      .write.mode(mode).partitionBy("cell").parquet(path)
+
   /** One-time IVF index build: one narrow assignment pass + one
-    * partitioned write; no shuffle (partitionBy is a per-task dynamic-
-    * partition write). k=16 cells here; a 100 TB corpus uses k in the
-    * thousands so each cell-directory stays scannable. */
+    * partitioned write; no shuffle. k=16 cells here; a 100 TB corpus uses
+    * k in the thousands so each cell-directory stays scannable. The
+    * trained centroids are persisted INSIDE the index (`_centroids/` —
+    * underscore-prefixed, invisible to the data scan like _SUCCESS): the
+    * quantizer is part of the index state, so a later session — or an
+    * incremental refresh after the corpus grew — serves and extends the
+    * SAME cells instead of re-running k-means on a changed corpus and
+    * silently disagreeing with the stored assignments. */
   private[operators] def ivfIndexDir(s: SparkSession, d: String): String =
     SessionCaches.dirMemo(s, s"sim-ivf-index:$d") { path =>
-      Tables.embeddings(s, d)
-        .withColumn("cell", cellAssign(kmeansCentroids(s, d))(col("embedding")))
-        // repartition on the partition key (the Warehouse.writeEvents
-        // rule): without it ONE task writes every cell file sequentially
-        // — and at scale each writer task would open files × cells
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      import s.implicits._
+      val cents = kmeansCentroids(s, d)
+      writeIvfCells(Tables.embeddings(s, d), cents, path, "overwrite")
+      cents.toDF("cell", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_centroids")
     }
+
+  /** The quantizer stored in an index dir (bounded: k rows of k×dim
+    * doubles), memoized per (session, index dir). */
+  private[operators] def indexCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    SessionCaches.memo(s, s"sim-ivf-index-centroids:$dir") {
+      import s.implicits._
+      s.read.parquet(s"$dir/_centroids")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    }
+
+  /** Incremental IVF index refresh (round-7 verdict "Next round" #4):
+    * assign ONLY the new vectors against the index's own frozen centroids
+    * and append them to the touched cell partitions — every pre-existing
+    * file is left byte-identical (IndexRefreshSpec asserts), so the cost
+    * is ∝ |delta|, not ∝ |corpus| (at 100 TB a 1% nightly append re-stats
+    * 1%, not hours of full rebuild). Centroid RETRAINING — a rare,
+    * deliberate operation as quantizer drift accumulates — stays the full
+    * [[ivfIndexDir]] rebuild. Durable indexes are re-homed to the grown
+    * corpus's content address, the refreshManifest lifecycle. Returns the
+    * index dir to use from now on. */
+  def refreshIvfIndex(s: SparkSession, d: String, newVecs: DataFrame): String = {
+    val dir = ivfIndexDir(s, d)
+    writeIvfCells(newVecs, indexCentroids(s, dir), dir, "append")
+    SessionCaches.remarkComplete(dir)
+    s.catalog.refreshByPath(dir)
+    SessionCaches.rehomeDurable(s, s"sim-ivf-index:$d", dir)
+  }
+
+  private def writeLshSigs(emb: DataFrame, path: String, mode: String): Unit =
+    emb
+      .withColumn("sig", sigCol(col("embedding")))
+      // 256 sig buckets from one writer task = 256 sequential file
+      // opens (~4 of the 5 build seconds at sf0.1); repartitioning on
+      // the key spreads the writes across the executor threads
+      .repartition(col("sig"))
+      .write.mode(mode).partitionBy("sig").parquet(path)
 
   /** One-time LSH index build: embeddings partitioned by their 8-bit
     * hyperplane signature (256 buckets). */
   private[operators] def lshIndexDir(s: SparkSession, d: String): String =
-    SessionCaches.dirMemo(s, s"sim-lsh-index:$d") { path =>
-      Tables.embeddings(s, d)
-        .withColumn("sig", sigCol(col("embedding")))
-        // 256 sig buckets from one writer task = 256 sequential file
-        // opens (~4 of the 5 build seconds at sf0.1); repartitioning on
-        // the key spreads the writes across the executor threads
-        .repartition(col("sig"))
-        .write.mode("overwrite").partitionBy("sig").parquet(path)
-    }
+    SessionCaches.dirMemo(s, s"sim-lsh-index:$d")(path =>
+      writeLshSigs(Tables.embeddings(s, d), path, "overwrite"))
+
+  /** Incremental LSH index refresh: the hyperplanes are seed-pinned (no
+    * trained state), so refresh is pure signature-assign + append of the
+    * delta. Same lifecycle as [[refreshIvfIndex]]. */
+  def refreshLshIndex(s: SparkSession, d: String, newVecs: DataFrame): String = {
+    val dir = lshIndexDir(s, d)
+    writeLshSigs(newVecs, dir, "append")
+    SessionCaches.remarkComplete(dir)
+    s.catalog.refreshByPath(dir)
+    SessionCaches.rehomeDurable(s, s"sim-lsh-index:$d", dir)
+  }
 
   /** IVF kNN against the materialized index: the `cell IN (probes)` filter
     * is a PARTITION filter — the scan never lists, let alone reads, the
@@ -466,13 +522,18 @@ object Similarity {
     * results are identical (AnnIndexSpec asserts). */
   def knnIvfIndexed(s: SparkSession, d: String, nProbe: Int = 4): DataFrame = {
     import s.implicits._
-    val centroids = kmeansCentroids(s, d)
+    // probe selection against the centroids STORED in the index, not a
+    // fresh k-means: after an incremental refresh the corpus and the
+    // session's would-be retrained quantizer disagree — the index's own
+    // quantizer is the one its partition layout answers for
+    val dir = ivfIndexDir(s, d)
+    val centroids = indexCentroids(s, dir)
     val qv = queryVector(s, d, 0L)
     val probeCells = centroids
       .map { case (i, c) => i -> c.zip(qv).map { case (a, b) => a.toDouble * b }.sum }
       .sortBy(-_._2).take(nProbe).map(_._1)
     val q = typedlit(qv)
-    s.read.parquet(ivfIndexDir(s, d))
+    s.read.parquet(dir)
       .filter($"cell".isin(probeCells: _*))
       .filter($"vec_id" =!= 0L)
       .select($"vec_id", $"label", round(cosine($"embedding", q), 6).as("cos"))

@@ -448,7 +448,45 @@ object TextOps {
       |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, CAST(sd AS DOUBLE) AS tfidf
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** C4-style URL/domain blocklist filtering (round-7 verdict "Next
+    * round" #7) — the one standard pretraining-pipeline stage that had no
+    * representative. The corpus carries no url column, so one is DERIVED
+    * deterministically (domain = doc_id residue — the same expression
+    * both engines compute), and blocked domains are removed by a
+    * BROADCAST hash anti-join: at production scale the blocklist is
+    * millions of domains — far past isin-literal territory, exactly the
+    * shape a broadcast anti-join handles, dropping blocked docs before
+    * any downstream stage sees them. Fully independent DuckDB oracle
+    * (the derivation + NOT IN recomputed from documents alone). */
+  private[operators] val BlockedDomains: Seq[String] =
+    Seq(3, 7, 13, 31, 59).map(r => s"d$r.example.com")
+
+  def urlBlocklistFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .withColumn("domain",
+        concat(lit("d"), pmod($"doc_id", lit(97)), lit(".example.com")))
+      .withColumn("url",
+        concat(lit("https://"), $"domain", lit("/doc/"), $"doc_id"))
+    val block = BlockedDomains.toDF("domain")
+    docs.join(broadcast(block), Seq("domain"), "left_anti")
+      .select($"doc_id", $"domain", $"url")
+      .orderBy($"doc_id")
+  }
+
+  val urlBlocklistOracle: String = {
+    val blocked = BlockedDomains.map(b => s"'$b'").mkString(", ")
+    s"""WITH u AS (SELECT doc_id,
+       |            'd' || CAST(doc_id % 97 AS VARCHAR) || '.example.com' AS domain
+       |           FROM documents)
+       |SELECT doc_id, domain,
+       |       'https://' || domain || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+       |FROM u WHERE domain NOT IN ($blocked)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
+    Q("corpus_url_filter", Some(urlBlocklistOracle), urlBlocklistFilter),
     Q("text_tfidf_topk", Some(tfidfTopKOracle), (s, d) => tfidfTopK(s, d)),
     Q("text_token_stats", Some(tokenStatsOracle), tokenStats),
     Q("text_quality_score", Some(qualityScoreOracle), qualityScore),
