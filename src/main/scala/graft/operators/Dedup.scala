@@ -611,15 +611,76 @@ object Dedup {
        |FROM g JOIN h a ON g.doc_a = a.doc_id JOIN h b ON g.doc_b = b.doc_id
        |ORDER BY g.__row""".stripMargin
 
+  /** Invariant twin for the cluster-mapping family: membership stays
+    * golden-pinned (LSH/simhash evidence is not SQL-reproducible), but the
+    * mapping's three structural laws are recomputed in DuckDB from the
+    * golden itself — cluster_id = min member, cluster_size = member count,
+    * keep ⇔ representative — so an inconsistent mapping frozen at pin
+    * time fails the hard gate. */
+  private def clusterStructureOracle(name: String): String =
+    s"""WITH g AS (${Golden.dispatch(name)}),
+       |w AS (SELECT *, count(*) OVER (PARTITION BY cluster_id) AS cs,
+       |             min(doc_id) OVER (PARTITION BY cluster_id) AS mn FROM g)
+       |SELECT doc_id,
+       |  CASE WHEN cluster_id = mn THEN cluster_id ELSE -1 END AS cluster_id,
+       |  CASE WHEN cluster_size = cs THEN cluster_size ELSE -1 END AS cluster_size,
+       |  CASE WHEN keep = CAST(doc_id = cluster_id AS INT) THEN keep ELSE -1 END AS keep
+       |FROM w ORDER BY __row""".stripMargin
+
+  /** Invariant twin: kept_chars re-fetched from the documents table for
+    * the kept doc (a wrong quality lookup fails), and the differs flag
+    * recomputed from the ids. */
+  private def keepBestRecomputed: String =
+    s"""WITH g AS (${Golden.dispatch("dedup_keep_best")})
+       |SELECT g.cluster_id, g.kept_doc, g.n_members,
+       |  d.n_chars AS kept_chars,
+       |  CASE WHEN g.differs_from_min_id = CAST(g.kept_doc != g.cluster_id AS INT)
+       |       THEN g.differs_from_min_id ELSE -1 END AS differs_from_min_id
+       |FROM g JOIN documents d ON g.kept_doc = d.doc_id ORDER BY g.__row""".stripMargin
+
+  /** Invariant twin for the MinHash estimate: pairs/order stay
+    * golden-pinned, but each estimate must (a) sit on the k/32 lattice
+    * (MinHashK = 32; 4-dp rounding shifts `est*32` off an integer by at
+    * most 1.6e-3, so 0.01 is a safe tolerance) and (b) land within 0.2 of
+    * the exact shingle Jaccard DuckDB recomputes from the documents table
+    * (observed estimator error ≤0.115 across sfs; a wrongly computed
+    * signature breaks both long before 0.2). */
+  private def minhashEstGuarded: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |       FROM toks WHERE len(t) >= 3),
+       |g AS (${Golden.dispatch("dedup_minhash_lsh")})
+       |SELECT g.doc_a, g.doc_b,
+       |  CASE WHEN abs(g.est_jaccard * 32 - round(g.est_jaccard * 32)) < 0.01
+       |        AND abs(g.est_jaccard - len(list_intersect(a.sh, b.sh)) * 1.0 /
+       |                               len(list_distinct(a.sh || b.sh))) <= 0.2
+       |       THEN g.est_jaccard ELSE -1 END AS est_jaccard
+       |FROM g JOIN sh a ON g.doc_a = a.doc_id JOIN sh b ON g.doc_b = b.doc_id
+       |ORDER BY g.__row""".stripMargin
+
+  /** Completeness-anchored twin for the per-doc signatures: the 64-bit
+    * values are Spark-xxhash64-derived and not recomputable in DuckDB
+    * (SURVEY §8 holdout note), but anchoring from the documents table
+    * proves every document got exactly one signature — a golden missing
+    * or duplicating a doc yields a NULL/extra row and hash-mismatches.
+    * Pair-level arithmetic over these signatures is independently checked
+    * by [[hammingRecomputed]]. */
+  private def simhashDocsAnchored: String =
+    s"""WITH g AS (${Golden.dispatch("dedup_simhash_docs")})
+       |SELECT d.doc_id, g.simhash
+       |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("dedup_exact", Some(exactDedupOracle), exactDedup),
     Q("dedup_incremental_batch", Some(incrementalDedupOracle), incrementalDedup),
-    Q("dedup_keep_best", Some(Golden.parquet("dedup_keep_best")), keepBestClusters),
+    Q("dedup_keep_best", Some(keepBestRecomputed), keepBestClusters),
     Q("dedup_exact_by_hash", Some(exactDedupByHashOracle), exactDedupByHash),
     Q("dedup_ngram_jaccard", Some(jaccardRecomputed), ngramJaccardPairs),
-    Q("dedup_simhash_docs", Some(Golden.parquet("dedup_simhash_docs")), simhashDocs),
+    Q("dedup_simhash_docs", Some(simhashDocsAnchored), simhashDocs),
     Q("dedup_simhash_pairs", Some(hammingRecomputed), simhashPairs),
-    Q("dedup_minhash_lsh", Some(Golden.parquet("dedup_minhash_lsh")), minhashLshPairs),
-    Q("dedup_cluster_docs", Some(Golden.parquet("dedup_cluster_docs")), (s, d) => nearDupClusters(s, d)),
-    Q("dedup_simhash_clusters", Some(Golden.parquet("dedup_simhash_clusters")), (s, d) => simhashClusters(s, d)))
+    Q("dedup_minhash_lsh", Some(minhashEstGuarded), minhashLshPairs),
+    Q("dedup_cluster_docs", Some(clusterStructureOracle("dedup_cluster_docs")), (s, d) => nearDupClusters(s, d)),
+    Q("dedup_simhash_clusters", Some(clusterStructureOracle("dedup_simhash_clusters")), (s, d) => simhashClusters(s, d)))
 }

@@ -81,6 +81,23 @@ object Golden {
        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
        |FROM g JOIN e USING (vec_id) CROSS JOIN q ORDER BY g.__row""".stripMargin
 
+  /** Invariant twin for QUANTIZED kNN scores (PQ ADC, SQ8): the score is
+    * approximate by construction and cannot be recomputed exactly in SQL,
+    * but it must sit within `eps` of the true cosine DuckDB recomputes
+    * from the embeddings table — a violating score collapses to -1 and
+    * hash-mismatches. `eps` is sized from the quantizer's observed error
+    * at all three sfs with ~50% headroom (PQ ADC max 0.162 → 0.25; SQ8
+    * max 0.0018 → 0.01); the label column is independently re-fetched. */
+  def knnApproxGuarded(name: String, scoreCol: String, eps: Double): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |g AS (${dispatch(name)})
+       |SELECT g.vec_id, e.label,
+       |       CASE WHEN abs(g.$scoreCol - list_dot_product(e.v, q.qv) /
+       |              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) <= $eps
+       |            THEN g.$scoreCol ELSE -1 END AS $scoreCol
+       |FROM g JOIN e USING (vec_id) CROSS JOIN q ORDER BY g.__row""".stripMargin
+
   /** Fully-independent brute-force top-10 cosine oracle: DuckDB computes
     * the ids AND the values from the embeddings table alone — no golden
     * involved. Orders by the rounded cosine with the vec_id tiebreak,

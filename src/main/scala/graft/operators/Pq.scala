@@ -169,9 +169,11 @@ object Pq {
   }
 
   val defs: Seq[Q] = Seq(
-    // ADC scores are approximate by construction — golden-pinned; PqSpec
-    // carries the exactness ground truth
-    Q("sim_knn_pq", Some(Golden.parquet("sim_knn_pq")), knnPq),
+    // ADC scores are approximate by construction — ids/order stay
+    // golden-pinned, but each score is guarded within 0.25 of the true
+    // cosine DuckDB recomputes from embeddings (observed ADC error ≤0.162
+    // across sfs); PqSpec carries the exactness ground truth
+    Q("sim_knn_pq", Some(Golden.knnApproxGuarded("sim_knn_pq", "adc", 0.25)), knnPq),
     // the re-rank stage reports EXACT cosines, so the invariant twin
     // recomputes them from the embeddings table (ids stay golden-pinned)
     Q("sim_knn_pq_rerank", Some(Golden.knnCosRecomputed("sim_knn_pq_rerank")), knnPqRerank))

@@ -641,6 +641,46 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** The planted-duplicate fixture's expected clustering, derived from
+    * the embeddings table alone: every 50th vector and its exact twin at
+    * +1e9 form a 2-cluster keyed by the source id, source kept. */
+  private def plantedPairsOracle: String =
+    """WITH p AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0)
+      |SELECT * FROM (
+      |  SELECT vec_id, vec_id AS cluster_id, CAST(2 AS BIGINT) AS cluster_size, 1 AS keep FROM p
+      |  UNION ALL
+      |  SELECT vec_id + 1000000000, vec_id, CAST(2 AS BIGINT), 0 FROM p) t
+      |ORDER BY vec_id""".stripMargin
+
+  /** Partition-completeness twin for the k-means profile: cell stats
+    * depend on Lloyd-iteration state DuckDB cannot reproduce (SURVEY §8
+    * holdout note), but the cells must PARTITION the corpus — Σn is
+    * recomputed against the embeddings row count, and avg_cos/purity are
+    * range-guarded ([-1,1] / (0,1]); a profile that drops vectors or
+    * emits out-of-range stats hash-mismatches. */
+  private def kmeansProfileGuarded: String =
+    s"""WITH g AS (${Golden.dispatch("sim_kmeans_profile")})
+       |SELECT cell,
+       |  CASE WHEN sum(n) OVER () = (SELECT count(*) FROM embeddings)
+       |       THEN n ELSE -1 END AS n,
+       |  CASE WHEN avg_cos BETWEEN -1 AND 1 THEN avg_cos ELSE -2 END AS avg_cos,
+       |  top_label,
+       |  CASE WHEN purity > 0 AND purity <= 1 THEN purity ELSE -1 END AS purity
+       |FROM g ORDER BY __row""".stripMargin
+
+  /** The incremental fixture's expected triage, derived from embeddings
+    * alone: batch = the %10==7 slice (novel — the corpora are isotropic,
+    * no natural ≥0.95-cos neighbours) plus exact twins of the %50==0
+    * corpus vectors at +1e9 (each a corpus dup of its source). Fully
+    * independent oracle, no golden involved. */
+  private def incrementalTriageOracle: String =
+    """WITH e AS (SELECT vec_id FROM embeddings)
+      |SELECT * FROM (
+      |  SELECT vec_id, CAST(NULL AS BIGINT) AS dup_src, 'novel' AS status FROM e WHERE vec_id % 10 = 7
+      |  UNION ALL
+      |  SELECT vec_id + 1000000000, vec_id, 'dup_corpus' FROM e WHERE vec_id % 50 = 0) t
+      |ORDER BY vec_id""".stripMargin
+
   /** Near-dup pair oracle: ids pinned by the golden, cosines recomputed
     * in DuckDB from the embeddings table (invariant twin). */
   private def nearDupCosRecomputed: String =
@@ -653,7 +693,7 @@ object Similarity {
        |ORDER BY g.__row""".stripMargin
 
   val defs: Seq[Q] = Seq(
-    Q("sim_kmeans_profile", Some(Golden.parquet("sim_kmeans_profile")), kmeansProfile),
+    Q("sim_kmeans_profile", Some(kmeansProfileGuarded), kmeansProfile),
     // brute force + aggregator: FULLY independent DuckDB top-k (ids and
     // cosines from the embeddings table — no golden involved)
     Q("sim_knn_brute", Some(Golden.knnExactTopK(withLabel = true)), knnBrute),
@@ -665,8 +705,13 @@ object Similarity {
     Q("sim_knn_ivf_indexed", Some(Golden.knnCosRecomputed("sim_knn_ivf_indexed")), (s, d) => knnIvfIndexed(s, d)),
     Q("sim_knn_aggregator", Some(Golden.knnExactTopK(withLabel = false)), knnAggregator),
     Q("sim_neardup_pairs", Some(nearDupCosRecomputed), nearDupPairs),
-    Q("sim_embedding_clusters", Some(Golden.parquet("sim_embedding_clusters")), plantedEmbeddingClusters),
-    Q("sim_semdedup", Some(Golden.parquet("sim_semdedup")), plantedSemDedup),
-    Q("sim_semdedup_incremental", Some(Golden.parquet("sim_semdedup_incremental")), (s, d) => incrementalSemDedup(s, d)),
+    // planted-fixture queries: the expected output is FULLY derivable
+    // from the embeddings table (the corpora are isotropic — zero natural
+    // semantic dups — so the result is exactly the planted every-50th
+    // twin pairs, cluster = source id, keep = source). Independent oracle,
+    // no golden involved.
+    Q("sim_embedding_clusters", Some(plantedPairsOracle), plantedEmbeddingClusters),
+    Q("sim_semdedup", Some(plantedPairsOracle), plantedSemDedup),
+    Q("sim_semdedup_incremental", Some(incrementalTriageOracle), (s, d) => incrementalSemDedup(s, d)),
     Q("sim_label_centroid", Some(labelCentroidOracle), labelCentroid))
 }

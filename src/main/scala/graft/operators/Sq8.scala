@@ -110,5 +110,8 @@ object Sq8 {
   }
 
   val defs: Seq[Q] = Seq(
-    Q("sim_knn_sq8", Some(Golden.parquet("sim_knn_sq8")), knnSq8))
+    // SQ8 cosines are approximate (8-bit scalar quantization) — ids/order
+    // golden-pinned, scores guarded within 0.01 of the true cosine
+    // recomputed from embeddings (observed SQ8 error ≤0.0018 across sfs)
+    Q("sim_knn_sq8", Some(Golden.knnApproxGuarded("sim_knn_sq8", "cos", 0.01)), knnSq8))
 }
