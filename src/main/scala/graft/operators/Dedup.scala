@@ -74,9 +74,13 @@ object Dedup {
 
   /** Distinct 3-gram word-shingle set per doc, as an array column (docs with
     * <3 tokens dropped). Narrow map — no shuffle. */
-  private[operators] def shingleSets(s: SparkSession, d: String): DataFrame = {
+  private[operators] def shingleSets(s: SparkSession, d: String): DataFrame =
+    shingleSetsOf(Tables.documents(s, d))
+
+  private[operators] def shingleSetsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, d)
+    docs
       .filter(size(split($"text", " ")) >= 3)
       .select($"doc_id", expr(
         """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
@@ -582,6 +586,115 @@ object Dedup {
       |FROM batch WHERE fp NOT IN (SELECT fp FROM corpus)
       |GROUP BY fp ORDER BY doc_id""".stripMargin
 
+  /** Incremental NEAR-dup triage — the missing member of the incremental
+    * family (exact fp: [[incrementalDedup]]; substring spans:
+    * [[CorpusDedup]]; semantic: [[Similarity.incrementalSemDedup]]): an
+    * incoming batch is LSH-probed against the STANDING CORPUS's MinHash
+    * signature index and each batch doc is triaged `dup_corpus` (with the
+    * elected min-id corpus source and the exact verified Jaccard) or
+    * `novel`. Same deterministic fixture as the semantic twin: corpus =
+    * doc_id % 10 ≠ 7; batch = the % 10 == 7 slice plus exact copies of
+    * the % 50 == 0 corpus docs at +1e9 (each must surface as a corpus
+    * dup — its signature is identical to its source's).
+    *
+    * Scale shape: the corpus side is the (doc_id, sig, shingles)
+    * signature index — in production materialized once and maintained
+    * incrementally by [[refreshLshIndex]]'s append pattern, never
+    * re-tokenized per batch. Banding shuffles only (band, key, doc_id)
+    * triples, corpus-hot buckets are capped at 500 (boilerplate guard —
+    * one viral template key would otherwise fan a batch doc into a
+    * quadratic candidate set), the est ≥ 0.25 signature prefilter gates
+    * the exact shingle joins, and the election is one batch-keyed
+    * min-struct aggregation. Batch-internal near-dup stays the batch
+    * clustering job ([[nearDupClusters]]) — the same bounded-state
+    * division of labor documented for streaming semantic admission.
+    * Within-batch exact repeats of a corpus dup elect the same source
+    * independently, so triage stays per-doc deterministic. */
+  def incrementalMinhashDedup(s: SparkSession, d: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    import s.implicits._
+    SessionCaches.parquetArtifact(s, s"dedup-minhash-incr:$d:$minJaccard") { dir =>
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter($"doc_id" % 10 === 7)
+        .select($"doc_id", $"text")
+        .unionByName(docs.filter($"doc_id" % 50 === 0)
+          .select(($"doc_id" + 1000000000L).as("doc_id"), $"text"))
+      val corpusSigs = withMinhashSig(shingleSetsOf(docs.filter($"doc_id" % 10 =!= 7))).persist()
+      val batchSigs = withMinhashSig(shingleSetsOf(batch)).persist()
+      def bandKeys(sigs: DataFrame) = sigs.select($"doc_id",
+          explode(expr(
+            s"""transform(sequence(0, ${LshBands - 1}),
+               |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * $LshRows + 1, $LshRows))))"""
+              .stripMargin)).as("bk"))
+        .select($"doc_id", $"bk.band", $"bk.key")
+      val cb = bandKeys(corpusSigs)
+      val smallC = cb.groupBy($"band", $"key")
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter($"bucket_n" <= 500)
+        .select($"band", $"key")
+      val cand = bandKeys(batchSigs)
+        .join(cb.join(smallC, Seq("band", "key"))
+          .select($"band", $"key", $"doc_id".as("src")), Seq("band", "key"))
+        .select($"doc_id", $"src")
+        .dropDuplicates("doc_id", "src")
+      val verified = cand
+        .join(batchSigs.select($"doc_id", $"sig".as("sig_a")), "doc_id")
+        .join(corpusSigs.select($"doc_id".as("src"), $"sig".as("sig_b")), "src")
+        .filter(estJaccardExpr >= 0.25)
+        .join(batchSigs.select($"doc_id", $"sh".as("sh_a")), "doc_id")
+        .join(corpusSigs.select($"doc_id".as("src"), $"sh".as("sh_b")), "src")
+        .select($"doc_id", $"src",
+          round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size(array_union($"sh_a", $"sh_b")), 4).as("jaccard"))
+        .filter($"jaccard" >= minJaccard)
+      val elected = verified
+        .groupBy($"doc_id")
+        .agg(min(struct($"src", $"jaccard")).as("m"))
+        .select($"doc_id", $"m.src".as("dup_src"), $"m.jaccard".as("jaccard"))
+      batch.select($"doc_id")
+        .join(elected, Seq("doc_id"), "left")
+        .select($"doc_id", $"dup_src", $"jaccard",
+          when($"dup_src".isNotNull, "dup_corpus").otherwise("novel").as("status"))
+        .write.mode("overwrite").parquet(dir)
+      corpusSigs.unpersist(blocking = false)
+      batchSigs.unpersist(blocking = false)
+    }.orderBy($"doc_id")
+  }
+
+  /** Invariant twin for the incremental triage: batch MEMBERSHIP and row
+    * order are derived from the documents table (not the golden), each
+    * flagged row's Jaccard is fully recomputed from the two texts (the
+    * planted +1e9 ids map back to their source text) and must clear the
+    * 0.5 threshold, dup_src must be a corpus doc, and status must agree
+    * with dup_src presence. The golden pins only WHICH batch docs the LSH
+    * probe flagged and their elected source — the recall facts SQL cannot
+    * reproduce. */
+  private def incrementalMinhashTwin: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |       FROM toks WHERE len(t) >= 3),
+       |exp AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7
+       |        UNION ALL
+       |        SELECT doc_id + 1000000000 FROM documents WHERE doc_id % 50 = 0),
+       |g AS (${Golden.dispatch("dedup_minhash_incremental")}),
+       |j AS (SELECT g.doc_id, g.dup_src, g.status,
+       |             round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+       |                   len(list_distinct(a.sh || b.sh)), 4) AS rj
+       |      FROM g
+       |      LEFT JOIN sh a ON a.doc_id =
+       |        CASE WHEN g.doc_id >= 1000000000 THEN g.doc_id - 1000000000 ELSE g.doc_id END
+       |      LEFT JOIN sh b ON b.doc_id = g.dup_src)
+       |SELECT e.doc_id,
+       |  CASE WHEN j.dup_src IS NULL OR (j.dup_src % 10 != 7 AND j.dup_src < 1000000000)
+       |       THEN j.dup_src ELSE -1 END AS dup_src,
+       |  CASE WHEN j.status = 'novel' THEN NULL
+       |       WHEN j.rj >= 0.5 THEN j.rj ELSE -1 END AS jaccard,
+       |  CASE WHEN (j.status = 'dup_corpus') = (j.dup_src IS NOT NULL)
+       |       THEN j.status ELSE 'INCONSISTENT' END AS status
+       |FROM exp e LEFT JOIN j ON e.doc_id = j.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
   /** Invariant twin: the golden pins WHICH pairs the LSH surfaced; their
     * exact 3-gram-shingle Jaccard is recomputed from the documents table
     * in DuckDB (list_transform shingling + list_intersect/list_distinct —
@@ -675,6 +788,7 @@ object Dedup {
   val defs: Seq[Q] = Seq(
     Q("dedup_exact", Some(exactDedupOracle), exactDedup),
     Q("dedup_incremental_batch", Some(incrementalDedupOracle), incrementalDedup),
+    Q("dedup_minhash_incremental", Some(incrementalMinhashTwin), (s, d) => incrementalMinhashDedup(s, d)),
     Q("dedup_keep_best", Some(keepBestRecomputed), keepBestClusters),
     Q("dedup_exact_by_hash", Some(exactDedupByHashOracle), exactDedupByHash),
     Q("dedup_ngram_jaccard", Some(jaccardRecomputed), ngramJaccardPairs),

@@ -274,6 +274,84 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Gopher n-gram REPETITION filters (Rae et al. 2021 §A1.1 "repetitious
+    * text" — the companion to [[gopherStats]]'s word-shape signals, and
+    * the standard pretraining-pipeline stage for dropping boilerplate /
+    * degenerate generations): per document, the fraction of character
+    * mass covered by (a) the most repeated word n-gram for n = 2, 3, 4
+    * and (b) ALL duplicated n-grams for n = 5, 6, with the paper's
+    * thresholds (top-2 ≤ 0.20, top-3 ≤ 0.18, top-4 ≤ 0.16, dup-5 ≤ 0.15,
+    * dup-6 ≤ 0.14). "Character mass" of a gram = occurrence count × gram
+    * character length, over the document's character length — the paper's
+    * overlapping-occurrence convention (mass can exceed 1 on degenerate
+    * docs; the threshold comparison is what matters). For the top-n
+    * signal the maximand is the MASS, not the raw count — deterministic
+    * without a tie-break and exactly reproducible in the DuckDB oracle.
+    *
+    * Scale shape: the five gram sizes are built with array HOFs in ONE
+    * narrow projection (no join against a gram-size table), then a single
+    * explode feeds two skinny hash aggregations — (doc, n, gram) → counts
+    * → per-doc conditional max/sum. Same two-shuffle profile as
+    * [[gopherStats]]; nothing is quadratic in document length. */
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = (2 to 6).map { n =>
+      when(size($"t") >= n,
+        transform(sequence(lit(1), size($"t") - n + 1),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice($"t", i, lit(n))).as("g"))))
+        .otherwise(array())
+    }
+    val mass = $"c" * length($"g")
+    def frac(m: org.apache.spark.sql.Column) =
+      round(coalesce(m, lit(0L)).cast("double") / $"nc", 4)
+    Tables.documents(s, d)
+      .select($"doc_id", length($"text").as("nc"), split($"text", " ").as("t"))
+      .select($"doc_id", $"nc", explode(flatten(array(grams: _*))).as("gr"))
+      .groupBy($"doc_id", $"nc", $"gr.n", $"gr.g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"nc")
+      .agg(
+        max(when($"n" === 2, mass)).as("m2"),
+        max(when($"n" === 3, mass)).as("m3"),
+        max(when($"n" === 4, mass)).as("m4"),
+        sum(when($"n" === 5 && $"c" >= 2, mass).otherwise(0L)).as("m5"),
+        sum(when($"n" === 6 && $"c" >= 2, mass).otherwise(0L)).as("m6"))
+      .select($"doc_id",
+        frac($"m2").as("top2_frac"), frac($"m3").as("top3_frac"),
+        frac($"m4").as("top4_frac"), frac($"m5").as("dup5_frac"),
+        frac($"m6").as("dup6_frac"))
+      .withColumn("keep",
+        ($"top2_frac" <= 0.20 && $"top3_frac" <= 0.18 && $"top4_frac" <= 0.16 &&
+          $"dup5_frac" <= 0.15 && $"dup6_frac" <= 0.14).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionStatsOracle: String = {
+    def frac(m: String) =
+      s"CAST(round(CAST($m * 1.0 / nc AS DECIMAL(18,8)), 4) AS DOUBLE)"
+    val (t2, t3, t4) = (frac("max(CASE WHEN n = 2 THEN c * lg END)"),
+      frac("max(CASE WHEN n = 3 THEN c * lg END)"),
+      frac("max(CASE WHEN n = 4 THEN c * lg END)"))
+    val (d5, d6) = (frac("sum(CASE WHEN n = 5 AND c >= 2 THEN c * lg ELSE 0 END)"),
+      frac("sum(CASE WHEN n = 6 AND c >= 2 THEN c * lg ELSE 0 END)"))
+    s"""WITH toks AS (SELECT doc_id, length(text) AS nc,
+       |                     string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, nc, n, g, count(*) AS c, length(g) AS lg FROM (
+       |    SELECT doc_id, nc, nn.n AS n,
+       |           unnest(list_transform(range(1, len(t) - nn.n + 2),
+       |                    i -> array_to_string(t[i : i + nn.n - 1], ' '))) AS g
+       |    FROM toks, (VALUES (2),(3),(4),(5),(6)) nn(n)
+       |    WHERE len(t) >= nn.n) x
+       |  GROUP BY doc_id, nc, n, g)
+       |SELECT doc_id,
+       |  $t2 AS top2_frac, $t3 AS top3_frac, $t4 AS top4_frac,
+       |  $d5 AS dup5_frac, $d6 AS dup6_frac,
+       |  CAST($t2 <= 0.20 AND $t3 <= 0.18 AND $t4 <= 0.16
+       |   AND $d5 <= 0.15 AND $d6 <= 0.14 AS INT) AS keep
+       |FROM grams GROUP BY doc_id, nc ORDER BY doc_id""".stripMargin
+  }
+
   val gopherStatsOracle: String =
     """SELECT doc_id,
       |  CAST(sum(c) AS BIGINT) AS n_words,
@@ -509,6 +587,7 @@ object TextOps {
       winnowFingerprint),
     Q("text_langid_heuristic", Some(langIdHeuristicOracle), langIdHeuristic),
     Q("text_gopher_stats", Some(gopherStatsOracle), gopherStats),
+    Q("text_repetition_stats", Some(repetitionStatsOracle), repetitionStats),
     Q("text_pii_scrub", Some(piiScrubOracle), piiScrub),
     Q("text_chunk_docs", Some(chunkDocsOracle), (s, d) => chunkDocs(s, d)),
     Q("text_pack_bins", Some(packBinsOracle), (s, d) => packBins(s, d)))

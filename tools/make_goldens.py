@@ -26,6 +26,7 @@ import pyarrow.parquet as pq
 
 DEFAULT_QUERIES = [
     "agg_approx_distinct", "dedup_cluster_docs", "dedup_keep_best",
+    "dedup_minhash_incremental",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_clusters",
     "dedup_simhash_docs", "dedup_simhash_pairs", "ev_user_cms_topk",
     "mm_ahash_dup_groups", "mm_binaryfile_scan", "mm_decode_batched",
