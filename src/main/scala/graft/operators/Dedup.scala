@@ -619,7 +619,21 @@ object Dedup {
         .select($"doc_id", $"text")
         .unionByName(docs.filter($"doc_id" % 50 === 0)
           .select(($"doc_id" + 1000000000L).as("doc_id"), $"text"))
-      val corpusSigs = withMinhashSig(shingleSetsOf(docs.filter($"doc_id" % 10 =!= 7))).persist()
+      incrementalMinhashOf(docs.filter($"doc_id" % 10 =!= 7).select($"doc_id", $"text"),
+          batch, minJaccard)
+        .write.mode("overwrite").parquet(dir)
+    }.orderBy($"doc_id")
+  }
+
+  /** The triage pipeline over arbitrary (doc_id, text) corpus/batch
+    * relations — the unit under [[IncrementalMinhashSpec]]'s handcrafted
+    * fixtures. */
+  private[operators] def incrementalMinhashOf(corpus: DataFrame, batch: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    {
+      val corpusSigs = withMinhashSig(shingleSetsOf(corpus)).persist()
       val batchSigs = withMinhashSig(shingleSetsOf(batch)).persist()
       def bandKeys(sigs: DataFrame) = sigs.select($"doc_id",
           explode(expr(
@@ -651,14 +665,15 @@ object Dedup {
         .groupBy($"doc_id")
         .agg(min(struct($"src", $"jaccard")).as("m"))
         .select($"doc_id", $"m.src".as("dup_src"), $"m.jaccard".as("jaccard"))
-      batch.select($"doc_id")
+      val out = batch.select($"doc_id")
         .join(elected, Seq("doc_id"), "left")
         .select($"doc_id", $"dup_src", $"jaccard",
           when($"dup_src".isNotNull, "dup_corpus").otherwise("novel").as("status"))
-        .write.mode("overwrite").parquet(dir)
+        .localCheckpoint(eager = true)
       corpusSigs.unpersist(blocking = false)
       batchSigs.unpersist(blocking = false)
-    }.orderBy($"doc_id")
+      out
+    }
   }
 
   /** Invariant twin for the incremental triage: batch MEMBERSHIP and row

@@ -292,8 +292,18 @@ object TextOps {
     * narrow projection (no join against a gram-size table), then a single
     * explode feeds two skinny hash aggregations — (doc, n, gram) → counts
     * → per-doc conditional max/sum. Same two-shuffle profile as
-    * [[gopherStats]]; nothing is quadratic in document length. */
-  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    * [[gopherStats]]; nothing is quadratic in document length.
+    *
+    * Docs with <2 tokens have no n-grams to judge and are absent from the
+    * output (explode of an empty gram array; the DuckDB oracle's
+    * `len(t) >= n` guard agrees) — word-shape screening for those lives
+    * in [[gopherStats]]. */
+  def repetitionStats(s: SparkSession, d: String): DataFrame =
+    repetitionStatsOf(Tables.documents(s, d))
+
+  /** [[repetitionStats]] over an arbitrary (doc_id, text) relation. */
+  def repetitionStatsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val grams = (2 to 6).map { n =>
       when(size($"t") >= n,
@@ -305,7 +315,7 @@ object TextOps {
     val mass = $"c" * length($"g")
     def frac(m: org.apache.spark.sql.Column) =
       round(coalesce(m, lit(0L)).cast("double") / $"nc", 4)
-    Tables.documents(s, d)
+    docs
       .select($"doc_id", length($"text").as("nc"), split($"text", " ").as("t"))
       .select($"doc_id", $"nc", explode(flatten(array(grams: _*))).as("gr"))
       .groupBy($"doc_id", $"nc", $"gr.n", $"gr.g").agg(count(lit(1)).as("c"))
