@@ -285,6 +285,65 @@ object CorpusDedup {
       |FROM tok JOIN v USING (tk) CROSS JOIN t
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM surprise — the context-aware step up from
+    * [[unigramSurpriseStats]] (the CCNet/KenLM stage trains an n-gram LM;
+    * a self-trained add-α bigram model is its distributed, oracle-checkable
+    * analog): P(w2|w1) = (C(w1,w2) + α) / (C(w1·) + α·V) with α = 0.5 and
+    * V = corpus vocabulary size, scored as each document's mean −ln P over
+    * its bigrams. Unigram surprise flags off-vocabulary noise; the bigram
+    * model additionally flags scrambled word ORDER (every token common,
+    * every transition rare) — shuffled/templated text that unigram scoring
+    * cannot see. Docs with <2 tokens have no transitions and are absent
+    * (same rule as `text_repetition_stats`).
+    *
+    * Scale shape: the model is two vocab-sized count aggregations (bigram
+    * + context), V is one bounded driver scalar (the RankStats idiom);
+    * scoring joins the bigram stream to both tables on their gram keys —
+    * AQE broadcasts while they fit, hash-shuffle beyond — and the per-doc
+    * rollup is the one corpus-wide shuffle. Surprise sums use the
+    * DECIMAL(28,8) quantize-then-sum idiom ([[unigramSurpriseStats]]) so
+    * cross-engine summation order cannot flip the 4-dp round. */
+  def bigramSurpriseStats(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    val halfV = 0.5 * docs
+      .select(explode(split(col("text"), " ")).as("tk"))
+      .agg(countDistinct(col("tk"))).head.getLong(0)
+    bg.join(big, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum((-log((col("c") + lit(0.5)) / (col("cw") + lit(halfV))))
+            .cast("decimal(28,8)")).cast("double") / count(lit(1)), 4)
+          .as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bigramSurprise(s: SparkSession, d: String): DataFrame =
+    bigramSurpriseStats(Tables.documents(s, d))
+
+  val bigramSurpriseOracle: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |             FROM tok WHERE len(t) >= 2)),
+      |big AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+      |ctx AS (SELECT w1, count(*) AS cw FROM bg GROUP BY w1),
+      |v AS (SELECT count(DISTINCT tk) AS vs FROM
+      |        (SELECT unnest(string_split(text, ' ')) AS tk FROM documents))
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(round(CAST(sum(CAST(-ln((c + 0.5) / (cw + 0.5 * vs)) AS DECIMAL(28,8)))
+      |         AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_nll
+      |FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Bloom-prefiltered decontamination
   // ---------------------------------------------------------------------
@@ -397,5 +456,6 @@ object CorpusDedup {
       (s, d) => incrementalSubstringSpans(s, d)),
     Q("text_decontaminate", Some(decontaminateOracle), decontaminate),
     Q("text_decontaminate_bloom", Some(decontaminateOracle), decontaminateBloom),
-    Q("text_unigram_surprise", Some(unigramSurpriseOracle), unigramSurprise))
+    Q("text_unigram_surprise", Some(unigramSurpriseOracle), unigramSurprise),
+    Q("text_bigram_surprise", Some(bigramSurpriseOracle), bigramSurprise))
 }

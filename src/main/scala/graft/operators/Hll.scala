@@ -22,16 +22,20 @@ import graft.Tables
   * Same family as the CMS rollup (CountMinAggregator.scala), but for
   * cardinality instead of frequency.
   *
-  * Exactness note, and why these queries CAN be oracle-checked: a
-  * DataSketches HLL sketch stays in exact "coupon" mode until it collects
-  * ~3·2^lgK/4 distinct items (lgK=12 default → thousands); below that the
-  * estimate is the exact coupon count. The test corpora carry ≤1.5k
-  * distinct users, so both queries return exact integers and are checked
-  * against DuckDB's exact `COUNT(DISTINCT)` — while the PLAN is the
-  * approximate mergeable-bytes one that carries unchanged to billions of
-  * users at ~1.6% error (lgK=12). HllSpec pins the exact regime, the
-  * parquet round-trip of the sketch bytes, re-slicing equivalence, and
-  * the approximate regime's error bound on a 50k-id corpus.
+  * Exactness note, and how these queries are oracle-checked: a
+  * DataSketches HLL sketch is exact only while in coupon mode (a few
+  * hundred distincts at lgK=12 — the sf0.01 corpus's 150 users stay
+  * exact; sf0.1's ~1.3k users/day do NOT: the estimate lands within the
+  * published ~1.6% RSE, e.g. 1488 for 1500 exact). So equality against
+  * `COUNT(DISTINCT)` is the wrong oracle beyond toy scale — the committed
+  * check is the CMS pattern: the golden pins the (deterministic —
+  * register-max union is merge-order-free) estimates, and the DuckDB SQL
+  * independently recomputes the exact cardinalities from events and
+  * collapses any estimate off by >4% (≈2.5σ) to −1, while the additive
+  * day/events columns are recomputed exactly. HllSpec pins the exact
+  * regime, the parquet round-trip of the sketch bytes, re-slicing
+  * equivalence, and the approximate regime's error bound on a 50k-id
+  * corpus.
   */
 object Hll {
 
@@ -62,10 +66,16 @@ object Hll {
   }
 
   val hllDailyUsersOracle: String =
-    """SELECT strftime(ts, '%Y-%m-%d') AS day,
-      |       CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
-      |       CAST(count(*) AS BIGINT) AS events
-      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+    s"""WITH ex AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |                   count(DISTINCT user_id) AS exact_dau,
+       |                   CAST(count(*) AS BIGINT) AS events
+       |            FROM events GROUP BY 1),
+       |g AS (${Golden.dispatch("ev_hll_daily_users")})
+       |SELECT ex.day,
+       |       CASE WHEN abs(g.dau - ex.exact_dau) <= 0.04 * ex.exact_dau
+       |            THEN g.dau ELSE -1 END AS dau,
+       |       ex.events
+       |FROM ex LEFT JOIN g USING (day) ORDER BY ex.day""".stripMargin
 
   /** Corpus-total distinct users from the same rollup — the "any coarser
     * grain for free" readout: one union over every cell's sketch, a single
@@ -78,9 +88,14 @@ object Hll {
   }
 
   val hllTotalUsersOracle: String =
-    """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS users,
-      |       CAST(count(*) AS BIGINT) AS events
-      |FROM events""".stripMargin
+    s"""WITH ex AS (SELECT count(DISTINCT user_id) AS exact_users,
+       |                   CAST(count(*) AS BIGINT) AS events
+       |            FROM events),
+       |g AS (${Golden.dispatch("ev_hll_union_total")})
+       |SELECT CASE WHEN abs(g.users - ex.exact_users) <= 0.04 * ex.exact_users
+       |            THEN g.users ELSE -1 END AS users,
+       |       ex.events
+       |FROM g CROSS JOIN ex""".stripMargin
 
   val defs: Seq[Q] = Seq(
     Q("ev_hll_daily_users", Some(hllDailyUsersOracle), hllDailyUsers),

@@ -336,6 +336,53 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Per-source quality-quantile pruning (the FineWeb-style stage: score
+    * every document, then drop the worst q% WITHIN EACH SOURCE so one
+    * low-quality crawl cannot consume the whole drop budget and clean
+    * sources are not over-pruned): ranks documents inside their source by
+    * the [[Classifier]] logit (an exact integer — no FP in the ordering)
+    * with doc_id as the full tiebreak, and keeps a document iff its rank
+    * clears the bottom fifth (5·rank > n, pure integer arithmetic — drops
+    * exactly ⌊n/5⌋ docs per source).
+    *
+    * Scale shape: scoring is the classifier's explode + one map-side-
+    * combinable agg; the rank/count windows are partitioned BY SOURCE, so
+    * each source sorts independently (no global sort). At open-web scale
+    * where one source outweighs a cluster's sort budget, the same keep
+    * decision comes from an approximate per-source threshold broadcast
+    * against the scores — the [[Sampling]] token-budget-mix shape; the
+    * exact-rank form here is the oracle-checkable twin that pins the
+    * semantics. */
+  def qualityQuantileFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"logit_milli", $"doc_id")
+    Tables.documents(s, d).select($"doc_id", $"source")
+      .join(Classifier.qualityClassifierOf(Tables.documents(s, d))
+        .select($"doc_id", $"logit_milli"), "doc_id")
+      .select($"doc_id", $"source", $"logit_milli",
+        row_number().over(w).cast("long").as("src_rank"),
+        count(lit(1)).over(Window.partitionBy($"source")).as("src_n"))
+      .select($"doc_id", $"source", $"logit_milli", $"src_rank",
+        (lit(5) * $"src_rank" > $"src_n").cast("int").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityQuantileOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |sc AS (SELECT doc_id,
+      |         CAST(sum((CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1000) - 500)
+      |           AS BIGINT) AS logit_milli
+      |       FROM tok GROUP BY doc_id),
+      |r AS (SELECT d.doc_id, d.source, sc.logit_milli,
+      |        row_number() OVER (PARTITION BY d.source
+      |                           ORDER BY sc.logit_milli, d.doc_id) AS src_rank,
+      |        count(*) OVER (PARTITION BY d.source) AS src_n
+      |      FROM documents d JOIN sc USING (doc_id))
+      |SELECT doc_id, source, logit_milli, CAST(src_rank AS BIGINT) AS src_rank,
+      |       CAST(5 * src_rank > src_n AS INT) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val repetitionStatsOracle: String = {
     def frac(m: String) =
       s"CAST(round(CAST($m * 1.0 / nc AS DECIMAL(18,8)), 4) AS DOUBLE)"
@@ -598,6 +645,7 @@ object TextOps {
     Q("text_langid_heuristic", Some(langIdHeuristicOracle), langIdHeuristic),
     Q("text_gopher_stats", Some(gopherStatsOracle), gopherStats),
     Q("text_repetition_stats", Some(repetitionStatsOracle), repetitionStats),
+    Q("text_quality_quantile", Some(qualityQuantileOracle), qualityQuantileFilter),
     Q("text_pii_scrub", Some(piiScrubOracle), piiScrub),
     Q("text_chunk_docs", Some(chunkDocsOracle), (s, d) => chunkDocs(s, d)),
     Q("text_pack_bins", Some(packBinsOracle), (s, d) => packBins(s, d)))

@@ -28,7 +28,8 @@ DEFAULT_QUERIES = [
     "agg_approx_distinct", "dedup_cluster_docs", "dedup_keep_best",
     "dedup_minhash_incremental",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_clusters",
-    "dedup_simhash_docs", "dedup_simhash_pairs", "ev_user_cms_topk",
+    "dedup_simhash_docs", "dedup_simhash_pairs",
+    "ev_hll_daily_users", "ev_hll_union_total", "ev_user_cms_topk",
     "mm_ahash_dup_groups", "mm_binaryfile_scan", "mm_decode_batched",
     "mm_frame_sample", "rag_chunk_retrieve", "rag_hybrid_rrf",
     "sim_embedding_clusters",
