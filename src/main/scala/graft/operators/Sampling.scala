@@ -117,6 +117,69 @@ object Sampling {
       |      lower(lpad(to_hex(thr_int), 2, '0'))
       |ORDER BY doc_id""".stripMargin
 
+  /** Epoch-based mixture with UPSAMPLING — the one direction the other
+    * sampling ops lack (they only ever drop rows): aim each language at
+    * an equal share of the training mix by REPLICATING rare-language
+    * documents e_s = total/(K·n_s) times, capped at 4 epochs (repeating
+    * data beyond ~4 epochs stops buying loss — Muennighoff et al. 2023's
+    * data-constrained scaling result), while dominant languages keep
+    * e_s < 1 as a plain downsample draw. Fractional epochs are exact:
+    * every doc emits ⌊e⌋ full replicas, plus one more with probability
+    * e−⌊e⌋ decided by a deterministic md5 draw keyed on (doc_id, replica)
+    * — so the emitted multiset is reproducible row-for-row and
+    * oracle-checkable, like every draw in this file.
+    *
+    * Scale shape: per-language epochs come from one key-cardinality
+    * aggregation broadcast back against the corpus; replication is a
+    * narrow per-row `explode(sequence(...))` whose fan-out is bounded by
+    * the epoch cap (≤5 rows per doc) — no shuffle anywhere; the output
+    * stays partitioned like the scan. */
+  def epochMix(s: SparkSession, d: String): DataFrame =
+    epochMixOf(Tables.documents(s, d))
+
+  def epochMixOf(docs: DataFrame, cap: Double = 4.0): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val k = counts.count()
+    val total = docs.count()
+    val ep = counts.select($"lang",
+      least(lit(cap), lit(total).cast("double") / ($"n" * k)).as("e"))
+    val th = ep.select($"lang",
+      floor($"e").cast("long").as("full"),
+      floor(($"e" - floor($"e")) * 256).cast("int").as("thr_int"))
+    docs.join(broadcast(th), Seq("lang"))
+      .select($"doc_id", $"lang", $"full", $"thr_int",
+        explode(sequence(lit(1L), $"full" + lit(1L))).as("replica"))
+      .filter($"replica" <= $"full" ||
+        substring(md5(concat($"doc_id".cast("string"), lit("#"), $"replica".cast("string"))), 1, 2)
+          < lower(lpad(hex($"thr_int"), 2, "0")))
+      .select($"doc_id", $"lang", $"replica")
+      .orderBy($"doc_id", $"replica")
+  }
+
+  // Note the replica filter lives INSIDE list_filter, before the unnest:
+  // DuckDB's binder hits an internal error ("Failed to bind column
+  // reference") when an outer WHERE references an unnest alias whose
+  // range bound comes from a joined column.
+  val epochMixOracle: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS k FROM c),
+      |ep AS (SELECT lang, least(4.0, total / CAST(n * k AS DOUBLE)) AS e
+      |       FROM c CROSS JOIN t),
+      |th AS (SELECT lang, CAST(floor(e) AS BIGINT) AS f,
+      |              CAST(floor((e - floor(e)) * 256) AS INT) AS thr_int
+      |       FROM ep),
+      |r AS (SELECT d.doc_id, d.lang,
+      |             unnest(list_filter(range(1, th.f + 2),
+      |               rep -> rep <= th.f OR
+      |                 substr(md5(CAST(d.doc_id AS VARCHAR) || '#' ||
+      |                            CAST(rep AS VARCHAR)), 1, 2) <
+      |                 lower(lpad(to_hex(th.thr_int), 2, '0')))) AS replica
+      |      FROM documents d JOIN th USING (lang))
+      |SELECT doc_id, lang, CAST(replica AS BIGINT) AS replica
+      |FROM r ORDER BY doc_id, replica""".stripMargin
+
   /** Leakage-free train/test split: the split draw keys on the CONTENT
     * fingerprint, not the doc id, so every member of an exact-duplicate
     * family lands in the same split — a doc-id draw leaks duplicated
@@ -278,6 +341,7 @@ object Sampling {
     Q("doc_kfold_assign", Some(kfoldAssignOracle), kfoldAssign),
     Q("doc_train_test_split", Some(trainTestSplitOracle), trainTestSplit),
     Q("doc_mixture_sample", Some(mixtureSampleOracle), mixtureSample(_, _)),
+    Q("doc_epoch_mix", Some(epochMixOracle), epochMix),
     Q("doc_leakage_split", Some(leakageFreeSplitOracle), leakageFreeSplit),
     Q("doc_source_cap", Some(sourceCapOracle), sourceCap(_, _)))
 }

@@ -353,12 +353,18 @@ object TextOps {
     * against the scores — the [[Sampling]] token-budget-mix shape; the
     * exact-rank form here is the oracle-checkable twin that pins the
     * semantics. */
-  def qualityQuantileFilter(s: SparkSession, d: String): DataFrame = {
+  def qualityQuantileFilter(s: SparkSession, d: String): DataFrame =
+    qualityQuantileOf(Tables.documents(s, d))
+
+  /** [[qualityQuantileFilter]] over an arbitrary (doc_id, source, text)
+    * relation. */
+  def qualityQuantileOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"source").orderBy($"logit_milli", $"doc_id")
-    Tables.documents(s, d).select($"doc_id", $"source")
-      .join(Classifier.qualityClassifierOf(Tables.documents(s, d))
+    docs.select($"doc_id", $"source")
+      .join(Classifier.qualityClassifierOf(docs)
         .select($"doc_id", $"logit_milli"), "doc_id")
       .select($"doc_id", $"source", $"logit_milli",
         row_number().over(w).cast("long").as("src_rank"),

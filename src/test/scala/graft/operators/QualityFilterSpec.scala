@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** First-principles ground truth for the corpus quality-filter stages
+  * added in round 8: the bigram-LM surprise scorer (hand-computed add-α
+  * probabilities) and the per-source quantile filter (expected keep set
+  * derived from an independent JVM MessageDigest reimplementation of the
+  * hash-linear classifier). The sf-corpus runs are covered by the fully
+  * independent DuckDB oracles (`text_bigram_surprise`,
+  * `text_quality_quantile`). */
+class QualityFilterSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bigram surprise: hand-computed add-0.5 probabilities on a 4-token vocab") {
+    // corpus: "a b a b", "a c", "z" -> V=4, denominator add = 0.5*4 = 2.
+    // C(a,b)=2, C(b,a)=1, C(a,c)=1; C(a·)=3, C(b·)=1.
+    // P(b|a) = 2.5/5 = 0.5, P(a|b) = 1.5/3 = 0.5 -> doc 1 avg = ln 2;
+    // P(c|a) = 1.5/5 = 0.3 -> doc 2 avg = ln(10/3). "z" has no bigrams.
+    val out = CorpusDedup.bigramSurpriseStats(
+        Seq(1L -> "a b a b", 2L -> "a c", 3L -> "z").toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, 0.6931)), out(1L).toString)
+    assert(out(2L) == ((1L, 1.204)), out(2L).toString)
+  }
+
+  // The classifier's hash-linear weight, recomputed OUTSIDE Spark (java
+  // MessageDigest + BigInteger vs Spark's md5/conv expressions).
+  private def weightMilli(token: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(token.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16) % 1000 - 500
+  }
+
+  test("per-source quantile: drops exactly the bottom fifth by (logit, doc_id) per source") {
+    // source A: 7 docs (drop floor(7/5)=1), source B: 4 docs (drop 0);
+    // single-token texts so each logit is one independently-computed weight
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo")
+    val docs = words.zipWithIndex.map { case (t, i) =>
+      (i.toLong, if (i < 7) "A" else "B", t)
+    }
+    val out = TextOps.qualityQuantileOf(docs.toDF("doc_id", "source", "text"))
+      .as[(Long, String, Long, Long, Int)].collect()
+    assert(out.length == 11)
+    out.foreach { case (id, _, logit, _, _) =>
+      assert(logit == weightMilli(words(id.toInt)), s"doc $id logit $logit")
+    }
+    val expectDropA = docs.take(7)
+      .map(d => (weightMilli(d._3), d._1)).sorted.head._2
+    out.foreach { case (id, src, _, rank, keep) =>
+      val n = if (src == "A") 7 else 4
+      assert((keep == 1) == (5 * rank > n), s"doc $id rank $rank keep $keep")
+      assert((keep == 0) == (src == "A" && id == expectDropA), s"doc $id")
+    }
+    // ranks are a permutation of 1..n per source, ordered by (logit, doc_id)
+    Seq("A", "B").foreach { src =>
+      val rows = out.filter(_._2 == src).sortBy(r => (r._3, r._1))
+      assert(rows.map(_._4).toSeq == (1L to rows.length).toSeq, s"source $src ranks")
+    }
+  }
+
+  test("per-source quantile: score ties break on doc_id, ranks stay unique") {
+    // identical text -> identical logit for all docs; doc_id is the tiebreak
+    val docs = (0L until 10L).map(i => (i, "S", "same text here"))
+    val out = TextOps.qualityQuantileOf(docs.toDF("doc_id", "source", "text"))
+      .as[(Long, String, Long, Long, Int)].collect().sortBy(_._1)
+    assert(out.map(_._4).toSeq == (1L to 10L).toSeq)
+    assert(out.count(_._5 == 0) == 2) // floor(10/5) dropped: doc_ids 0 and 1
+    assert(out.filter(_._5 == 0).map(_._1).toSet == Set(0L, 1L))
+  }
+}

@@ -71,4 +71,20 @@ class SamplingSpec extends SparkSuite {
     // the draw is a per-doc md5 threshold: kept set is a subset, never a reorder
     assert(kept.values.sum <= counts.values.sum)
   }
+
+  test("epoch mix replicates the rare language to the cap and fractionally downsamples the dominant") {
+    // lang X: 1 doc, lang Y: 9 docs, total 10, K=2:
+    // e_X = 10/(1·2) = 5 → capped at 4 full replicas, no fractional draw;
+    // e_Y = 10/(9·2) = 0.5556 → 0 full + draw at floor(0.5556·256) = 142 = 0x8e
+    val docs = (Seq((1L, "x", "X")) ++ (11L to 19L).map(i => (i, "x", "Y")))
+      .toDF("doc_id", "text", "lang")
+    val out = Sampling.epochMixOf(docs)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.filter(_._2 == "X") ==
+      (1L to 4L).map(r => (1L, "X", r)), out.filter(_._2 == "X").toString)
+    val expectY = (11L to 19L).filter(i => md5hex(s"$i#1").take(2) < "8e")
+    assert(out.filter(_._2 == "Y").map(_._1) == expectY,
+      out.filter(_._2 == "Y").toString)
+    assert(out.filter(_._2 == "Y").forall(_._3 == 1L))
+  }
 }
