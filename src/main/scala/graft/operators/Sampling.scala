@@ -334,8 +334,78 @@ object Sampling {
       |      lower(lpad(to_hex(thr_int), 2, '0'))
       |ORDER BY doc_id""".stripMargin
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by the log importance ratio ln p_target(x) − ln q_raw(x) under two
+    * hashed-token bag-of-words models — the target model trained on a
+    * designated high-quality slice (here `source = 'src0'`, standing in
+    * for the paper's Wikipedia/books target), the raw model on the whole
+    * corpus — and keep the top-k. Features are tokens hashed into 256
+    * buckets via the 2-hex-char md5 prefix (the paper's hashed n-gram
+    * trick; the hex-prefix form is this file's draw idiom — no numeric
+    * conversion, identical in DuckDB), with add-½ smoothing over the
+    * bucket vocabulary. The paper samples with Gumbel noise; the
+    * deterministic top-k variant here is its noise-free limit, which is
+    * what makes the selection oracle-checkable row-for-row.
+    *
+    * Cross-engine determinism: the per-bucket weight is ONE ln per side
+    * computed on a 256-row table, quantized to DECIMAL(28,8) and summed
+    * exactly per document (the [[graft.operators.CorpusDedup.unigramSurpriseStats]]
+    * idiom), so summation order can never flip the 4-dp round; ranking
+    * ties break on doc_id.
+    *
+    * Scale shape: the two models are B-sized (256-row) map-side-combinable
+    * aggregations; corpus/target totals are two bounded driver scalars;
+    * scoring joins the token stream to the broadcast 256-row weight table
+    * and rolls up per doc — the only corpus-wide shuffle — then top-k is
+    * a TakeOrdered, never a global sort. At open-web scale B grows to
+    * 10k-100k buckets and stays broadcastable. */
+  def dsirSelect(s: SparkSession, d: String): DataFrame =
+    dsirSelectOf(Tables.documents(s, d))
+
+  def dsirSelectOf(docs: DataFrame, target: String = "src0", k: Int = 100): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val numBuckets = 256
+    val tok = docs
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("tk"))
+      .select($"doc_id", $"source", substring(md5($"tk"), 1, 2).as("b"))
+    val raw = tok.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter($"source" === target)
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val totRaw = tok.count().toDouble + 0.5 * numBuckets
+    val totTgt = tok.filter($"source" === target).count().toDouble + 0.5 * numBuckets
+    val w = raw.join(tgt, Seq("b"), "left")
+      .select($"b",
+        (log((coalesce($"ct", lit(0L)) + lit(0.5)) / lit(totTgt)) -
+          log(($"cr" + lit(0.5)) / lit(totRaw))).cast("decimal(28,8)").as("dw"))
+    tok.join(broadcast(w), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum($"dw").cast("double"), 4).as("log_ratio"))
+      .orderBy($"log_ratio".desc, $"doc_id")
+      .limit(k)
+  }
+
+  val dsirSelectOracle: String =
+    """WITH tk AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk
+      |            FROM documents),
+      |tok AS (SELECT doc_id, source, substr(md5(tk), 1, 2) AS b FROM tk),
+      |r AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+      |t AS (SELECT b, count(*) AS ct FROM tok WHERE source = 'src0' GROUP BY b),
+      |tot AS (SELECT (SELECT count(*) FROM tok) AS tr,
+      |               (SELECT count(*) FROM tok WHERE source = 'src0') AS tt),
+      |w AS (SELECT b, CAST(ln((coalesce(ct, 0) + 0.5) / (tt + 128.0))
+      |               - ln((cr + 0.5) / (tr + 128.0)) AS DECIMAL(28,8)) AS dw
+      |      FROM r LEFT JOIN t USING (b) CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(round(CAST(sum(dw) AS DOUBLE), 4) AS DOUBLE) AS log_ratio
+      |FROM tok JOIN w USING (b)
+      |GROUP BY doc_id ORDER BY log_ratio DESC, doc_id LIMIT 100""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("doc_token_budget_mix", Some(tokenBudgetMixOracle), tokenBudgetMix),
+    Q("doc_dsir_select", Some(dsirSelectOracle), dsirSelect),
     Q("doc_global_shuffle", Some(globalShuffleOracle), globalShuffle(_, _)),
     Q("doc_stratified_sample", Some(stratifiedSampleOracle), stratifiedSample),
     Q("doc_kfold_assign", Some(kfoldAssignOracle), kfoldAssign),

@@ -87,4 +87,37 @@ class SamplingSpec extends SparkSuite {
       out.filter(_._2 == "Y").toString)
     assert(out.filter(_._2 == "Y").forall(_._3 == 1L))
   }
+
+  test("dsir selection reproduces a first-principles log importance ratio ranking") {
+    // target source "t" is alpha-heavy; raw corpus is dominated by beta/gamma.
+    // Expected: doc 1 (pure alpha) ranks first; doc 4 (longest pure-raw doc)
+    // last — the total log-ratio accumulates per token, so the longest
+    // out-of-target doc scores lowest, not the rarest-token one.
+    val corpus = Seq(
+      (1L, "alpha alpha alpha", "t"),
+      (2L, "alpha beta alpha", "t"),
+      (3L, "alpha beta beta", "o1"),
+      (4L, "beta beta beta beta", "o1"),
+      (5L, "gamma gamma", "o2"))
+    val docs = corpus.toDF("doc_id", "text", "source")
+    val out = Sampling.dsirSelectOf(docs, target = "t", k = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    // recompute the weights from the paper's formula, independently of Spark
+    val toks = corpus.map { case (id, txt, src) =>
+      (id, src, txt.split(" ").toSeq.map(tk => md5hex(tk).take(2)))
+    }
+    val all = toks.flatMap(_._3)
+    val tgt = toks.filter(_._2 == "t").flatMap(_._3)
+    def dw(b: String): BigDecimal = BigDecimal(
+      math.log((tgt.count(_ == b) + 0.5) / (tgt.size + 128.0)) -
+        math.log((all.count(_ == b) + 0.5) / (all.size + 128.0)))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val expected = toks.map { case (id, _, bs) =>
+      val lr = BigDecimal(bs.map(dw).sum.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, bs.size.toLong, lr)
+    }.sortBy { case (id, _, lr) => (-lr, id) }
+    assert(out === expected, s"got $out")
+    assert(out.head._1 === 1L && out.last._1 === 4L)
+  }
 }
