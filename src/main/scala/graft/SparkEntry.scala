@@ -18,7 +18,7 @@ object SparkEntry {
       SqlSurface.defs ++ TextOps.defs ++ Search.defs ++ Dedup.defs ++ CorpusDedup.defs ++
       Similarity.defs ++ Rag.defs ++ Classifier.defs ++
       Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Multimodal.defs ++
-      Audit.defs ++ EntityRes.defs ++ Drift.defs ++
+      Audit.defs ++ EntityRes.defs ++ Drift.defs ++ Graph.defs ++
       graft.sources.Bucketed.defs ++ graft.sources.Formats.defs ++
       graft.sources.Manifest.defs
 

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{SparkSuite, Tables}
+
+/** First-principles checks for [[Graph.domainRank]]: an independent
+  * Scala-collections PageRank over the same derived edge list must agree
+  * bit-for-bit (the determinism contract), plus the structural laws a
+  * fixed-point PageRank must satisfy. */
+class GraphSpec extends SparkSuite {
+
+  private def referencePr(docIds: Seq[Long]): Map[Long, Long] = {
+    val edges = (for {
+      d <- docIds
+      (m, c) <- Graph.LinkDerivations
+      src = d % Graph.NDomains
+      dst = (d * m + c) % Graph.NDomains
+      if src != dst
+    } yield (src, dst)).toSet
+    val nodes = edges.map(_._1) ++ edges.map(_._2)
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.size
+    val init = Graph.Scale / n
+    val base = (15L * init) / 100L
+    var r = nodes.map(_ -> init).toMap
+    for (_ <- 1 to Graph.Iters) {
+      val contrib = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (s, t) =>
+        contrib(t) = contrib.getOrElse(t, 0L) + r(s) / outdeg(s)
+      }
+      r = nodes.map(v => v -> (base + (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("domainRank agrees bit-for-bit with an independent in-memory PageRank") {
+    import spark.implicits._
+    val docIds = Tables.documents(spark, Sf).select($"doc_id").as[Long].collect().toSeq
+    val want = referencePr(docIds)
+    val got = Graph.domainRank(spark, Sf).collect().map { row =>
+      val domain = row.getString(0)
+      val node = domain.stripPrefix("d").stripSuffix(".example.com").toLong
+      node -> row.getLong(1)
+    }.toMap
+    assert(got.keySet === want.keySet)
+    val diff = want.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diff.isEmpty, s"rank mismatches: ${diff.take(5)}")
+  }
+
+  test("domainRank satisfies fixed-point structural laws") {
+    val rows = Graph.domainRank(spark, Sf).collect()
+    // every derived domain present, ranks strictly positive
+    assert(rows.length === Graph.NDomains)
+    assert(rows.forall(_.getLong(1) > 0L))
+    // mass conservation up to documented flooring loss: ≤ 1e-12 per edge
+    // per iteration plus the damping floor — bounded well above by 1e-6
+    val mass = rows.map(_.getLong(1)).sum
+    assert(mass <= Graph.Scale)
+    assert(mass >= Graph.Scale - 1000000L, s"lost too much mass: $mass")
+    // output is sorted by (rank desc, domain)
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys === keys.sorted)
+  }
+}
