@@ -68,10 +68,14 @@ object Tables {
     StructField("l_linestatus", StringType, nullable = false),
     StructField("l_shipdate", TimestampType, nullable = false)))
 
-  // ts is physically INT64 TIMESTAMP(NANOS) — Spark has no nanosecond
-  // timestamp type, so it is read as a long (nanosAsLong) and converted to a
-  // microsecond TimestampType in `events()` via integer division (a double
-  // division would lose precision: 2024 epoch-nanos exceed 2^53).
+  // ts is physically INT64 — TIMESTAMP(NANOS) in some generator versions
+  // (Spark has no nanosecond timestamp type, so it is read as a long via
+  // nanosAsLong), TIMESTAMP(MICROS) in others. It is read as a long either
+  // way and normalized to a microsecond TimestampType in `events()` by
+  // integer arithmetic (a double division would lose precision: 2024
+  // epoch-nanos exceed 2^53). Unit detection is per-VALUE, not per-file:
+  // 2024-era epoch-nanos are ~1.7e18, epoch-micros ~1.7e15 — anything
+  // above 1e17 (year 5138 in micros) must be nanos.
   val eventsSchema = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
     StructField("ts", LongType, nullable = false),
@@ -122,7 +126,8 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr(
+          "if(ts > 100000000000000000, ts div 1000, ts)")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
