@@ -1,0 +1,341 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.CovarianceAggregator
+import graft.functions.VectorOps.dot
+
+/** Distributed PCA over the 64-dim `embeddings` table — the dimensionality-
+  * reduction stage a training-data pipeline runs before ANN indexing /
+  * clustering (reduce, then bucket: a 64→4 projection cuts every downstream
+  * similarity scan 16×).
+  *
+  * Decomposition of work, sized for 100 TB:
+  *
+  *   1. ONE distributed pass: [[graft.functions.CovarianceAggregator]]
+  *      collects quantized first/second moments — algebraic, map-side
+  *      combined, one 17 KB partial per task; no row ever shuffles.
+  *   2. Driver: assemble the 64×64 covariance from the integer sums and
+  *      eigendecompose with cyclic Jacobi — O(d³) on a d×d matrix is
+  *      microseconds and has NO distributed analog worth paying for (the
+  *      classic tall-skinny regime: n huge, d small).
+  *   3. Projection: the top-k eigenvectors broadcast as literals; scores
+  *      are per-row codegen'd dot products (DotProductExpr) — narrow,
+  *      shuffle-free, embarrassingly parallel.
+  *
+  * Cross-engine determinism (what makes this oracle-checkable): the moment
+  * sums are exact integers (order-independent), Jacobi is deterministic
+  * driver-side float code, and every per-row projection accumulates
+  * left-to-right exactly like DuckDB's `list_dot_product` — so the oracle
+  * recomputes the covariance ACTION C·v from the raw embeddings table and
+  * verifies the golden's eigenpairs (residual ‖Cv − λv‖∞ and Rayleigh
+  * quotient vᵀCv), plus every projected coordinate, bit-for-bit at 6 dp.
+  * A broken aggregator, eigensolver, or projection hash-mismatches.
+  */
+object Pca {
+
+  val Dim = 64
+
+  /** Components kept in the profile (K) and in the projection (ProjK). */
+  val K = 8
+  val ProjK = 4
+
+  final case class Eig(
+      n: Long,
+      mu: Array[Double],
+      cov: Array[Array[Double]],
+      trace: Double,
+      values: Array[Double], // top-K, descending
+      vectors: Array[Array[Double]]) // top-K rows, sign-fixed
+
+  /** Quantized moments of the embedding column (one distributed pass). */
+  def momentsOf(df: DataFrame): Array[Long] = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("embedding")).as[Array[Float]]
+      .select(new CovarianceAggregator.CovMoments(Dim).toColumn)
+      .head()
+  }
+
+  /** Covariance + top-K eigenpairs from a DataFrame with an `embedding`
+    * column. Deterministic: same input rows (any order) → same bits. */
+  def eigOf(df: DataFrame): Eig = {
+    val m = momentsOf(df)
+    val n = m(0)
+    val nd = n.toDouble
+    val mu = Array.tabulate(Dim)(i =>
+      m(1 + i).toDouble / CovarianceAggregator.Scale / nd)
+    val cov = Array.tabulate(Dim, Dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      m(CovarianceAggregator.momentIdx(Dim, a, b)).toDouble /
+        CovarianceAggregator.Scale / nd - mu(i) * mu(j)
+    }
+    // trace via ascending fold — mirrors list_dot_product(diag, ones)
+    var trace = 0.0
+    var i = 0
+    while (i < Dim) { trace += cov(i)(i); i += 1 }
+
+    val (evals, evecs) = jacobi(cov)
+    // order by eigenvalue descending, ties by original column index
+    val order = (0 until Dim).sortBy(k => (-evals(k), k)).take(K)
+    val values = order.map(evals).toArray
+    val vectors = order.map { k =>
+      val v = Array.tabulate(Dim)(r => evecs(r)(k))
+      // sign convention: the largest-|loading| dimension (lowest index on
+      // ties) is positive — pins the eigenvector's inherent ± ambiguity
+      val arg = argmaxAbs(v)
+      if (v(arg) < 0) v.map(x => -x) else v
+    }.toArray
+    Eig(n, mu, cov, trace, values, vectors)
+  }
+
+  private def argmaxAbs(v: Array[Double]): Int = {
+    var best = 0
+    var i = 1
+    while (i < v.length) {
+      if (math.abs(v(i)) > math.abs(v(best))) best = i
+      i += 1
+    }
+    best
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (Golub & Van
+    * Loan §8.5). Deterministic: fixed row-major pivot order, fixed sweep
+    * count cap, pure driver-side IEEE double arithmetic.
+    * Returns (eigenvalues, eigenvector matrix V with vectors in COLUMNS).
+    */
+  private[operators] def jacobi(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-18 && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val apq = a(p)(q)
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sn * akq
+              a(k)(q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sn * aqk
+              a(q)(k) = sn * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sn * vkq
+              v(k)(q) = sn * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+      off = offDiag(a)
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  /** Covariance action w = C·v (row loops ascending — mirrors the oracle's
+    * `list_dot_product(c_row, v)` accumulation). */
+  private[operators] def covAction(
+      cov: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    Array.tabulate(cov.length) { i =>
+      var s = 0.0
+      var j = 0
+      while (j < cov.length) { s += cov(i)(j) * v(j); j += 1 }
+      s
+    }
+
+  private def ldp(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Spark `round(_, 6)` semantics (BigDecimal HALF_UP) on the driver. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def eig(s: SparkSession, d: String): Eig =
+    SessionCaches.memo(s, s"pca-eig:$d")(eigOf(Tables.embeddings(s, d)))
+
+  // -------------------------------------------------------------------
+  // Queries
+  // -------------------------------------------------------------------
+
+  /** Component profile: one row per principal component with its Rayleigh
+    * quotient vᵀCv (reported as the eigenvalue — bit-identical to what the
+    * oracle recomputes from raw data), explained-variance ratio, the
+    * eigen-equation residual ‖Cv − λ₆v‖∞, the dominant dimension, and the
+    * full loading vector as 64 scalar columns (golden-pinned; their
+    * eigen-ness is what resid_inf/eigenvalue verify independently). */
+  def pcaComponents(s: SparkSession, d: String): DataFrame = {
+    val e = eig(s, d)
+    val rows = (0 until K).map { k =>
+      val v = e.vectors(k)
+      val w = covAction(e.cov, v)
+      val quad = ldp(w, v)
+      val lamR = round6(quad)
+      var resid = 0.0
+      var i = 0
+      while (i < Dim) {
+        val r = math.abs(w(i) - lamR * v(i))
+        if (r > resid) resid = r
+        i += 1
+      }
+      val arg = argmaxAbs(v)
+      Row.fromSeq(
+        Seq[Any](k + 1, lamR, round6(quad / e.trace), round6(resid),
+          arg + 1, v(arg)) ++ v.toSeq)
+    }
+    val schema = StructType(
+      Seq(
+        StructField("component", IntegerType, nullable = false),
+        StructField("eigenvalue", DoubleType, nullable = false),
+        StructField("explained_ratio", DoubleType, nullable = false),
+        StructField("resid_inf", DoubleType, nullable = false),
+        StructField("top_dim", IntegerType, nullable = false),
+        StructField("top_loading", DoubleType, nullable = false)) ++
+        (0 until Dim).map(i =>
+          StructField(f"loading_$i%02d", DoubleType, nullable = false)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      .orderBy(col("component"))
+  }
+
+  /** Per-vector projection onto the top-[[ProjK]] components: center on the
+    * quantized mean, then one codegen'd dot product per component against
+    * the broadcast loading literal. Narrow and shuffle-free — the 100 TB
+    * plan is a single pass over the embedding files. */
+  def pcaProject(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = eig(s, d)
+    val centered: Column =
+      zip_with(col("embedding").cast(ArrayType(DoubleType)),
+        typedlit(e.mu.toSeq), (x, m) => x - m)
+    val pcs = (0 until ProjK).map { k =>
+      round(dot(centered, typedlit(e.vectors(k).toSeq)), 6).as(s"pc${k + 1}")
+    }
+    Tables.embeddings(s, d)
+      .select($"vec_id" +: $"label" +: pcs: _*)
+      .orderBy($"vec_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Oracles
+  // -------------------------------------------------------------------
+
+  /** Shared DuckDB prelude: quantized mean + covariance recomputed from the
+    * raw embeddings table with the SAME integer quantization as the
+    * aggregator (floor(x·1e8), floor(xᵢxⱼ·1e8); BIGINT sums), covariance
+    * rows assembled as ordered lists so every accumulation is
+    * left-to-right like the engine's. */
+  private val covPrelude: String =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+      |u AS (SELECT vec_id, gs.i AS i, v[gs.i] AS x
+      |      FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs),
+      |mu AS (SELECT i,
+      |              CAST(sum(CAST(floor(x * 1e8) AS BIGINT)) AS DOUBLE) / 1e8
+      |                / (SELECT n FROM nn) AS m
+      |       FROM u GROUP BY i),
+      |p AS (SELECT a.i AS i, b.i AS j,
+      |             sum(CAST(floor(a.x * b.x * 1e8) AS BIGINT)) AS sp
+      |      FROM u a JOIN u b USING (vec_id) GROUP BY a.i, b.i),
+      |c AS (SELECT p.i, p.j,
+      |             CAST(sp AS DOUBLE) / 1e8 / (SELECT n FROM nn) - mi.m * mj.m AS cij
+      |      FROM p JOIN mu mi ON mi.i = p.i JOIN mu mj ON mj.i = p.j)""".stripMargin
+
+  private val loadingCols: String =
+    (0 until Dim).map(i => f"loading_$i%02d").mkString(", ")
+
+  private val onesList: String =
+    "[" + Seq.fill(Dim)("1.0").mkString(", ") + "]"
+
+  /** Eigen-check oracle: the golden pins the loadings; DuckDB recomputes
+    * C from raw data and re-derives eigenvalue (vᵀCv), explained ratio,
+    * and the residual ‖Cv − λ₆v‖∞ — all must hash-match the engine. */
+  val pcaComponentsOracle: String =
+    s"""WITH $covPrelude,
+       |crow AS (SELECT i, list(cij ORDER BY j) AS cr FROM c GROUP BY i),
+       |tr AS (SELECT list_dot_product(list(cij ORDER BY i), $onesList) AS tr
+       |       FROM c WHERE i = j),
+       |g AS (${Golden.dispatch("sim_pca_components")}),
+       |gl AS (SELECT component, list_value($loadingCols) AS lv, eigenvalue, __row FROM g),
+       |w AS (SELECT gl.component, crow.i, list_dot_product(crow.cr, gl.lv) AS wi
+       |      FROM gl CROSS JOIN crow),
+       |wl AS (SELECT component, list(wi ORDER BY i) AS wv FROM w GROUP BY component),
+       |chk AS (SELECT gl.component, gl.lv, gl.__row,
+       |               list_dot_product(wl.wv, gl.lv) AS quad,
+       |               list_max(list_transform(generate_series(1, 64),
+       |                 k -> abs(wl.wv[k] - gl.eigenvalue * gl.lv[k]))) AS resid,
+       |               list_position(list_transform(gl.lv, x -> abs(x)),
+       |                 list_max(list_transform(gl.lv, x -> abs(x)))) AS td
+       |        FROM gl JOIN wl USING (component))
+       |SELECT g.component AS component,
+       |       round(chk.quad, 6) AS eigenvalue,
+       |       round(chk.quad / (SELECT tr FROM tr), 6) AS explained_ratio,
+       |       round(chk.resid, 6) AS resid_inf,
+       |       CAST(chk.td AS INT) AS top_dim,
+       |       chk.lv[chk.td] AS top_loading,
+       |       ${(0 until Dim).map(i => f"g.loading_$i%02d").mkString(", ")}
+       |FROM g JOIN chk ON chk.__row = g.__row
+       |ORDER BY component""".stripMargin
+
+  /** Projection oracle: every coordinate recomputed in DuckDB from the raw
+    * embeddings (quantized mean, centered list, left-to-right dot against
+    * the golden loadings) — fully independent value arithmetic; the golden
+    * contributes only the pinned loading vectors. */
+  val pcaProjectOracle: String =
+    s"""WITH $covPrelude,
+       |cent AS (SELECT vec_id, list(x - m ORDER BY i) AS cv
+       |         FROM u JOIN mu USING (i) GROUP BY vec_id),
+       |g AS (${Golden.dispatch("sim_pca_components")}),
+       |gl AS (SELECT component, list_value($loadingCols) AS lv FROM g
+       |       WHERE component <= $ProjK),
+       |sc AS (SELECT cent.vec_id, gl.component,
+       |              list_dot_product(cent.cv, gl.lv) AS s
+       |       FROM cent CROSS JOIN gl)
+       |SELECT e.vec_id AS vec_id, e.label AS label,
+       |       ${(1 to ProjK).map(k =>
+              s"round(max(CASE WHEN sc.component = $k THEN sc.s END), 6) AS pc$k")
+              .mkString(",\n       ")}
+       |FROM sc JOIN e USING (vec_id)
+       |GROUP BY e.vec_id, e.label
+       |ORDER BY vec_id""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("sim_pca_components", Some(pcaComponentsOracle), pcaComponents),
+    Q("sim_pca_project", Some(pcaProjectOracle), pcaProject))
+}
