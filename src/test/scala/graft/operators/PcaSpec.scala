@@ -100,6 +100,28 @@ class PcaSpec extends SparkSuite {
       s"pc1 variance $variance vs lambda1 ${eig.values(0)}")
   }
 
+  test("PCA re-rank reports exact brute-force cosines; full shortlist ≡ brute") {
+    val emb = graft.Tables.embeddings(spark, Sf)
+    val qv = emb.filter($"vec_id" === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val brute = Similarity.knnBrute(spark, Sf).collect()
+    val bruteCos = brute.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every returned cosine must be the exact brute-force value
+    Pca.knnPcaRerankOf(emb, eig, qv).collect().foreach { r =>
+      val id = r.getLong(0)
+      bruteCos.get(id).foreach(c => assert(r.getDouble(2) === c))
+    }
+    // corpus-sized shortlist removes the approximation entirely
+    val full = Pca.knnPcaRerankOf(emb, eig, qv, shortlist = 100000).collect()
+    assert(full.map(_.getLong(0)).toSeq === brute.map(_.getLong(0)).toSeq)
+    // measured recall of the default-shortlist path at sf0.001 (isotropic
+    // corpus = flat-spectrum worst case; 0.8 observed at shortlist 200 —
+    // pin a floor so a silent shortlist regression fails loudly)
+    val got = Pca.knnPcaRerankOf(emb, eig, qv).collect().map(_.getLong(0)).toSet
+    val recall = brute.map(_.getLong(0)).count(got.contains) / 10.0
+    assert(recall >= 0.7, s"PCA-shortlist recall@10 fell to $recall")
+  }
+
   test("component profile is consistent with the eigen state") {
     val rows = Pca.pcaComponents(spark, Sf).collect()
     assert(rows.length === Pca.K)
