@@ -172,7 +172,178 @@ object Rag {
        |       r_sparse, r_dense
        |FROM (${Golden.dispatch("rag_hybrid_rrf")}) g ORDER BY __row""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Offline retrieval-quality evaluation: graded nDCG@10
+  // -------------------------------------------------------------------
+
+  /** Fixed evaluation query set over the synthetic vocabulary. `dup` is
+    * the corpus's one rare term (df≈5%), so the queries that include it
+    * exercise BM25's idf weighting; grades are the number of distinct
+    * query terms a document contains (0/1/2 → gain 0/1/3). */
+  private[operators] val EvalQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("dup", "hash"),
+    2 -> Seq("dup", "stream"),
+    3 -> Seq("vector", "window"),
+    4 -> Seq("merge", "sort"))
+
+  private[operators] val NdcgK = 10
+
+  /** 1/log₂(r+1) discount factors, computed ONCE in Scala and embedded as
+    * literals in BOTH engines' plans — libm log() implementations differ
+    * in the last ulp between JVMs and DuckDB, and a shared literal table
+    * keeps transcendental noise out of the hash compare entirely. */
+  private[operators] val Discounts: Seq[Double] =
+    (1 to NdcgK).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Graded nDCG@10 of the BM25 retriever per eval query — the offline
+    * ranking-quality gate a retrieval pipeline runs before shipping an
+    * index change (the metric itself: Järvelin & Kekäläinen 2002).
+    *
+    * DCG@10 sums gain(grade)·disc(rank) over the retriever's own top-10
+    * (exactly [[Search.bm25TopKOf]], same scorer as `text_bm25_topk`);
+    * IDCG@10 re-sorts the corpus-wide grade counts into the ideal prefix
+    * (min(n₂,10) grade-2 docs, then grade-1). Per-rank contributions are
+    * quantized to DECIMAL(28,8) before summation (the house idiom), so
+    * cross-engine summation order cannot flip the 6-dp round.
+    *
+    * Scale shape: retrieval cost is the BM25 query path (postings of the
+    * query terms only); grading is one narrow corpus scan per eval run
+    * computing all queries' grades at once; the ideal ranking needs only
+    * the (n₂, n₁) counts — two integers per query — never a global sort.
+    * 100% SQL-recomputable: the oracle re-derives retrieval, grades, and
+    * both DCGs from the raw documents table with zero goldens. */
+  def ndcgEval(s: SparkSession, d: String): DataFrame =
+    ndcgEvalOf(Tables.documents(s, d))
+
+  def ndcgEvalOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val discCol = typedlit(Discounts)
+    def gradeOf(terms: Seq[String]): Column =
+      terms.map(t => array_contains(split($"text", " "), t).cast("int"))
+        .reduce(_ + _)
+
+    // retrieved top-10 per query, ranked by the deterministic BM25 order
+    val retrieved = EvalQueries.map { case (qid, terms) =>
+      Search.bm25TopKOf(docs, terms, NdcgK).withColumn("query_id", lit(qid))
+    }.reduce(_ unionByName _)
+    val ranked = retrieved.withColumn("rank",
+      row_number().over(
+        Window.partitionBy($"query_id").orderBy($"bm25".desc, $"doc_id")))
+
+    // grade every retrieved doc for its own query
+    val gradeCol = EvalQueries.foldLeft(lit(0)) { case (acc, (qid, terms)) =>
+      when($"query_id" === qid, gradeOf(terms)).otherwise(acc)
+    }
+    val dcg = ranked.join(docs.select($"doc_id", $"text"), "doc_id")
+      .withColumn("gain",
+        when(gradeCol === 2, 3.0).when(gradeCol === 1, 1.0).otherwise(0.0))
+      .select($"query_id",
+        ($"gain" * element_at(discCol, $"rank")).cast("decimal(28,8)").as("cb"))
+      .groupBy($"query_id").agg(sum($"cb").as("dcg"))
+
+    // corpus-wide grade counts for ALL queries in ONE narrow scan (8
+    // map-side-combinable sums), reshaped to 4 driver rows → ideal prefix
+    // → IDCG (no join: the ranks 1..10 are exploded onto the count rows)
+    val gradeAggs = EvalQueries.flatMap { case (qid, terms) =>
+      val g = gradeOf(terms)
+      Seq(sum(when(g === 2, 1L).otherwise(0L)).as(s"n2_$qid"),
+        sum(when(g === 1, 1L).otherwise(0L)).as(s"n1_$qid"))
+    }
+    val cRow = docs.agg(gradeAggs.head, gradeAggs.tail: _*).head()
+    val counts = EvalQueries.zipWithIndex.map { case ((qid, _), i) =>
+      (qid, cRow.getLong(2 * i), cRow.getLong(2 * i + 1))
+    }.toDF("query_id", "n2", "n1")
+    val idcg = counts
+      .withColumn("rank", explode(expr(s"sequence(1, $NdcgK)")))
+      .withColumn("gain",
+        when($"rank" <= $"n2", 3.0)
+          .when($"rank" <= $"n2" + $"n1", 1.0).otherwise(0.0))
+      .select($"query_id",
+        ($"gain" * element_at(discCol, $"rank".cast("int"))).cast("decimal(28,8)").as("cb"))
+      .groupBy($"query_id").agg(sum($"cb").as("idcg"))
+
+    val termsCol = EvalQueries.foldLeft(lit("")) { case (acc, (qid, terms)) =>
+      when($"query_id" === qid, lit(terms.mkString(" "))).otherwise(acc)
+    }
+    dcg.join(idcg, "query_id").join(counts, "query_id")
+      .select($"query_id", termsCol.as("terms"),
+        ($"n2" + $"n1").cast("long").as("n_rel"),
+        round($"dcg".cast("double"), 6).as("dcg10"),
+        round($"idcg".cast("double"), 6).as("idcg10"),
+        round($"dcg".cast("double") / $"idcg".cast("double"), 6).as("ndcg10"))
+      .orderBy($"query_id")
+  }
+
+  private def sqlD(x: Double): String = java.lang.Double.toString(x)
+
+  /** Fully independent oracle: DuckDB re-runs retrieval (same BM25 formula
+    * and 4-dp rank order), grades the corpus, and recomputes DCG/IDCG/nDCG
+    * from scratch — no goldens involved. */
+  val ndcgEvalOracle: String = {
+    val qtValues = EvalQueries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }.mkString(", ")
+    val allTerms = EvalQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val discValues = Discounts.zipWithIndex
+      .map { case (x, i) => s"(${i + 1}, ${sqlD(x)})" }.mkString(", ")
+    val termsCase = EvalQueries
+      .map { case (qid, ts) => s"WHEN $qid THEN '${ts.mkString(" ")}'" }
+      .mkString(" ")
+    s"""WITH qt(query_id, term) AS (VALUES $qtValues),
+       |disc(r, d) AS (VALUES $discValues),
+       |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (SELECT sum(dl) * 1.0 / count(*) AS avgdl, count(*) * 1.0 AS n FROM dl),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term IN ($allTerms) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |              CAST(round(CAST(sum(CAST(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |                            * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |                       AS DECIMAL(28,8))) AS DOUBLE), 4) AS DOUBLE) AS bm25
+       |       FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |            JOIN dl USING (doc_id) CROSS JOIN st
+       |       GROUP BY 1, 2),
+       |rk AS (SELECT query_id, doc_id, bm25,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY bm25 DESC, doc_id) AS rank
+       |       FROM sc QUALIFY rank <= 10),
+       |gr AS (SELECT qt.query_id, d.doc_id,
+       |              sum(CASE WHEN list_contains(string_split(d.text, ' '), qt.term)
+       |                       THEN 1 ELSE 0 END) AS g
+       |       FROM documents d CROSS JOIN qt GROUP BY 1, 2),
+       |dcg AS (SELECT rk.query_id,
+       |               sum(CAST((CASE gr.g WHEN 2 THEN 3.0 WHEN 1 THEN 1.0
+       |                         ELSE 0.0 END) * disc.d AS DECIMAL(28,8))) AS dcg
+       |        FROM rk JOIN gr ON gr.query_id = rk.query_id AND gr.doc_id = rk.doc_id
+       |             JOIN disc ON disc.r = rk.rank
+       |        GROUP BY 1),
+       |cnt AS (SELECT query_id,
+       |               sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS n2,
+       |               sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1
+       |        FROM gr GROUP BY 1),
+       |idcg AS (SELECT cnt.query_id,
+       |                sum(CAST((CASE WHEN rr.r <= n2 THEN 3.0
+       |                          WHEN rr.r <= n2 + n1 THEN 1.0 ELSE 0.0 END)
+       |                         * disc.d AS DECIMAL(28,8))) AS idcg
+       |         FROM cnt CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS r) rr
+       |              JOIN disc ON disc.r = rr.r
+       |         GROUP BY 1)
+       |SELECT cnt.query_id AS query_id,
+       |       CASE cnt.query_id $termsCase END AS terms,
+       |       CAST(n2 + n1 AS BIGINT) AS n_rel,
+       |       CAST(round(CAST(dcg.dcg AS DOUBLE), 6) AS DOUBLE) AS dcg10,
+       |       CAST(round(CAST(idcg.idcg AS DOUBLE), 6) AS DOUBLE) AS idcg10,
+       |       CAST(round(CAST(dcg.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 6) AS DOUBLE) AS ndcg10
+       |FROM cnt JOIN dcg USING (query_id) JOIN idcg USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
     Q("rag_chunk_retrieve", Some(chunkGeometryRecomputed), chunkRetrieve),
-    Q("rag_hybrid_rrf", Some(rrfRecomputed), (s, d) => hybridRrf(s, d)))
+    Q("rag_hybrid_rrf", Some(rrfRecomputed), (s, d) => hybridRrf(s, d)),
+    Q("rag_ndcg_eval", Some(ndcgEvalOracle), (s, d) => ndcgEval(s, d)))
 }

@@ -78,4 +78,36 @@ class RagSpec extends SparkSuite {
     assert(out.take(3).forall(r => r._3.nonEmpty && r._4.nonEmpty),
       s"top fused docs should be consensus docs: ${out.take(3).mkString(", ")}")
   }
+
+  test("nDCG is exactly 1 when BM25 retrieves the ideal prefix") {
+    // planted for eval query 1 = ("dup","hash"): three short grade-2 docs
+    // that BM25 must rank first (rare term + high tf + short dl), one
+    // grade-1 doc, filler with neither term. Permutations WITHIN a grade
+    // class don't change DCG, so ndcg10 == 1.0 exactly.
+    val docs = (
+      Seq(
+        (1L, "dup hash dup hash"),
+        (2L, "dup hash hash dup"),
+        (3L, "hash dup dup dup"),
+        (4L, "hash join join join scan scan scan table table table")) ++
+        (5L to 30L).map(i => i -> "scan join table row filter batch")
+      ).toDF("doc_id", "text")
+    val r = Rag.ndcgEvalOf(docs).collect().find(_.getInt(0) == 1).get
+    assert(r.getString(1) === "dup hash")
+    assert(r.getLong(2) === 4) // n_rel: 3 grade-2 + 1 grade-1
+    assert(r.getDouble(5) === 1.0, s"expected perfect ndcg, got $r")
+    assert(r.getDouble(3) === r.getDouble(4))
+  }
+
+  test("nDCG eval on the real corpus is well-formed and bounded") {
+    val rows = Rag.ndcgEval(spark, Sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    rows.foreach { r =>
+      val (nRel, dcg, idcg, ndcg) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nRel > 0)
+      assert(dcg > 0 && idcg > 0 && dcg <= idcg + 1e-9, r.toString)
+      assert(ndcg > 0 && ndcg <= 1.0 + 1e-9, r.toString)
+    }
+  }
 }
