@@ -670,5 +670,49 @@ object EventOps {
     Q("ev_top_type_per_user", Some(topTypePerUserOracle), topTypePerUser),
     Q("ev_type_count_map", Some(typeCountMapOracle), typeCountMap),
     Q("ev_value_histogram", Some(valueHistogramOracle), valueHistogram),
-    Q("ev_tehran_minute_name", Some(tehranMinuteNameOracle), tehranMinuteName))
+    Q("ev_tehran_minute_name", Some(tehranMinuteNameOracle), tehranMinuteName),
+    Q("ev_markov_transitions", Some(EventPathOps.markovTransitionsOracle),
+      EventPathOps.markovTransitions))
+}
+
+/** Sequence/path analysis over per-user event histories. */
+object EventPathOps {
+
+  /** Next-event Markov transition matrix: for each (event_type →
+    * next_type) pair, the transition count and row-conditional
+    * probability P(next | current) over per-user event sequences — the
+    * sequence/path-analysis primitive behind "what do users do after X"
+    * questions and behavioral anomaly baselines.
+    *
+    * Scale shape: ONE shuffle keyed on user_id for the lead() window (the
+    * sessionize partitioning — user histories are bounded), then the
+    * pair aggregation map-side-combines to |types|² rows; the conditional
+    * normalization is a window over those ≤|types|² rows, not the event
+    * stream. Deterministic: (ts, event_id) total order within a user. */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(seq))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round($"n" / sum($"n").over(Window.partitionBy($"event_type")), 6))
+      .orderBy($"event_type", $"next_type")
+  }
+
+  val markovTransitionsOracle: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |                    lead(event_type) OVER (PARTITION BY user_id
+      |                                           ORDER BY ts, event_id) AS next_type
+      |             FROM events),
+      |t AS (SELECT event_type, next_type, count(*) AS n
+      |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+      |       CAST(round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6)
+      |            AS DOUBLE) AS p
+      |FROM t ORDER BY event_type, next_type""".stripMargin
 }

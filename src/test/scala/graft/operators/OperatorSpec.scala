@@ -231,4 +231,19 @@ class OperatorSpec extends SparkSuite {
     assert(hashed(1L) == hashed(2L))
     assert(hashed(1L) != hashed(3L))
   }
+
+  test("markov transition matrix counts per-user successions; rows sum to 1") {
+    import spark.implicits._
+    val rows = EventPathOps.markovTransitions(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // row-conditional probabilities sum to ~1 per current type
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"type $t row sums to $total")
+    }
+    // total transitions = total events minus one per user with >=1 event
+    val ev = graft.Tables.events(spark, Sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expected)
+  }
 }
