@@ -61,36 +61,11 @@ object Pca {
   }
 
   /** Covariance + top-K eigenpairs from a DataFrame with an `embedding`
-    * column. Deterministic: same input rows (any order) → same bits. */
-  def eigOf(df: DataFrame): Eig = {
-    val m = momentsOf(df)
-    val n = m(0)
-    val nd = n.toDouble
-    val mu = Array.tabulate(Dim)(i =>
-      m(1 + i).toDouble / CovarianceAggregator.Scale / nd)
-    val cov = Array.tabulate(Dim, Dim) { (i, j) =>
-      val (a, b) = if (i <= j) (i, j) else (j, i)
-      m(CovarianceAggregator.momentIdx(Dim, a, b)).toDouble /
-        CovarianceAggregator.Scale / nd - mu(i) * mu(j)
-    }
-    // trace via ascending fold — mirrors list_dot_product(diag, ones)
-    var trace = 0.0
-    var i = 0
-    while (i < Dim) { trace += cov(i)(i); i += 1 }
-
-    val (evals, evecs) = jacobi(cov)
-    // order by eigenvalue descending, ties by original column index
-    val order = (0 until Dim).sortBy(k => (-evals(k), k)).take(K)
-    val values = order.map(evals).toArray
-    val vectors = order.map { k =>
-      val v = Array.tabulate(Dim)(r => evecs(r)(k))
-      // sign convention: the largest-|loading| dimension (lowest index on
-      // ties) is positive — pins the eigenvector's inherent ± ambiguity
-      val arg = argmaxAbs(v)
-      if (v(arg) < 0) v.map(x => -x) else v
-    }.toArray
-    Eig(n, mu, cov, trace, values, vectors)
-  }
+    * column. Deterministic: same input rows (any order) → same bits.
+    * (Trace folds ascending — mirrors list_dot_product(diag, ones); the
+    * sign convention pins each eigenvector's inherent ± ambiguity to
+    * largest-|loading| dimension positive, lowest index on ties.) */
+  def eigOf(df: DataFrame): Eig = eigOfMoments(momentsOf(df))
 
   private def argmaxAbs(v: Array[Double]): Int = {
     var best = 0
@@ -190,6 +165,48 @@ object Pca {
 
   private def eig(s: SparkSession, d: String): Eig =
     SessionCaches.memo(s, s"pca-eig:$d")(eigOf(Tables.embeddings(s, d)))
+
+  /** Incremental moment refresh — the PCA member of the engine's
+    * refresh-∝-delta family (refreshIvfIndex / refreshLshIndex /
+    * refreshPostingsIndex): because every moment is an EXACT integer sum,
+    * appending a batch is one pass over the NEW vectors plus a 2145-entry
+    * vector add. The merged moments are bit-identical to a full recompute
+    * over the grown corpus (Long addition is associative/commutative), so
+    * the refreshed eigenbasis is not an approximation — it IS the full
+    * rebuild, at delta cost. A 1% append to a 100 TB corpus re-derives
+    * the exact covariance for 1% of the scan price; Welford-style
+    * streaming PCA gets the same cost but only approximately, and loses
+    * the cross-engine determinism the oracle needs. */
+  def refreshMoments(base: Array[Long], newVecs: DataFrame): Array[Long] = {
+    val delta = momentsOf(newVecs)
+    require(base.length == delta.length)
+    Array.tabulate(base.length)(i => base(i) + delta(i))
+  }
+
+  /** Eigenpairs from pre-merged moments (the refresh serve path). */
+  def eigOfMoments(m: Array[Long]): Eig = {
+    val n = m(0)
+    val nd = n.toDouble
+    val mu = Array.tabulate(Dim)(i =>
+      m(1 + i).toDouble / CovarianceAggregator.Scale / nd)
+    val cov = Array.tabulate(Dim, Dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      m(CovarianceAggregator.momentIdx(Dim, a, b)).toDouble /
+        CovarianceAggregator.Scale / nd - mu(i) * mu(j)
+    }
+    var trace = 0.0
+    var i = 0
+    while (i < Dim) { trace += cov(i)(i); i += 1 }
+    val (evals, evecs) = jacobi(cov)
+    val order = (0 until Dim).sortBy(k => (-evals(k), k)).take(K)
+    val values = order.map(evals).toArray
+    val vectors = order.map { k =>
+      val v = Array.tabulate(Dim)(r => evecs(r)(k))
+      val arg = argmaxAbs(v)
+      if (v(arg) < 0) v.map(x => -x) else v
+    }.toArray
+    Eig(n, mu, cov, trace, values, vectors)
+  }
 
   // -------------------------------------------------------------------
   // Queries

@@ -122,6 +122,21 @@ class PcaSpec extends SparkSuite {
     assert(recall >= 0.7, s"PCA-shortlist recall@10 fell to $recall")
   }
 
+  test("incremental moment refresh ≡ full rebuild, bit for bit") {
+    val df = graft.Tables.embeddings(spark, Sf)
+    val base = df.filter($"vec_id" < 400)
+    val delta = df.filter($"vec_id" >= 400)
+    // refresh = one pass over ONLY the delta + integer vector add
+    val refreshed = Pca.refreshMoments(Pca.momentsOf(base), delta)
+    val full = Pca.momentsOf(df)
+    assert(refreshed.toSeq === full.toSeq)
+    // and the served eigenbasis is therefore identical too
+    val er = Pca.eigOfMoments(refreshed)
+    val ef = Pca.eigOf(df)
+    assert(er.values.toSeq === ef.values.toSeq)
+    assert(er.vectors.map(_.toSeq).toSeq === ef.vectors.map(_.toSeq).toSeq)
+  }
+
   test("component profile is consistent with the eigen state") {
     val rows = Pca.pcaComponents(spark, Sf).collect()
     assert(rows.length === Pca.K)
