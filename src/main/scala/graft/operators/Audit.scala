@@ -132,7 +132,100 @@ object Audit {
       |FROM dev d JOIN mad a USING (event_type)
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ANALYZE-style per-column statistics
+  // -------------------------------------------------------------------
+
+  /** Column kinds for the stats pass: numeric (min/max as double),
+    * timestamp (min/max as fractional epoch seconds — micros/1e6, exact
+    * in double), string (min/max as strings). */
+  private val StatCols: Seq[(String, String)] = Seq(
+    "event_id" -> "num", "ts" -> "ts", "user_id" -> "num",
+    "event_type" -> "str", "value" -> "num", "props" -> "str")
+
+  /** Per-column table statistics over `events` — the ANALYZE TABLE
+    * primitive every optimizer and data-quality gate feeds on: row count,
+    * null count, exact NDV, and typed min/max per column, in ONE scan.
+    *
+    * Scale shape: a single aggregate node; the multiple DISTINCT
+    * aggregates expand map-side (Spark's Expand) but never materialize
+    * the table twice, and the result is six driver rows. At 100 TB the
+    * exact NDVs swap for `approx_count_distinct` (the engine's HLL
+    * family) — same plan shape, bounded sketch state; exact NDV is kept
+    * here because it is what makes the query oracle-checkable.
+    *
+    * Representation choices for the cross-engine hash: numeric/timestamp
+    * extremes travel as DOUBLE (timestamps as micros/1e6 — exact, both
+    * engines compute the same division; Double→STRING formatting differs
+    * between engines, so nothing numeric is ever stringified), string
+    * extremes in their own columns. */
+  def columnStats(s: SparkSession, d: String): DataFrame =
+    columnStatsOf(Tables.events(s, d))
+
+  /** The stats pass against any events-shaped relation (spec entry point
+    * for planted-null fixtures). */
+  def columnStatsOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ StatCols.flatMap {
+      case (c, kind) =>
+        Seq(count(col(c)).as(s"cnt_$c"),
+          countDistinct(col(c)).as(s"ndv_$c")) ++ (kind match {
+          case "num" =>
+            Seq(min(col(c)).cast("double").as(s"mn_$c"),
+              max(col(c)).cast("double").as(s"mx_$c"))
+          case "ts" =>
+            Seq(min(col(c)).cast("double").as(s"mn_$c"),
+              max(col(c)).cast("double").as(s"mx_$c"))
+          case "str" =>
+            Seq(min(col(c)).as(s"smn_$c"), max(col(c)).as(s"smx_$c"))
+        })
+    }
+    val r = ev.agg(aggs.head, aggs.tail: _*).head()
+    def d0(name: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(name))) None
+      else Some(r.getDouble(r.fieldIndex(name)))
+    def s0(name: String): Option[String] =
+      Option(r.getString(r.fieldIndex(name)))
+    val nRows = r.getLong(0)
+    val rows = StatCols.map { case (c, kind) =>
+      val (vmin, vmax, smin, smax) = kind match {
+        case "str" => (None, None, s0(s"smn_$c"), s0(s"smx_$c"))
+        case _     => (d0(s"mn_$c"), d0(s"mx_$c"), None, None)
+      }
+      (c, nRows, nRows - r.getLong(r.fieldIndex(s"cnt_$c")),
+        r.getLong(r.fieldIndex(s"ndv_$c")),
+        vmin, vmax, smin, smax)
+    }
+    rows.toDF("col_name", "n_rows", "n_nulls", "ndv",
+        "vmin", "vmax", "smin", "smax")
+      .orderBy($"col_name")
+  }
+
+  val columnStatsOracle: String = {
+    val per = StatCols.map { case (c, kind) =>
+      val (vmin, vmax, smin, smax) = kind match {
+        case "num" =>
+          (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case "ts" =>
+          (s"epoch(min($c))", s"epoch(max($c))",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case "str" =>
+          ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"min($c)", s"max($c)")
+      }
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         |       $vmin AS vmin, $vmax AS vmax, $smin AS smin, $smax AS smax
+         |FROM events""".stripMargin
+    }
+    per.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val defs: Seq[Q] = Seq(
     Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders),
-    Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers))
+    Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers),
+    Q("audit_column_stats", Some(columnStatsOracle), columnStats))
 }

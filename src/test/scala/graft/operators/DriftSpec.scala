@@ -76,4 +76,32 @@ class DriftSpec extends SparkSuite {
       .filter($"bin" === -1L).as[(Long, Double)].head()._2
     assert(math.abs(got - expected) < 1e-4, s"$got vs $expected")
   }
+
+  test("column stats report nulls, exact NDV, and typed extremes") {
+    val rows = Audit.columnStats(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("event_id", "ts", "user_id", "event_type",
+      "value", "props"))
+    val ev = graft.Tables.events(spark, Sf)
+    val n = ev.count()
+    rows.values.foreach(r => assert(r.getLong(1) === n))
+    // event_id is a unique non-null key
+    assert(rows("event_id").getLong(2) === 0)
+    assert(rows("event_id").getLong(3) === n)
+    // this dataset is fully populated — and planted nulls ARE counted:
+    assert(rows.values.forall(_.getLong(2) === 0))
+    import org.apache.spark.sql.functions.{col, when}
+    val planted = Audit.columnStatsOf(
+      ev.withColumn("props",
+        when(col("event_id") % 10 === 0, null).otherwise(col("props"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(planted("props").getLong(2) === n / 10,
+      s"expected ${n / 10} planted nulls, got ${planted("props").getLong(2)}")
+    // string columns report string extremes, numeric columns doubles
+    assert(rows("event_type").isNullAt(4) && !rows("event_type").isNullAt(6))
+    assert(!rows("value").isNullAt(4) && rows("value").isNullAt(6))
+    // ts extremes are fractional epoch seconds inside the events range
+    val tsMin = rows("ts").getDouble(4)
+    assert(tsMin > 1.5e9 && tsMin < 2.5e9, s"epoch-seconds expected: $tsMin")
+  }
 }
