@@ -117,6 +117,7 @@ object GraftFunctions {
     if (!registeredSessions.add(spark)) return
     // Optimizer rules ride the same once-per-session hook as functions.
     graft.plans.EditDistancePrefilter.install(spark)
+    graft.plans.ApproxDistinctRewrite.install(spark)
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(DotName,
       exprs => DotProductExpr(exprs.head, exprs(1)), "built-in")

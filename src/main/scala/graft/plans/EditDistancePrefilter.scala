@@ -77,6 +77,8 @@ object EditDistancePrefilter extends Rule[LogicalPlan] {
 /** `spark.sql.extensions` entry point — the production deployment route
   * (cluster-wide config, no code changes in user jobs). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => EditDistancePrefilter)
+    e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+  }
 }
