@@ -97,7 +97,73 @@ object Hll {
        |       ex.events
        |FROM g CROSS JOIN ex""".stripMargin
 
+  /** Distinct-user OVERLAP between every pair of event types by
+    * inclusion–exclusion over the same sketches: |A∩B| ≈ est(A) + est(B)
+    * − est(A∪B) (HLLs union exactly; they cannot intersect directly —
+    * inclusion–exclusion is the standard readout, error compounding
+    * across the three estimates). All arithmetic on the readout side is
+    * exact integer math over the three Long estimates, clamped at 0.
+    *
+    * Scale shape: the per-type sketch relation is |event types|-bounded —
+    * the engine's driver-scalar pattern (CMS/BM25 stats) — so the pair
+    * expansion is driver-side over a handful of KB sketches, never a
+    * relational self-join (which would plan as a nested-loop under an
+    * inequality condition). Raw events are touched once, by the rollup. */
+  def hllTypeOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perType = userSketchRollup(s, d)
+      .groupBy($"event_type")
+      .agg(hll_union_agg($"user_sketch").as("sk"))
+      .collect() // bounded: one row per event type
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val pairs = for {
+      (ta, sa) <- perType.toSeq
+      (tb, sb) <- perType.toSeq if ta < tb
+    } yield (ta, tb, sa, sb)
+    pairs.toDF("type_a", "type_b", "sk_a", "sk_b")
+      .select($"type_a", $"type_b",
+        hll_sketch_estimate($"sk_a").as("users_a"),
+        hll_sketch_estimate($"sk_b").as("users_b"),
+        hll_sketch_estimate(hll_union($"sk_a", $"sk_b")).as("users_union"))
+      .withColumn("users_intersect",
+        greatest($"users_a" + $"users_b" - $"users_union", lit(0L)))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  /** CMS-pattern oracle: golden pins the deterministic estimates; DuckDB
+    * recomputes every exact cardinality from events and collapses any
+    * single-set/union estimate beyond ~2.5σ (4%), and any intersection
+    * beyond the compounded inclusion–exclusion envelope (12% of the
+    * union), to −1. */
+  val hllTypeOverlapOracle: String =
+    s"""WITH ua AS (SELECT DISTINCT event_type, user_id FROM events),
+       |c AS (SELECT event_type, count(*) AS cnt FROM ua GROUP BY 1),
+       |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |             count(*) AS exact_int
+       |      FROM ua a JOIN ua b
+       |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |      GROUP BY 1, 2),
+       |ex AS (SELECT i.type_a, i.type_b, ca.cnt AS exact_a, cb.cnt AS exact_b,
+       |              ca.cnt + cb.cnt - i.exact_int AS exact_union, i.exact_int
+       |       FROM i JOIN c ca ON ca.event_type = i.type_a
+       |            JOIN c cb ON cb.event_type = i.type_b),
+       |g AS (${Golden.dispatch("ev_hll_intersect")})
+       |SELECT ex.type_a, ex.type_b,
+       |       CASE WHEN abs(g.users_a - ex.exact_a) <= 0.04 * ex.exact_a
+       |            THEN g.users_a ELSE -1 END AS users_a,
+       |       CASE WHEN abs(g.users_b - ex.exact_b) <= 0.04 * ex.exact_b
+       |            THEN g.users_b ELSE -1 END AS users_b,
+       |       CASE WHEN abs(g.users_union - ex.exact_union) <= 0.04 * ex.exact_union
+       |            THEN g.users_union ELSE -1 END AS users_union,
+       |       CASE WHEN abs(g.users_intersect - ex.exact_int)
+       |                 <= 0.12 * greatest(ex.exact_union, 1)
+       |            THEN g.users_intersect ELSE -1 END AS users_intersect
+       |FROM ex JOIN g ON g.type_a = ex.type_a AND g.type_b = ex.type_b
+       |ORDER BY ex.type_a, ex.type_b""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("ev_hll_daily_users", Some(hllDailyUsersOracle), hllDailyUsers),
-    Q("ev_hll_union_total", Some(hllTotalUsersOracle), hllTotalUsers))
+    Q("ev_hll_union_total", Some(hllTotalUsersOracle), hllTotalUsers),
+    Q("ev_hll_intersect", Some(hllTypeOverlapOracle), hllTypeOverlap))
 }

@@ -59,4 +59,28 @@ class HllSpec extends SparkSuite {
     val bytes = sketch.select(octet_length(col("s"))).head.getInt(0)
     assert(bytes <= 8192, s"sketch unexpectedly large: $bytes bytes")
   }
+
+  test("inclusion-exclusion overlap discriminates partial overlap (planted)") {
+    import spark.implicits._
+    // A = users 0..9999, B = users 5000..14999 → |A∩B| = 5000 exactly.
+    // (The real events table has every user in every type, so the
+    // registered query's intersections are degenerate-full; this fixture
+    // proves the readout actually measures overlap.)
+    val a = spark.range(0, 10000).select(col("id").as("user_id"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk")).head.getAs[Array[Byte]](0)
+    val b = spark.range(5000, 15000).select(col("id").as("user_id"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk")).head.getAs[Array[Byte]](0)
+    val r = Seq((a, b)).toDF("sk_a", "sk_b")
+      .select(
+        hll_sketch_estimate(col("sk_a")).as("ea"),
+        hll_sketch_estimate(col("sk_b")).as("eb"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("eu"))
+      .withColumn("ei", greatest(col("ea") + col("eb") - col("eu"), lit(0L)))
+      .head()
+    val (ea, eb, eu, ei) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(math.abs(ea - 10000) <= 500 && math.abs(eb - 10000) <= 500)
+    assert(math.abs(eu - 15000) <= 750, s"union estimate $eu")
+    // compounded inclusion-exclusion envelope: 12% of the union
+    assert(math.abs(ei - 5000) <= 0.12 * 15000, s"intersect estimate $ei")
+  }
 }
