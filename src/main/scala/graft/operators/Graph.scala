@@ -152,6 +152,95 @@ object Graph {
     head + iters + tail
   }
 
+  /** BFS radius for harmonic centrality: with ~3 out-links per node on a
+    * 97-node domain graph, reachability saturates well inside 6 hops —
+    * and a FIXED radius (rather than iterate-to-fixpoint) is what makes
+    * the oracle an exact unrolled-CTE twin. Pairs beyond the radius
+    * contribute 0, the standard bounded-radius approximation of the
+    * published host rankings. */
+  private[operators] val Radius = 6
+
+  /** Harmonic centrality over the same derived domain graph — the OTHER
+    * ranking CommonCrawl publishes for its hosts (Boldi & Vigna 2014,
+    * "Axioms for Centrality": H(v) = Σ_{u≠v} 1/d(u,v), the centrality
+    * that handles disconnected graphs gracefully). Here d(u,v) is the
+    * directed hop distance computed by min-plus BFS up to [[Radius]], and
+    * every 1/d is the exact integer `Scale div d` — Long sums, so ranks
+    * are bit-identical on any partitioning, any engine (the
+    * [[domainRank]] determinism contract).
+    *
+    * 100 TB posture: the iteration is |V|²-bounded distance-relation
+    * min-plus — the Pregel frontier shape. On a real host graph (1e8
+    * nodes) exact all-pairs is infeasible and the published numbers use
+    * HyperBall (HLL-counter BFS); the engine's HLL family is exactly the
+    * machinery that variant plugs into, per-iteration state O(|V|·KB).
+    * Edges stay persisted across rounds; each round localCheckpoints so
+    * six min-plus joins don't compound into one mega-plan. */
+  def harmonicCentrality(s: SparkSession, d: String): DataFrame =
+    harmonicOf(domainEdges(s, d))
+
+  /** The centrality over any (src, dst) edge relation (spec entry point
+    * for planted graphs). */
+  private[operators] def harmonicOf(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = edgesIn.persist()
+    var dist = edges.select($"src", $"dst", lit(1L).as("d")).localCheckpoint()
+    for (_ <- 2 to Radius) {
+      dist = dist
+        .join(edges.withColumnRenamed("src", "mid").withColumnRenamed("dst", "nxt"),
+          dist("dst") === col("mid"))
+        .select($"src", $"nxt".as("dst"), ($"d" + 1L).as("d"))
+        .unionByName(dist)
+        .groupBy($"src", $"dst").agg(min($"d").as("d"))
+        .localCheckpoint()
+    }
+    edges.unpersist(blocking = false)
+    dist
+      .where($"src" =!= $"dst")
+      .groupBy($"dst")
+      .agg(sum(expr(s"$Scale div d")).as("h_scaled"))
+      .select(
+        concat(lit("d"), $"dst", lit(".example.com")).as("domain"),
+        $"h_scaled",
+        ($"h_scaled" / lit(1e12)).as("harmonic"))
+      .orderBy($"h_scaled".desc, $"domain")
+  }
+
+  /** Fully independent oracle: the same edge derivation and Radius-hop
+    * min-plus unrolled as chained CTEs, 1/d as the identical integer
+    * division. */
+  val harmonicCentralityOracle: String = {
+    val edgeUnion = LinkDerivations
+      .map { case (m, c) =>
+        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
+      }
+      .mkString(" UNION ALL ")
+    val head =
+      s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
+         |d1 AS (SELECT src, dst, 1 AS d FROM edges)""".stripMargin
+    val iters = (2 to Radius).map { k =>
+      val prev = s"d${k - 1}"
+      s""",
+         |d$k AS (SELECT src, dst, min(d) AS d FROM (
+         |          SELECT src, dst, d FROM $prev
+         |          UNION ALL
+         |          SELECT p.src, e.dst, p.d + 1 AS d
+         |          FROM $prev p JOIN edges e ON p.dst = e.src
+         |        ) GROUP BY src, dst)""".stripMargin
+    }.mkString
+    val tail =
+      s"""
+         |SELECT 'd' || CAST(dst AS VARCHAR) || '.example.com' AS domain,
+         |       CAST(sum($Scale // d) AS BIGINT) AS h_scaled,
+         |       CAST(sum($Scale // d) AS BIGINT) / 1e12 AS harmonic
+         |FROM d$Radius WHERE src <> dst
+         |GROUP BY dst
+         |ORDER BY h_scaled DESC, domain""".stripMargin
+    head + iters + tail
+  }
+
   val defs: Seq[Q] = Seq(
-    Q("graph_domain_rank", Some(domainRankOracle), domainRank))
+    Q("graph_domain_rank", Some(domainRankOracle), domainRank),
+    Q("graph_harmonic_centrality", Some(harmonicCentralityOracle), harmonicCentrality))
 }

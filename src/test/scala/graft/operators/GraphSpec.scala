@@ -60,4 +60,30 @@ class GraphSpec extends SparkSuite {
     val keys = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
     assert(keys === keys.sorted)
   }
+
+  test("harmonic centrality matches hand arithmetic on a planted path+hub") {
+    import spark.implicits._
+    // graph: 0→1, 1→2, 0→2 (hub 2 also reached directly), 3→0
+    // d(·,2): from 1 = 1, from 0 = 1 (direct), from 3 = 2
+    //   → H(2) = 1 + 1 + 1/2 = 2.5
+    // d(·,1): from 0 = 1, from 3 = 2 → H(1) = 1.5
+    // d(·,0): from 3 = 1 → H(0) = 1.0
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 0L)).toDF("src", "dst")
+    val got = Graph.harmonicOf(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val S = Graph.Scale
+    assert(got("d2.example.com") === S + S + S / 2)
+    assert(got("d1.example.com") === S + S / 2)
+    assert(got("d0.example.com") === S)
+  }
+
+  test("harmonic centrality structural laws on the real corpus graph") {
+    val rows = Graph.harmonicCentrality(spark, Sf).collect()
+    assert(rows.length === Graph.NDomains)
+    // each score is below (n-1)·Scale (all other nodes at distance 1)
+    assert(rows.forall(_.getLong(1) < (Graph.NDomains - 1).toLong * Graph.Scale))
+    assert(rows.forall(_.getLong(1) > 0L))
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys === keys.sorted)
+  }
 }
