@@ -66,15 +66,23 @@ object Manifest {
     fileStats(s, Seq(dataDir), cols)
 
   /** Current data files of a dir as canonical URIs, via the Hadoop FS API
-    * (same object-store reach as every other path in the engine). */
+    * (same object-store reach as every other path in the engine).
+    * Underscore/dot-prefixed path components are metadata by the Hadoop/
+    * Spark hidden-file convention (_SUCCESS, _delta_log, and this file's
+    * own _manifest_snapshots) — a data listing that picked them up would
+    * stat manifest snapshots as data on the next refresh. */
   private def listDataFiles(s: SparkSession, dataDir: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(dataDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val base = p.toUri.getPath
     val it = fs.listFiles(p, true)
     val out = Set.newBuilder[String]
     while (it.hasNext) {
       val f = it.next().getPath
-      if (f.getName.endsWith(".parquet")) out += canonUri(f)
+      val rel = f.toUri.getPath.stripPrefix(base)
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden && f.getName.endsWith(".parquet")) out += canonUri(f)
     }
     out.result()
   }
@@ -133,7 +141,11 @@ object Manifest {
     * by file count (the manifest has one row per file). */
   def selectFiles(s: SparkSession, dataDir: String,
                   ranges: Seq[(String, Double, Double)]): (Seq[String], Long) = {
-    val m = s.read.parquet(manifestDir(s, dataDir, ranges.map(_._1)))
+    selectFromManifest(s.read.parquet(manifestDir(s, dataDir, ranges.map(_._1))), ranges)
+  }
+
+  private def selectFromManifest(m: DataFrame,
+      ranges: Seq[(String, Double, Double)]): (Seq[String], Long) = {
     val overlap = ranges.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
@@ -141,6 +153,61 @@ object Manifest {
     val files = m.filter(overlap).select("file")
       .collect().map(_.getString(0)).toSeq.sorted
     (files, total)
+  }
+
+  // ---------------------------------------------------------------------
+  // Snapshot versioning — Delta/Iceberg-style time travel
+  // ---------------------------------------------------------------------
+
+  /** Snapshots live INSIDE the data dir, like `_delta_log` — they travel
+    * with the table, and the underscore prefix keeps every data listing
+    * (Spark's and [[listDataFiles]]'s) blind to them. */
+  private def snapshotRoot(dataDir: String) = s"$dataDir/_manifest_snapshots"
+
+  /** Freeze the CURRENT manifest as the next numbered snapshot and return
+    * its version (1-based, monotone). A snapshot is a complete copy of
+    * the one-row-per-file manifest — O(files) metadata, not data — so
+    * version history costs KB per snapshot regardless of table size.
+    *
+    * Time-travel contract (same as Delta): a snapshot's files are
+    * readable for as long as they physically exist — appends never break
+    * old snapshots (append-only dirs keep every file), compaction/vacuum
+    * retires the files and with them any snapshot that referenced them. */
+  def snapshotManifest(s: SparkSession, dataDir: String,
+                       cols: Seq[String]): Int = {
+    val mDir = manifestDir(s, dataDir, cols)
+    val v = snapshotVersions(s, dataDir).lastOption.getOrElse(0) + 1
+    s.read.parquet(mDir).coalesce(1)
+      .write.mode("errorifexists").parquet(s"${snapshotRoot(dataDir)}/v$v")
+    v
+  }
+
+  /** Existing snapshot versions, ascending. */
+  def snapshotVersions(s: SparkSession, dataDir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(snapshotRoot(dataDir))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toInt }
+      .sorted
+  }
+
+  /** [[prunedScan]] as of a frozen snapshot: file selection runs against
+    * the versioned manifest, so the scan sees exactly the files (and thus
+    * rows) that existed when the snapshot was taken — later appends are
+    * invisible. Same two-level contract: stats admit files, the row
+    * predicate still applies inside them. */
+  def prunedScanAsOf(s: SparkSession, dataDir: String,
+                     ranges: Seq[(String, Double, Double)],
+                     version: Int): DataFrame = {
+    val m = s.read.parquet(s"${snapshotRoot(dataDir)}/v$version")
+    val (files, _) = selectFromManifest(m, ranges)
+    val rowPred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (files.isEmpty) s.read.parquet(dataDir).filter(rowPred).limit(0)
+    else s.read.parquet(files: _*).filter(rowPred)
   }
 
   /** Manifest-pruned scan: read ONLY overlapping files, then re-apply the
