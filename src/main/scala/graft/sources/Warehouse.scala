@@ -43,14 +43,28 @@ object Warehouse {
     * case. A missing or not-yet-written warehouse is "no data", not an
     * error — the minutely report's sentinel path depends on this
     * (reference P6). */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    readEventsAs(spark, path, warehouseSchema)
+
+  /** Evolved-schema read — the warehouse's schema-evolution contract:
+    * pass the CURRENT (widest) schema and files written before a column
+    * existed serve null for it, files written after serve their values —
+    * additive evolution with zero rewrites, exactly the Delta/Iceberg
+    * `ADD COLUMN` semantics. The explicit schema is also what makes this
+    * safe at 100 TB: no `mergeSchema` footer-sampling pass over a million
+    * files, and no silent type widening — the reader's schema is the
+    * contract, old files either conform (missing ⇒ null) or fail loudly.
+    * WarehouseEvolutionSpec pins null-fill, pruning across eras, and the
+    * dropped-column direction (old extra columns are simply not read). */
+  def readEventsAs(spark: SparkSession, path: String,
+                   schema: org.apache.spark.sql.types.StructType): DataFrame = {
     // existence probe through the Hadoop FileSystem API — a java.io.File
     // check would silently report s3a://, hdfs:// etc. warehouses as empty
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath) || fs.listStatus(hPath).isEmpty) {
       spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), warehouseSchema)
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     } else {
       // Refresh first: a batch read after a streaming sink appended to the
       // same path in this session can otherwise serve a stale listing from
@@ -59,7 +73,7 @@ object Warehouse {
       // _spark_metadata commit log, so files from failed, uncommitted
       // batches are never visible — the exactly-once view.
       spark.catalog.refreshByPath(path)
-      spark.read.schema(warehouseSchema).parquet(path)
+      spark.read.schema(schema).parquet(path)
     }
   }
 
