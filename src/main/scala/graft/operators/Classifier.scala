@@ -66,6 +66,111 @@ object Classifier {
       |       sum(w_milli) > 0 AS accepted
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Classifier evaluation: reliability bins + ranking AUC
+  // -------------------------------------------------------------------
+
+  /** The reference label the classifier is evaluated against: the
+    * length-based heuristic quality gate (TextOps.qualityScore's
+    * `len_ok`) — an independent signal, standing in for human labels. */
+  private def labeled(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    qualityClassifierOf(docs).select($"doc_id", $"logit_milli")
+      .join(docs.select($"doc_id", (length($"text") >= 200).as("pos")), "doc_id")
+  }
+
+  /** Reliability table: fixed integer logit bins (width 500 milli, clamped
+    * to [-6, 5]) × observed positive rate — the calibration readout a
+    * filter threshold is tuned from. Bins are pure integer/exact-boundary
+    * arithmetic (never a transcendental squashing first), so bin
+    * membership can't flip between engines. One narrow scan + one tiny
+    * aggregation; the bin table is |bins|-bounded. */
+  def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    labeled(Tables.documents(s, d))
+      .withColumn("bin",
+        greatest(lit(-6L), least(lit(5L), floor($"logit_milli" / lit(500.0)))))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pos", 1L).otherwise(0L)).as("n_pos"),
+        sum($"logit_milli").as("sum_logit"))
+      .select($"bin", $"n", $"n_pos",
+        round($"n_pos".cast("double") / $"n", 4).as("pos_rate"),
+        round($"sum_logit".cast("double") / $"n", 4).as("mean_logit"))
+      .orderBy($"bin")
+  }
+
+  val qualityCalibrationOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |         (CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1000) - 500 AS w_milli
+      |  FROM tok),
+      |sc AS (SELECT doc_id, sum(w_milli) AS logit FROM w GROUP BY doc_id),
+      |lab AS (SELECT sc.doc_id, sc.logit, length(d.text) >= 200 AS pos
+      |        FROM sc JOIN documents d USING (doc_id)),
+      |b AS (SELECT greatest(-6, least(5, CAST(floor(logit / 500.0) AS BIGINT))) AS bin,
+      |             logit, pos
+      |      FROM lab)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |       CAST(round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 4) AS DOUBLE) AS pos_rate,
+      |       CAST(round(CAST(sum(logit) AS DOUBLE) / count(*), 4) AS DOUBLE) AS mean_logit
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Ranking quality as Mann–Whitney AUC of the logit against the label,
+    * tie-aware and EXACT: with [[RankStats.withRankCounts]]'s strictly-
+    * smaller (`__lt`) and smaller-or-equal (`__le`) counts, a row's
+    * doubled average rank is `__lt + __le + 1`, so 2U = Σ₊(…) − nₚ(nₚ+1)
+    * is an integer and AUC = 2U / (2·nₚ·nₙ) is one exact division — no
+    * per-pair comparison (the naive O(n²)) and, via RankStats' range-
+    * bucketed ranks, NO single-partition global sort at 100 TB. */
+  def qualityAuc(s: SparkSession, d: String): DataFrame =
+    qualityAucOf(labeled(Tables.documents(s, d)))
+
+  /** AUC over any (logit_milli, pos) relation (spec entry point). */
+  private[operators] def qualityAucOf(lab: DataFrame): DataFrame = {
+    val s = lab.sparkSession
+    import s.implicits._
+    val rk = RankStats.withRankCounts(lab, "logit_milli")
+    rk.agg(
+        sum(when($"pos", $"__lt" + $"__le" + 1L).otherwise(0L)).as("s2r"),
+        sum(when($"pos", 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!$"pos", 1L).otherwise(0L)).as("n_neg"))
+      .select($"n_pos", $"n_neg",
+        round(($"s2r" - $"n_pos" * ($"n_pos" + 1L)).cast("double") /
+          (lit(2.0) * $"n_pos" * $"n_neg"), 6).as("auc"))
+  }
+
+  val qualityAucOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |         (CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1000) - 500 AS w_milli
+      |  FROM tok),
+      |sc AS (SELECT doc_id, sum(w_milli) AS logit FROM w GROUP BY doc_id),
+      |lab AS (SELECT sc.doc_id, sc.logit, length(d.text) >= 200 AS pos
+      |        FROM sc JOIN documents d USING (doc_id)),
+      |rk AS (SELECT pos,
+      |              rank() OVER (ORDER BY logit) - 1 AS lt,
+      |              count(*) OVER (ORDER BY logit RANGE BETWEEN UNBOUNDED
+      |                             PRECEDING AND CURRENT ROW) AS le
+      |       FROM lab)
+      |SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |       CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |       CAST(round(CAST(sum(CASE WHEN pos THEN lt + le + 1 ELSE 0 END)
+      |               - sum(CASE WHEN pos THEN 1 ELSE 0 END)
+      |                 * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1) AS DOUBLE)
+      |             / (2.0 * sum(CASE WHEN pos THEN 1 ELSE 0 END)
+      |                * sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)), 6) AS DOUBLE) AS auc
+      |FROM rk""".stripMargin
+
   val defs: Seq[Q] = Seq(
-    Q("text_quality_classifier", Some(qualityClassifierOracle), qualityClassifier))
+    Q("text_quality_classifier", Some(qualityClassifierOracle), qualityClassifier),
+    Q("quality_calibration", Some(qualityCalibrationOracle), qualityCalibration),
+    Q("quality_auc", Some(qualityAucOracle), qualityAuc))
 }

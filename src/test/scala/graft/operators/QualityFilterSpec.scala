@@ -70,4 +70,29 @@ class QualityFilterSpec extends SparkSuite {
     assert(out.count(_._5 == 0) == 2) // floor(10/5) dropped: doc_ids 0 and 1
     assert(out.filter(_._5 == 0).map(_._1).toSet == Set(0L, 1L))
   }
+
+  test("Mann-Whitney AUC matches hand arithmetic, including ties") {
+    // perfect separation → AUC 1
+    val perfect = Seq((1L, 3L, true), (2L, 2L, true), (3L, 1L, false), (4L, 0L, false))
+      .toDF("doc_id", "logit_milli", "pos")
+    assert(Classifier.qualityAucOf(perfect).head().getDouble(2) === 1.0)
+    // tie across classes: pos logits {2, 1}, neg {1, 0} →
+    // U = 2 (logit 2 beats both) + 1.5 (tie with neg 1, beats 0) = 3.5
+    // AUC = 3.5 / 4 = 0.875
+    val tied = Seq((1L, 2L, true), (2L, 1L, false), (3L, 1L, true), (4L, 0L, false))
+      .toDF("doc_id", "logit_milli", "pos")
+    assert(Classifier.qualityAucOf(tied).head().getDouble(2) === 0.875)
+    // anti-predictor → AUC 0
+    val inverted = Seq((1L, 0L, true), (2L, 1L, false))
+      .toDF("doc_id", "logit_milli", "pos")
+    assert(Classifier.qualityAucOf(inverted).head().getDouble(2) === 0.0)
+    // calibration sanity on the real corpus: monotone-ish readout exists,
+    // bins bounded, rates in [0,1]
+    val bins = Classifier.qualityCalibration(spark, Sf).collect()
+    assert(bins.length <= 12 && bins.nonEmpty)
+    bins.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(1) >= r.getLong(2))
+    }
+  }
 }
