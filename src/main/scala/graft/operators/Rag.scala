@@ -225,9 +225,12 @@ object Rag {
       terms.map(t => array_contains(split($"text", " "), t).cast("int"))
         .reduce(_ + _)
 
-    // retrieved top-10 per query, ranked by the deterministic BM25 order
+    // retrieved top-10 per query, ranked by the deterministic BM25 order;
+    // the corpus (Σdl, n) pair is computed once for the whole eval set
+    val stats = Some(Search.corpusStats(docs))
     val retrieved = EvalQueries.map { case (qid, terms) =>
-      Search.bm25TopKOf(docs, terms, NdcgK).withColumn("query_id", lit(qid))
+      Search.bm25TopKOf(docs, terms, NdcgK, stats)
+        .withColumn("query_id", lit(qid))
     }.reduce(_ unionByName _)
     val ranked = retrieved.withColumn("rank",
       row_number().over(

@@ -62,12 +62,15 @@ object Search {
     bm25TopKOf(Tables.documents(s, d), terms, k)
 
   def bm25TopKOf(docs: DataFrame,
-                 terms: Seq[String] = QueryTerms, k: Int = 20): DataFrame = {
+                 terms: Seq[String] = QueryTerms, k: Int = 20,
+                 stats: Option[(Long, Long)] = None): DataFrame = {
     val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
     // Two bounded scalars (a Long and a Long/Long quotient), not a
     // constant-key join: sum and count are exact in Long, so the double
     // quotient is bit-identical to DuckDB's sum(dl)*1.0/count(*).
-    val (dlSum, nDocs) = {
+    // Callers issuing MANY queries over one corpus (Rag.ndcgEvalOf's eval
+    // set) pass the pair once instead of re-running the action per query.
+    val (dlSum, nDocs) = stats.getOrElse {
       val r = dl.agg(sum(col("dl")).cast("long"), count(lit(1))).head()
       (r.getLong(0), r.getLong(1))
     }
@@ -83,6 +86,14 @@ object Search {
       .agg(round(sum(contrib.cast("decimal(28,8)")).cast("double"), 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** The (Σdl, n_docs) pair [[bm25TopKOf]] needs — exposed so multi-query
+    * callers compute it once. */
+  def corpusStats(docs: DataFrame): (Long, Long) = {
+    val r = docs.select(size(split(col("text"), " ")).as("dl"))
+      .agg(sum(col("dl")).cast("long"), count(lit(1))).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   private def termListSql = QueryTerms.map(t => s"'$t'").mkString(", ")
