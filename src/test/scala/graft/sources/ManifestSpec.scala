@@ -147,5 +147,14 @@ class ManifestSpec extends SparkSuite {
     // must remain a no-op (hidden-path filter regression guard)
     assert(Manifest.refreshManifest(spark, dir, cols) === (0L, 0L),
       "snapshot files were statted as data")
+
+    // incremental scan v1→v2 = exactly the appended rows (the change feed)
+    val delta = Manifest.incrementalScan(spark, dir, 1, 2)
+    assert(delta.count() === 40)
+    assert(delta.agg(min(col("k")), max(col("k"))).head() ===
+      org.apache.spark.sql.Row(101L, 140L))
+    // same-version delta is empty with the schema intact
+    val none = Manifest.incrementalScan(spark, dir, 2, 2)
+    assert(none.count() === 0 && none.columns.contains("k"))
   }
 }
