@@ -224,8 +224,31 @@ object Audit {
     per.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** k-anonymity audit over a quasi-identifier combination — the
+    * pre-release privacy gate (Sweeney 2002): any (lang, source) class
+    * with fewer than k members re-identifies its documents' provenance
+    * too precisely to export. One map-side-combinable aggregation; the
+    * class table is |lang|×|source|-bounded. The companion to
+    * [[graft.operators.TextOps]]'s PII scrub: scrub removes identifiers
+    * from VALUES, k-anonymity certifies the remaining ATTRIBUTE
+    * combinations are crowd-sized. */
+  def kAnonymity(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"))
+      .select($"lang", $"source", $"n", ($"n" >= k).as("meets_k"))
+      .orderBy($"lang", $"source")
+  }
+
+  val kAnonymityOracle: String =
+    """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+      |       count(*) >= 10 AS meets_k
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders),
     Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers),
-    Q("audit_column_stats", Some(columnStatsOracle), columnStats))
+    Q("audit_column_stats", Some(columnStatsOracle), columnStats),
+    Q("audit_k_anonymity", Some(kAnonymityOracle), (s, d) => kAnonymity(s, d)))
 }

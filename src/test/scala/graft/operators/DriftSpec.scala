@@ -97,6 +97,15 @@ class DriftSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r).toMap
     assert(planted("props").getLong(2) === n / 10,
       s"expected ${n / 10} planted nulls, got ${planted("props").getLong(2)}")
+  }
+
+  test("k-anonymity flags under-k classes and certifies crowd-sized ones") {
+    val rows = Audit.kAnonymity(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3) === (r.getLong(2) >= 10), r.toString))
+    // sf0.001 has 500 docs over ~100 (lang, source) classes — small
+    // classes must exist and be flagged, not silently passed
+    assert(rows.exists(!_.getBoolean(3)), "expected at least one under-k class")
     // string columns report string extremes, numeric columns doubles
     assert(rows("event_type").isNullAt(4) && !rows("event_type").isNullAt(6))
     assert(!rows("value").isNullAt(4) && rows("value").isNullAt(6))
