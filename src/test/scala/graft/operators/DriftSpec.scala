@@ -97,6 +97,12 @@ class DriftSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r).toMap
     assert(planted("props").getLong(2) === n / 10,
       s"expected ${n / 10} planted nulls, got ${planted("props").getLong(2)}")
+    // string columns report string extremes, numeric columns doubles
+    assert(rows("event_type").isNullAt(4) && !rows("event_type").isNullAt(6))
+    assert(!rows("value").isNullAt(4) && rows("value").isNullAt(6))
+    // ts extremes are fractional epoch seconds inside the events range
+    val tsMin = rows("ts").getDouble(4)
+    assert(tsMin > 1.5e9 && tsMin < 2.5e9, s"epoch-seconds expected: $tsMin")
   }
 
   test("k-anonymity flags under-k classes and certifies crowd-sized ones") {
@@ -106,11 +112,5 @@ class DriftSpec extends SparkSuite {
     // sf0.001 has 500 docs over ~100 (lang, source) classes — small
     // classes must exist and be flagged, not silently passed
     assert(rows.exists(!_.getBoolean(3)), "expected at least one under-k class")
-    // string columns report string extremes, numeric columns doubles
-    assert(rows("event_type").isNullAt(4) && !rows("event_type").isNullAt(6))
-    assert(!rows("value").isNullAt(4) && rows("value").isNullAt(6))
-    // ts extremes are fractional epoch seconds inside the events range
-    val tsMin = rows("ts").getDouble(4)
-    assert(tsMin > 1.5e9 && tsMin < 2.5e9, s"epoch-seconds expected: $tsMin")
   }
 }
