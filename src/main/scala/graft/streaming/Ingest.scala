@@ -206,6 +206,42 @@ object Ingest {
       .parquet(rollupDir)
   }
 
+  /** [[upsertRollup]]'s sketch-bearing sibling: each minute cell carries a
+    * mergeable HLL user sketch beside the additive count, so the
+    * continuously-maintained view answers DISTINCT-user questions at any
+    * grain (minute → day → total: `hll_union_agg` over cells) without
+    * ever re-touching raw events — the streaming form of
+    * [[graft.operators.Hll.userSketchRollup]]. The merge step unions the
+    * existing cell sketch with the batch's (sketch union is associative
+    * and idempotent-free like the counts, so the same batch-id replay
+    * caveat applies); cost per batch stays O(batch + touched cells),
+    * state per cell a few KB regardless of user cardinality. */
+  def upsertSketchRollup(batch: DataFrame, rollupDir: String): Unit = {
+    val s = batch.sparkSession
+    val delta = batch
+      .groupBy(col("event_minute"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("user_sketch"),
+        count(lit(1)).as("cnt"))
+    val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val existing =
+      if (new java.io.File(rollupDir).exists())
+        s.read.parquet(rollupDir)
+          .filter(col("event_minute").isin(touched: _*))
+          .localCheckpoint()
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          delta.schema)
+    existing.unionByName(delta)
+      .groupBy(col("event_minute"), col("event_type"))
+      .agg(hll_union_agg(col("user_sketch")).as("user_sketch"),
+        sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_minute")
+      .parquet(rollupDir)
+  }
+
   /** Continuously-maintained minute rollup (incremental materialized
     * view): foreachBatch applies [[upsertRollup]] per micro-batch. A
     * batch-id marker makes replays after a mid-stream restart no-ops —

@@ -78,4 +78,33 @@ class RollupSpec extends SparkSuite {
       .awaitTermination()
     assert(rollup(dir) == expect, "replayed batch must not double-count")
   }
+
+  test("sketch rollup: incremental upserts re-slice to exact DAU at any grain") {
+    val dir = tmpDir("rollup-sk") + "/r"
+    val t0 = 1704067200000L
+    val b1 = mkEvents(300, t0)                    // minutes 0-4
+    val b2 = mkEvents(300, t0 + 3 * 60 * 1000L)   // minutes 3-7: overlaps 3-4
+    Ingest.upsertSketchRollup(b1, dir)
+    Ingest.upsertSketchRollup(b2, dir)
+    val all = b1.unionByName(b2)
+    // per-minute distinct users served FROM the maintained view (coupon
+    // regime at this cardinality → sketch estimates are exact)
+    val got = spark.read.parquet(dir)
+      .groupBy($"event_minute")
+      .agg(hll_sketch_estimate(hll_union_agg($"user_sketch")).as("dau"),
+        sum($"cnt").as("n"))
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val expect = all
+      .groupBy($"event_minute")
+      .agg(countDistinct($"user_id").as("dau"), count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === expect)
+    // and the coarser grain for free: total distinct users over all cells
+    val total = spark.read.parquet(dir)
+      .agg(hll_sketch_estimate(hll_union_agg($"user_sketch"))).head().getLong(0)
+    val exactTotal = all.select(countDistinct($"user_id")).head().getLong(0)
+    assert(total === exactTotal)
+  }
 }
