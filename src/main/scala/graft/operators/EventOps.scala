@@ -672,7 +672,9 @@ object EventOps {
     Q("ev_value_histogram", Some(valueHistogramOracle), valueHistogram),
     Q("ev_tehran_minute_name", Some(tehranMinuteNameOracle), tehranMinuteName),
     Q("ev_markov_transitions", Some(EventPathOps.markovTransitionsOracle),
-      EventPathOps.markovTransitions))
+      EventPathOps.markovTransitions),
+    Q("ev_rfm_segments", Some(EventPathOps.rfmSegmentsOracle),
+      EventPathOps.rfmSegments))
 }
 
 /** Sequence/path analysis over per-user event histories. */
@@ -715,4 +717,65 @@ object EventPathOps {
       |       CAST(round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6)
       |            AS DOUBLE) AS p
       |FROM t ORDER BY event_type, next_type""".stripMargin
+
+  /** RFM user segmentation — the classic behavioral-value readout
+    * (recency / frequency / monetary quintiles, segment = "RFM" digits).
+    *
+    * The quintiles come from [[RankStats]]' range-bucketed global row
+    * numbers + the SQL-standard NTILE formula — the scalable total-order
+    * machinery, never an unpartitioned window (an `ntile(5) OVER (ORDER
+    * BY …)` on a raw 100 TB user table is the single-partition-sort
+    * scale-killer; the oracle uses exactly that on DuckDB's side, which
+    * is the point — same semantics, different physical plan).
+    *
+    * Cross-engine determinism: monetary sums quantize per-row to
+    * DECIMAL(18,6) (exact, order-independent) and every ntile order
+    * carries a user_id tiebreak, so tile boundaries cannot wobble. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    // bounded driver scalar: the corpus's reference "now"
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+    val user = ev.groupBy($"user_id").agg(
+      datediff(lit(maxTs).cast("date"), max($"ts").cast("date"))
+        .cast("int").as("recency_days"),
+      count(lit(1)).as("frequency"),
+      sum($"value".cast("decimal(18,6)")).cast("double").as("mon_exact"))
+    def tile(df: DataFrame, vCol: String, asc: Boolean, out: String) =
+      RankStats.withGlobalRowNumber(df, vCol, asc, Seq("user_id"))
+        .withColumn(out,
+          RankStats.ntileFromRowNumber($"__rn", $"__n", 5).cast("int"))
+        .drop("__rn", "__n")
+    val scored = tile(tile(tile(user,
+      "recency_days", asc = true, "r_tile"),
+      "frequency", asc = false, "f_tile"),
+      "mon_exact", asc = false, "m_tile")
+    scored.select($"user_id", $"recency_days", $"frequency",
+      round($"mon_exact", 2).as("monetary"),
+      $"r_tile", $"f_tile", $"m_tile",
+      concat($"r_tile".cast("string"), $"f_tile".cast("string"),
+        $"m_tile".cast("string")).as("segment"))
+      .orderBy($"user_id")
+  }
+
+  val rfmSegmentsOracle: String =
+    """WITH mx AS (SELECT max(ts) AS mts FROM events),
+      |u AS (SELECT user_id,
+      |             CAST(date_diff('day', CAST(max(ts) AS DATE),
+      |                  CAST((SELECT mts FROM mx) AS DATE)) AS INT) AS recency_days,
+      |             count(*) AS frequency,
+      |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS mon_exact
+      |      FROM events GROUP BY user_id),
+      |t AS (SELECT *,
+      |             ntile(5) OVER (ORDER BY recency_days, user_id) AS r_tile,
+      |             ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_tile,
+      |             ntile(5) OVER (ORDER BY mon_exact DESC, user_id) AS m_tile
+      |      FROM u)
+      |SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+      |       CAST(round(mon_exact, 2) AS DOUBLE) AS monetary,
+      |       CAST(r_tile AS INT) AS r_tile, CAST(f_tile AS INT) AS f_tile,
+      |       CAST(m_tile AS INT) AS m_tile,
+      |       CAST(r_tile AS VARCHAR) || CAST(f_tile AS VARCHAR)
+      |         || CAST(m_tile AS VARCHAR) AS segment
+      |FROM t ORDER BY user_id""".stripMargin
 }

@@ -232,6 +232,27 @@ class OperatorSpec extends SparkSuite {
     assert(hashed(1L) != hashed(3L))
   }
 
+  test("RFM quintiles are balanced and consistent with the underlying metrics") {
+    val rows = EventPathOps.rfmSegments(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    // SQL NTILE balance: tile sizes differ by at most one
+    for (c <- Seq(4, 5, 6)) {
+      val sizes = rows.groupBy(_.getInt(c)).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced tiles in col $c")
+      assert(rows.map(_.getInt(c)).toSet.subsetOf((1 to 5).toSet))
+    }
+    // monotone: a strictly higher frequency never gets a strictly worse tile
+    val byFreq = rows.sortBy(r => (-r.getLong(2), r.getLong(0)))
+    byFreq.sliding(2).foreach { w =>
+      if (w.length == 2 && w(0).getLong(2) > w(1).getLong(2))
+        assert(w(0).getInt(5) <= w(1).getInt(5), s"${w(0)} vs ${w(1)}")
+    }
+    // segment string is exactly the three tile digits
+    rows.foreach(r => assert(r.getString(7) ===
+      s"${r.getInt(4)}${r.getInt(5)}${r.getInt(6)}"))
+  }
+
   test("markov transition matrix counts per-user successions; rows sum to 1") {
     import spark.implicits._
     val rows = EventPathOps.markovTransitions(spark, Sf).collect()
