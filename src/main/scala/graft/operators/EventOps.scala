@@ -674,7 +674,9 @@ object EventOps {
     Q("ev_markov_transitions", Some(EventPathOps.markovTransitionsOracle),
       EventPathOps.markovTransitions),
     Q("ev_rfm_segments", Some(EventPathOps.rfmSegmentsOracle),
-      EventPathOps.rfmSegments))
+      EventPathOps.rfmSegments),
+    Q("ev_pareto_profile", Some(EventPathOps.paretoProfileOracle),
+      EventPathOps.paretoProfile))
 }
 
 /** Sequence/path analysis over per-user event histories. */
@@ -778,4 +780,46 @@ object EventPathOps {
       |       CAST(r_tile AS VARCHAR) || CAST(f_tile AS VARCHAR)
       |         || CAST(m_tile AS VARCHAR) AS segment
       |FROM t ORDER BY user_id""".stripMargin
+
+  /** Activity-concentration (Pareto/Lorenz) profile: users bucketed into
+    * activity deciles (most-active first, RankStats global tiles — no
+    * single-partition sort over the user table), then each decile's event
+    * share and the cumulative share — the "what fraction of users drives
+    * 80% of traffic" readout, and for a corpus the long-tail evidence
+    * behind source-cap / temperature-mixing decisions. The cumulative
+    * window runs over the 10-row DECILE table, not the user table. */
+  def paretoProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val user = Tables.events(s, d)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val tiled = RankStats.withGlobalRowNumber(user, "n", asc = false, Seq("user_id"))
+      .withColumn("decile",
+        RankStats.ntileFromRowNumber($"__rn", $"__n", 10).cast("int"))
+    val g = tiled.groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"n").as("events"))
+    val whole = Window.partitionBy(lit(1))
+    val cum = Window.partitionBy(lit(1)).orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.select($"decile", $"n_users", $"events",
+        round($"events".cast("double") / sum($"events").over(whole), 4)
+          .as("share"),
+        round(sum($"events").over(cum).cast("double") /
+          sum($"events").over(whole), 4).as("cum_share"))
+      .orderBy($"decile")
+  }
+
+  val paretoProfileOracle: String =
+    """WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |t AS (SELECT n, ntile(10) OVER (ORDER BY n DESC, user_id) AS decile FROM u),
+      |g AS (SELECT decile, count(*) AS n_users, sum(n) AS events
+      |      FROM t GROUP BY 1)
+      |SELECT decile, CAST(n_users AS BIGINT) AS n_users,
+      |       CAST(events AS BIGINT) AS events,
+      |       CAST(round(CAST(events AS DOUBLE) / sum(events) OVER (), 4)
+      |            AS DOUBLE) AS share,
+      |       CAST(round(CAST(sum(events) OVER (ORDER BY decile
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                    AS DOUBLE) / sum(events) OVER (), 4) AS DOUBLE) AS cum_share
+      |FROM g ORDER BY decile""".stripMargin
 }

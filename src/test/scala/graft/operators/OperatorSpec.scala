@@ -253,6 +253,21 @@ class OperatorSpec extends SparkSuite {
       s"${r.getInt(4)}${r.getInt(5)}${r.getInt(6)}"))
   }
 
+  test("pareto profile: shares sum to 1, cumulative is monotone, deciles ordered") {
+    val rows = EventPathOps.paretoProfile(spark, Sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 10))
+    // first decile (most active) has the largest share; cum ends at 1
+    val shares = rows.map(_.getDouble(3))
+    assert(shares.head === shares.max)
+    assert(math.abs(shares.sum - 1.0) < 2e-3) // 4-dp rounding dust
+    val cums = rows.map(_.getDouble(4))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(cums.last - 1.0) < 1e-9)
+    // total events conserved
+    assert(rows.map(_.getLong(2)).sum ===
+      graft.Tables.events(spark, Sf).count())
+  }
+
   test("markov transition matrix counts per-user successions; rows sum to 1") {
     import spark.implicits._
     val rows = EventPathOps.markovTransitions(spark, Sf).collect()
