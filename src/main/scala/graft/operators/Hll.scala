@@ -144,10 +144,15 @@ object Hll {
        |      FROM ua a JOIN ua b
        |        ON a.user_id = b.user_id AND a.event_type < b.event_type
        |      GROUP BY 1, 2),
-       |ex AS (SELECT i.type_a, i.type_b, ca.cnt AS exact_a, cb.cnt AS exact_b,
-       |              ca.cnt + cb.cnt - i.exact_int AS exact_union, i.exact_int
-       |       FROM i JOIN c ca ON ca.event_type = i.type_a
-       |            JOIN c cb ON cb.event_type = i.type_b),
+       |p AS (SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+       |             ca.cnt AS exact_a, cb.cnt AS exact_b
+       |      FROM c ca JOIN c cb ON ca.event_type < cb.event_type),
+       |ex AS (SELECT p.type_a, p.type_b, p.exact_a, p.exact_b,
+       |              p.exact_a + p.exact_b - COALESCE(i.exact_int, 0)
+       |                AS exact_union,
+       |              COALESCE(i.exact_int, 0) AS exact_int
+       |       FROM p LEFT JOIN i
+       |         ON i.type_a = p.type_a AND i.type_b = p.type_b),
        |g AS (${Golden.dispatch("ev_hll_intersect")})
        |SELECT ex.type_a, ex.type_b,
        |       CASE WHEN abs(g.users_a - ex.exact_a) <= 0.04 * ex.exact_a

@@ -186,6 +186,9 @@ object Pca {
   /** Eigenpairs from pre-merged moments (the refresh serve path). */
   def eigOfMoments(m: Array[Long]): Eig = {
     val n = m(0)
+    require(n > 0,
+      "eigOfMoments: empty embeddings relation (n=0) — means/covariance " +
+        "would be NaN; refusing to emit garbage eigenpairs")
     val nd = n.toDouble
     val mu = Array.tabulate(Dim)(i =>
       m(1 + i).toDouble / CovarianceAggregator.Scale / nd)

@@ -74,12 +74,17 @@ object Manifest {
   private def listDataFiles(s: SparkSession, dataDir: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(dataDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val base = p.toUri.getPath
+    // makeQualified on BOTH sides: a relative or differently-qualified
+    // dataDir would make the stripPrefix a no-op and the hidden-segment
+    // check would then scan the full absolute path — an ancestor dir
+    // named '.cache' or '_work' would silently exclude every data file
+    val qBase = fs.makeQualified(p).toUri.getPath
+    val base = if (qBase.endsWith("/")) qBase else qBase + "/"
     val it = fs.listFiles(p, true)
     val out = Set.newBuilder[String]
     while (it.hasNext) {
       val f = it.next().getPath
-      val rel = f.toUri.getPath.stripPrefix(base)
+      val rel = fs.makeQualified(f).toUri.getPath.stripPrefix(base)
       val hidden = rel.split('/')
         .exists(seg => seg.startsWith("_") || seg.startsWith("."))
       if (!hidden && f.getName.endsWith(".parquet")) out += canonUri(f)

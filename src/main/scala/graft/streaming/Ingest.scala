@@ -178,6 +178,16 @@ object Ingest {
     * continuously-maintained materialized view viable when the rollup
     * history is years long. The driver only ever holds the distinct
     * touched minutes (bounded by batch time-span). */
+  /** Existence probe via the Hadoop FS API, not java.io.File: a local
+    * probe reports s3a://, hdfs:// (any non-local scheme) paths as absent
+    * — the exact trap Warehouse.readEvents documents — and a silent
+    * "absent" here would OVERWRITE the accumulated rollup instead of
+    * merging into it. */
+  private def rollupExists(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def upsertRollup(batch: DataFrame, rollupDir: String): Unit = {
     val s = batch.sparkSession
     val delta = batch
@@ -186,7 +196,7 @@ object Ingest {
     val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
     if (touched.isEmpty) return
     val existing =
-      if (new java.io.File(rollupDir).exists())
+      if (rollupExists(s, rollupDir))
         // localCheckpoint: materialize the touched slice BEFORE the write —
         // Spark (rightly) refuses a plan that overwrites a path it is
         // still reading; the checkpoint cuts the plan's tie to the path,
@@ -225,7 +235,7 @@ object Ingest {
     val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
     if (touched.isEmpty) return
     val existing =
-      if (new java.io.File(rollupDir).exists())
+      if (rollupExists(s, rollupDir))
         s.read.parquet(rollupDir)
           .filter(col("event_minute").isin(touched: _*))
           .localCheckpoint()
