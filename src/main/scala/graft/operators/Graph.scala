@@ -240,7 +240,147 @@ object Graph {
     head + iters + tail
   }
 
+  /** HLL precision for HyperBall counters. lgK=12 keeps each counter a
+    * few KB; at the 97-domain test scale the DataSketches sketch stays in
+    * coupon (exact) mode, so estimates equal exact ball sizes — the
+    * published ~1.6% RSE regime only begins at ~1e3+ distincts/ball. */
+  private[operators] val HbLgK = 12
+
+  /** Harmonic-sum unit for the HyperBall readout: 1e-6 (micro), NOT the
+    * exact path's 1e-12 — the per-iteration increment is
+    * `delta × (unit div t)` and delta is up to |V|, so micro units keep
+    * the product inside Long up to |V| ≈ 9e12 nodes (1e-12 units would
+    * overflow at |V| ≈ 9e6, i.e. exactly the scale HyperBall exists for). */
+  private[operators] val HbUnit = 1000000L
+
+  /** HyperBall harmonic centrality (Boldi & Vigna 2014, "In-Core
+    * Computation of Geometric Centralities with HyperBall") — the
+    * at-scale variant of [[harmonicCentrality]]: instead of materializing
+    * the (src, dst) distance relation (which on a power-law host graph
+    * explodes to ~|V|² inside radius 6), every node carries ONE mergeable
+    * HLL counter of the set {u : d(u, v) ≤ t}. Per iteration the counter
+    * unions with its in-neighbors' counters (edges REVERSED relative to
+    * ball-growing, because H(v) sums over distances TO v), and the
+    * harmonic sum accumulates from counter DELTAS:
+    *
+    *   H(v) = Σ_t (|B(v,t)| − |B(v,t−1)|) / t
+    *
+    * 100 TB posture: per-iteration state is exactly |V| rows × a few-KB
+    * sketch — O(|V|·KB), never O(pairs). The iteration is the same
+    * Pregel shape as [[domainRank]]: edges shuffled once, the bounded
+    * counter relation re-grouped per round, `localCheckpoint` per round
+    * to stop lineage compounding. All readout arithmetic is integer
+    * (estimates are BIGINT; `delta × (HbUnit div t)` Long sums), and the
+    * DataSketches union is register-max — merge-order-free — so the
+    * output is bit-deterministic on any partitioning.
+    *
+    * GraphSpec proves the contract both ways: estimate ≡ exact twin on
+    * the coupon-regime testdata graph, and state-size O(|V|) on a graph
+    * whose exact pair relation is quadratically larger. */
+  def harmonicHyperBall(s: SparkSession, d: String): DataFrame =
+    hyperBallOf(domainEdges(s, d))
+
+  /** The HyperBall iteration over any (src, dst) edge relation (spec
+    * entry point for planted graphs). */
+  private[operators] def hyperBallOf(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val state = hyperBallState(edgesIn)
+    state
+      .select(
+        concat(lit("d"), $"node", lit(".example.com")).as("domain"),
+        $"h_units",
+        ($"h_units" / lit(1e6)).as("harmonic"))
+      .orderBy($"h_units".desc, $"domain")
+  }
+
+  /** The final iteration state — one row per node with the live sketch
+    * bytes (`sk`), ball estimate (`est`) and accumulated harmonic sum
+    * (`h_units`). Exposed so GraphSpec can assert the O(|V|·KB) state
+    * contract directly (row count ≡ |V|, sketch bytes bounded). */
+  private[operators] def hyperBallState(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = edgesIn.persist()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node"))).distinct()
+    // t = 0: each ball is exactly {v} — one single-item sketch per node
+    var state = nodes.groupBy($"node")
+      .agg(hll_sketch_agg($"node", lit(HbLgK)).as("sk"))
+      .withColumn("est", hll_sketch_estimate($"sk"))
+      .withColumn("h_units", lit(0L))
+      .localCheckpoint()
+    for (t <- 1 to Radius) {
+      // counters flow ALONG edges (src's ball of ancestors reaches dst):
+      // c_t(v) = c_{t-1}(v) ∪ ⋃_{(u,v)∈E} c_{t-1}(u)
+      val incoming = edges
+        .join(state.select($"node".as("src"), $"sk"), "src")
+        .select($"dst".as("node"), $"sk")
+      val grown = state.select($"node", $"sk").unionByName(incoming)
+        .groupBy($"node").agg(hll_union_agg($"sk").as("sk"))
+      state = state.select($"node", $"est".as("est_prev"), $"h_units")
+        .join(grown, "node")
+        .withColumn("est", hll_sketch_estimate($"sk"))
+        .select($"node", $"sk", $"est",
+          ($"h_units" +
+            greatest($"est" - $"est_prev", lit(0L)) * lit(HbUnit / t))
+            .as("h_units"))
+        .localCheckpoint()
+    }
+    edges.unpersist(blocking = false)
+    state
+  }
+
+  /** Invariant-twin oracle (the CMS/HLL pattern): the golden pins the
+    * deterministic HyperBall readout; DuckDB independently recomputes the
+    * EXACT harmonic centrality (the same unrolled min-plus CTEs as
+    * [[harmonicCentralityOracle]]) and collapses any estimate beyond the
+    * HLL envelope (4% ≈ 2.5σ at lgK=12) to −1, and any top-10 row whose
+    * position diverges from the exact ranking to 'ORDER_MISMATCH' — so
+    * both the values and the headline ordering are checked against
+    * ground truth, not against the engine's own frozen output. */
+  val harmonicHyperBallOracle: String = {
+    val edgeUnion = LinkDerivations
+      .map { case (m, c) =>
+        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
+      }
+      .mkString(" UNION ALL ")
+    val head =
+      s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
+         |d1 AS (SELECT src, dst, 1 AS d FROM edges)""".stripMargin
+    val iters = (2 to Radius).map { k =>
+      val prev = s"d${k - 1}"
+      s""",
+         |d$k AS (SELECT src, dst, min(d) AS d FROM (
+         |          SELECT src, dst, d FROM $prev
+         |          UNION ALL
+         |          SELECT p.src, e.dst, p.d + 1 AS d
+         |          FROM $prev p JOIN edges e ON p.dst = e.src
+         |        ) GROUP BY src, dst)""".stripMargin
+    }.mkString
+    val tail =
+      s""",
+         |ex AS (SELECT 'd' || CAST(dst AS VARCHAR) || '.example.com' AS domain,
+         |              CAST(sum($HbUnit // d) AS BIGINT) AS h_exact,
+         |              row_number() OVER (ORDER BY CAST(sum($HbUnit // d) AS BIGINT) DESC,
+         |                                 'd' || CAST(dst AS VARCHAR) || '.example.com') AS re
+         |       FROM d$Radius WHERE src <> dst
+         |       GROUP BY dst),
+         |g AS (${Golden.dispatch("graph_harmonic_hll")})
+         |SELECT CASE WHEN g.__row < 10 AND ex.re <> g.__row + 1
+         |            THEN 'ORDER_MISMATCH' ELSE g.domain END AS domain,
+         |       CASE WHEN abs(g.h_units - ex.h_exact) <= 0.04 * ex.h_exact
+         |            THEN g.h_units ELSE -1 END AS h_units,
+         |       CASE WHEN abs(g.harmonic - ex.h_exact / 1e6)
+         |                 <= 0.04 * (ex.h_exact / 1e6)
+         |            THEN g.harmonic ELSE -1 END AS harmonic
+         |FROM g JOIN ex ON ex.domain = g.domain
+         |ORDER BY g.__row""".stripMargin
+    head + iters + tail
+  }
+
   val defs: Seq[Q] = Seq(
     Q("graph_domain_rank", Some(domainRankOracle), domainRank),
-    Q("graph_harmonic_centrality", Some(harmonicCentralityOracle), harmonicCentrality))
+    Q("graph_harmonic_centrality", Some(harmonicCentralityOracle), harmonicCentrality),
+    Q("graph_harmonic_hll", Some(harmonicHyperBallOracle), harmonicHyperBall))
 }

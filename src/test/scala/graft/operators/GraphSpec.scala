@@ -86,4 +86,64 @@ class GraphSpec extends SparkSuite {
     val keys = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
     assert(keys === keys.sorted)
   }
+
+  test("HyperBall matches hand arithmetic exactly on the planted path+hub") {
+    import spark.implicits._
+    // same graph as the exact test: coupon-regime sketches are exact, so
+    // the delta readout must reproduce H(2)=2.5, H(1)=1.5, H(0)=1.0 in
+    // micro units with no envelope at all
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 0L)).toDF("src", "dst")
+    val got = Graph.hyperBallOf(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val U = Graph.HbUnit
+    assert(got("d2.example.com") === U + U + U / 2)
+    assert(got("d1.example.com") === U + U / 2)
+    assert(got("d0.example.com") === U)
+    assert(got("d3.example.com") === 0L)
+  }
+
+  test("HyperBall ≡ exact harmonic centrality on the real corpus graph") {
+    val exact = Graph.harmonicCentrality(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hb = Graph.harmonicHyperBall(spark, Sf).collect()
+    assert(hb.length === Graph.NDomains)
+    // coupon regime (97 domains ≪ the lgK=12 promotion threshold): every
+    // ball estimate is exact, so the only divergence from the exact path
+    // is the unit rounding (1e6 div d vs 1e12 div d) — bounded by
+    // Radius · |V| units ≈ 6e-4 in harmonic terms
+    hb.foreach { r =>
+      val micro = r.getLong(1).toDouble / 1e6
+      val pico = exact(r.getString(0)).toDouble / 1e12
+      assert(math.abs(micro - pico) < 1e-3,
+        s"${r.getString(0)}: hyperball $micro vs exact $pico")
+    }
+    // headline contract: same top-10 ordering as the exact ranking
+    val exactTop10 = exact.toSeq.sortBy { case (dom, h) => (-h, dom) }
+      .take(10).map(_._1)
+    assert(hb.take(10).map(_.getString(0)).toSeq === exactTop10)
+  }
+
+  test("HyperBall state is O(|V|·KB), not O(pairs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, max}
+    // dense random digraph: 300 nodes × 12 out-edges — within radius 6
+    // reachability saturates, so the EXACT pair relation is ~|V|² ≈ 90 000
+    // rows; the HyperBall state must stay at exactly |V| rows with
+    // few-KB sketches regardless
+    val n = 300
+    val edges = (for {
+      v <- 0 until n
+      k <- 1 to 12
+    } yield (v.toLong, ((v * 31 + k * 17 + 7) % n).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val state = Graph.hyperBallState(edges)
+    assert(state.count() === n.toLong)
+    val maxSk = state.agg(max(length($"sk"))).head().getInt(0)
+    assert(maxSk <= 4096, s"sketch grew past the KB contract: $maxSk bytes")
+    // and the sketches really did absorb ~the whole graph (reachability
+    // saturated): every ball estimate is within 5% of |V|
+    val minEst = state.agg(org.apache.spark.sql.functions.min($"est"))
+      .head().getLong(0)
+    assert(minEst >= (n * 0.95).toLong, s"balls did not saturate: $minEst")
+  }
 }
