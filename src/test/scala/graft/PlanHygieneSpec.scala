@@ -24,4 +24,43 @@ class PlanHygieneSpec extends SparkSuite {
     assert(offenders.isEmpty,
       offenders.map { case (n, p) => s"$n: $p" }.mkString("\n"))
   }
+
+  /** The OTHER always-an-accident shape (round-8 verdict "Next round"
+    * #4): a window with an EMPTY partitionSpec plans as
+    * `Exchange SinglePartition` + one executor sorting the whole relation
+    * — the global-rank trap RankStats exists to avoid. r8 eliminated the
+    * runtime `WindowExec: No Partition Defined` warnings query by query;
+    * this pins the property for every registered query at once.
+    * Exemptions must be argued here by name: a window is only acceptable
+    * unpartitioned when its input is provably bounded (a ≤k-row report). */
+  test("no registered query plans an unpartitioned (single-partition) window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case _ => p.children.flatMap(flatten)
+      })
+
+    // ev_pareto_profile: the cumulative-share window runs over the
+    // 10-row DECILE table (the user-table total order itself goes through
+    // RankStats' range-bucketed machinery) — a single partition of ≤10
+    // rows is the report-sort case, not the scale trap. The lit(1)
+    // partition key is constant-folded away by Catalyst, which is why it
+    // plans as an unpartitioned WindowExec at all.
+    val exempt = Set("ev_pareto_profile")
+    val offenders = SparkEntry.allDefs.filterNot(q => exempt(q.name)).flatMap { q =>
+      val hits =
+        try flatten(q.fn(spark, Sf).queryExecution.executedPlan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+        }
+        catch { case e: Throwable => Seq(s"PLANNING FAILED: ${e.getMessage}") }
+      if (hits.isEmpty) None else Some(q.name -> hits.distinct.mkString(", "))
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, w) => s"$n: $w" }.mkString("\n"))
+  }
 }
