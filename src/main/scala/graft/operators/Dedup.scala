@@ -515,6 +515,90 @@ object Dedup {
     }.orderBy($"doc_id")
   }
 
+  /** Incremental connected-components maintenance — the refresh-family
+    * member for CLUSTER LABELS (the IVF/LSH/postings/manifest/PCA refresh
+    * pattern, extended to the one artifact that still forced a full
+    * rebuild on append). Given the FROZEN label artifact of an earlier
+    * build and the delta's pair evidence, produce labels equal to a full
+    * CC over (base ∪ delta) edges — exactly, for ANY edge sets, by the
+    * super-node argument: contracting each existing component to one
+    * vertex preserves connectivity, so CC over {lift(e) : e ∈ delta}
+    * (endpoints replaced by their component label, unlabeled endpoints by
+    * themselves) computes precisely the merges the delta induces, and the
+    * new min-label of a merged group is the min over its member doc ids —
+    * the same label a from-scratch rebuild elects.
+    *
+    * Cost ∝ delta, never corpus: the super-node CC runs on |delta| edges
+    * (the seeded pointer-jumping of the verdict item — only components
+    * the delta touches participate), and the relabel is ONE scan of the
+    * label artifact against a broadcast remap (one row per touched
+    * component). Nothing re-reads corpus text, signatures, or base pair
+    * evidence. */
+  private[operators] def refreshClusterLabels(
+      labels: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    val s = labels.sparkSession
+    import s.implicits._
+    val frozen = labels.select($"doc_id", $"cluster_id")
+    // 1. Lift delta edges to super-node space. An endpoint with a frozen
+    //    label is represented by that label; an endpoint the base never
+    //    clustered (new doc, or an old never-duplicated doc) by itself.
+    //    Lifted self-loops (both endpoints already in one component) drop
+    //    out — they induce no merge.
+    val superEdges = deltaEdges.select($"doc_a", $"doc_b")
+      .join(frozen.select($"doc_id".as("doc_a"), $"cluster_id".as("la")),
+        Seq("doc_a"), "left")
+      .join(frozen.select($"doc_id".as("doc_b"), $"cluster_id".as("lb")),
+        Seq("doc_b"), "left")
+      .select(coalesce($"la", $"doc_a").as("doc_a"),
+        coalesce($"lb", $"doc_b").as("doc_b"))
+      .filter($"doc_a" =!= $"doc_b")
+    // 2. CC over the super-node graph only — O(|delta|).
+    val remap = connectedComponents(superEdges)
+      .select($"doc_id".as("super"), $"cluster_id".as("new_label"))
+    // 3. Relabel. The remap is touched-components-sized, so it broadcasts;
+    //    the label artifact is scanned once, never shuffled.
+    val kept = frozen
+      .join(broadcast(remap), frozen("cluster_id") === col("super"), "left")
+      .select($"doc_id", coalesce($"new_label", $"cluster_id").as("cluster_id"))
+    // Unlabeled delta endpoints ARE super-nodes (their own id — which can
+    // never equal an existing cluster label: labels are min MEMBER ids,
+    // and an unlabeled doc belongs to no cluster), so each gets its new
+    // label straight from the remap.
+    val deltaNodes = deltaEdges.select($"doc_a".as("doc_id"))
+      .union(deltaEdges.select($"doc_b".as("doc_id"))).distinct()
+    val fresh = deltaNodes
+      .join(frozen.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .join(broadcast(remap), col("doc_id") === col("super"))
+      .select($"doc_id", $"new_label".as("cluster_id"))
+    kept.unionByName(fresh)
+  }
+
+  /** The registered incremental-clustering query: the deterministic
+    * % 10 == 7 slice plays the appended batch (the incremental family's
+    * shared fixture), the rest the standing corpus whose labels an
+    * earlier ingest froze. The batch's pair evidence (any edge touching a
+    * batch doc) is unioned into the frozen labels by
+    * [[refreshClusterLabels]] — and because refresh ≡ rebuild exactly,
+    * the output is row-for-row the SAME mapping as [[nearDupClusters]]'s
+    * full rebuild, which is precisely how the driver gate checks it: the
+    * oracle serves the full-rebuild golden (`dedup_cluster_docs`) plus
+    * its structural laws, so any divergence between the incremental and
+    * from-scratch paths fails the hard correctness gate. */
+  def incrementalClusterRefresh(s: SparkSession, d: String,
+      jThreshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    SessionCaches.parquetArtifact(s, s"dedup-cc-incr:$d:$jThreshold") { dir =>
+      val batchTouch = ($"doc_a" % 10 === 7) || ($"doc_b" % 10 === 7)
+      val pairs = verifiedPairs(s, d).filter($"jaccard" >= jThreshold)
+      val frozenLabels = connectedComponents(
+        pairs.filter(!batchTouch).select($"doc_a", $"doc_b"))
+      val refreshed = refreshClusterLabels(frozenLabels,
+        pairs.filter(batchTouch).select($"doc_a", $"doc_b"))
+      clusterMapping(refreshed).write.mode("overwrite").parquet(dir)
+      frozenLabels.unpersist(blocking = false)
+    }.orderBy($"doc_id")
+  }
+
   /** Keep-best canonicalization over the near-dup clusters: instead of
     * electing the min-doc_id representative (what [[nearDupClusters]]'s
     * `keep` flag does), elect the HIGHEST-QUALITY member — here the
@@ -811,5 +895,9 @@ object Dedup {
     Q("dedup_simhash_pairs", Some(hammingRecomputed), simhashPairs),
     Q("dedup_minhash_lsh", Some(minhashEstGuarded), minhashLshPairs),
     Q("dedup_cluster_docs", Some(clusterStructureOracle("dedup_cluster_docs")), (s, d) => nearDupClusters(s, d)),
+    // refresh ≡ rebuild exactly, so the incremental path is gated against
+    // the FULL-REBUILD golden — divergence between the two paths is a
+    // hard correctness failure, not a soft rows-only check
+    Q("dedup_cluster_incremental", Some(clusterStructureOracle("dedup_cluster_docs")), (s, d) => incrementalClusterRefresh(s, d)),
     Q("dedup_simhash_clusters", Some(clusterStructureOracle("dedup_simhash_clusters")), (s, d) => simhashClusters(s, d)))
 }

@@ -102,4 +102,52 @@ class ClusterDedupSpec extends SparkSuite {
     val overlap = mh.intersect(sh).size.toDouble / math.min(mh.size, sh.size)
     assert(overlap >= 0.15, f"near-dup signals share no common core: overlap $overlap%.2f")
   }
+
+  // --- incremental label maintenance (refreshClusterLabels) -------------
+
+  private def refresh(base: Seq[(Long, Long)], delta: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.refreshClusterLabels(
+      Dedup.connectedComponents(base.toDF("doc_a", "doc_b"))
+        .toDF("doc_id", "cluster_id"),
+      delta.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("label refresh ≡ full rebuild on every planted delta shape") {
+    val base = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L, 21L -> 20L, 21L -> 22L)
+    // each delta exercises one maintenance case:
+    //   merge two existing clusters, brand-new cluster, new node joining
+    //   an old cluster, intra-cluster no-op edge, chain merging THREE
+    //   clusters through a new node
+    val deltas = Seq(
+      Seq(3L -> 10L),
+      Seq(30L -> 31L),
+      Seq(5L -> 11L),
+      Seq(1L -> 3L),
+      Seq(10L -> 40L, 40L -> 20L, 2L -> 40L))
+    for (delta <- deltas) {
+      val want = components(base ++ delta: _*)
+      assert(refresh(base, delta) == want, s"delta $delta diverged from rebuild")
+    }
+  }
+
+  test("label refresh ≡ full rebuild on the corpus's real pair evidence") {
+    // the registered query's exact split: % 10 == 7 docs play the batch,
+    // every edge touching one is the delta; refresh over the frozen base
+    // labels must reproduce nearDupClusters' from-scratch labels exactly
+    val full = Dedup.nearDupClusters(spark, Sf)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    val incr = Dedup.incrementalClusterRefresh(spark, Sf)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(incr == full)
+  }
+
+  test("refresh leaves untouched components' labels bit-identical") {
+    val base = Seq(1L -> 2L, 10L -> 11L, 20L -> 21L)
+    val got = refresh(base, Seq(1L -> 30L))
+    // clusters {10,11} and {20,21} are untouched by the delta
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(20L) == 20L && got(21L) == 20L)
+    // the touched one absorbed the new node under the same min label
+    assert(got(30L) == 1L && got(1L) == 1L && got(2L) == 1L)
+  }
 }
