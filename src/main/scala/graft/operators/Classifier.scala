@@ -169,8 +169,91 @@ object Classifier {
       |                * sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)), 6) AS DOUBLE) AS auc
       |FROM rk""".stripMargin
 
+  /** Precision–recall curve — [[qualityAuc]]'s other readout (round-8
+    * verdict #7): one row per candidate threshold (the 250-milli logit
+    * bin boundaries, clamped to [−4000, 4000]; the bottom bin is
+    * unbounded below, so its row is the all-docs operating point), with
+    * exact integer predicted/true-positive counts and the
+    * precision/recall/F1 a filter threshold is actually chosen from.
+    *
+    * Scale shape: ONE narrow scan aggregates (n, n_pos) per bin; the
+    * cumulation from the top runs on the driver over the ≤33-row bin
+    * table — the A7 collect-to-driver report pattern (a cumulative
+    * window here would be exactly the unpartitioned-window shape
+    * PlanHygieneSpec bans; bounded-by-construction driver arithmetic is
+    * the honest alternative). All counts integer, ratios rounded at 4 dp
+    * from identical integers on both engines. */
+  def qualityPrCurve(s: SparkSession, d: String): DataFrame =
+    prCurveOf(labeled(Tables.documents(s, d)))
+
+  /** The curve over any (logit_milli, pos) relation (spec entry point). */
+  private[operators] def prCurveOf(lab: DataFrame): DataFrame = {
+    val s = lab.sparkSession
+    import s.implicits._
+    val bins = lab
+      .withColumn("bin",
+        greatest(lit(-16L), least(lit(16L), floor($"logit_milli" / lit(250.0)))))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum(when($"pos", 1L).otherwise(0L)).as("np"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1) // cumulate from the highest threshold down
+    val totalPos = bins.map(_._3).sum
+    require(totalPos > 0, "PR curve needs at least one positive")
+    var cn = 0L
+    var cp = 0L
+    // HALF_UP at 4 dp — the rounding rule DuckDB's round() applies to the
+    // identical double, so ties can't split across engines
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = bins.map { case (bin, n, np) =>
+      cn += n; cp += np
+      val p = cp.toDouble / cn
+      val r = cp.toDouble / totalPos
+      val f1 = if (cp == 0) 0.0 else 2.0 * p * r / (p + r)
+      (bin * 250L, cn, cp, r4(p), r4(r), r4(f1))
+    }
+    rows.reverse.toSeq
+      .toDF("thr_milli", "n_pred", "tp", "precision", "recall", "f1")
+      .orderBy($"thr_milli")
+  }
+
+  /** Fully independent oracle: same tokenization/logit recompute as the
+    * calibration oracle, cumulated with a window (fine on the ORACLE
+    * side — DuckDB has no 100 TB plan contract to honor). */
+  val qualityPrCurveOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |         (CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1000) - 500 AS w_milli
+      |  FROM tok),
+      |sc AS (SELECT doc_id, sum(w_milli) AS logit FROM w GROUP BY doc_id),
+      |lab AS (SELECT sc.doc_id, sc.logit, length(d.text) >= 200 AS pos
+      |        FROM sc JOIN documents d USING (doc_id)),
+      |b AS (SELECT greatest(-16, least(16, CAST(floor(logit / 250.0) AS BIGINT))) AS bin,
+      |             count(*) AS n,
+      |             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np
+      |      FROM lab GROUP BY 1),
+      |c AS (SELECT bin,
+      |             sum(n)  OVER (ORDER BY bin DESC
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+      |             sum(np) OVER (ORDER BY bin DESC
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+      |             sum(np) OVER () AS total_pos
+      |      FROM b)
+      |SELECT bin * 250 AS thr_milli,
+      |       CAST(cn AS BIGINT) AS n_pred, CAST(cp AS BIGINT) AS tp,
+      |       CAST(round(CAST(cp AS DOUBLE) / cn, 4) AS DOUBLE) AS precision,
+      |       CAST(round(CAST(cp AS DOUBLE) / total_pos, 4) AS DOUBLE) AS recall,
+      |       CAST(CASE WHEN cp = 0 THEN 0.0
+      |            ELSE round(2.0 * (CAST(cp AS DOUBLE) / cn) * (CAST(cp AS DOUBLE) / total_pos)
+      |                       / (CAST(cp AS DOUBLE) / cn + CAST(cp AS DOUBLE) / total_pos), 4)
+      |            END AS DOUBLE) AS f1
+      |FROM c ORDER BY thr_milli""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("text_quality_classifier", Some(qualityClassifierOracle), qualityClassifier),
     Q("quality_calibration", Some(qualityCalibrationOracle), qualityCalibration),
-    Q("quality_auc", Some(qualityAucOracle), qualityAuc))
+    Q("quality_auc", Some(qualityAucOracle), qualityAuc),
+    Q("quality_pr_curve", Some(qualityPrCurveOracle), qualityPrCurve))
 }

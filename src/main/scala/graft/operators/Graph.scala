@@ -152,6 +152,107 @@ object Graph {
     head + iters + tail
   }
 
+  /** Convergence threshold for the PageRank certificate: total L1
+    * movement ≤ 0.1% of total mass (Scale/1000) declares the fixed point
+    * reached — further iterations move less rank than the flooring loss
+    * budget. */
+  private[operators] val CertThreshold = Scale / 1000L
+
+  /** PageRank convergence CERTIFICATE (round-8 verdict #7): the committed
+    * [[domainRank]] runs a fixed 10 iterations — this query emits the
+    * per-iteration L1 residual Σ|r_i(v) − r_{i−1}(v)| (exact integer, so
+    * bit-identical cross-engine) and STOPS EARLY at the first iteration
+    * whose residual clears [[CertThreshold]] — the evidence that the
+    * fixed budget is enough (or by how much it isn't) instead of a bare
+    * assertion. Each residual is one 97-row join + agg over the two
+    * checkpointed rank relations — 10 driver scalars total, the
+    * metadata-scale collect pattern. */
+  def pagerankCertificate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = domainEdges(s, d).persist()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node"))).distinct().persist()
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("odeg"))
+    val n = nodes.count()
+    val init = Scale / n
+    val base = (15L * init) / 100L
+    var ranks = nodes.withColumn("r", lit(init)).localCheckpoint()
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var converged = false
+    var i = 0
+    while (i < Iters && !converged) {
+      i += 1
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select($"dst", expr("r div odeg").as("share"))
+        .groupBy($"dst").agg(sum($"share").as("contrib"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select($"node",
+          (lit(base) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+      val d1 = next.as("a")
+        .join(ranks.as("b"), $"a.node" === $"b.node")
+        .agg(sum(abs($"a.r" - $"b.r")).as("d")).head().getLong(0)
+      deltas += ((i, d1))
+      converged = d1 <= CertThreshold
+      ranks = next
+    }
+    edges.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    deltas.toSeq
+      .toDF("iter", "l1_delta_scaled")
+      .select($"iter", $"l1_delta_scaled",
+        ($"l1_delta_scaled" / lit(1e12)).as("l1_delta"),
+        ($"l1_delta_scaled" <= CertThreshold).cast("int").as("converged"))
+      .orderBy($"iter")
+  }
+
+  /** Fully independent oracle: the same unrolled integer iterations as
+    * [[domainRankOracle]], with per-iteration L1 residuals joined between
+    * consecutive rank CTEs, cut at the first converged iteration exactly
+    * like the engine's early stop. */
+  val pagerankCertificateOracle: String = {
+    val edgeUnion = LinkDerivations
+      .map { case (m, c) =>
+        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
+      }
+      .mkString(" UNION ALL ")
+    val head =
+      s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |odeg AS (SELECT src AS node, count(*) AS odeg FROM edges GROUP BY src),
+         |n AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST($Scale // n.n AS BIGINT) AS r
+         |       FROM nodes CROSS JOIN n)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      val prev = s"r${i - 1}"
+      s""",
+         |c$i AS (SELECT e.dst AS node, CAST(sum(p.r // o.odeg) AS BIGINT) AS contrib
+         |        FROM edges e JOIN $prev p ON e.src = p.node
+         |        JOIN odeg o ON e.src = o.node
+         |        GROUP BY e.dst),
+         |r$i AS (SELECT nodes.node,
+         |               CAST((15 * ($Scale // n.n)) // 100
+         |                    + (85 * COALESCE(c$i.contrib, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node CROSS JOIN n),
+         |dl$i AS (SELECT $i AS iter, CAST(sum(abs(a.r - b.r)) AS BIGINT) AS d
+         |         FROM r$i a JOIN r${i - 1} b ON a.node = b.node)""".stripMargin
+    }.mkString
+    val tail =
+      s""",
+         |deltas AS (${(1 to Iters).map(i => s"SELECT * FROM dl$i").mkString(" UNION ALL ")}),
+         |lim AS (SELECT COALESCE(min(iter), $Iters) AS m FROM deltas
+         |        WHERE d <= $CertThreshold)
+         |SELECT iter, d AS l1_delta_scaled, d / 1e12 AS l1_delta,
+         |       CAST(d <= $CertThreshold AS INT) AS converged
+         |FROM deltas CROSS JOIN lim WHERE iter <= lim.m
+         |ORDER BY iter""".stripMargin
+    head + iters + tail
+  }
+
   /** BFS radius for harmonic centrality: with ~3 out-links per node on a
     * 97-node domain graph, reachability saturates well inside 6 hops —
     * and a FIXED radius (rather than iterate-to-fixpoint) is what makes
@@ -381,6 +482,7 @@ object Graph {
 
   val defs: Seq[Q] = Seq(
     Q("graph_domain_rank", Some(domainRankOracle), domainRank),
+    Q("graph_pagerank_cert", Some(pagerankCertificateOracle), pagerankCertificate),
     Q("graph_harmonic_centrality", Some(harmonicCentralityOracle), harmonicCentrality),
     Q("graph_harmonic_hll", Some(harmonicHyperBallOracle), harmonicHyperBall))
 }
