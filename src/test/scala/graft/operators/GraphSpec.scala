@@ -87,6 +87,46 @@ class GraphSpec extends SparkSuite {
     assert(keys === keys.sorted)
   }
 
+  test("PageRank certificate: residuals match an independent trajectory, early stop honest") {
+    import graft.Tables
+    import spark.implicits._
+    // independent in-memory trajectory with per-iteration L1 residuals
+    val docIds = Tables.documents(spark, Sf).select($"doc_id").as[Long].collect().toSeq
+    val edges = (for {
+      d <- docIds
+      (m, c) <- Graph.LinkDerivations
+      src = d % Graph.NDomains
+      dst = (d * m + c) % Graph.NDomains
+      if src != dst
+    } yield (src, dst)).toSet
+    val nodes = edges.map(_._1) ++ edges.map(_._2)
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val init = Graph.Scale / nodes.size
+    val base = (15L * init) / 100L
+    var r = nodes.map(_ -> init).toMap
+    val wantDeltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var done = false
+    for (_ <- 1 to Graph.Iters if !done) {
+      val contrib = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (s, t) =>
+        contrib(t) = contrib.getOrElse(t, 0L) + r(s) / outdeg(s)
+      }
+      val next = nodes.map(v => v -> (base + (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+      val d = nodes.toSeq.map(v => math.abs(next(v) - r(v))).sum
+      wantDeltas += d
+      done = d <= Graph.CertThreshold
+      r = next
+    }
+    val got = Graph.pagerankCertificate(spark, Sf).collect()
+      .map(row => (row.getInt(0), row.getLong(1), row.getInt(3)))
+    assert(got.map(_._2).toSeq === wantDeltas.toSeq, "residual trajectory diverged")
+    // early-stop honesty: every row but the last unconverged; the last
+    // row converged iff the threshold was reached inside the budget
+    assert(got.dropRight(1).forall(_._3 == 0))
+    assert((got.last._3 == 1) === (wantDeltas.last <= Graph.CertThreshold))
+    assert(got.length <= Graph.Iters)
+  }
+
   test("HyperBall matches hand arithmetic exactly on the planted path+hub") {
     import spark.implicits._
     // same graph as the exact test: coupon-regime sketches are exact, so

@@ -95,4 +95,39 @@ class QualityFilterSpec extends SparkSuite {
       assert(r.getLong(1) >= r.getLong(2))
     }
   }
+
+  test("PR curve matches hand arithmetic on a planted logit/label table") {
+    // logits chosen to land in distinct 250-milli bins:
+    //   bin 4 (1000): pos;  bin 2 (500): pos;  bin 1 (250): neg;
+    //   bin 0 (0): pos;  bin -2 (-500): neg
+    val lab = Seq(
+      (1L, 1000L, true), (2L, 500L, true), (3L, 250L, false),
+      (4L, 0L, true), (5L, -500L, false))
+      .toDF("doc_id", "logit_milli", "pos")
+    val rows = Classifier.prCurveOf(lab).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // thresholds ascending; at thr 1000: pred {1}, tp 1 → P 1, R 1/3
+    // at thr 500: pred {1,2}, tp 2 → P 1, R 2/3
+    // at thr 250: pred {1,2,3}, tp 2 → P 2/3, R 2/3
+    // at thr 0:   pred {1,2,3,4}, tp 3 → P 3/4, R 1
+    // at thr -500 (bottom): everything → P 3/5, R 1
+    assert(rows.map(_._1).toSeq == Seq(-500L, 0L, 250L, 500L, 1000L))
+    val byThr = rows.map(r => r._1 -> r).toMap
+    assert(byThr(1000L) == ((1000L, 1L, 1L, 1.0, 0.3333, 0.5)))
+    assert(byThr(500L) == ((500L, 2L, 2L, 1.0, 0.6667, 0.8)))
+    assert(byThr(250L) == ((250L, 3L, 2L, 0.6667, 0.6667, 0.6667)))
+    assert(byThr(0L) == ((0L, 4L, 3L, 0.75, 1.0, 0.8571)))
+    assert(byThr(-500L) == ((-500L, 5L, 3L, 0.6, 1.0, 0.75)))
+    // structural laws on the real corpus: recall monotone non-decreasing
+    // as the threshold drops, counts cumulative, ratios in [0,1]
+    val corpus = Classifier.qualityPrCurve(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(corpus.nonEmpty && corpus.length <= 33)
+    val asc = corpus.sortBy(_._1)
+    asc.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3, "counts must cumulate downward")
+      assert(lo._4 >= hi._4, "recall must not decrease as threshold drops")
+    }
+  }
 }
