@@ -432,6 +432,103 @@ object Graph {
     state
   }
 
+  /** Neighborhood function + effective diameter — the OTHER readout the
+    * HyperBall counters pay for (HyperANF: Boldi, Rosa & Vigna 2011):
+    * N(t) = Σ_v |B(v,t)| (reachable pairs within t hops, self included),
+    * one row per t ∈ [0, Radius], plus the standard effective-diameter
+    * flag on the smallest t with N(t) ≥ 0.9·N(Radius) (integer-exact
+    * compare: 10·N(t) ≥ 9·N_max). Same O(|V|·KB) iteration state as
+    * [[harmonicHyperBall]]; the per-round readout is ONE sum over the
+    * |V|-row counter relation — Radius+1 driver scalars total. */
+  def effectiveDiameter(s: SparkSession, d: String): DataFrame =
+    neighborhoodOf(domainEdges(s, d))
+
+  private[operators] def neighborhoodOf(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = edgesIn.persist()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node"))).distinct()
+    var state = nodes.groupBy($"node")
+      .agg(hll_sketch_agg($"node", lit(HbLgK)).as("sk"))
+      .withColumn("est", hll_sketch_estimate($"sk"))
+      .localCheckpoint()
+    def total(): Long = state.agg(sum($"est")).head().getLong(0)
+    val totals = scala.collection.mutable.ArrayBuffer((0, total()))
+    for (t <- 1 to Radius) {
+      val incoming = edges
+        .join(state.select($"node".as("src"), $"sk"), "src")
+        .select($"dst".as("node"), $"sk")
+      state = state.select($"node", $"sk").unionByName(incoming)
+        .groupBy($"node").agg(hll_union_agg($"sk").as("sk"))
+        .withColumn("est", hll_sketch_estimate($"sk"))
+        .localCheckpoint()
+      totals += ((t, total()))
+    }
+    edges.unpersist(blocking = false)
+    val nMax = totals.last._2
+    val effT = totals.find { case (_, n) => 10L * n >= 9L * nMax }.get._1
+    totals.toSeq.toDF("t", "pairs_est")
+      .select($"t", $"pairs_est",
+        round($"pairs_est".cast("double") / lit(nMax.toDouble), 4).as("frac"),
+        ($"t" === effT).cast("int").as("is_effective_diameter"))
+      .orderBy($"t")
+  }
+
+  /** Invariant twin: DuckDB recomputes the EXACT pair counts per radius
+    * from the unrolled distance CTEs and collapses estimates beyond the
+    * HLL envelope; `frac` and the effective-diameter flag are re-derived
+    * from the golden's own pinned estimates (they are arithmetic over the
+    * column being checked, so a wrong flag fails even when every estimate
+    * passes its envelope). */
+  val effectiveDiameterOracle: String = {
+    val edgeUnion = LinkDerivations
+      .map { case (m, c) =>
+        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
+      }
+      .mkString(" UNION ALL ")
+    val head =
+      s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
+         |nv AS (SELECT count(*) AS n FROM (SELECT DISTINCT src AS v FROM edges
+         |        UNION SELECT DISTINCT dst FROM edges)),
+         |d1 AS (SELECT src, dst, 1 AS d FROM edges)""".stripMargin
+    val iters = (2 to Radius).map { k =>
+      val prev = s"d${k - 1}"
+      s""",
+         |d$k AS (SELECT src, dst, min(d) AS d FROM (
+         |          SELECT src, dst, d FROM $prev
+         |          UNION ALL
+         |          SELECT p.src, e.dst, p.d + 1 AS d
+         |          FROM $prev p JOIN edges e ON p.dst = e.src
+         |        ) GROUP BY src, dst)""".stripMargin
+    }.mkString
+    val exacts = (0 to Radius).map { t =>
+      if (t == 0) s"SELECT 0 AS t, n AS exact_pairs FROM nv"
+      else
+        s"""SELECT $t AS t, (SELECT n FROM nv) +
+           |  (SELECT count(*) FROM d$Radius WHERE src <> dst AND d <= $t) AS exact_pairs"""
+          .stripMargin
+    }.mkString("(", " UNION ALL ", ")")
+    val tail =
+      s""",
+         |ex AS (SELECT * FROM $exacts),
+         |g AS (${Golden.dispatch("graph_effective_diameter")}),
+         |gm AS (SELECT max(pairs_est) AS pmax,
+         |              min(CASE WHEN 10 * pairs_est >= 9 * (SELECT max(pairs_est) FROM g)
+         |                       THEN t END) AS eff_t
+         |       FROM g)
+         |SELECT g.t,
+         |  CASE WHEN abs(g.pairs_est - ex.exact_pairs) <= 0.04 * ex.exact_pairs
+         |       THEN g.pairs_est ELSE -1 END AS pairs_est,
+         |  CASE WHEN g.frac = round(CAST(g.pairs_est AS DOUBLE) / gm.pmax, 4)
+         |       THEN g.frac ELSE -1 END AS frac,
+         |  CASE WHEN g.is_effective_diameter = CAST(g.t = gm.eff_t AS INT)
+         |       THEN g.is_effective_diameter ELSE -1 END AS is_effective_diameter
+         |FROM g JOIN ex ON ex.t = g.t CROSS JOIN gm
+         |ORDER BY g.t""".stripMargin
+    head + iters + tail
+  }
+
   /** Invariant-twin oracle (the CMS/HLL pattern): the golden pins the
     * deterministic HyperBall readout; DuckDB independently recomputes the
     * EXACT harmonic centrality (the same unrolled min-plus CTEs as
@@ -484,5 +581,6 @@ object Graph {
     Q("graph_domain_rank", Some(domainRankOracle), domainRank),
     Q("graph_pagerank_cert", Some(pagerankCertificateOracle), pagerankCertificate),
     Q("graph_harmonic_centrality", Some(harmonicCentralityOracle), harmonicCentrality),
-    Q("graph_harmonic_hll", Some(harmonicHyperBallOracle), harmonicHyperBall))
+    Q("graph_harmonic_hll", Some(harmonicHyperBallOracle), harmonicHyperBall),
+    Q("graph_effective_diameter", Some(effectiveDiameterOracle), effectiveDiameter))
 }

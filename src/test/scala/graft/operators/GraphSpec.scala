@@ -163,6 +163,21 @@ class GraphSpec extends SparkSuite {
     assert(hb.take(10).map(_.getString(0)).toSeq === exactTop10)
   }
 
+  test("neighborhood function matches hand arithmetic on the planted path+hub") {
+    import spark.implicits._
+    // in-ball sizes per t (self included): B(0)={0},{0,3}; B(1)={1},{0,1},{0,1,3};
+    // B(2)={2},{0,1,2},{0,1,2,3}; B(3)={3} forever
+    // N: t0=4, t1=2+2+3+1=8, t2=2+3+4+1=10, then flat; eff diam: 10·N≥9·10 → t=2
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 0L)).toDF("src", "dst")
+    val rows = Graph.neighborhoodOf(edges).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.map(r => (r._1, r._2)).toSeq ===
+      Seq((0, 4L), (1, 8L), (2, 10L), (3, 10L), (4, 10L), (5, 10L), (6, 10L)))
+    assert(rows.collect { case (t, _, _, 1) => t }.toSeq === Seq(2))
+    assert(rows.map(_._3).toSeq ===
+      Seq(0.4, 0.8, 1.0, 1.0, 1.0, 1.0, 1.0))
+  }
+
   test("HyperBall state is O(|V|·KB), not O(pairs)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{length, max}

@@ -30,7 +30,7 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_clusters",
     "dedup_simhash_docs", "dedup_simhash_pairs",
     "ev_hll_daily_users", "ev_hll_union_total", "ev_user_cms_topk",
-    "graph_harmonic_hll",
+    "graph_harmonic_hll", "graph_effective_diameter",
     "mm_ahash_dup_groups", "mm_binaryfile_scan", "mm_decode_batched",
     "mm_frame_sample", "rag_chunk_retrieve", "rag_hybrid_rrf",
     "sim_embedding_clusters",
