@@ -178,8 +178,92 @@ object EntityRes {
       |FROM before_s FULL OUTER JOIN after_s USING (custkey)
       |GROUP BY 1 ORDER BY diff_class""".stripMargin
 
+  /** MERGE INTO (Delta/Iceberg semantics) applied as one full-outer
+    * join: a CDC batch of inserts/updates/deletes lands on the `orders`
+    * snapshot in a single pass —
+    *
+    *   WHEN MATCHED AND op = 'D' THEN DELETE
+    *   WHEN MATCHED AND op = 'U' THEN UPDATE SET status, totalprice
+    *   WHEN NOT MATCHED THEN INSERT
+    *
+    * The change batch is derived deterministically from the target
+    * itself (deletes: key % 13 = 5; updates: key % 7 = 0, precedence to
+    * delete; inserts: fresh keys offset by 10^7 from the % 97 = 3
+    * slice), so both engines build the identical batch and the oracle is
+    * fully independent.
+    *
+    * Scale shape: ONE shuffle join on the merge key — the same exchange
+    * a MERGE on any lakehouse engine pays; with the target bucketed on
+    * the key (sources/Bucketed.scala) the target side is exchange-free.
+    * In the warehouse this composes with manifest pruning
+    * (sources/Manifest.scala): the join classifies touched FILES first
+    * and rewrites only those — the copy-on-write contract; here the
+    * output is the full post-merge snapshot, which is what the oracle
+    * can pin row-for-row. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val target = Tables.orders(s, d)
+      .select($"o_orderkey".as("okey"), $"o_orderstatus".as("status"),
+        $"o_totalprice".as("totalprice"))
+    val changes = target
+      .select($"okey",
+        when($"okey" % 13 === 5, lit("D"))
+          .when($"okey" % 7 === 0, lit("U"))
+          .when($"okey" % 97 === 3, lit("I"))
+          .as("op"),
+        $"totalprice")
+      .filter($"op".isNotNull)
+      .select(
+        when($"op" === "I", $"okey" + 10000000L).otherwise($"okey").as("okey"),
+        $"op",
+        when($"op" === "U", lit("U")).otherwise(lit("I")).as("n_status"),
+        // +10.0 (one exact IEEE add), not ×1.1: a product lands arbitrarily
+        // close to .xx5 round boundaries where the two engines' half-up
+        // conventions disagree on the binary value.
+        when($"op" === "U", $"totalprice" + lit(10.0))
+          .otherwise($"totalprice").as("n_totalprice"))
+    target.join(changes, Seq("okey"), "full_outer")
+      .where(coalesce($"op", lit("")) =!= "D")
+      .select(
+        $"okey".as("o_orderkey"),
+        when($"op".isNotNull, $"n_status").otherwise($"status").as("o_orderstatus"),
+        round(when($"op".isNotNull, $"n_totalprice").otherwise($"totalprice"), 2)
+          .as("o_totalprice"))
+      .orderBy($"o_orderkey")
+  }
+
+  val mergeUpsertOracle: String =
+    """WITH target AS (
+      |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+      |         o_totalprice AS totalprice
+      |  FROM orders),
+      |classified AS (
+      |  SELECT okey,
+      |         CASE WHEN okey % 13 = 5 THEN 'D'
+      |              WHEN okey % 7 = 0 THEN 'U'
+      |              WHEN okey % 97 = 3 THEN 'I' END AS op,
+      |         totalprice
+      |  FROM target
+      |  WHERE okey % 13 = 5 OR okey % 7 = 0 OR okey % 97 = 3),
+      |changes AS (
+      |  SELECT CASE WHEN op = 'I' THEN okey + 10000000 ELSE okey END AS okey,
+      |         op,
+      |         CASE WHEN op = 'U' THEN 'U' ELSE 'I' END AS n_status,
+      |         CASE WHEN op = 'U' THEN totalprice + 10.0
+      |              ELSE totalprice END AS n_totalprice
+      |  FROM classified)
+      |SELECT okey AS o_orderkey,
+      |       CASE WHEN c.op IS NOT NULL THEN c.n_status ELSE t.status END
+      |         AS o_orderstatus,
+      |       round(CASE WHEN c.op IS NOT NULL THEN c.n_totalprice
+      |                  ELSE t.totalprice END, 2) AS o_totalprice
+      |FROM target t FULL OUTER JOIN changes c USING (okey)
+      |WHERE COALESCE(c.op, '') <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("join_fuzzy_blocked", Some(fuzzyJoinBlockedOracle), fuzzyJoinBlocked),
     Q("dim_scd2_upsert", Some(scd2UpsertOracle), scd2Upsert),
+    Q("wh_merge_upsert", Some(mergeUpsertOracle), mergeUpsert),
     Q("dim_snapshot_diff", Some(snapshotDiffOracle), snapshotDiff))
 }

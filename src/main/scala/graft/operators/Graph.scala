@@ -577,10 +577,126 @@ object Graph {
     head + iters + tail
   }
 
+  /** Triangle counting + local clustering coefficient over the
+    * UNDIRECTED domain graph — the third classic whole-graph statistic
+    * after PageRank and centrality (web-graph and social-graph audits
+    * report it as the community-structure readout; cf. Schank & Wagner
+    * 2005, "Finding, Counting and Listing All Triangles in Large
+    * Graphs"; Suri & Vassilvitskii 2011 for the MapReduce shape).
+    *
+    * Algorithm: degree-ordered node-iterator. Every undirected edge is
+    * oriented from its lower-(degree, id) endpoint to the higher one;
+    * wedges are enumerated only at the LOW end of each edge pair and
+    * closed against the oriented edge set. Each triangle {a,b,c} is
+    * found exactly once (at its minimum-rank vertex), and per-node
+    * counts come from exploding the found triangles back to their three
+    * members.
+    *
+    * 100 TB posture: this orientation is the entire scale story — a
+    * naive wedge join on shared endpoints puts Σ deg(v)² rows through
+    * the shuffle (a single 10^7-degree hub ⇒ 10^14 wedges); orienting
+    * by degree bounds the per-vertex fan-out by the number of HIGHER-
+    * degree neighbors, giving O(m^{3/2}) total wedge work regardless of
+    * skew — the hub's wedges are charged to its (few) higher-rank
+    * neighbors, never to the hub itself. Both joins are plain hash
+    * joins on bounded-width keys; nothing is ever materialized per
+    * pair of non-adjacent nodes. */
+  def triangleCounts(s: SparkSession, d: String): DataFrame =
+    triangleCountsOf(domainEdges(s, d))
+
+  private[operators] def triangleCountsOf(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    // Canonical undirected edge list: (a < b), direction collapsed.
+    val und = edgesIn
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct().persist()
+    val deg = und.select($"a".as("node")).unionAll(und.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("degree"))
+    // Orient each edge toward the higher (degree, id) endpoint; carry the
+    // head's rank key so wedge legs can be ordered without a re-join.
+    val withDeg = und
+      .join(deg.select($"node".as("a"), $"degree".as("da")), "a")
+      .join(deg.select($"node".as("b"), $"degree".as("db")), "b")
+    val oriented = withDeg
+      .select(
+        when(struct($"da", $"a") < struct($"db", $"b"),
+          struct($"a".as("u"), $"b".as("v"), struct($"db".as("d"), $"b".as("n")).as("rv")))
+          .otherwise(
+            struct($"b".as("u"), $"a".as("v"), struct($"da".as("d"), $"a".as("n")).as("rv")))
+          .as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"), $"e.rv".as("rv"))
+      .persist()
+    // Wedges at the low-rank pivot u: (u→x, u→y) with rank(x) < rank(y);
+    // the closing edge, if present, is oriented x→y by transitivity.
+    val wedges = oriented.select($"u", $"v".as("x"), $"rv".as("rx"))
+      .join(oriented.select($"u", $"v".as("y"), $"rv".as("ry")), "u")
+      .where($"rx" < $"ry")
+    val tris = wedges
+      .join(oriented.select($"u".as("x"), $"v".as("y")), Seq("x", "y"))
+      .select($"u", $"x", $"y")
+    val perNode = tris.select($"u".as("node"))
+      .unionAll(tris.select($"x".as("node")))
+      .unionAll(tris.select($"y".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .select(
+        concat(lit("d"), $"node", lit(".example.com")).as("domain"),
+        $"degree".cast("long").as("degree"),
+        coalesce($"triangles", lit(0L)).cast("long").as("triangles"),
+        round(
+          when($"degree" >= 2,
+            lit(2.0) * coalesce($"triangles", lit(0L)) / ($"degree" * ($"degree" - 1)))
+            .otherwise(lit(0.0)),
+          4).as("clustering"))
+      .orderBy($"triangles".desc, $"domain")
+    und.unpersist(blocking = false)
+    oriented.unpersist(blocking = false)
+    out
+  }
+
+  /** Fully independent oracle: DuckDB re-derives the canonical edge list
+    * and counts triangles by the textbook ordered 3-way self-join
+    * (a < b < c on canonical edges — the same "each triangle once"
+    * invariant as the engine's degree orientation, so the counts agree
+    * exactly). The quotient's operands are identical integers on both
+    * sides, so the 4-dp round of the IEEE double agrees bit-for-bit. */
+  val triangleCountsOracle: String = {
+    val edgeUnion = LinkDerivations
+      .map { case (m, c) =>
+        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
+      }
+      .mkString(" UNION ALL ")
+    s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+       |deg AS (SELECT node, count(*) AS degree FROM
+       |          (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+       |        GROUP BY node),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM und e1
+       |        JOIN und e2 ON e2.a = e1.b
+       |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pn AS (SELECT node, count(*) AS t FROM
+       |         (SELECT x AS node FROM tri UNION ALL
+       |          SELECT y FROM tri UNION ALL
+       |          SELECT z FROM tri)
+       |       GROUP BY node)
+       |SELECT 'd' || CAST(deg.node AS VARCHAR) || '.example.com' AS domain,
+       |       CAST(deg.degree AS BIGINT) AS degree,
+       |       CAST(COALESCE(pn.t, 0) AS BIGINT) AS triangles,
+       |       CAST(round(CASE WHEN deg.degree >= 2
+       |                       THEN 2.0 * COALESCE(pn.t, 0)
+       |                            / (deg.degree * (deg.degree - 1))
+       |                       ELSE 0.0 END, 4) AS DOUBLE) AS clustering
+       |FROM deg LEFT JOIN pn ON pn.node = deg.node
+       |ORDER BY triangles DESC, domain""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
     Q("graph_domain_rank", Some(domainRankOracle), domainRank),
     Q("graph_pagerank_cert", Some(pagerankCertificateOracle), pagerankCertificate),
     Q("graph_harmonic_centrality", Some(harmonicCentralityOracle), harmonicCentrality),
     Q("graph_harmonic_hll", Some(harmonicHyperBallOracle), harmonicHyperBall),
-    Q("graph_effective_diameter", Some(effectiveDiameterOracle), effectiveDiameter))
+    Q("graph_effective_diameter", Some(effectiveDiameterOracle), effectiveDiameter),
+    Q("graph_triangles", Some(triangleCountsOracle), triangleCounts))
 }

@@ -663,6 +663,57 @@ object Relational {
       |       CAST(count(*) AS BIGINT) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Salted SHUFFLE JOIN — the join-side companion of [[aggSalted]], for
+    * the case AQE's byte-based skew split cannot fix (SCALE_NOTES Leg 14:
+    * a 14.5× row skew hiding under 2.2× compression never trips the
+    * byte threshold). One synthetic hot key concentrates ~⅓ of the fact
+    * table on a single supplier — the "one mega-customer" shape that
+    * turns a hash join into one straggler task at 100 TB.
+    *
+    * Mechanics: the fact side gets a uniform 16-way salt from a row-level
+    * hash; the dimension side is REPLICATED 16× (explode over the salt
+    * range) so every (key, salt) fact partition finds its dim row
+    * locally; the join key becomes (key, salt), spreading the hot key
+    * over 16 reducers. The result is provably identical to the unsalted
+    * join (each fact row matches exactly the one replica carrying its own
+    * salt), so the oracle is the PLAIN join — correctness never depends
+    * on the salting. Cost: |dim|×16 replicated rows through the shuffle —
+    * the standard trade, cheap precisely because dims are small. The
+    * shuffle_hash hint keeps Catalyst from broadcasting the toy-sized dim
+    * (a broadcast join needs no salting; the demonstration targets the
+    * shuffle regime where both sides exchange). */
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nSalt = 16
+    val fact = Tables.lineitem(s, d)
+      .select(
+        when($"l_orderkey" % 3 === 0, lit(1L)).otherwise($"l_suppkey").as("sk"),
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"),
+        pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(nSalt)).as("salt"))
+    val dim = Tables.supplier(s, d)
+      .select($"s_suppkey".as("sk"), $"s_nationkey")
+      .withColumn("salt", explode(sequence(lit(0), lit(nSalt - 1))))
+      .withColumn("salt", $"salt".cast("long"))
+    fact.join(dim.hint("shuffle_hash"), Seq("sk", "salt"))
+      .groupBy($"s_nationkey")
+      .agg(
+        round(sum($"rev".cast("decimal(28,8)")).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .select($"s_nationkey".cast("long").as("nationkey"), $"revenue", $"cnt")
+      .orderBy($"nationkey")
+  }
+
+  val joinSkewSaltedOracle: String =
+    """WITH f AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS sk,
+      |                  CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8)) AS rev
+      |           FROM lineitem)
+      |SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey,
+      |       CAST(round(CAST(sum(f.rev) AS DOUBLE), 2) AS DOUBLE) AS revenue,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM f JOIN supplier s ON s.s_suppkey = f.sk
+      |GROUP BY s.s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("agg_salted", Some(aggSaltedOracle), aggSalted),
     Q("q1_pricing_summary", Some(q1Oracle), q1PricingSummary),
@@ -671,6 +722,7 @@ object Relational {
     Q("q7_nation_volume", Some(q7Oracle), q7NationVolume),
     Q("q14_promo_share", Some(q14Oracle), q14PromoShare),
     Q("join_shuffle_hash", Some(joinShuffleHashOracle), joinShuffleHash),
+    Q("join_skew_salted", Some(joinSkewSaltedOracle), joinSkewSalted),
     Q("join_left_order_counts", Some(joinLeftOracle), joinLeftOrderCounts),
     Q("join_full_outer_nations", Some(joinFullOuterOracle), joinFullOuterNations),
     Q("join_semi_finished", Some(joinSemiOracle), joinSemiFinished),

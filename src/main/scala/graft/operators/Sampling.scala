@@ -403,7 +403,53 @@ object Sampling {
       |FROM tok JOIN w USING (b)
       |GROUP BY doc_id ORDER BY log_ratio DESC, doc_id LIMIT 100""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement, k = 100, weight ∝ `n_chars`
+    * — the Efraimidis–Spirakis exponential-key scheme (Inf. Proc. Letters
+    * 97(5), 2006): each row draws u ~ U(0,1] and is ranked by
+    * key = ln(u)/w; the k LARGEST keys are exactly a weighted sample
+    * without replacement. The draw u comes from the first 48 bits of
+    * `md5(doc_id)` — the same deterministic no-`rand()` discipline as
+    * every sampler here (see the object doc), which is what makes a
+    * "random" weighted sample oracle-checkable cross-engine.
+    *
+    * Scale shape: the key is a narrow per-row expression (no shuffle, no
+    * model state); the global top-k plans TakeOrderedAndProject —
+    * per-partition size-k heaps merged on the driver, the same
+    * 100 TB-safe shape as `topk_orders`. A weighted sample of any corpus
+    * costs one scan.
+    *
+    * Selection determinism: both engines evaluate ln on IEEE doubles
+    * built from identical integer operands; keys of distinct docs are
+    * continuous-valued with gaps ~1e-4 at the k-boundary, so a ≤1-ulp
+    * libm difference cannot flip membership. The REPORTED key is rounded
+    * to 6 dp on both sides and ties in the ORDER BY fall back to doc_id. */
+  def weightedSample(s: SparkSession, d: String, k: Int = 100): DataFrame = {
+    import s.implicits._
+    val u = (conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+      .cast("double") + lit(1.0)) / lit(281474976710657.0) // 16^12 + 1
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"n_chars",
+        (log(u) / $"n_chars".cast("double")).as("k_raw"))
+      .orderBy($"k_raw".desc, $"doc_id")
+      .limit(k)
+      .select($"doc_id", $"lang", $"n_chars", round($"k_raw", 6).as("es_key"))
+      .orderBy($"es_key".desc, $"doc_id")
+  }
+
+  val weightedSampleOracle: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+      |              AS BIGINT) + 1.0) / 281474976710657.0)
+      |           / CAST(n_chars AS DOUBLE) AS k_raw
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars,
+      |       CAST(round(k_raw, 6) AS DOUBLE) AS es_key
+      |FROM (SELECT * FROM keyed ORDER BY k_raw DESC, doc_id LIMIT 100)
+      |ORDER BY es_key DESC, doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("doc_weighted_sample", Some(weightedSampleOracle), weightedSample(_, _)),
     Q("doc_token_budget_mix", Some(tokenBudgetMixOracle), tokenBudgetMix),
     Q("doc_dsir_select", Some(dsirSelectOracle), dsirSelect),
     Q("doc_global_shuffle", Some(globalShuffleOracle), globalShuffle(_, _)),

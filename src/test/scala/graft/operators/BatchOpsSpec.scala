@@ -114,6 +114,34 @@ class BatchOpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("merge upsert: deletes gone, updates rewritten, inserts landed, rest untouched") {
+    import spark.implicits._
+    val before = graft.Tables.orders(spark, Sf)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val after = EntityRes.mergeUpsert(spark, Sf)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    before.foreach { case (k, (st, tp)) =>
+      if (k % 13 == 5) assert(!after.contains(k), s"deleted key $k survived")
+      else if (k % 7 == 0) {
+        assert(after(k)._1 == "U")
+        assert(math.abs(after(k)._2 - (tp + 10.0)) < 1e-6, s"update price wrong for $k")
+      } else {
+        assert(after(k)._1 == st, s"untouched key $k changed status")
+        assert(math.abs(after(k)._2 - tp) < 1e-6, s"untouched key $k changed price")
+      }
+      // op precedence D > U > I: only pure %97 slice rows become inserts
+      if (k % 97 == 3 && k % 13 != 5 && k % 7 != 0) {
+        val ik = k + 10000000L
+        assert(after.contains(ik) && after(ik)._1 == "I", s"insert for $k missing")
+      }
+    }
+    // no unexplained keys: everything in `after` is a survivor or an insert
+    val valid = before.keySet.filter(_ % 13 != 5) ++
+      before.keySet.filter(k => k % 97 == 3 && k % 13 != 5 && k % 7 != 0).map(_ + 10000000L)
+    assert(after.keySet === valid)
+  }
+
   test("snapshot diff: changed = keys divisible by 7, nothing added/removed") {
     import spark.implicits._
     val out = EntityRes.snapshotDiff(spark, Sf)

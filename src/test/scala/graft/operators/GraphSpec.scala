@@ -61,6 +61,55 @@ class GraphSpec extends SparkSuite {
     assert(keys === keys.sorted)
   }
 
+  test("triangles: hand arithmetic on a planted K4 + pendant path") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} (4 triangles; each vertex in C(3,2)=3 of them),
+    // pendant 4–5 attached at 3 (no triangle through 4 or 5).
+    // Directions are arbitrary — the operator canonicalizes.
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (3L, 1L), (2L, 3L),
+      (3L, 4L), (5L, 4L)).toDF("src", "dst")
+    val got = Graph.triangleCountsOf(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byNode = got.map { case (dom, deg, tri, cc) =>
+      dom.stripPrefix("d").stripSuffix(".example.com").toLong -> ((deg, tri, cc))
+    }.toMap
+    assert(byNode(0L) === ((3L, 3L, 1.0)))
+    assert(byNode(1L) === ((3L, 3L, 1.0)))
+    assert(byNode(2L) === ((3L, 3L, 1.0)))
+    assert(byNode(3L) === ((4L, 3L, 0.5))) // deg 4 → 3/C(4,2) = 0.5
+    assert(byNode(4L) === ((2L, 0L, 0.0)))
+    assert(byNode(5L) === ((1L, 0L, 0.0)))
+    // total triangles: each counted at 3 nodes → sum/3 = 4
+    assert(got.map(_._3).sum === 12L)
+  }
+
+  test("triangles agree with an independent in-memory count on the corpus graph") {
+    import spark.implicits._
+    val docIds = Tables.documents(spark, Sf).select($"doc_id").as[Long].collect().toSeq
+    val und: Set[(Long, Long)] = (for {
+      d <- docIds
+      (m, c) <- Graph.LinkDerivations
+      src = d % Graph.NDomains
+      dst = (d * m + c) % Graph.NDomains
+      if src != dst
+    } yield (math.min(src, dst), math.max(src, dst))).toSet
+    val adj = (und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val got = Graph.triangleCounts(spark, Sf).collect()
+      .map(r => r.getString(0).stripPrefix("d").stripSuffix(".example.com").toLong
+        -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === adj.keySet)
+    adj.foreach { case (v, ns) =>
+      val pairsClosed = ns.toSeq.sorted.combinations(2).count {
+        case Seq(x, y) => adj(x).contains(y)
+        case _ => false
+      }.toLong
+      assert(got(v) === ((ns.size.toLong, pairsClosed)),
+        s"node $v: got ${got(v)} want (${ns.size}, $pairsClosed)")
+    }
+  }
+
   test("harmonic centrality matches hand arithmetic on a planted path+hub") {
     import spark.implicits._
     // graph: 0→1, 1→2, 0→2 (hub 2 also reached directly), 3→0

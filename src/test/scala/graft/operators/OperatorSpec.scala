@@ -66,6 +66,30 @@ class OperatorSpec extends SparkSuite {
     assert(plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("salted join: result equals the plain join; plan shuffles on (key, salt)") {
+    import spark.implicits._
+    val got = Relational.joinSkewSalted(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // plain unsalted reference join, same decimal-sum discipline
+    val li = Tables.lineitem(spark, Sf)
+    val plain = li
+      .select(
+        when($"l_orderkey" % 3 === 0, lit(1L)).otherwise($"l_suppkey").as("sk"),
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .join(Tables.supplier(spark, Sf).select($"s_suppkey".as("sk"), $"s_nationkey"), "sk")
+      .groupBy($"s_nationkey")
+      .agg(round(sum($"rev".cast("decimal(28,8)")).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .select($"s_nationkey".cast("long"), $"revenue", $"cnt")
+      .orderBy($"s_nationkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq === plain.toSeq)
+    // the salted plan must not broadcast — the exchange carries the salt
+    val plan = Relational.joinSkewSalted(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("salt"), plan)
+  }
+
   test("topk plans as TakeOrderedAndProject (no global sort)") {
     val plan = Relational.topKOrders(spark, Sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)

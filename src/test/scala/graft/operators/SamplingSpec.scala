@@ -15,6 +15,27 @@ class SamplingSpec extends SparkSuite {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("weighted sample matches an independent in-memory Efraimidis–Spirakis draw") {
+    val docs = graft.Tables.documents(spark, Sf)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    // same u and key formulas, computed with JDK arithmetic
+    val keyed = docs.map { case (id, w) =>
+      val h = java.lang.Long.parseLong(md5hex(id.toString).take(12), 16)
+      val u = (h.toDouble + 1.0) / 281474976710657.0
+      (id, math.log(u) / w.toDouble)
+    }
+    val wantTop = keyed.sortBy { case (id, k) => (-k, id) }.take(100).map(_._1).toSet
+    val got = Sampling.weightedSample(spark, Sf).select($"doc_id").as[Long].collect()
+    assert(got.length === 100)
+    assert(got.toSet === wantTop)
+    // weighting sanity: the selected docs skew long — mean n_chars of the
+    // sample must exceed the corpus mean (weight ∝ n_chars)
+    val byId = docs.toMap
+    val meanAll = docs.map(_._2).sum.toDouble / docs.length
+    val meanSel = got.map(byId).sum.toDouble / got.length
+    assert(meanSel > meanAll, s"sample mean $meanSel not above corpus mean $meanAll")
+  }
+
   test("leakage-free split puts exact-duplicate texts in the same split") {
     val docs = (1L to 400L).map { i =>
       // 100 texts, each duplicated 4× under different doc ids
