@@ -604,6 +604,31 @@ object Graph {
   def triangleCounts(s: SparkSession, d: String): DataFrame =
     triangleCountsOf(domainEdges(s, d))
 
+  /** Canonical undirected edges of `edgesIn`, oriented low→high by the
+    * (degree, id) total order; `rv` carries the head's rank key. Split out
+    * so GraphSpec can pin the orientation's skew bound (max oriented
+    * out-degree stays small on a hub graph) independently of the counts. */
+  private[operators] def orientedEdges(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val und = edgesIn
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val deg = und.select($"a".as("node")).unionAll(und.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("degree"))
+    val withDeg = und
+      .join(deg.select($"node".as("a"), $"degree".as("da")), "a")
+      .join(deg.select($"node".as("b"), $"degree".as("db")), "b")
+    withDeg
+      .select(
+        when(struct($"da", $"a") < struct($"db", $"b"),
+          struct($"a".as("u"), $"b".as("v"), struct($"db".as("d"), $"b".as("n")).as("rv")))
+          .otherwise(
+            struct($"b".as("u"), $"a".as("v"), struct($"da".as("d"), $"a".as("n")).as("rv")))
+          .as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"), $"e.rv".as("rv"))
+  }
+
   private[operators] def triangleCountsOf(edgesIn: DataFrame): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
@@ -613,20 +638,7 @@ object Graph {
       .distinct().persist()
     val deg = und.select($"a".as("node")).unionAll(und.select($"b".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("degree"))
-    // Orient each edge toward the higher (degree, id) endpoint; carry the
-    // head's rank key so wedge legs can be ordered without a re-join.
-    val withDeg = und
-      .join(deg.select($"node".as("a"), $"degree".as("da")), "a")
-      .join(deg.select($"node".as("b"), $"degree".as("db")), "b")
-    val oriented = withDeg
-      .select(
-        when(struct($"da", $"a") < struct($"db", $"b"),
-          struct($"a".as("u"), $"b".as("v"), struct($"db".as("d"), $"b".as("n")).as("rv")))
-          .otherwise(
-            struct($"b".as("u"), $"a".as("v"), struct($"da".as("d"), $"a".as("n")).as("rv")))
-          .as("e"))
-      .select($"e.u".as("u"), $"e.v".as("v"), $"e.rv".as("rv"))
-      .persist()
+    val oriented = orientedEdges(edgesIn).persist()
     // Wedges at the low-rank pivot u: (u→x, u→y) with rank(x) < rank(y);
     // the closing edge, if present, is oriented x→y by transitivity.
     val wedges = oriented.select($"u", $"v".as("x"), $"rv".as("rx"))

@@ -93,6 +93,66 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** Empirical-Bayes source-quality shrinkage — the "is this source bad,
+    * or just small?" decision behind source-level filtering: the raw
+    * per-source mean of a per-doc quality signal (stopword ratio here)
+    * is shrunk toward the corpus mean with prior strength m = 20
+    * pseudo-docs,
+    *
+    *   shrunk_s = (n_s · mean_s + m · mean_corpus) / (n_s + m)
+    *
+    * (the James–Stein / credibility estimator; cf. Efron & Morris 1975).
+    * A 5-doc source with one odd document no longer swings its whole
+    * source score; a 10k-doc source's evidence overwhelms the prior.
+    *
+    * Determinism: per-doc ratios are quantized to DECIMAL(28,8) and
+    * summed exactly (the [[CorpusDedup.unigramSurpriseStats]] idiom);
+    * every subsequent double op has identical operands on both engines.
+    * Scale shape: one source-keyed count/sum aggregation; the corpus
+    * mean is two driver scalars (the bounded-metadata-collect pattern);
+    * the shrinkage itself is arithmetic over the source-cardinality
+    * relation. */
+  def sourceQualityShrunk(s: SparkSession, d: String): DataFrame =
+    sourceQualityShrunkOf(Tables.documents(s, d))
+
+  private[operators] def sourceQualityShrunkOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = split($"text", " ")
+    val stopCnt = size(filter(toks, t => t.isin("the", "a")))
+    val per = docs
+      .select($"source",
+        (stopCnt.cast("double") / size(toks)).cast("decimal(28,8)").as("q"))
+      .groupBy($"source")
+      .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+      .persist()
+    val tot = per.agg(sum($"sq").as("sall"), sum($"n").as("nall")).head()
+    val meanG = tot.getDecimal(0).doubleValue() / tot.getLong(1)
+    per.select(
+      $"source",
+      $"n".as("n_docs"),
+      round($"sq".cast("double") / $"n", 4).as("raw_mean"),
+      round(($"n" * ($"sq".cast("double") / $"n") + lit(20.0) * lit(meanG))
+        / ($"n" + lit(20L)), 4).as("shrunk_mean"))
+      .orderBy($"source")
+  }
+
+  val sourceQualityShrunkOracle: String =
+    """WITH per AS (
+      |  SELECT source,
+      |         sum(CAST(len(list_filter(string_split(text, ' '),
+      |                      t -> t IN ('the', 'a'))) * 1.0
+      |              / len(string_split(text, ' ')) AS DECIMAL(28,8))) AS sq,
+      |         count(*) AS n
+      |  FROM documents GROUP BY source),
+      |g AS (SELECT CAST(sum(sq) AS DOUBLE) / sum(n) AS mg FROM per)
+      |SELECT source,
+      |       CAST(n AS BIGINT) AS n_docs,
+      |       CAST(round(CAST(sq AS DOUBLE) / n, 4) AS DOUBLE) AS raw_mean,
+      |       CAST(round((n * (CAST(sq AS DOUBLE) / n) + 20.0 * mg)
+      |                  / (n + 20), 4) AS DOUBLE) AS shrunk_mean
+      |FROM per CROSS JOIN g ORDER BY source""".stripMargin
+
   val sourceProfileOracle: String =
     """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -633,6 +693,7 @@ object TextOps {
     Q("text_quality_score", Some(qualityScoreOracle), qualityScore),
     Q("text_lang_profile", Some(langProfileOracle), langProfile),
     Q("text_source_profile", Some(sourceProfileOracle), sourceProfile),
+    Q("quality_source_shrunk", Some(sourceQualityShrunkOracle), sourceQualityShrunk),
     Q("text_fingerprint", Some(fingerprintOracle), fingerprint),
     Q("text_word_count", Some(wordCountOracle), wordCount),
     Q("text_token_bpe", Some(tokenCountBpeOracle), tokenCountBpe),

@@ -84,6 +84,31 @@ class GraphSpec extends SparkSuite {
     assert(got.map(_._3).sum === 12L)
   }
 
+  test("triangle orientation bounds hub fan-out: no wedge pivots at the hub") {
+    import spark.implicits._
+    // Star: hub 0 with 200 leaves, plus one triangle among leaves 1,2,3.
+    // A naive shared-endpoint wedge join would enumerate C(200,2) = 19900
+    // wedges at the hub; the degree orientation points every spoke INTO
+    // the hub, so the hub pivots zero wedges and per-node fan-out stays
+    // bounded by the number of higher-rank neighbors.
+    val edges = ((1L to 200L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L))).toDF("src", "dst")
+    val oriented = Graph.orientedEdges(edges)
+    val outdeg = oriented.groupBy($"u").count().select($"count").as[Long].collect()
+    assert(outdeg.max <= 3L, s"oriented out-degree exploded: ${outdeg.max}")
+    // wedge relation size = Σ C(outdeg, 2): tiny vs the naive 19900
+    val wedgePairs = outdeg.map(d => d * (d - 1) / 2).sum
+    assert(wedgePairs <= 10L, s"wedge relation not skew-bounded: $wedgePairs")
+    // counts: 4 triangles — {1,2,3} plus {0,i,j} for each edge among
+    // the interconnected leaves; hub in 3, each of 1,2,3 in 3
+    val got = Graph.triangleCountsOf(edges).collect()
+      .map(r => r.getString(0).stripPrefix("d").stripSuffix(".example.com").toLong
+        -> r.getLong(2)).toMap
+    assert(got(0L) === 3L)
+    assert(got(1L) === 3L && got(2L) === 3L && got(3L) === 3L)
+    assert(got.values.sum === 12L)
+  }
+
   test("triangles agree with an independent in-memory count on the corpus graph") {
     import spark.implicits._
     val docIds = Tables.documents(spark, Sf).select($"doc_id").as[Long].collect().toSeq

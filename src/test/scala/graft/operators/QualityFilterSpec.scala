@@ -12,6 +12,26 @@ import graft.SparkSuite
 class QualityFilterSpec extends SparkSuite {
   import spark.implicits._
 
+  test("source shrinkage: hand-computed James–Stein pull toward the corpus mean") {
+    // srcA: 2 docs, ratios 1/2 ("the x") and 0/2 ("x y") → raw mean 0.25
+    // srcB: 1 doc, ratio 1.0 ("the the") → raw mean 1.0 (tiny, extreme)
+    // corpus mean = (0.5 + 0 + 1.0)/3 = 0.5
+    // shrunk A = (2·0.25 + 20·0.5)/22 = 10.5/22 = 0.477272…
+    // shrunk B = (1·1.0 + 20·0.5)/21 = 11/21 = 0.523809…
+    // → B's extreme mean collapses near the prior; A moves less per doc
+    val docs = Seq(
+      (1L, "the x", "srcA"), (2L, "x y", "srcA"), (3L, "the the", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceQualityShrunkOf(docs)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("srcA") === ((2L, 0.25, 0.4773)))
+    assert(out("srcB") === ((1L, 1.0, 0.5238)))
+    // shrinkage direction: both pulled toward 0.5, neither across it
+    assert(out("srcA")._3 > 0.25 && out("srcA")._3 < 0.5)
+    assert(out("srcB")._3 < 1.0 && out("srcB")._3 > 0.5)
+  }
+
   test("bigram surprise: hand-computed add-0.5 probabilities on a 4-token vocab") {
     // corpus: "a b a b", "a c", "z" -> V=4, denominator add = 0.5*4 = 2.
     // C(a,b)=2, C(b,a)=1, C(a,c)=1; C(a·)=3, C(b·)=1.
