@@ -65,4 +65,44 @@ object Attribution {
       .select(col("p_id").as("event_id"), col("p_user").as("user_id"),
         col("last_click_id"))
   }
+
+  /** [[lastTouch]] with LEFT OUTER interval-join semantics: every
+    * purchase is emitted, clickless ones with a NULL `last_click_id` —
+    * the batch as-of join's contract, now on the stream. The unmatched
+    * row can only be declared once no future click can still land in its
+    * lookback window, so Spark holds the purchase in join state until
+    * the CLICK-side watermark passes `p_ts` (the interval bound gives
+    * the engine that eviction horizon); the downstream windowed
+    * reduction then finalizes it like any matched row. Same two
+    * exchanges, same bounded state — the only cost of the outer contract
+    * is emission latency tied to the watermark, not extra state.
+    *
+    * The conversion-RATE readout (attributed vs organic purchases per
+    * window) needs exactly this: an inner join cannot count the
+    * organic side. */
+  def lastTouchOuter(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      lookback: String = "1 hour",
+      watermark: String = "10 minutes",
+      windowSize: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"),
+        "left_outer")
+      .groupBy(window(col("p_ts"), windowSize), col("p_id"), col("p_user"))
+      .agg(max_by(col("c_id"), struct(col("c_ts"), col("c_id")))
+        .as("last_click_id"))
+      .select(col("p_id").as("event_id"), col("p_user").as("user_id"),
+        col("last_click_id"))
+  }
 }

@@ -50,6 +50,41 @@ class AttributionSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer last-touch: clickless and stale-click purchases emit NULL attribution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[Ev]
+    val cIn = MemoryStream[Ev]
+    val out = Attribution.lastTouchOuter(
+      pIn.toDS().toDF("event_id", "user_id", "ts"),
+      cIn.toDS().toDF("event_id", "user_id", "ts"),
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: in-window clicks → attributed to the later one (102)
+      // user 2: only a stale click (t1 vs purchase t90, 1h lookback) → NULL
+      // user 3: no click at all → NULL
+      cIn.addData((101L, 1L, ts(5)), (102L, 1L, ts(20)), (201L, 2L, ts(1)))
+      pIn.addData((501L, 1L, ts(30)), (502L, 2L, ts(90)), (503L, 3L, ts(10)))
+      q.processAllAvailable()
+      cIn.addData((998L, 99L, ts(10000)))
+      pIn.addData((999L, 99L, ts(10000)))
+      q.processAllAvailable()
+      cIn.addData((996L, 99L, ts(10001)))
+      pIn.addData((997L, 99L, ts(10001)))
+      q.processAllAvailable()
+
+      val got = spark.table("attr_outer")
+        .as[(Long, Long, Option[Long])].collect()
+        .filterNot(_._2 == 99L).toSet
+      assert(got === Set(
+        (501L, 1L, Some(102L)),
+        (502L, 2L, None),
+        (503L, 3L, None)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming attribution agrees with the batch interval-join last-touch on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
