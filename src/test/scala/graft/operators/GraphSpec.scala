@@ -135,6 +135,56 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("k-core: K5 survives the peel, the attached tail does not") {
+    import spark.implicits._
+    // K5 on {0..4} (every node degree 4 → the 4-core), tail 4–5–6.
+    // Node 4 starts at degree 5; after the tail peels it must sit at
+    // core degree 4 like the rest.
+    val k5 = for { i <- 0L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val edges = (k5 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = Graph.kCoreOf(edges).collect()
+      .map(r => r.getString(0).stripPrefix("d").stripSuffix(".example.com").toLong
+        -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    (0L to 3L).foreach(v => assert(got(v) === ((4L, 4L, 1)), s"node $v"))
+    assert(got(4L) === ((5L, 4L, 1)))
+    assert(got(5L) === ((2L, 0L, 0)))
+    assert(got(6L) === ((1L, 0L, 0)))
+  }
+
+  test("k-core peel is stable within the fixed rounds on the corpus graph") {
+    import spark.implicits._
+    val docIds = Tables.documents(spark, Sf).select($"doc_id").as[Long].collect().toSeq
+    val und: Set[(Long, Long)] = (for {
+      d <- docIds
+      (m, c) <- Graph.LinkDerivations
+      src = d % Graph.NDomains
+      dst = (d * m + c) % Graph.NDomains
+      if src != dst
+    } yield (math.min(src, dst), math.max(src, dst))).toSet
+    // independent in-memory peel run to FIXPOINT (no round cap)
+    var alive = und
+    var changed = true
+    while (changed) {
+      val deg = alive.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, xs) => v -> xs.size }
+      val keep = deg.collect { case (v, d) if d >= Graph.CoreK => v }.toSet
+      val next = alive.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next != alive
+      alive = next
+    }
+    val coreDeg = alive.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val got = Graph.kCore(spark, Sf).collect()
+      .map(r => r.getString(0).stripPrefix("d").stripSuffix(".example.com").toLong
+        -> ((r.getLong(2), r.getInt(3)))).toMap
+    // the fixed CoreRounds peel must equal the true fixpoint — i.e. 10
+    // rounds are enough on this graph, and the flag is the real k-core
+    got.foreach { case (v, (cd, flag)) =>
+      assert(cd === coreDeg.getOrElse(v, 0L), s"node $v core degree")
+      assert(flag === (if (coreDeg.getOrElse(v, 0L) >= Graph.CoreK) 1 else 0))
+    }
+  }
+
   test("harmonic centrality matches hand arithmetic on a planted path+hub") {
     import spark.implicits._
     // graph: 0→1, 1→2, 0→2 (hub 2 also reached directly), 3→0
