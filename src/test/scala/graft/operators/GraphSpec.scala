@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{greatest, least}
+
 import graft.{SparkSuite, Tables}
 
 /** First-principles checks for [[Graph.domainRank]]: an independent
@@ -133,6 +135,47 @@ class GraphSpec extends SparkSuite {
       assert(got(v) === ((ns.size.toLong, pairsClosed)),
         s"node $v: got ${got(v)} want (${ns.size}, $pairsClosed)")
     }
+  }
+
+  test("incremental triangles: hand fixture covers 1-, 2- and 3-new-edge triangles") {
+    import spark.implicits._
+    // old graph: edge 1–2 plus an untouched triangle {7,8,9}
+    // delta: {2,3},{1,3}  → closes triangle {1,2,3} (one old edge)
+    //        {4,5},{5,6},{4,6} → all-new triangle {4,5,6}
+    // max-edge attribution must count each exactly once
+    val old = Seq((1L, 2L), (7L, 8L), (8L, 9L), (7L, 9L)).toDF("src", "dst")
+    val delta = Seq((2L, 3L), (3L, 1L), (4L, 5L), (6L, 5L), (4L, 6L)).toDF("src", "dst")
+    val undOld = old.select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b")).distinct()
+    val base = Graph.triangleCountsOf(old)
+    val got = Graph.refreshTriangles(base, undOld, delta).collect()
+      .map(r => r.getString(0).stripPrefix("d").stripSuffix(".example.com").toLong
+        -> ((r.getLong(1), r.getLong(2)))).toMap
+    val full = Graph.triangleCountsOf(old.unionAll(delta)).collect()
+      .map(r => r.getString(0).stripPrefix("d").stripSuffix(".example.com").toLong
+        -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === full)
+    // explicit hand values: {1,2,3} and {4,5,6} once each, {7,8,9} untouched
+    assert(got(1L) === ((2L, 1L)) && got(3L) === ((2L, 1L)))
+    assert(got(4L) === ((2L, 1L)) && got(5L) === ((2L, 1L)) && got(6L) === ((2L, 1L)))
+    assert(got(7L) === ((2L, 1L)))
+  }
+
+  test("incremental triangles: refresh == full rebuild on the corpus graph, delta-duplicate-proof") {
+    import spark.implicits._
+    val full = Graph.triangleCounts(spark, Sf).collect().toSeq
+    val inc = Graph.triangleCountsIncremental(spark, Sf).collect().toSeq
+    assert(inc === full)
+    // duplicate-delta robustness: re-applying edges that already exist
+    // must be a no-op (anti-join guard)
+    val undFull = Tables.documents(spark, Sf).select($"doc_id")
+      .transform(Graph.domainEdgesOf)
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b")).distinct()
+    val again = Graph.refreshTriangles(
+      Graph.triangleCounts(spark, Sf),
+      undFull,
+      Tables.documents(spark, Sf).select($"doc_id").transform(Graph.domainEdgesOf))
+      .collect().toSeq
+    assert(again === full)
   }
 
   test("k-core: K5 survives the peel, the attached tail does not") {
