@@ -153,6 +153,74 @@ object TextOps {
       |                  / (n + 20), 4) AS DOUBLE) AS shrunk_mean
       |FROM per CROSS JOIN g ORDER BY source""".stripMargin
 
+  /** Per-language z-score standardization of the quality signal — the
+    * feature-engineering step before any cross-language thresholding:
+    * stopword ratios are only comparable WITHIN a language (French text
+    * has different function-word density than English), so each doc's
+    * ratio is standardized against its own language's mean/σ. Filtering
+    * at |z| > τ then means the same thing in every language — the
+    * per-group normalization every multilingual quality gate runs.
+    *
+    * Determinism: per-doc ratios and their squares are quantized to
+    * DECIMAL(28,8) and summed exactly; mean, population variance and
+    * sqrt then operate on identical doubles on both engines (IEEE sqrt
+    * is correctly rounded). Zero-variance groups emit z = 0.
+    *
+    * Scale shape: one language-keyed aggregation (key-cardinality
+    * sized), broadcast back against the corpus; the z itself is a
+    * narrow per-row projection — one scan, one tiny join. */
+  def qualityZNorm(s: SparkSession, d: String): DataFrame =
+    qualityZNormOf(Tables.documents(s, d))
+
+  private[operators] def qualityZNormOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = split($"text", " ")
+    val stopCnt = size(filter(toks, t => t.isin("the", "a")))
+    val scored = docs
+      .select($"doc_id", $"lang",
+        (stopCnt.cast("double") / size(toks)).cast("decimal(28,8)").as("q"))
+    val stats = scored.groupBy($"lang").agg(
+      sum($"q").as("sx"),
+      sum(($"q".cast("double") * $"q".cast("double")).cast("decimal(28,8)")).as("sxx"),
+      count(lit(1)).as("n"))
+    val withM = stats.select($"lang",
+      ($"sx".cast("double") / $"n").as("mean"),
+      sqrt(greatest(
+        ($"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n") / $"n",
+        lit(0.0))).as("std"))
+    scored.join(broadcast(withM), Seq("lang"))
+      .select($"doc_id", $"lang",
+        round(when($"std" > 0, ($"q".cast("double") - $"mean") / $"std")
+          .otherwise(lit(0.0)), 4).as("z_quality"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityZNormOracle: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |                  t -> t IN ('the', 'a'))) * 1.0
+      |              / len(string_split(text, ' ')) AS DECIMAL(28,8)) AS q
+      |  FROM documents),
+      |stats AS (
+      |  SELECT lang, sum(q) AS sx,
+      |         sum(CAST(CAST(q AS DOUBLE) * CAST(q AS DOUBLE) AS DECIMAL(28,8))) AS sxx,
+      |         count(*) AS n
+      |  FROM scored GROUP BY lang),
+      |m AS (
+      |  SELECT lang, CAST(sx AS DOUBLE) / n AS mean,
+      |         sqrt(greatest(
+      |           (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n,
+      |           0.0)) AS std
+      |  FROM stats)
+      |SELECT doc_id, lang,
+      |       CAST(round(CASE WHEN std > 0
+      |                       THEN (CAST(q AS DOUBLE) - mean) / std
+      |                       ELSE 0.0 END, 4) AS DOUBLE) AS z_quality
+      |FROM scored JOIN m USING (lang)
+      |ORDER BY doc_id""".stripMargin
+
   val sourceProfileOracle: String =
     """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -694,6 +762,7 @@ object TextOps {
     Q("text_lang_profile", Some(langProfileOracle), langProfile),
     Q("text_source_profile", Some(sourceProfileOracle), sourceProfile),
     Q("quality_source_shrunk", Some(sourceQualityShrunkOracle), sourceQualityShrunk),
+    Q("text_quality_znorm", Some(qualityZNormOracle), qualityZNorm),
     Q("text_fingerprint", Some(fingerprintOracle), fingerprint),
     Q("text_word_count", Some(wordCountOracle), wordCount),
     Q("text_token_bpe", Some(tokenCountBpeOracle), tokenCountBpe),

@@ -32,6 +32,20 @@ class QualityFilterSpec extends SparkSuite {
     assert(out("srcB")._3 < 1.0 && out("srcB")._3 > 0.5)
   }
 
+  test("z-norm: hand-computed per-language standardization, zero-variance guard") {
+    // lang en: ratios 0.5 ("the x") and 0.0 ("x y") → mean 0.25,
+    //   population σ = 0.25 → z = +1, −1
+    // lang fr: single doc → σ = 0 → z = 0 by the guard
+    val docs = Seq(
+      (1L, "the x", "en"), (2L, "x y", "en"), (3L, "le chat", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.qualityZNormOf(docs)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1L) === 1.0)
+    assert(out(2L) === -1.0)
+    assert(out(3L) === 0.0)
+  }
+
   test("bigram surprise: hand-computed add-0.5 probabilities on a 4-token vocab") {
     // corpus: "a b a b", "a c", "z" -> V=4, denominator add = 0.5*4 = 2.
     // C(a,b)=2, C(b,a)=1, C(a,c)=1; C(a·)=3, C(b·)=1.
