@@ -129,6 +129,89 @@ object Timeseries {
        |  (v IS NOT NULL) AS observed
        |FROM j ORDER BY event_type, minute""".stripMargin
 
+  /** Exponentially-weighted moving average (α = 1/2) over the hourly
+    * event-count series of each event type — the smoothing baseline every
+    * rate-anomaly detector subtracts before thresholding (EWMA control
+    * charts; Hunter 1986). `s_t = α·x_t + (1−α)·s_{t−1}`, `s_1 = x_1`,
+    * unrolled to the closed form `s_t = Σ_i w(t,i)·x_i` with
+    * `w(t,i) = 2^{−(t−i+1)}` (and the `2^{−(t−1)}` carry on `x_1`).
+    *
+    * α = 1/2 is chosen deliberately: every weight is an exact power of
+    * two, so `x_i / 2^e` is ONE exact IEEE scaling (no rounding at all,
+    * computed as a bigint shift on both engines) — the whole smoothing is
+    * bit-deterministic cross-engine without any libm `pow` in sight; the
+    * per-term DECIMAL quantize-then-sum idiom does the rest.
+    *
+    * Scale shape — why this is NOT an O(n²) self-join: weights vanish
+    * below 2⁻⁶² within 62 lags, and a weight smaller than that quantizes
+    * to an EXACT zero at 8 dp on both engines, so the join is BANDED to
+    * the last 62 buckets per row (plus the `x_1` carry while t ≤ 63) —
+    * constant work per output row, one shuffle keyed on the series.
+    * Exponential forgetting IS the banding bound; no approximation is
+    * introduced by it. */
+  def ewmaHourly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    ewmaHourlyOf(Tables.events(s, d)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).cast("double").as("x")))
+  }
+
+  /** [[ewmaHourly]] on a prepared (event_type, hour, x) bucket table. */
+  private[operators] def ewmaHourlyOf(hourly: DataFrame): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
+    val idx = hourly.select($"event_type", $"hour", $"x",
+      row_number().over(
+        Window.partitionBy($"event_type").orderBy($"hour")).as("t"))
+    val a = idx.select($"event_type", $"hour", $"t", $"x".as("xt"))
+    val b = idx.select($"event_type", $"t".as("i"), $"x".as("xi"))
+    val e = when($"i" === 1, $"t" - 1).otherwise($"t" - $"i" + 1)
+    a.join(b, Seq("event_type"))
+      .where($"i" <= $"t" && e <= 62)
+      .select($"event_type", $"hour", $"t", $"xt", $"xi", e.cast("int").as("e"))
+      .select($"event_type", $"hour", $"t", $"xt",
+        when($"e" === 0, $"xi")
+          .otherwise(expr("xi / cast(shiftleft(cast(1 as bigint), e) as double)"))
+          .cast("decimal(28,8)").as("term"))
+      .groupBy($"event_type", $"hour", $"t", $"xt")
+      .agg(round(sum($"term").cast("double"), 4).as("ewma"))
+      .select($"event_type",
+        date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"t", $"xt".as("x"), $"ewma")
+      .orderBy($"event_type", $"t")
+  }
+
+  val ewmaHourlyOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |         CAST(count(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, hour, x,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t
+      |  FROM hourly),
+      |terms AS (
+      |  SELECT a.event_type, a.hour, a.t, a.x AS xt,
+      |         CAST(CASE WHEN (CASE WHEN b.t = 1 THEN a.t - 1
+      |                              ELSE a.t - b.t + 1 END) = 0 THEN b.x
+      |              ELSE b.x / CAST(CAST(1 AS BIGINT) <<
+      |                     (CASE WHEN b.t = 1 THEN a.t - 1
+      |                           ELSE a.t - b.t + 1 END) AS DOUBLE)
+      |              END AS DECIMAL(28,8)) AS term
+      |  FROM idx a JOIN idx b
+      |    ON b.event_type = a.event_type AND b.t <= a.t
+      |   AND (CASE WHEN b.t = 1 THEN a.t - 1 ELSE a.t - b.t + 1 END) <= 62)
+      |SELECT event_type,
+      |       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+      |       CAST(t AS BIGINT) AS t, xt AS x,
+      |       CAST(round(CAST(sum(term) AS DOUBLE), 4) AS DOUBLE) AS ewma
+      |FROM terms
+      |GROUP BY event_type, hour, t, xt
+      |ORDER BY event_type, t""".stripMargin
+
+  // NOTE: defs last — it references the oracle vals above, and object
+  // vals initialize in declaration order (a forward reference is null).
   val defs: Seq[Q] = Seq(
-    Q("ev_gapfill_interpolate", Some(gapfillInterpolateOracle), gapfillInterpolate))
+    Q("ev_gapfill_interpolate", Some(gapfillInterpolateOracle), gapfillInterpolate),
+    Q("ev_ewma_hourly", Some(ewmaHourlyOracle), ewmaHourly))
 }

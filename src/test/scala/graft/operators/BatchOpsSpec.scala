@@ -59,6 +59,32 @@ class BatchOpsSpec extends SparkSuite {
     assert(out("10:05") == 30.0 && out("10:06") == 30.0) // right carry
   }
 
+  test("ewma: closed form equals the textbook recursion on a hand series") {
+    import spark.implicits._
+    // x = [1, 3, 2, 6]: s1=1, s2=.5*3+.5*1=2, s3=.5*2+.5*2=2, s4=.5*6+.5*2=4
+    val hourly = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 3.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 2.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 6.0))
+      .toDF("event_type", "hour", "x")
+    val got = Timeseries.ewmaHourlyOf(hourly)
+      .select($"t", $"ewma").as[(Int, Double)].collect().toMap
+    assert(got === Map(1 -> 1.0, 2 -> 2.0, 3 -> 2.0, 4 -> 4.0))
+    // and against an independent recursion on a longer pseudo-random series
+    val xs = (1 to 80).map(i => (i * 37 % 11).toDouble)
+    val longSeries = xs.zipWithIndex.map { case (x, i) =>
+      ("b", new java.sql.Timestamp(1704067200000L + i * 3600000L), x)
+    }.toDF("event_type", "hour", "x")
+    var sRef = xs.head
+    val want = xs.head +: xs.tail.map { x => sRef = 0.5 * x + 0.5 * sRef; sRef }
+    val gotLong = Timeseries.ewmaHourlyOf(longSeries)
+      .orderBy($"t").select($"ewma").as[Double].collect()
+    want.zip(gotLong).zipWithIndex.foreach { case ((w, g), i) =>
+      assert(math.abs(w - g) < 5e-4, s"t=${i + 1}: want $w got $g")
+    }
+  }
+
   test("audit: clean table passes every constraint; violations are caught") {
     import spark.implicits._
     val clean = Audit.auditOrders(spark, Sf).cache()
