@@ -209,9 +209,111 @@ object Timeseries {
       |GROUP BY event_type, hour, t, xt
       |ORDER BY event_type, t""".stripMargin
 
+  /** One-sided CUSUM change detection over the hourly series of each
+    * event type — the classic sequential drift alarm (Page 1954; the
+    * control-chart complement to [[ewmaHourly]]'s smoothing): with
+    * per-type target μ and allowance k = σ/2,
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + x_t − (μ + k)),  alarm when S⁺_t > 4σ.
+    *
+    * A sustained upward rate shift accumulates where a single spike
+    * decays — exactly the "error rate crept up 20% for six hours"
+    * signal a threshold on raw x misses.
+    *
+    * Determinism: μ and σ come from exact decimal sums (the
+    * [[TextOps.qualityZNorm]] idiom), and the
+    * recursion applies the IDENTICAL IEEE op sequence on both engines —
+    * Scala fold here, recursive CTE in DuckDB — `max(0, S + x − μk)`
+    * term by term, so S is bit-identical cross-engine and the 4-dp round
+    * can't diverge.
+    *
+    * Scale shape: the recursion is inherently sequential IN t but
+    * independent ACROSS series — `flatMapGroups` after the group-by
+    * shuffle runs one ordered fold per series key in parallel (the
+    * sessionize pattern); state is one double per live series, and the
+    * series table itself is horizon × key-cardinality — metadata-sized
+    * regardless of corpus volume. */
+  def cusumHourly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    cusumHourlyOf(Tables.events(s, d)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).cast("double").as("x")))
+  }
+
+  /** [[cusumHourly]] on a prepared (event_type, hour, x) bucket table. */
+  private[operators] def cusumHourlyOf(hourly: DataFrame): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
+    val idx = hourly.select($"event_type", $"hour", $"x",
+      row_number().over(
+        Window.partitionBy($"event_type").orderBy($"hour")).as("t"))
+    val stats = hourly.groupBy($"event_type").agg(
+      sum($"x".cast("decimal(28,8)")).as("sx"),
+      sum(($"x" * $"x").cast("decimal(28,8)")).as("sxx"),
+      count(lit(1)).as("n"))
+      .select($"event_type",
+        ($"sx".cast("double") / $"n").as("mu"),
+        sqrt(greatest(
+          ($"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n") / $"n",
+          lit(0.0))).as("sigma"))
+    val joined = idx.join(broadcast(stats), Seq("event_type"))
+      .select($"event_type", $"t", $"x", $"mu", $"sigma")
+      .as[(String, Int, Double, Double, Double)]
+    joined.groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toSeq.sortBy(_._2)
+        var sPos = 0.0
+        rows.map { case (_, t, x, mu, sigma) =>
+          // identical op order to the oracle's recursive CTE
+          sPos = math.max(0.0, sPos + x - (mu + sigma / 2))
+          (key, t, x, sPos, if (sPos > 4 * sigma) 1 else 0)
+        }
+      }
+      .toDF("event_type", "t", "x", "cusum_raw", "alarm")
+      .select($"event_type", $"t".cast("long").as("t"), $"x",
+        round($"cusum_raw", 4).as("cusum_pos"), $"alarm")
+      .orderBy($"event_type", $"t")
+  }
+
+  val cusumHourlyOracle: String =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |         CAST(count(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, x,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t
+      |  FROM hourly),
+      |stats AS (
+      |  SELECT event_type,
+      |         CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mu,
+      |         sqrt(greatest(
+      |           (CAST(sum(CAST(x * x AS DECIMAL(28,8))) AS DOUBLE)
+      |            - CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE)
+      |              * CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / count(*))
+      |           / count(*), 0.0)) AS sigma
+      |  FROM hourly GROUP BY event_type),
+      |b AS (
+      |  SELECT idx.event_type, idx.t, idx.x, stats.mu, stats.sigma
+      |  FROM idx JOIN stats USING (event_type)),
+      |c AS (
+      |  SELECT event_type, t, x, mu, sigma,
+      |         greatest(0.0, 0.0 + x - (mu + sigma / 2)) AS s
+      |  FROM b WHERE t = 1
+      |  UNION ALL
+      |  SELECT b.event_type, b.t, b.x, b.mu, b.sigma,
+      |         greatest(0.0, c.s + b.x - (b.mu + b.sigma / 2))
+      |  FROM c JOIN b ON b.event_type = c.event_type AND b.t = c.t + 1)
+      |SELECT event_type, CAST(t AS BIGINT) AS t, x,
+      |       CAST(round(s, 4) AS DOUBLE) AS cusum_pos,
+      |       CAST(CASE WHEN s > 4 * sigma THEN 1 ELSE 0 END AS INT) AS alarm
+      |FROM c
+      |ORDER BY event_type, t""".stripMargin
+
   // NOTE: defs last — it references the oracle vals above, and object
   // vals initialize in declaration order (a forward reference is null).
   val defs: Seq[Q] = Seq(
     Q("ev_gapfill_interpolate", Some(gapfillInterpolateOracle), gapfillInterpolate),
-    Q("ev_ewma_hourly", Some(ewmaHourlyOracle), ewmaHourly))
+    Q("ev_ewma_hourly", Some(ewmaHourlyOracle), ewmaHourly),
+    Q("ev_cusum_hourly", Some(cusumHourlyOracle), cusumHourly))
 }

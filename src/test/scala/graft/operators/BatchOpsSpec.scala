@@ -85,6 +85,35 @@ class BatchOpsSpec extends SparkSuite {
     }
   }
 
+  test("cusum: sustained shift accumulates and alarms; a spike decays") {
+    import spark.implicits._
+    // series: 20 quiet hours at 10, then 6 shifted hours at 20.
+    // mu ≈ 12.31, sigma ≈ 4.21 → k ≈ 2.11, h = 4σ ≈ 16.9;
+    // quiet drift ≈ −4.42/hour (clamped at 0), shifted ≈ +5.58/hour →
+    // S crosses h during the shift's 4th hour and stays up.
+    val xs = Seq.fill(20)(10.0) ++ Seq.fill(6)(20.0)
+    val hourly = xs.zipWithIndex.map { case (x, i) =>
+      ("a", new java.sql.Timestamp(1704067200000L + i * 3600000L), x)
+    }.toDF("event_type", "hour", "x")
+    val got = Timeseries.cusumHourlyOf(hourly)
+      .select($"t", $"cusum_pos", $"alarm").as[(Long, Double, Int)]
+      .collect().sortBy(_._1)
+    // independent recursion
+    val n = xs.length
+    val mu = xs.sum / n
+    val sigma = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / n)
+    var sref = 0.0
+    val want = xs.map { x =>
+      sref = math.max(0.0, sref + x - (mu + sigma / 2)); sref
+    }
+    got.zip(want).foreach { case ((t, s, _), w) =>
+      assert(math.abs(s - w) < 5e-4, s"t=$t: got $s want $w")
+    }
+    // quiet phase never alarms; the sustained shift eventually does
+    assert(got.take(20).forall(_._3 == 0), "false alarm in the quiet phase")
+    assert(got.last._3 == 1, "sustained shift failed to alarm")
+  }
+
   test("audit: clean table passes every constraint; violations are caught") {
     import spark.implicits._
     val clean = Audit.auditOrders(spark, Sf).cache()
