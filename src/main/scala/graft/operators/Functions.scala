@@ -120,9 +120,51 @@ object Functions {
       |  CAST(round(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,8)), 2) AS DOUBLE) AS p90
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Array/higher-order-function parity suite over the token arrays of
+    * `documents` — the collection-manipulation surface (slice/sort/
+    * filter/transform/flatten/concat/element access) every feature
+    * pipeline leans on, exercised as codegen'd built-ins and diffed
+    * against DuckDB's list functions. Notes baked into the shape:
+    * `array_distinct` ORDER differs cross-engine (first-occurrence vs
+    * arbitrary), so only its SIZE is compared; string sorting agrees
+    * because both engines sort UTF-8 binary; out-of-range element access
+    * is NULL on both. */
+  def arraySuite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = split($"text", " ")
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(t).cast("long").as("n_tokens"),
+        array_join(slice(t, 1, 3), ",").as("first3"),
+        array_join(array_sort(slice(t, 1, 5)), ",").as("sorted5"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        size(filter(t, x => length(x) > 3)).cast("long").as("n_long"),
+        array_join(transform(slice(t, 1, 3), x => upper(x)), ",").as("upper3"),
+        array_contains(t, "the").cast("int").as("has_the"),
+        size(concat(slice(t, 1, 2), slice(t, 3, 2))).cast("long").as("n_cc"),
+        element_at(t, 2).as("second"))
+      .orderBy($"doc_id")
+  }
+
+  val arraySuiteOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  array_to_string(list_slice(string_split(text, ' '), 1, 3), ',') AS first3,
+      |  array_to_string(list_sort(list_slice(string_split(text, ' '), 1, 5)), ',') AS sorted5,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 3)) AS BIGINT) AS n_long,
+      |  array_to_string(list_transform(list_slice(string_split(text, ' '), 1, 3),
+      |                  x -> upper(x)), ',') AS upper3,
+      |  CAST(list_contains(string_split(text, ' '), 'the') AS INT) AS has_the,
+      |  CAST(len(list_concat(list_slice(string_split(text, ' '), 1, 2),
+      |           list_slice(string_split(text, ' '), 3, 4))) AS BIGINT) AS n_cc,
+      |  string_split(text, ' ')[2] AS second
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("fn_string_suite", Some(stringSuiteOracle), stringSuite),
     Q("fn_datetime_suite", Some(datetimeSuiteOracle), datetimeSuite),
     Q("fn_conditional_suite", Some(conditionalSuiteOracle), conditionalSuite),
+    Q("fn_array_suite", Some(arraySuiteOracle), arraySuite),
     Q("agg_percentiles", Some(percentilesOracle), percentiles))
 }

@@ -852,13 +852,26 @@ object Graph {
     // eager: materialized before the peel loop unpersists anything
     val deg0 = degrees(und).localCheckpoint()
     var alive = und
-    for (_ <- 1 to CoreRounds) {
+    // Early stop at the fixpoint: the surviving edge set shrinks
+    // monotonically, so an unchanged count IS an unchanged set, and the
+    // remaining unrolled rounds are idempotent — the result is identical
+    // to running all CoreRounds (which is what the oracle unrolls); the
+    // engine just skips the no-op rounds. localCheckpoint is eager, so
+    // the count reads the just-materialized round for free.
+    var prevCount = -1L
+    var round = 0
+    while (round < CoreRounds && prevCount != 0L) {
+      round += 1
       val keep = degrees(alive).filter($"deg" >= CoreK).select($"node")
-      alive = alive
+      val next = alive
         .join(keep.select($"node".as("a")), "a")
         .join(keep.select($"node".as("b")), "b")
         .select($"a", $"b")
         .localCheckpoint()
+      val c = next.count()
+      if (c == prevCount) round = CoreRounds // fixpoint: skip no-op rounds
+      prevCount = c
+      alive = next
     }
     val coreDeg = degrees(alive)
     val out = deg0.as("d0")
