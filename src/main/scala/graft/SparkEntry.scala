@@ -18,6 +18,7 @@ object SparkEntry {
       SqlSurface.defs ++ TextOps.defs ++ Search.defs ++ Dedup.defs ++ CorpusDedup.defs ++
       Similarity.defs ++ Rag.defs ++ Classifier.defs ++ Pca.defs ++
       Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Multimodal.defs ++
+      Audio.defs ++
       Audit.defs ++ EntityRes.defs ++ Drift.defs ++ Graph.defs ++
       graft.sources.Bucketed.defs ++ graft.sources.Formats.defs ++
       graft.sources.Manifest.defs
