@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** BPE vocabulary training: hand-computed merges on the canonical
+  * low/lower/lowest fixture, greedy-application semantics, the
+  * non-increasing pair-count invariant, and encode arithmetic.
+  */
+class BpeSpec extends SparkSuite {
+
+  test("applyMerge is greedy left-to-right non-overlapping") {
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Array("a", "b", "a", "b"), "a", "b").toSeq == Seq("ab", "ab"))
+    assert(Bpe.applyMerge(Array("x", "a", "b", "y"), "a", "b").toSeq == Seq("x", "ab", "y"))
+    assert(Bpe.applyMerge(Array("a", "b"), "b", "a").toSeq == Seq("a", "b"))
+  }
+
+  test("learned merges on the canonical fixture match hand-computed BPE") {
+    import spark.implicits._
+    // Sennrich-style toy corpus: low ×5, lower ×2, newest ×6, widest ×3.
+    // Pair counts, round 1: (e,s) = 6+3 = 9 wins (ties none); then (es,t) = 9;
+    // hand-derivable in full.
+    val docs = Seq(
+      (1L, ("low " * 5).trim), (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim), (4L, ("widest " * 3).trim))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("bpe-fixture")
+    // learnMerges reads Tables.documents(dir) — write the fixture corpus
+    docs.select($"doc_id", $"text", org.apache.spark.sql.functions.lit("en").as("lang"),
+        org.apache.spark.sql.functions.lit("t").as("source"),
+        org.apache.spark.sql.functions.length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = Bpe.learnMerges(spark, dir)
+    assert(merges.length == Bpe.NMerges)
+    // word table: low:5, lower:2, newest:6, widest:3
+    // round 1 pair counts: (l,o)=7 (o,w)=7 (w,e)=8 (e,r)=2 (n,e)=6 (e,w)=6
+    //   (w,i)=3 (i,d)=3 (d,e)=3 (e,s)=9 (s,t)=9 — tie at 9: (e,s) < (s,t)
+    assert((merges(0)._2, merges(0)._3, merges(0)._4) == ("e", "s", 9L))
+    // round 2: (es,t)=9 wins (l,o)=7 (o,w)=7 …
+    assert((merges(1)._2, merges(1)._3, merges(1)._4) == ("es", "t", 9L))
+    // round 3: (l,o)=7 vs (o,w)=7 — tie breaks to (l,o)
+    assert((merges(2)._2, merges(2)._3, merges(2)._4) == ("l", "o", 7L))
+    // round 4: (lo,w)=7
+    assert((merges(3)._2, merges(3)._3, merges(3)._4) == ("lo", "w", 7L))
+    // encode under the learned table: "newest" → n e w est → after
+    // (n,e)/(e,w) merges later rounds may compact further; just pin
+    // greedy-apply consistency with the learned list
+    val enc = Bpe.encodeWord("newest", merges)
+    assert(enc.mkString("") == "newest", "encoding must preserve the word")
+  }
+
+  test("pair counts are non-increasing in rank (max-merge argument)") {
+    val merges = Bpe.learnMerges(spark, Sf)
+    assert(merges.length == Bpe.NMerges)
+    val counts = merges.map(_._4)
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y },
+      s"pair counts increased: $counts")
+    // multi-char symbols must emerge within 10 merges on real text
+    assert(merges.exists(m => m._2.length > 1 || m._3.length > 1),
+      s"no multi-char merge learned: $merges")
+  }
+
+  test("encode stats: exact char conservation and compression bounds") {
+    import spark.implicits._
+    val enc = Bpe.bpeEncode(spark, Sf)
+    val rows = enc.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nCh, nSym, e4) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nSym <= nCh, "BPE can never emit more symbols than chars")
+      assert(nSym >= nTok, "at least one symbol per word")
+      assert(e4 >= 10000L, "compression ratio must be >= 1 char/symbol")
+      assert(e4 == math.floor(10000d * nCh.toDouble / nSym).toLong)
+    }
+    // corpus-level: merges actually compress (fewer symbols than chars)
+    val (ch, sym) = rows.foldLeft((0L, 0L)) { case ((c, s2), r) =>
+      (c + r.getLong(2), s2 + r.getLong(3)) }
+    assert(sym < ch, "10 merges must compress real text")
+  }
+
+  test("train output is deterministic under repartitioning") {
+    import spark.implicits._
+    val a = Bpe.bpeTrain(spark, Sf).collect().toSeq
+    // fresh session-key: clear the memo by using a fresh learn on the same
+    // dir — memoized value must equal a recomputation
+    val b = Bpe.learnMerges(spark, Sf)
+      .map { case (r, x, y, c) => org.apache.spark.sql.Row(r, x, y, x + y, c) }
+    assert(a.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))) ==
+      b.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))))
+  }
+}
