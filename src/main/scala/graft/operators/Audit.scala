@@ -246,9 +246,35 @@ object Audit {
       |       count(*) >= 10 AS meets_k
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** Distinct l-diversity over the same (lang, source) quasi-identifier
+    * classes as [[kAnonymity]]: k-anonymity alone still leaks when every
+    * record in a class shares the sensitive value (the homogeneity
+    * attack — Machanavajjhala et al. 2007), so the export gate also requires
+    * ≥ l distinct sensitive values per class. The corpus has no real
+    * sensitive field; the doc-length centile bucket stands in (any
+    * column-valued sensitive attribute drops into the same plan). One
+    * scan, one aggregate — same scale shape as every audit. */
+  def lDiversity(s: SparkSession, d: String, l: Int = 3): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(floor($"n_chars" / lit(100)).cast("long")).as("n_sensitive"))
+      .select($"lang", $"source", $"n", $"n_sensitive",
+        ($"n_sensitive" >= l).as("meets_l"))
+      .orderBy($"lang", $"source")
+  }
+
+  val lDiversityOracle: String =
+    """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT n_chars // 100) AS BIGINT) AS n_sensitive,
+      |       count(DISTINCT n_chars // 100) >= 3 AS meets_l
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders),
     Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers),
     Q("audit_column_stats", Some(columnStatsOracle), columnStats),
-    Q("audit_k_anonymity", Some(kAnonymityOracle), (s, d) => kAnonymity(s, d)))
+    Q("audit_k_anonymity", Some(kAnonymityOracle), (s, d) => kAnonymity(s, d)),
+    Q("audit_l_diversity", Some(lDiversityOracle), (s, d) => lDiversity(s, d)))
 }

@@ -210,12 +210,83 @@ object Manifest {
     * snapshots, the usual retention discipline.) */
   def incrementalScan(s: SparkSession, dataDir: String,
                       fromVersion: Int, toVersion: Int): DataFrame = {
-    def filesOf(v: Int): Set[String] =
-      s.read.parquet(s"${snapshotRoot(dataDir)}/v$v")
-        .select("file").collect().map(_.getString(0)).toSet
+    def filesOf(v: Int): Set[String] = filesOfSnapshot(s, dataDir, v)
     val newFiles = (filesOf(toVersion) -- filesOf(fromVersion)).toSeq.sorted
     if (newFiles.isEmpty) s.read.parquet(dataDir).limit(0)
     else s.read.parquet(newFiles: _*)
+  }
+
+  /** File set a frozen snapshot references (bounded: one row per file). */
+  private def filesOfSnapshot(s: SparkSession, dataDir: String, v: Int): Set[String] =
+    s.read.parquet(s"${snapshotRoot(dataDir)}/v$v")
+      .select("file").collect().map(_.getString(0)).toSet
+
+  /** Files the CURRENT manifest references — the table's live state under
+    * the manifest-authoritative contract (see [[compactLogical]]). */
+  private def currentFiles(s: SparkSession, dataDir: String, cols: Seq[String]): Seq[String] =
+    s.read.parquet(manifestDir(s, dataDir, cols))
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+
+  /** Delta-OPTIMIZE-style LOGICAL compaction with deferred physical
+    * delete: bin-pack the current files into `targetFiles` new files
+    * written alongside the old ones, repoint the manifest at ONLY the new
+    * files, and freeze that as the next snapshot. The replaced files stay
+    * on disk untouched, so every older snapshot remains fully readable
+    * (time travel keeps working) until [[vacuum]] retires it — exactly the
+    * rewrite-then-vacuum lifecycle of Delta/Iceberg.
+    *
+    * Contract shift this op introduces (same as Delta's): the table's
+    * truth becomes the MANIFEST, not the directory listing — a raw
+    * `spark.read.parquet(dir)` after a logical compaction double-counts,
+    * just as raw-reading a Delta dir would. Readers go through
+    * [[prunedScan]]/[[prunedScanAsOf]]/the manifest file list; the
+    * listing-based [[refreshManifest]] is the APPEND-ONLY maintenance
+    * path and must not be mixed with logically-compacted tables.
+    *
+    * Scale: the rewrite is one distributed read+write of the live data;
+    * manifest/snapshot work is O(files) metadata. Returns the new
+    * snapshot version. */
+  def compactLogical(s: SparkSession, dataDir: String,
+                     cols: Seq[String], targetFiles: Int = 1): Int = {
+    val mDir = manifestDir(s, dataDir, cols)
+    val before = listDataFiles(s, dataDir)
+    val oldFiles = currentFiles(s, dataDir, cols)
+    s.read.parquet(oldFiles: _*)
+      .coalesce(targetFiles)
+      .write.mode("append").parquet(dataDir)
+    val newFiles = (listDataFiles(s, dataDir) -- before).toSeq.sorted
+    fileStats(s, newFiles, cols).coalesce(1)
+      .write.mode("overwrite").parquet(mDir)
+    SessionCaches.remarkComplete(mDir)
+    s.catalog.refreshByPath(mDir)
+    SessionCaches.rehomeDurable(s, s"manifest:$dataDir:${cols.mkString(",")}", mDir)
+    snapshotManifest(s, dataDir, cols)
+  }
+
+  /** Retention vacuum — the physical-delete half of the lifecycle: keep
+    * the last `retainLast` snapshots plus whatever the current manifest
+    * references; delete every other data file (files only expired
+    * snapshots reference — i.e. pre-compaction layouts past retention —
+    * AND orphans no snapshot ever referenced, e.g. a crashed write's
+    * uncommitted output), then drop the expired snapshot dirs themselves.
+    * Everything is O(files) driver metadata plus one FS delete per doomed
+    * file. Returns (data files deleted, snapshots dropped). */
+  def vacuum(s: SparkSession, dataDir: String,
+             cols: Seq[String], retainLast: Int = 1): (Long, Long) = {
+    require(retainLast >= 1, "vacuum must retain at least the latest snapshot")
+    val versions = snapshotVersions(s, dataDir)
+    val retained = versions.takeRight(retainLast)
+    val expired = versions.dropRight(retainLast)
+    val protectedFiles = currentFiles(s, dataDir, cols).toSet ++
+      retained.flatMap(v => filesOfSnapshot(s, dataDir, v))
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val doomed = (listDataFiles(s, dataDir) -- protectedFiles).toSeq.sorted
+    doomed.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false))
+    expired.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${snapshotRoot(dataDir)}/v$v"), true))
+    (doomed.size.toLong, expired.size.toLong)
   }
 
   /** [[prunedScan]] as of a frozen snapshot: file selection runs against
@@ -339,10 +410,43 @@ object Manifest {
       .orderBy(col("event_type"))
   }
 
+  /** The full rewrite-then-vacuum lifecycle on the driver's orders table:
+    * fragmented 6-file layout → manifest + snapshot v1 → [[compactLogical]]
+    * to 2 files (v2, old files kept for v1 time travel) → [[vacuum]]
+    * retaining only v2 (v1 + its 6 files physically deleted). The query
+    * then aggregates through the surviving manifest — so the oracle (a
+    * plain aggregate over the pristine orders table) proves the whole
+    * lifecycle preserved every row. VacuumSpec separately pins the
+    * file-level mechanics (deferred delete, retention, orphan cleanup). */
+  private[sources] def vacuumedOrdersDir(s: SparkSession, d: String): String =
+    SessionCaches.dirMemo(s, s"vacuum-rt:$d") { path =>
+      Tables.orders(s, d).repartition(6).write.mode("overwrite").parquet(path)
+      manifestDir(s, path, Seq("o_orderkey"))
+      snapshotManifest(s, path, Seq("o_orderkey"))
+      compactLogical(s, path, Seq("o_orderkey"), targetFiles = 2)
+      vacuum(s, path, Seq("o_orderkey"), retainLast = 1)
+    }
+
+  def vacuumRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = vacuumedOrdersDir(s, d)
+    val files = currentFiles(s, dir, Seq("o_orderkey"))
+    s.read.parquet(files: _*)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val vacuumRoundtripOracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+      |       ROUND(SUM(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("src_zorder_box_agg", Some(boxAggOracle), zorderBoxAgg),
     Q("src_manifest_pruned_agg", Some(boxAggOracle), manifestPrunedAgg),
-    Q("wh_compact_roundtrip", Some(compactRoundtripOracle), compactRoundtrip))
+    Q("wh_compact_roundtrip", Some(compactRoundtripOracle), compactRoundtrip),
+    Q("wh_vacuum_roundtrip", Some(vacuumRoundtripOracle), vacuumRoundtrip))
 
   /** Fixed pivot of the two seeded 6,000-event generations (seeds 42 and
     * 7 — deterministic; regenerate by running the query and dumping the 5
