@@ -310,10 +310,95 @@ object Timeseries {
       |FROM c
       |ORDER BY event_type, t""".stripMargin
 
+  /** Holt's linear-trend (double exponential) smoothing over the hourly
+    * series of each event type — the forecasting member of the
+    * control-chart family ([[ewmaHourly]] smooths a LEVEL, this also
+    * tracks its SLOPE, so a steadily-growing rate stops reading as a
+    * permanent "above baseline" anomaly; Holt 1957). α = β = 1/2:
+    *
+    *   l_1 = x_1, b_1 = 0
+    *   l_t = (x_t + (l_{t−1} + b_{t−1})) / 2
+    *   b_t = ((l_t − l_{t−1}) + b_{t−1}) / 2
+    *   one-step forecast  f_t = l_t + b_t
+    *
+    * Determinism: halving is an exact IEEE scaling (like EWMA's
+    * power-of-two weights, no libm anywhere), and the Scala fold and the
+    * oracle's recursive CTE apply the IDENTICAL op sequence — same
+    * associativity, the duplicated l_t subexpression in SQL evaluating
+    * bit-identically — so level/trend/forecast agree cross-engine before
+    * the defensive 4-dp round.
+    *
+    * Scale shape: identical to [[cusumHourly]] — sequential in t,
+    * parallel across series via one `flatMapGroups` fold; state is two
+    * doubles per live series. */
+  def holtTrendHourly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    holtTrendHourlyOf(Tables.events(s, d)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).cast("double").as("x")))
+  }
+
+  /** [[holtTrendHourly]] on a prepared (event_type, hour, x) bucket table. */
+  private[operators] def holtTrendHourlyOf(hourly: DataFrame): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
+    val idx = hourly.select($"event_type", $"x",
+      row_number().over(
+        Window.partitionBy($"event_type").orderBy($"hour")).as("t"))
+      .as[(String, Double, Int)]
+    idx.groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toSeq.sortBy(_._3)
+        var l = 0.0
+        var b = 0.0
+        var first = true
+        rows.map { case (_, x, t) =>
+          if (first) { l = x; b = 0.0; first = false }
+          else {
+            val lPrev = l
+            // identical op order to the oracle's recursive CTE
+            l = (x + (l + b)) / 2
+            b = ((l - lPrev) + b) / 2
+          }
+          (key, t, x, l, b, l + b)
+        }
+      }
+      .toDF("event_type", "t", "x", "l", "b", "f")
+      .select($"event_type", $"t".cast("long").as("t"), $"x",
+        round($"l", 4).as("level"), round($"b", 4).as("trend"),
+        round($"f", 4).as("forecast"))
+      .orderBy($"event_type", $"t")
+  }
+
+  val holtTrendOracle: String =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |         CAST(count(*) AS DOUBLE) AS x
+      |  FROM hourly_src GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, x,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t
+      |  FROM hourly),
+      |c AS (
+      |  SELECT event_type, t, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+      |  FROM idx WHERE t = 1
+      |  UNION ALL
+      |  SELECT i.event_type, i.t, i.x,
+      |         (i.x + (c.l + c.b)) / 2,
+      |         (((i.x + (c.l + c.b)) / 2 - c.l) + c.b) / 2
+      |  FROM c JOIN idx i ON i.event_type = c.event_type AND i.t = c.t + 1)
+      |SELECT event_type, CAST(t AS BIGINT) AS t, x,
+      |       CAST(round(l, 4) AS DOUBLE) AS level,
+      |       CAST(round(b, 4) AS DOUBLE) AS trend,
+      |       CAST(round(l + b, 4) AS DOUBLE) AS forecast
+      |FROM c ORDER BY event_type, t""".stripMargin
+      .replace("hourly_src", "events")
+
   // NOTE: defs last — it references the oracle vals above, and object
   // vals initialize in declaration order (a forward reference is null).
   val defs: Seq[Q] = Seq(
     Q("ev_gapfill_interpolate", Some(gapfillInterpolateOracle), gapfillInterpolate),
     Q("ev_ewma_hourly", Some(ewmaHourlyOracle), ewmaHourly),
-    Q("ev_cusum_hourly", Some(cusumHourlyOracle), cusumHourly))
+    Q("ev_cusum_hourly", Some(cusumHourlyOracle), cusumHourly),
+    Q("ev_holt_trend", Some(holtTrendOracle), holtTrendHourly))
 }

@@ -114,6 +114,32 @@ class BatchOpsSpec extends SparkSuite {
     assert(got.last._3 == 1, "sustained shift failed to alarm")
   }
 
+  test("holt: level tracks a linear ramp and trend converges to its slope") {
+    import spark.implicits._
+    // x_t = 2t: a pure linear ramp — Holt's trend must converge to 2 and
+    // the one-step forecast to x_{t+1}
+    val xs = (1 to 40).map(i => 2.0 * i)
+    val hourly = xs.zipWithIndex.map { case (x, i) =>
+      ("a", new java.sql.Timestamp(1704067200000L + i * 3600000L), x)
+    }.toDF("event_type", "hour", "x")
+    val got = Timeseries.holtTrendHourlyOf(hourly)
+      .select($"t", $"level", $"trend", $"forecast")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    // independent recursion
+    var l = xs.head; var b = 0.0
+    val want = xs.zipWithIndex.map { case (x, i) =>
+      if (i > 0) { val lp = l; l = (x + (l + b)) / 2; b = ((l - lp) + b) / 2 }
+      (l, b, l + b)
+    }
+    got.zip(want).foreach { case ((t, lg, bg, fg), (lw, bw, fw)) =>
+      assert(math.abs(lg - lw) < 5e-4 && math.abs(bg - bw) < 5e-4 &&
+        math.abs(fg - fw) < 5e-4, s"t=$t: got ($lg,$bg,$fg) want ($lw,$bw,$fw)")
+    }
+    // convergence: by t=40 trend ≈ slope 2, forecast ≈ x_41 = 82
+    assert(math.abs(got.last._3 - 2.0) < 0.05, s"trend ${got.last._3} !≈ 2")
+    assert(math.abs(got.last._4 - 82.0) < 0.2, s"forecast ${got.last._4} !≈ 82")
+  }
+
   test("audit: clean table passes every constraint; violations are caught") {
     import spark.implicits._
     val clean = Audit.auditOrders(spark, Sf).cache()
