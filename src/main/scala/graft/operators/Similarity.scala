@@ -598,6 +598,121 @@ object Similarity {
       |       round(CAST(avg(embedding[1]) AS DOUBLE), 4) AS avg_c0
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  // --- maximal marginal relevance selection ------------------------------
+
+  private val MmrShortlist = 30
+  private val MmrK = 10
+
+  /** Sequential-add cosine on driver-side vectors — the exact op order
+    * DuckDB's `list_dot_product` applies, so scores agree bit-for-bit. */
+  private def cosDriver(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Same rounding as Spark SQL's `round` (BigDecimal.valueOf → shortest
+    * repr → HALF_UP), which the green knn family already proves agrees
+    * with DuckDB's `round` on cosines. */
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998) —
+    * the diversity re-rank between retrieval and a RAG context window:
+    * from the cosine top-[[MmrShortlist]] for query vec_id=0, greedily
+    * pick [[MmrK]] items maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` with λ = 1/2 — near-
+    * duplicate shortlist hits stop crowding out distinct evidence.
+    *
+    * Scale shape: the distributed work is the brute/ANN shortlist scan
+    * (TakeOrderedAndProject); the greedy loop runs on the driver over the
+    * 30-row shortlist — bounded by construction, the RRF-leg contract,
+    * and inherently sequential (each pick conditions the next). All
+    * arithmetic on 6-dp-rounded rel/sim doubles with the identical op
+    * order as the FULLY-independent unrolled DuckDB oracle (every step's
+    * argmax re-derived from the embeddings table alone), so selection and
+    * scores are bit-deterministic cross-engine. */
+  def mmrSelect(s: SparkSession, d: String): DataFrame =
+    mmrSelectOf(Tables.embeddings(s, d))
+
+  /** [[mmrSelect]] over any (vec_id, embedding) relation — spec entry. */
+  private[operators] def mmrSelectOf(embTable: DataFrame): DataFrame = {
+    val s = embTable.sparkSession
+    graft.functions.GraftFunctions.register(s) // cosine needs graft_dot
+    import s.implicits._
+    val q = embTable.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val cand = embTable
+      .filter($"vec_id" =!= 0L)
+      .select($"vec_id", round(cosine($"embedding", typedlit(q)), 6).as("rel"), $"embedding")
+      .orderBy($"rel".desc, $"vec_id")
+      .limit(MmrShortlist)
+      .as[(Long, Double, Seq[Float])]
+      .collect()
+    val rel = cand.map(c => c._1 -> c._2).toMap
+    val emb = cand.map(c => c._1 -> c._3).toMap
+    val ids = cand.map(_._1)
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)](
+      (1, ids.head, rel(ids.head), rel(ids.head)))
+    val chosen = scala.collection.mutable.ArrayBuffer[Long](ids.head)
+    var rank = 2
+    while (rank <= MmrK && chosen.size < ids.length) {
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      ids.filterNot(chosen.contains).foreach { c =>
+        val maxSim = chosen.map(sId => r6(cosDriver(emb(c), emb(sId)))).max
+        val score = 0.5 * rel(c) - 0.5 * maxSim
+        if (score > bestScore || (score == bestScore && c < bestId)) {
+          bestId = c; bestScore = score
+        }
+      }
+      picked += ((rank, bestId, rel(bestId), r6(bestScore)))
+      chosen += bestId
+      rank += 1
+    }
+    picked.toSeq.toDF("rank", "vec_id", "rel", "mmr").orderBy($"rank")
+  }
+
+  /** Unrolled MMR oracle: shortlist, pair sims, and all ten greedy argmax
+    * steps re-derived in DuckDB from the embeddings table alone. Every
+    * CTE is MATERIALIZED — each step references all previous steps, and
+    * inlined CTEs would re-expand the chain exponentially. */
+  private def mmrOracle: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += """e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |cand AS MATERIALIZED (
+      |  SELECT e.vec_id,
+      |         round(list_dot_product(e.v, q.qv) /
+      |               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel,
+      |         e.v
+      |  FROM e CROSS JOIN q WHERE e.vec_id != 0
+      |  ORDER BY rel DESC, e.vec_id LIMIT 30),
+      |ps AS MATERIALIZED (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |         round(list_dot_product(a.v, b.v) /
+      |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      |  FROM cand a JOIN cand b ON a.vec_id != b.vec_id),
+      |s1 AS MATERIALIZED (SELECT vec_id, rel, rel AS mmr FROM cand ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+    for (j <- 2 to MmrK) {
+      val prev = (1 until j).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+      ctes += s"""s$j AS MATERIALIZED (
+        |  SELECT c.vec_id, c.rel,
+        |         0.5 * c.rel - 0.5 * (SELECT max(p.sim) FROM ps p
+        |                              WHERE p.ia = c.vec_id AND p.ib IN ($prev)) AS mmr
+        |  FROM cand c WHERE c.vec_id NOT IN ($prev)
+        |  ORDER BY mmr DESC, c.vec_id LIMIT 1)""".stripMargin
+    }
+    val union = (1 to MmrK)
+      .map(j => s"SELECT $j AS rank, vec_id, rel, CAST(round(mmr, 6) AS DOUBLE) AS mmr FROM s$j")
+      .mkString(" UNION ALL ")
+    s"WITH ${ctes.result().mkString(",\n")}\nSELECT * FROM ($union) u ORDER BY rank"
+  }
+
   /** Corpus clustering profile over the memoized spherical-k-means
     * quantizer (the same 16 centroids the IVF index uses): every vector is
     * assigned to its argmax-cosine cell in ONE narrow codegen'd pass (the
@@ -713,5 +828,6 @@ object Similarity {
     Q("sim_embedding_clusters", Some(plantedPairsOracle), plantedEmbeddingClusters),
     Q("sim_semdedup", Some(plantedPairsOracle), plantedSemDedup),
     Q("sim_semdedup_incremental", Some(incrementalTriageOracle), (s, d) => incrementalSemDedup(s, d)),
-    Q("sim_label_centroid", Some(labelCentroidOracle), labelCentroid))
+    Q("sim_label_centroid", Some(labelCentroidOracle), labelCentroid),
+    Q("sim_mmr_select", Some(mmrOracle), (s, d) => mmrSelect(s, d)))
 }

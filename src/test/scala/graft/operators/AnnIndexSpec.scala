@@ -60,4 +60,37 @@ class AnnIndexSpec extends SparkSuite {
       assert(cluster.filter(_._4 == 1).map(_._1).toSeq == Seq(v))
     }
   }
+
+  test("MMR skips a planted near-duplicate that pure relevance would rank second") {
+    import spark.implicits._
+    // query = e1; candidates: two near-identical high-rel vectors (1, 2),
+    // one orthogonal-ish diverse vector (3), filler (4..40) far away.
+    // Pure relevance ranks 1 then 2; MMR must pick 3 at rank 2 because
+    // sim(2, 1) ≈ 1 wipes out 2's relevance edge.
+    val dim = 8
+    def vec(xs: Double*): Seq[Float] = {
+      val a = xs.toArray.padTo(dim, 0.0); a.map(_.toFloat).toSeq
+    }
+    // query (1,1): c1 highest rel; c2 a near-identical copy of c1 (their
+    // mutual cosine ≈ 1 erases c2's MMR score); c3 mirrored across the
+    // query — same-ish relevance, low similarity to c1 (≈0.46). Fillers
+    // are near-orthogonal with tiny relevance. Pure relevance ranks
+    // (c1, c2, …); MMR must rank (c1, c3, …) and still admit c2 later
+    // (10 candidates, k = 10, so everything is eventually selected).
+    val rows = Seq(
+      0L -> vec(1.0, 1.0),             // the query
+      1L -> vec(1.0, 0.25),
+      2L -> vec(1.0, 0.249),           // near-dup of 1
+      3L -> vec(0.24, 1.0)) ++         // diverse
+      (4L to 10L).map(i => i -> vec(0.0, 0.05, 1.0, i.toDouble / 100))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelectOf(emb)
+      .select($"rank", $"vec_id").as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.head == ((1, 1L)), s"rank 1 must be the top-relevance vector: $got")
+    assert(got(1)._2 == 3L, s"rank 2 must be the diverse vector, not the near-dup: $got")
+    // with 10 candidates and k=10 the near-dup still appears, just demoted
+    assert(got.map(_._2).contains(2L), s"near-dup should still appear later: $got")
+    assert(got.find(_._2 == 2L).get._1 > 2, "near-dup must be demoted below rank 2")
+    assert(got.map(_._2).distinct.size == got.size)
+  }
 }
