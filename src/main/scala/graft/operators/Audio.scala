@@ -251,6 +251,42 @@ object Audio {
   def audioSegments(s: SparkSession, d: String): DataFrame =
     audioSegmentsOf(Tables.documents(s, d))
 
+  /** Decimate-by-2 resampling (8 kHz → 4 kHz): keep every even-index
+    * sample, re-derive duration/energy/RMS at the target rate — the
+    * sample-rate normalization step every speech corpus runs before
+    * featurization (a real resampler adds an anti-alias filter; plain
+    * decimation keeps the arithmetic integer-exact and the oracle
+    * replayable sample-by-sample). Narrow map like everything here. */
+  def audioResampleOf(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    audioDocsOf(docs)
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, wav) =>
+            val (rate, _, _, samples) = parseWav(wav)
+            val n = samples.length
+            val nDs = (n + 1) / 2
+            var sumSq = 0L
+            var i = 0
+            while (i < n) {
+              if (i % 2 == 0) { val v = samples(i).toLong; sumSq += v * v }
+              i += 1
+            }
+            val rateDs = rate / 2
+            (id, nDs.toLong, rateDs, nDs.toLong * 1000L / rateDs, sumSq,
+              math.floor(10000d * math.sqrt(sumSq.toDouble / nDs)).toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "n_samples_ds", "sample_rate_ds", "duration_ms_ds",
+        "sum_sq_ds", "rms_ds_e4")
+      .orderBy(col("doc_id"))
+  }
+
+  def audioResample(s: SparkSession, d: String): DataFrame =
+    audioResampleOf(Tables.documents(s, d))
+
   // --- fully independent oracles ----------------------------------------
 
   /** Shared sample recomputation: DuckDB replays the synthesis formula
@@ -303,7 +339,21 @@ object Audio {
        |       CAST(sum(fe) AS BIGINT) AS seg_energy
        |FROM voiced GROUP BY doc_id, grp ORDER BY doc_id, seg_start""".stripMargin
 
+  private val resampleOracle: String =
+    s"""WITH $sampleCte
+       |SELECT doc_id,
+       |       CAST((max(n) + 1) // 2 AS BIGINT) AS n_samples_ds,
+       |       CAST(4000 AS INT) AS sample_rate_ds,
+       |       CAST(((max(n) + 1) // 2) * 1000 // 4000 AS BIGINT) AS duration_ms_ds,
+       |       CAST(sum(CASE WHEN i % 2 = 0 THEN s * s ELSE 0 END) AS BIGINT) AS sum_sq_ds,
+       |       CAST(floor(10000 * sqrt(
+       |         CAST(sum(CASE WHEN i % 2 = 0 THEN s * s ELSE 0 END) AS DOUBLE)
+       |           / ((max(n) + 1) // 2))) AS BIGINT) AS rms_ds_e4
+       |FROM samples
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("mm_audio_features", Some(featuresOracle), audioFeatures),
-    Q("mm_audio_segments", Some(segmentsOracle), audioSegments))
+    Q("mm_audio_segments", Some(segmentsOracle), audioSegments),
+    Q("mm_audio_resample", Some(resampleOracle), audioResample))
 }

@@ -754,7 +754,60 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Vocabulary-growth (Heaps' law) curve: the corpus in ten doc-id
+    * prefix buckets, with per-bucket and cumulative token and distinct-
+    * word counts — the V(N) readout that sizes tokenizer vocabularies
+    * and detects template-heavy corpora (a too-flat curve means boiler-
+    * plate; a too-steep one means noise/junk tokens).
+    *
+    * "First bucket a word appears in" turns cumulative-distinct into two
+    * plain aggregates: groupBy word → min(bucket), then count per
+    * min-bucket — no distinct-over-window anywhere, so the shuffles stay
+    * keyed on word/bucket at any corpus size. The cumulative window runs
+    * over the 10-row bucket table only (the ev_pareto_profile pattern;
+    * PlanHygieneSpec exempts it on the same bounded-input argument). */
+  def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0) // 1-value collect
+    val tok = docs
+      .select($"doc_id",
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
+      .select(expr(s"(doc_id * 10) div ${maxId + 1}").cast("int").as("bucket"), $"word")
+    val tokens = tok.groupBy($"bucket").agg(count(lit(1)).as("tokens_new"))
+    val vocab = tok.groupBy($"word").agg(min($"bucket").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("vocab_new"))
+    val cum = Window.partitionBy(lit(1)).orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens.join(vocab, Seq("bucket"), "left")
+      .select($"bucket", $"tokens_new", coalesce($"vocab_new", lit(0L)).as("vocab_new"))
+      .select($"bucket", $"tokens_new", $"vocab_new",
+        sum($"tokens_new").over(cum).as("tokens_cum"),
+        sum($"vocab_new").over(cum).as("vocab_cum"))
+      .orderBy($"bucket")
+  }
+
+  val heapsLawOracle: String =
+    """WITH tok AS (
+      |  SELECT (doc_id * 10) // (SELECT max(doc_id) + 1 FROM documents) AS bucket,
+      |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents),
+      |tn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tokens_new FROM tok GROUP BY 1),
+      |vn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS vocab_new
+      |       FROM (SELECT word, min(bucket) AS bucket FROM tok GROUP BY word) f
+      |       GROUP BY 1)
+      |SELECT CAST(tn.bucket AS INT) AS bucket, tokens_new,
+      |       coalesce(vn.vocab_new, 0) AS vocab_new,
+      |       CAST(sum(tokens_new) OVER (ORDER BY tn.bucket
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tokens_cum,
+      |       CAST(sum(coalesce(vn.vocab_new, 0)) OVER (ORDER BY tn.bucket
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+      |FROM tn LEFT JOIN vn ON tn.bucket = vn.bucket
+      |ORDER BY bucket""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("text_heaps_law", Some(heapsLawOracle), heapsLaw),
     Q("corpus_url_filter", Some(urlBlocklistOracle), urlBlocklistFilter),
     Q("text_tfidf_topk", Some(tfidfTopKOracle), (s, d) => tfidfTopK(s, d)),
     Q("text_token_stats", Some(tokenStatsOracle), tokenStats),

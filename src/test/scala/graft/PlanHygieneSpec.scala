@@ -50,7 +50,10 @@ class PlanHygieneSpec extends SparkSuite {
     // rows is the report-sort case, not the scale trap. The lit(1)
     // partition key is constant-folded away by Catalyst, which is why it
     // plans as an unpartitioned WindowExec at all.
-    val exempt = Set("ev_pareto_profile")
+    // text_heaps_law shares the argument: its cumulative window runs over
+    // the 10-row BUCKET table (vocab/token totals per decile), never the
+    // token relation.
+    val exempt = Set("ev_pareto_profile", "text_heaps_law")
     val offenders = SparkEntry.allDefs.filterNot(q => exempt(q.name)).flatMap { q =>
       val hits =
         try flatten(q.fn(spark, Sf).queryExecution.executedPlan).collect {

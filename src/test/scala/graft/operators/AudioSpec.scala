@@ -110,6 +110,25 @@ class AudioSpec extends SparkSuite {
     assert(want.map(_._1).distinct.size == docs.size)
   }
 
+  test("resample keeps exactly the even-index samples") {
+    val rows = Audio.audioResample(spark, Sf).collect()
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == docs.size)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val samples = Audio.synthSamples(id, docs(id))
+      val kept = samples.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v.toLong }
+      assert(r.getLong(1) == kept.length.toLong)
+      assert(r.getInt(2) == 4000)
+      assert(r.getLong(3) == kept.length.toLong * 1000L / 4000L)
+      assert(r.getLong(4) == kept.map(v => v * v).sum)
+      assert(r.getLong(5) == math.floor(
+        10000d * math.sqrt(kept.map(v => v * v).sum.toDouble / kept.length)).toLong)
+    }
+  }
+
   test("features are batch-size invariant and bit-deterministic under repartitioning") {
     val base = Audio.audioFeatures(spark, Sf).collect().toSeq
     val small = Audio.audioFeaturesOf(Tables.documents(spark, Sf), batchSize = 3)

@@ -140,6 +140,28 @@ class BatchOpsSpec extends SparkSuite {
     assert(math.abs(got.last._4 - 82.0) < 0.2, s"forecast ${got.last._4} !≈ 82")
   }
 
+  test("heaps curve: totals, monotonicity, and front-loaded vocabulary") {
+    import spark.implicits._
+    val rows = TextOps.heapsLaw(spark, Sf)
+      .select($"bucket", $"tokens_new", $"vocab_new", $"tokens_cum", $"vocab_cum")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 to 9))
+    // cum columns really are running sums
+    assert(rows.map(_._2).sum == rows.last._4)
+    assert(rows.map(_._3).sum == rows.last._5)
+    // totals agree with independent corpus-wide counts
+    val tok = graft.Tables.documents(spark, Sf).select(
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+    assert(rows.last._4 == tok.count())
+    assert(rows.last._5 == tok.distinct().count())
+    // Heaps: the first bucket introduces the most new words, and the
+    // cumulative vocabulary is strictly monotone
+    assert(rows.head._3 == rows.map(_._3).max)
+    assert(rows.map(_._5).toSeq == rows.map(_._5).sorted.toSeq)
+  }
+
   test("audit: clean table passes every constraint; violations are caught") {
     import spark.implicits._
     val clean = Audit.auditOrders(spark, Sf).cache()
