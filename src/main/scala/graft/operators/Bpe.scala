@@ -49,8 +49,15 @@ object Bpe {
   /** Learned merge table: (rank, left, right, pairCount). */
   private[operators] def learnMerges(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
     SessionCaches.memo(s, s"bpe-merges:$d") {
-      import s.implicits._
-      val words = Tables.documents(s, d)
+      learnMergesOf(Tables.documents(s, d))
+    }
+
+  /** [[learnMerges]] over any (text) relation — tune/spec entry point. */
+  private[operators] def learnMergesOf(docs: DataFrame): Seq[(Int, String, String, Long)] = {
+    val s: SparkSession = docs.sparkSession
+    import s.implicits._
+    locally {
+      val words = docs
         .select(explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"word")
@@ -79,6 +86,7 @@ object Bpe {
       seqs.unpersist(blocking = false)
       merges.result()
     }
+  }
 
   /** Greedy left-to-right non-overlapping merge — identical semantics to
     * the oracle's single-pattern `replace` (e.g. (a,a) on "a a a" merges
