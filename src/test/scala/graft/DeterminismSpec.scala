@@ -23,16 +23,26 @@ class DeterminismSpec extends SparkSuite {
     "graph_domain_rank", "graph_triangles", "graph_kcore",
     "text_unigram_surprise", "text_quality_znorm", "quality_source_shrunk",
     "doc_weighted_sample", "audit_psi_value_drift", "quality_auc",
-    "ev_ewma_hourly", "ev_cusum_hourly", "ev_user_stats", "agg_stats")
+    "ev_ewma_hourly", "ev_cusum_hourly", "ev_holt_trend", "ev_user_stats",
+    "agg_stats",
+    // round-9 third-sitting risk classes: iterative distributed argmax
+    // (BPE merge rounds), driver-side greedy on rounded cosines (MMR),
+    // codec round-trip + IEEE energy sums (audio), min-bucket distinct
+    // counting (Heaps)
+    "text_bpe_train", "sim_mmr_select", "mm_audio_features", "text_heaps_law")
 
   test("query outputs are bit-identical under 3 vs 7 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       names.foreach { n =>
         val fn = SparkEntry.queries(n)
+        // clear bounded memos (BPE merges, quantizer seeds) so both runs
+        // genuinely recompute — a memo hit would trivially match
         spark.conf.set("spark.sql.shuffle.partitions", "3")
+        graft.operators.SessionCaches.clear(spark)
         val a = fn(spark, Sf).collect().map(_.toString).toSeq
         spark.conf.set("spark.sql.shuffle.partitions", "7")
+        graft.operators.SessionCaches.clear(spark)
         val b = fn(spark, Sf).collect().map(_.toString).toSeq
         assert(a.nonEmpty, s"$n returned no rows")
         assert(a == b, s"$n diverged under repartitioning")
