@@ -932,6 +932,140 @@ object Graph {
     head + rounds + tail
   }
 
+  // --- strongly connected components (FW-BW coloring) -------------------
+
+  /** SCC fixture graph: the union of the two quadratic maps s → s²+1 and
+    * s → s²+2 (mod 97) over the observed doc residues — unlike the
+    * LinkDerivations permutations (whose union is one giant SCC), a
+    * quadratic map is many-to-one, so trees hang off the cycles and the
+    * component structure is genuinely mixed: one 67-node SCC, one
+    * 2-cycle, 28 singletons at every test sf. */
+  private[operators] def sccEdges(s: SparkSession, d: String): DataFrame =
+    sccEdgesOf(Tables.documents(s, d))
+
+  private[operators] def sccEdgesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val res = docs.select(($"doc_id" % NDomains).cast("long").as("s")).distinct()
+    Seq(1, 2).map { c =>
+      res.select($"s".as("src"), (($"s" * $"s" + c) % NDomains).cast("long").as("dst"))
+    }.reduce(_ unionAll _)
+      .where($"src" =!= $"dst")
+      .distinct()
+  }
+
+  /** Strongly connected components by forward–backward min-label coloring
+    * (the Orzan/Slota BFS-coloring scheme — Slota, Rajamanickam &
+    * Madduri 2014): repeat on the unassigned subgraph
+    *
+    *   1. COLOR: propagate min node id along edges to fixpoint —
+    *      color(v) = min id that reaches v. Every member of an SCC gets
+    *      the SAME color (mutual reachability), and a root r with
+    *      color(r) = r is the minimum id of its own SCC.
+    *   2. CARVE: from each root, mark backward (v → marked w, same
+    *      color) to fixpoint — exactly SCC(r), carved for ALL roots of
+    *      this round in parallel.
+    *   3. Assign scc_id = color to the marked nodes, drop them, repeat.
+    *
+    * Every step is a join + aggregate in exact integer arithmetic
+    * (bit-deterministic); `localCheckpoint` cuts each fixpoint's lineage
+    * like the PageRank loop. Outer rounds are bounded by the SCC-DAG
+    * depth; per-iteration work is O(|E|) — the Pregel shape. At 100 TB
+    * you would add the standard size-1 trim step before coloring
+    * (most web-graph nodes are trivial SCCs) — on the 97-node fixture
+    * the untrimmed loop converges in a handful of rounds.
+    *
+    * Output (node, scc_id = min member id, scc_size), fully recomputed by
+    * the DuckDB oracle via transitive closure + mutual-reachability. */
+  def stronglyConnected(s: SparkSession, d: String): DataFrame =
+    stronglyConnectedOf(sccEdges(s, d))
+
+  private[operators] def stronglyConnectedOf(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = edgesIn.select($"src", $"dst").persist()
+    val allNodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node"))).distinct()
+    var active = allNodes.localCheckpoint()
+    var assigned = s.emptyDataset[(Long, Long)].toDF("node", "scc_id")
+    var remaining = active.count()
+    while (remaining > 0) {
+      val e = edges
+        .join(active.select($"node".as("src")), "src")
+        .join(active.select($"node".as("dst")), "dst")
+        .select($"src", $"dst").localCheckpoint()
+      // 1. forward min-label fixpoint
+      var color = active.select($"node", $"node".as("color")).localCheckpoint()
+      var moved = 1L
+      while (moved > 0) {
+        val inc = e.join(color.select($"node".as("src"), $"color".as("csrc")), "src")
+          .groupBy($"dst").agg(min($"csrc").as("cin"))
+          .select($"dst".as("node"), $"cin")
+        val next = color.join(inc, Seq("node"), "left")
+          .select($"node",
+            least($"color", coalesce($"cin", $"color")).as("color"))
+          .localCheckpoint()
+        moved = next.as("n").join(color.as("o"), "node")
+          .where(col("n.color") =!= col("o.color")).count()
+        color = next
+      }
+      // 2. backward carve from the roots, within color
+      var marked = color.where($"color" === $"node").localCheckpoint()
+      var grew = 1L
+      while (grew > 0) {
+        val intoMarked = e
+          .join(marked.select($"node".as("dst"), $"color".as("mc")), "dst")
+          .select($"src".as("node"), $"mc").distinct()
+        val newly = color.join(intoMarked, "node")
+          .where($"color" === $"mc")
+          .select($"node", $"color")
+          .join(marked.select($"node"), Seq("node"), "left_anti")
+          .localCheckpoint()
+        grew = newly.count()
+        if (grew > 0) marked = marked.unionByName(newly).localCheckpoint()
+      }
+      // 3. assign and shrink
+      assigned = assigned
+        .unionByName(marked.select($"node", $"color".as("scc_id")))
+        .localCheckpoint()
+      active = active.join(marked.select($"node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      remaining = active.count()
+    }
+    edges.unpersist(blocking = false)
+    val sizes = assigned.groupBy($"scc_id").agg(count(lit(1)).as("scc_size"))
+    assigned.join(sizes, "scc_id")
+      .select($"node", $"scc_id", $"scc_size")
+      .orderBy($"node")
+  }
+
+  val sccOracle: String =
+    s"""WITH RECURSIVE
+       |docs97 AS (SELECT DISTINCT doc_id % $NDomains AS s FROM documents),
+       |edges AS (
+       |  SELECT DISTINCT s AS src, (s*s + 1) % $NDomains AS dst FROM docs97
+       |  WHERE s != (s*s + 1) % $NDomains
+       |  UNION
+       |  SELECT DISTINCT s, (s*s + 2) % $NDomains FROM docs97
+       |  WHERE s != (s*s + 2) % $NDomains),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |mutual AS (
+       |  SELECT a.src AS v, a.dst AS u
+       |  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+       |sid AS (
+       |  SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc_id
+       |  FROM nodes n LEFT JOIN mutual m ON m.v = n.node GROUP BY n.node),
+       |sizes AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+       |          FROM sid GROUP BY 1)
+       |SELECT CAST(sid.node AS BIGINT) AS node,
+       |       CAST(sid.scc_id AS BIGINT) AS scc_id, sizes.scc_size
+       |FROM sid JOIN sizes USING (scc_id) ORDER BY node""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("graph_domain_rank", Some(domainRankOracle), domainRank),
     Q("graph_pagerank_cert", Some(pagerankCertificateOracle), pagerankCertificate),
@@ -942,5 +1076,6 @@ object Graph {
     // refresh ≡ rebuild exactly, so the incremental path is gated against
     // the FULL-REBUILD oracle — any drift in the delta algebra fails hard
     Q("graph_triangles_incremental", Some(triangleCountsOracle), triangleCountsIncremental),
-    Q("graph_kcore", Some(kCoreOracle), kCore))
+    Q("graph_kcore", Some(kCoreOracle), kCore),
+    Q("graph_scc", Some(sccOracle), stronglyConnected))
 }

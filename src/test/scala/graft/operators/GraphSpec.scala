@@ -368,4 +368,37 @@ class GraphSpec extends SparkSuite {
       .head().getLong(0)
     assert(minEst >= (n * 0.95).toLong, s"balls did not saturate: $minEst")
   }
+
+  test("SCC: hand-built digraph — cycles collapse, the connecting edge does not") {
+    import spark.implicits._
+    // 1→2→3→1 (SCC {1,2,3}), 3→4 one-way, 4→5→4 (SCC {4,5}),
+    // 6→7 chain (two singletons), 8 self-contained via 8→9, 9→8 (SCC {8,9})
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 4L),
+      (6L, 7L),
+      (8L, 9L), (9L, 8L)).toDF("src", "dst")
+    val got = Graph.stronglyConnectedOf(edges)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val want = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 2L), (5L, 4L, 2L),
+      (6L, 6L, 1L), (7L, 7L, 1L),
+      (8L, 8L, 2L), (9L, 8L, 2L))
+    assert(got == want, s"got $got")
+  }
+
+  test("SCC: the quadratic-map corpus graph has the known mixed structure") {
+    import spark.implicits._
+    val rows = Graph.stronglyConnected(spark, Sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.length == 97)
+    val bySize = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    // one 67-node giant, one 2-cycle, 28 singletons
+    assert(bySize == Map(67L -> 67, 2L -> 2, 1L -> 28), s"got $bySize")
+    // scc_id is the min member id within every component
+    rows.groupBy(_._2).foreach { case (id, members) =>
+      assert(members.map(_._1).min == id, s"scc $id min-id violated")
+    }
+  }
 }
