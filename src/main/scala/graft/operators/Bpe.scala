@@ -52,14 +52,24 @@ object Bpe {
       learnMergesOf(Tables.documents(s, d))
     }
 
+  /** Exact per-word corpus counts — the vocab-sized relation everything
+    * in BPE training derives from. */
+  private[operators] def wordCountsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
   /** [[learnMerges]] over any (text) relation — tune/spec entry point. */
-  private[operators] def learnMergesOf(docs: DataFrame): Seq[(Int, String, String, Long)] = {
-    val s: SparkSession = docs.sparkSession
+  private[operators] def learnMergesOf(docs: DataFrame): Seq[(Int, String, String, Long)] =
+    learnFromWordCounts(wordCountsOf(docs))
+
+  /** The merge rounds over an exact (word, cnt) relation. */
+  private[operators] def learnFromWordCounts(wordCounts: DataFrame): Seq[(Int, String, String, Long)] = {
+    val s: SparkSession = wordCounts.sparkSession
     import s.implicits._
     locally {
-      val words = docs
-        .select(explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("word"))
-        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      val words = wordCounts
+        .select($"word", $"cnt")
         .orderBy($"cnt".desc, $"word")
         .limit(VocabCap)
         .as[(String, Long)]
@@ -151,6 +161,34 @@ object Bpe {
       .orderBy($"doc_id")
   }
 
+  /** The ∝-delta refresh family extended to the TOKENIZER: the corpus
+    * word-count table is a maintained artifact (built once from the base
+    * split, doc_id % 10 ≠ 7); an append (the % 10 = 7 docs playing the
+    * incoming batch) costs one delta-sized tokenize scan plus a
+    * vocab-keyed merge — never a base-corpus rescan — and the merge
+    * rounds then run on the (bounded) merged vocab, which Leg 19 shows
+    * is the cheap part. Counts merge EXACTLY (integer sums), so refresh
+    * ≡ full rebuild bit-for-bit — which is why this query is gated
+    * against the FULL-CORPUS relearning oracle, the
+    * dedup_cluster_incremental pattern: any drift in the delta algebra
+    * fails the hard gate. */
+  def bpeTrainIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val baseCounts = SessionCaches.parquetArtifact(s, s"bpe-wordcounts:$d") { dir =>
+      wordCountsOf(Tables.documents(s, d).filter($"doc_id" % 10 =!= 7))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    val delta = wordCountsOf(Tables.documents(s, d).filter($"doc_id" % 10 === 7))
+    val merged = baseCounts.select($"word", $"cnt")
+      .unionByName(delta)
+      .groupBy($"word").agg(sum($"cnt").as("cnt"))
+    SessionCaches.memo(s, s"bpe-merges-incr:$d")(learnFromWordCounts(merged))
+      .toDF("rank", "left_sym", "right_sym", "pair_count")
+      .select($"rank", $"left_sym", $"right_sym",
+        concat($"left_sym", $"right_sym").as("merged"), $"pair_count")
+      .orderBy($"rank")
+  }
+
   // --- fully independent unrolled oracles --------------------------------
 
   /** One merge-application step in SQL: double every space, replace the
@@ -214,5 +252,8 @@ object Bpe {
 
   val defs: Seq[Q] = Seq(
     Q("text_bpe_train", Some(trainOracle), bpeTrain),
-    Q("text_bpe_encode", Some(encodeOracle), bpeEncode))
+    Q("text_bpe_encode", Some(encodeOracle), bpeEncode),
+    // refresh ≡ rebuild exactly (integer word counts merge exactly), so
+    // the incremental path is gated against the full-relearn oracle
+    Q("text_bpe_incremental", Some(trainOracle), bpeTrainIncremental))
 }

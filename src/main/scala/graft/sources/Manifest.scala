@@ -289,6 +289,25 @@ object Manifest {
     (doomed.size.toLong, expired.size.toLong)
   }
 
+  /** Delta-style SHALLOW CLONE: a new table identity whose manifest
+    * references the SOURCE's data files — O(files) metadata written,
+    * zero data bytes copied, and the clone is immediately queryable
+    * through the same manifest machinery as any other table. The clone
+    * freezes the source's CURRENT file set: later source appends,
+    * compactions or deletes are invisible to it (its v1 snapshot pins the
+    * refs). The standard Delta hazard carries over verbatim and is the
+    * caller's contract: vacuuming the SOURCE can delete files a clone
+    * still references — clone lifetimes must respect source retention.
+    * Returns the clone's table dir. */
+  def shallowClone(s: SparkSession, srcDir: String, cols: Seq[String]): String = {
+    val srcManifest = s.read.parquet(manifestDir(s, srcDir, cols)).localCheckpoint()
+    val cloneDir = SessionCaches.freshDir(s, "wh-clone")
+    SessionCaches.dirMemo(s, s"manifest:$cloneDir:${cols.mkString(",")}")(path =>
+      srcManifest.coalesce(1).write.mode("overwrite").parquet(path))
+    snapshotManifest(s, cloneDir, cols)
+    cloneDir
+  }
+
   /** [[prunedScan]] as of a frozen snapshot: file selection runs against
     * the versioned manifest, so the scan sees exactly the files (and thus
     * rows) that existed when the snapshot was taken — later appends are
@@ -442,11 +461,42 @@ object Manifest {
       |       ROUND(SUM(o_totalprice), 2) AS sum_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Clone-isolation roundtrip: source orders table → shallow clone →
+    * the SOURCE then takes a 100-row append (+ listing refresh). The
+    * query aggregates THROUGH THE CLONE, and its oracle is the pristine
+    * orders aggregate — so the hard gate itself proves the clone is
+    * isolated from post-clone source writes (a leak would shift the
+    * counts and hash-fail). VacuumSpec pins the zero-data-copy claim. */
+  private[sources] def clonedOrdersDir(s: SparkSession, d: String): String =
+    SessionCaches.memo(s, s"clone-rt:$d") {
+      val src = SessionCaches.freshDir(s, "wh-clone-src")
+      Tables.orders(s, d).repartition(4).write.mode("overwrite").parquet(src)
+      manifestDir(s, src, Seq("o_orderkey"))
+      val clone = shallowClone(s, src, Seq("o_orderkey"))
+      Tables.orders(s, d).limit(100)
+        .write.mode("append").parquet(src)
+      refreshManifest(s, src, Seq("o_orderkey"))
+      clone
+    }
+
+  def shallowCloneAgg(s: SparkSession, d: String): DataFrame = {
+    val dir = clonedOrdersDir(s, d)
+    val files = currentFiles(s, dir, Seq("o_orderkey"))
+    s.read.parquet(files: _*)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Seq[Q] = Seq(
     Q("src_zorder_box_agg", Some(boxAggOracle), zorderBoxAgg),
     Q("src_manifest_pruned_agg", Some(boxAggOracle), manifestPrunedAgg),
     Q("wh_compact_roundtrip", Some(compactRoundtripOracle), compactRoundtrip),
-    Q("wh_vacuum_roundtrip", Some(vacuumRoundtripOracle), vacuumRoundtrip))
+    Q("wh_vacuum_roundtrip", Some(vacuumRoundtripOracle), vacuumRoundtrip),
+    // same pristine-orders oracle: the clone must NOT see the source's
+    // post-clone append
+    Q("wh_shallow_clone", Some(vacuumRoundtripOracle), shallowCloneAgg))
 
   /** Fixed pivot of the two seeded 6,000-event generations (seeds 42 and
     * 7 — deterministic; regenerate by running the query and dumping the 5

@@ -78,6 +78,13 @@ class BpeSpec extends SparkSuite {
     assert(sym < ch, "10 merges must compress real text")
   }
 
+  test("incremental refresh equals the full rebuild bit-for-bit") {
+    val full = Bpe.bpeTrain(spark, Sf).collect().toSeq
+    val incr = Bpe.bpeTrainIncremental(spark, Sf).collect().toSeq
+    assert(incr == full,
+      s"delta-merged word counts must relearn the identical table:\nfull=$full\nincr=$incr")
+  }
+
   test("train output is deterministic under repartitioning") {
     import spark.implicits._
     val a = Bpe.bpeTrain(spark, Sf).collect().toSeq

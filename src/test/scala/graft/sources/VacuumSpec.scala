@@ -91,6 +91,24 @@ class VacuumSpec extends SparkSuite {
     assert(dataFiles(dir).size == 6, "live files must survive")
   }
 
+  test("shallow clone copies zero data bytes and is isolated from source writes") {
+    val src = freshTable()
+    val truth = agg(spark.read.parquet(src))
+    Manifest.manifestDir(spark, src, cols)
+    val clone = Manifest.shallowClone(spark, src, cols)
+    // zero data copied: the clone dir holds metadata only
+    assert(dataFiles(clone).isEmpty, "clone must not copy data files")
+    assert(Manifest.snapshotVersions(spark, clone) == Seq(1))
+    def cloneAgg() = agg(Manifest.prunedScanAsOf(spark, clone,
+      Seq(("o_orderkey", Double.MinValue, Double.MaxValue)), 1))
+    assert(cloneAgg() == truth, "clone must answer as the source at clone time")
+    // post-clone source append is invisible to the clone
+    Tables.orders(spark, Sf).limit(50).write.mode("append").parquet(src)
+    Manifest.refreshManifest(spark, src, cols)
+    assert(agg(spark.read.parquet(src)) != truth, "source must have drifted")
+    assert(cloneAgg() == truth, "clone leaked post-clone source writes")
+  }
+
   test("vacuum refuses to drop the latest snapshot") {
     val dir = freshTable()
     Manifest.manifestDir(spark, dir, cols)
