@@ -174,19 +174,24 @@ object Bpe {
     * fails the hard gate. */
   def bpeTrainIncremental(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val baseCounts = SessionCaches.parquetArtifact(s, s"bpe-wordcounts:$d") { dir =>
-      wordCountsOf(Tables.documents(s, d).filter($"doc_id" % 10 =!= 7))
+    // the learned merge table is itself a durable artifact (the model a
+    // tokenizer service loads), served as a FileScan like every other
+    // engine artifact (ArtifactServeSpec)
+    SessionCaches.parquetArtifact(s, s"bpe-merges-incr:$d") { dir =>
+      val baseCounts = SessionCaches.parquetArtifact(s, s"bpe-wordcounts:$d") { wdir =>
+        wordCountsOf(Tables.documents(s, d).filter($"doc_id" % 10 =!= 7))
+          .coalesce(1).write.mode("overwrite").parquet(wdir)
+      }
+      val delta = wordCountsOf(Tables.documents(s, d).filter($"doc_id" % 10 === 7))
+      val merged = baseCounts.select($"word", $"cnt")
+        .unionByName(delta)
+        .groupBy($"word").agg(sum($"cnt").as("cnt"))
+      learnFromWordCounts(merged)
+        .toDF("rank", "left_sym", "right_sym", "pair_count")
+        .select($"rank", $"left_sym", $"right_sym",
+          concat($"left_sym", $"right_sym").as("merged"), $"pair_count")
         .coalesce(1).write.mode("overwrite").parquet(dir)
-    }
-    val delta = wordCountsOf(Tables.documents(s, d).filter($"doc_id" % 10 === 7))
-    val merged = baseCounts.select($"word", $"cnt")
-      .unionByName(delta)
-      .groupBy($"word").agg(sum($"cnt").as("cnt"))
-    SessionCaches.memo(s, s"bpe-merges-incr:$d")(learnFromWordCounts(merged))
-      .toDF("rank", "left_sym", "right_sym", "pair_count")
-      .select($"rank", $"left_sym", $"right_sym",
-        concat($"left_sym", $"right_sym").as("merged"), $"pair_count")
-      .orderBy($"rank")
+    }.orderBy($"rank")
   }
 
   // --- fully independent unrolled oracles --------------------------------
