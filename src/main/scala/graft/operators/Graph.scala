@@ -980,7 +980,112 @@ object Graph {
   def stronglyConnected(s: SparkSession, d: String): DataFrame =
     stronglyConnectedOf(sccEdges(s, d))
 
-  private[operators] def stronglyConnectedOf(edgesIn: DataFrame): DataFrame = {
+  /** Min-label fixpoint with POINTER JUMPING: each round relaxes one
+    * edge hop AND shortcuts through the current label (label(v) ←
+    * min over {label(v), labels of in/out-neighbors, label(label(v))}).
+    * The shortcut is sound — label(v) = m certifies an m⇝v path (or
+    * v⇝m when `backward`), and label(m) = m' certifies m'⇝m, so m'⇝v
+    * composes — and it doubles the certified path length per round:
+    * O(log diameter) rounds instead of the O(diameter) of plain
+    * propagation (the 67-cycle fixture converges in 7 rounds, not 67). */
+  private def minLabelFixpoint(e: DataFrame, init: DataFrame, backward: Boolean): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val (from, to) = if (backward) ("dst", "src") else ("src", "dst")
+    var label = init.localCheckpoint()
+    var moved = 1L
+    while (moved > 0) {
+      val relax = e.join(label.select($"node".as(from), $"label".as("lin")), from)
+        .groupBy(col(to)).agg(min($"lin").as("lin"))
+        .select(col(to).as("node"), $"lin")
+      val jump = label.as("a")
+        .join(label.as("b").select($"node".as("label"), $"label".as("ljmp")), "label")
+        .select($"node", $"ljmp")
+        .groupBy($"node").agg(min($"ljmp").as("ljmp"))
+      val next = label
+        .join(relax, Seq("node"), "left")
+        .join(jump, Seq("node"), "left")
+        .select($"node", least($"label",
+          coalesce($"lin", $"label"), coalesce($"ljmp", $"label")).as("label"))
+        .localCheckpoint()
+      moved = next.as("n").join(label.as("o"), "node")
+        .where(col("n.label") =!= col("o.label")).count()
+      label = next
+    }
+    label
+  }
+
+  /** Driver/distributed split, the [[Dedup]] connected-components
+    * precedent verbatim: below `driverLimit` edges the graph is driver-
+    * trivial and an iterative Tarjan (explicit stack — a 67-cycle would
+    * blow a recursive one's frames at larger sizes) answers in one
+    * collect; above it, the distributed FW-BW loop. SccEquivalenceSpec
+    * (in GraphSpec) proves both paths agree on the same graphs, so the
+    * fast path can never drift from the scale path. */
+  private[operators] def stronglyConnectedOf(
+      edgesIn: DataFrame, driverLimit: Long = 2000000L): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val nEdges = edgesIn.count()
+    if (nEdges <= driverLimit) sccTarjan(edgesIn)
+    else stronglyConnectedDistributed(edgesIn)
+  }
+
+  /** Iterative (explicit-stack) Tarjan over a driver-collected edge list —
+    * the ≤2M-edge fast path. */
+  private[operators] def sccTarjan(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val es = edgesIn.select($"src", $"dst").as[(Long, Long)].collect()
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val index = scala.collection.mutable.HashMap.empty[Long, Int]
+    val low = scala.collection.mutable.HashMap.empty[Long, Int]
+    val onStack = scala.collection.mutable.HashSet.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sccId = scala.collection.mutable.HashMap.empty[Long, Long]
+    var counter = 0
+    for (root <- nodes if !index.contains(root)) {
+      // work stack of (node, next-child offset)
+      val work = scala.collection.mutable.ArrayBuffer[(Long, Int)]((root, 0))
+      while (work.nonEmpty) {
+        val (v, ci) = work.last
+        if (ci == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stack += v; onStack += v
+        }
+        val children = adj.getOrElse(v, Array.empty[Long])
+        if (ci < children.length) {
+          work(work.length - 1) = (v, ci + 1)
+          val w = children(ci)
+          if (!index.contains(w)) work += ((w, 0))
+          else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          if (low(v) == index(v)) {
+            val comp = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var done = false
+            while (!done) {
+              val w = stack.remove(stack.length - 1)
+              onStack -= w; comp += w
+              if (w == v) done = true
+            }
+            val m = comp.min
+            comp.foreach(w => sccId(w) = m)
+          }
+          work.remove(work.length - 1)
+          if (work.nonEmpty) {
+            val (p, _) = work.last
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    val sizes = sccId.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    nodes.toSeq.map(v => (v, sccId(v), sizes(sccId(v)))).toDF("node", "scc_id", "scc_size")
+      .orderBy($"node")
+  }
+
+  private[operators] def stronglyConnectedDistributed(edgesIn: DataFrame): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
     val edges = edgesIn.select($"src", $"dst").persist()
@@ -994,36 +1099,28 @@ object Graph {
         .join(active.select($"node".as("src")), "src")
         .join(active.select($"node".as("dst")), "dst")
         .select($"src", $"dst").localCheckpoint()
-      // 1. forward min-label fixpoint
-      var color = active.select($"node", $"node".as("color")).localCheckpoint()
-      var moved = 1L
-      while (moved > 0) {
-        val inc = e.join(color.select($"node".as("src"), $"color".as("csrc")), "src")
-          .groupBy($"dst").agg(min($"csrc").as("cin"))
-          .select($"dst".as("node"), $"cin")
-        val next = color.join(inc, Seq("node"), "left")
-          .select($"node",
-            least($"color", coalesce($"cin", $"color")).as("color"))
-          .localCheckpoint()
-        moved = next.as("n").join(color.as("o"), "node")
-          .where(col("n.color") =!= col("o.color")).count()
-        color = next
-      }
-      // 2. backward carve from the roots, within color
-      var marked = color.where($"color" === $"node").localCheckpoint()
-      var grew = 1L
-      while (grew > 0) {
-        val intoMarked = e
-          .join(marked.select($"node".as("dst"), $"color".as("mc")), "dst")
-          .select($"src".as("node"), $"mc").distinct()
-        val newly = color.join(intoMarked, "node")
-          .where($"color" === $"mc")
-          .select($"node", $"color")
-          .join(marked.select($"node"), Seq("node"), "left_anti")
-          .localCheckpoint()
-        grew = newly.count()
-        if (grew > 0) marked = marked.unionByName(newly).localCheckpoint()
-      }
+      // 1. COLOR: forward min-label (with jumping) — color(v) = min id
+      //    that reaches v within the active subgraph
+      val color = minLabelFixpoint(e,
+        active.select($"node", $"node".as("label")), backward = false)
+        .withColumnRenamed("label", "color")
+      // 2. CARVE: backward min-label WITHIN color — bmin(v) = min id v
+      //    reaches through same-color nodes. SCC members of root r have
+      //    bmin = r = color (mutual reachability); same-color non-members
+      //    cannot reach r (that would make them members), and every
+      //    color-r node has id ≥ r, so bmin ≠ color exactly characterizes
+      //    non-members. Same jumping trick, reversed edges.
+      val cm = color.select($"node", $"color")
+      val ec = e
+        .join(cm.select($"node".as("src"), $"color".as("cs")), "src")
+        .join(cm.select($"node".as("dst"), $"color".as("cd")), "dst")
+        .where($"cs" === $"cd")
+        .select($"src", $"dst").localCheckpoint()
+      val bmin = minLabelFixpoint(ec,
+        active.select($"node", $"node".as("label")), backward = true)
+      val marked = color.join(bmin, "node")
+        .where($"color" === $"label")
+        .select($"node", $"color").localCheckpoint()
       // 3. assign and shrink
       assigned = assigned
         .unionByName(marked.select($"node", $"color".as("scc_id")))

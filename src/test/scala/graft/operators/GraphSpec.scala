@@ -388,6 +388,21 @@ class GraphSpec extends SparkSuite {
     assert(got == want, s"got $got")
   }
 
+  test("SCC: distributed FW-BW path equals the driver Tarjan path exactly") {
+    import spark.implicits._
+    // the same equivalence contract as Dedup's CC driver/distributed split
+    for (edges <- Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L),
+        (6L, 7L), (8L, 9L), (9L, 8L)).toDF("src", "dst"),
+      Graph.sccEdges(spark, Sf))) {
+      val fast = Graph.sccTarjan(edges)
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val dist = Graph.stronglyConnectedDistributed(edges)
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(fast == dist, "driver and distributed SCC paths diverged")
+    }
+  }
+
   test("SCC: the quadratic-map corpus graph has the known mixed structure") {
     import spark.implicits._
     val rows = Graph.stronglyConnected(spark, Sf)
