@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed TRAINING of the linear quality classifier — the step
+  * [[Classifier]] deliberately stops short of (its weight table is
+  * hash-derived; this LEARNS one from labels), i.e. the published
+  * "train a small classifier on seed labels, score the whole corpus"
+  * stage of FineWeb-Edu / GPT-3-style quality filtering.
+  *
+  * Model: logistic regression with the HARD sigmoid
+  * `σ(x) = clamp(1/2 + x/4, 0, 1)` (the piecewise-linear squashing used
+  * in quantized inference, e.g. the hard-sigmoid of MobileNet/BinaryNet
+  * lineage) over `D` hashed bag-of-words count features + bias, trained
+  * by full-batch gradient descent on squared loss. The hard sigmoid is
+  * the load-bearing choice: every forward/backward quantity is RATIONAL
+  * with power-of-two denominators, so the whole training loop runs in
+  * EXACT int64 fixed point — weights in units of 2^-20, activations in
+  * units of 2^-22 — and the DuckDB oracle replays all `Iters` gradient
+  * steps bit-for-bit (integer sums are order-independent; Scala's `/`
+  * and DuckDB's `//` both truncate toward zero). No transcendental ever
+  * enters, so cross-engine drift is impossible, not just unlikely.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - feature extraction is a ZERO-shuffle narrow map — the token→bucket
+  *    histogram of a document is computed INSIDE its row with
+  *    higher-order array functions (no explode, no groupBy(doc_id));
+  *  - each GD iteration is ONE map-side-combinable global aggregate
+  *    (D+2 integer sums) over the cached feature matrix — the classic
+  *    full-batch LR-on-Spark shape (MLlib's LBFGS does the same
+  *    treeAggregate); driver traffic is D+2 longs per iteration;
+  *  - the feature matrix is `n_docs × (D ints)` — thousands of times
+  *    smaller than the text it summarizes — and is built once, cached,
+  *    and reused across all iterations;
+  *  - scoring with the learned weights is again a pure narrow map.
+  *
+  * Labels: y = 1 iff the document is "long" (`length(text) >= 200`,
+  * the same seed signal [[Classifier]]'s calibration/AUC readouts use),
+  * standing in for the human/LLM seed labels of a production run —
+  * swapping the label column is the only change.
+  */
+object LrTrain {
+
+  /** Hashed feature buckets (plus one bias term). */
+  val D = 16
+
+  /** Gradient-descent iterations. */
+  val Iters = 8
+
+  /** Weight fixed-point scale: w_int = w_real * 2^20. */
+  val S: Long = 1L << 20
+
+  /** Learning-rate shift: eta = 2^-E. */
+  val E = 2
+
+  /** h32 of a token, identical on both engines (md5 prefix). */
+  private def bucketCol(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long") % D
+
+  /** Per-doc feature row: doc_id, c (array of D bucket counts), y. Narrow. */
+  private[operators] def featuresOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = split($"text", " ")
+    val bks = transform(toks, t => bucketCol(t))
+    docs.select(
+      $"doc_id",
+      transform(sequence(lit(0), lit(D - 1)),
+        j => size(filter(bks, b => b === j)).cast("long")).as("c"),
+      when(length($"text") >= 200, 1L).otherwise(0L).as("y"))
+  }
+
+  /** Full training loop; returns (weights[D], bias). Memoized per (session,
+    * dir): the corpus is scanned once to build the cached feature matrix,
+    * then each iteration is one D+2-column aggregate over it. */
+  private[operators] def train(s: SparkSession, d: String): (Array[Long], Long) =
+    SessionCaches.memo(s, s"lr-train:$d") {
+      val feats = featuresOf(Tables.documents(s, d)).localCheckpoint()
+      val n = feats.count()
+      val div = 16L * n * (1L << E)
+      var w = Array.fill(D)(0L)
+      var b = 0L
+      for (_ <- 0 until Iters) {
+        // raw = Σ w_j c_j + b in w-units (2^-20); pre = 2S + raw in
+        // sigmoid units (2^-22); err4 = clamp(pre,0,4S) − 4S·y.
+        val raw = (0 until D).map(j => col("c")(j) * lit(w(j))).reduce(_ + _) + lit(b)
+        val pre = lit(2L * S) + raw
+        val p4 = least(greatest(pre, lit(0L)), lit(4L * S))
+        val err4 = p4 - lit(4L * S) * col("y")
+        val active = when(pre > 0L && pre < 4L * S, lit(1L)).otherwise(lit(0L))
+        val gCols = (0 until D).map(j =>
+          coalesce(sum(active * err4 * col("c")(j)), lit(0L)).as(s"g$j")) :+
+          coalesce(sum(active * err4), lit(0L)).as("gb")
+        val g = feats.agg(gCols.head, gCols.tail: _*).head()
+        for (j <- 0 until D) w(j) = w(j) - g.getLong(j) / div
+        b = b - g.getLong(D) / div
+      }
+      (w, b)
+    }
+
+  /** Learned model as a table: (feature, weight_fp). 'b' + 'f00'..'f15',
+    * weights in 2^-20 fixed point. */
+  def lrTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (w, b) = train(s, d)
+    val rows = ("b", b) +: (0 until D).map(j => (f"f$j%02d", w(j)))
+    rows.toDF("feature", "weight_fp").orderBy($"feature")
+  }
+
+  /** Score the corpus with the learned weights: per-doc hard-sigmoid
+    * activation (2^-22 fixed point), accept decision, seed label, and
+    * whether the trained model agrees with the label. Pure narrow map. */
+  def lrScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (w, b) = train(s, d)
+    val feats = featuresOf(Tables.documents(s, d))
+    val raw = (0 until D).map(j => col("c")(j) * lit(w(j))).reduce(_ + _) + lit(b)
+    val p4 = least(greatest(lit(2L * S) + raw, lit(0L)), lit(4L * S))
+    feats.select(
+      $"doc_id",
+      p4.as("p4"),
+      (p4 > 2L * S).as("accepted"),
+      $"y",
+      ((p4 > 2L * S) === ($"y" === 1L)).as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle: the ENTIRE training loop replayed as a generated CTE
+  // chain — per-doc features, then Iters×(per-doc forward, gradient sums,
+  // weight update) with 1-row weight CTEs — exact integer arithmetic
+  // end-to-end, so the gate is bit-for-bit, golden-free, and genuinely
+  // independent (DuckDB learns the same model from the parquet alone).
+  // ---------------------------------------------------------------------
+
+  private def h32Sql(t: String): String =
+    s"CAST(('0x' || substr(md5($t), 1, 8)) AS BIGINT)"
+
+  /** Shared CTE prefix: features + unrolled training to weights w{Iters}. */
+  private def trainChainSql: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH feat AS MATERIALIZED (\n"
+    sb ++= "  SELECT doc_id,\n"
+    sb ++= "         CAST(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS BIGINT) AS y,\n"
+    sb ++= (0 until D).map { j =>
+      s"         CAST(len(list_filter(string_split(text, ' '), t -> ${h32Sql("t")} % $D = $j)) AS BIGINT) AS c$j"
+    }.mkString("", ",\n", "\n")
+    sb ++= "  FROM documents),\n"
+    sb ++= "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),\n"
+    // w0: all-zero weights.
+    sb ++= "w0 AS (SELECT " +
+      (0 until D).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ") +
+      ", CAST(0 AS BIGINT) AS b),\n"
+    for (t <- 1 to Iters) {
+      val p = t - 1
+      val raw = (0 until D).map(j => s"w.w$j * f.c$j").mkString(" + ") + " + w.b"
+      sb ++= s"d$t AS MATERIALIZED (\n"
+      sb ++= s"  SELECT f.y, ${(0 until D).map(j => s"f.c$j").mkString(", ")},\n"
+      sb ++= s"         ${2 * S} + ($raw) AS pre\n"
+      sb ++= s"  FROM feat f CROSS JOIN w$p w),\n"
+      sb ++= s"g$t AS MATERIALIZED (\n  SELECT\n"
+      sb ++= (0 until D).map { j =>
+        s"    COALESCE(sum(CASE WHEN pre > 0 AND pre < ${4 * S} THEN (LEAST(GREATEST(pre, 0), ${4 * S}) - ${4 * S} * y) * c$j ELSE 0 END), 0) AS g$j"
+      }.mkString("", ",\n", ",\n")
+      sb ++= s"    COALESCE(sum(CASE WHEN pre > 0 AND pre < ${4 * S} THEN LEAST(GREATEST(pre, 0), ${4 * S}) - ${4 * S} * y ELSE 0 END), 0) AS gb\n"
+      sb ++= s"  FROM d$t),\n"
+      sb ++= s"w$t AS (\n  SELECT\n"
+      sb ++= (0 until D).map { j =>
+        s"    w.w$j - g.g$j // (16 * nn.n * ${1L << E}) AS w$j"
+      }.mkString("", ",\n", ",\n")
+      sb ++= s"    w.b - g.gb // (16 * nn.n * ${1L << E}) AS b\n"
+      sb ++= s"  FROM w$p w CROSS JOIN g$t g CROSS JOIN nn)"
+      sb ++= (if (t < Iters) ",\n" else "\n")
+    }
+    sb.toString
+  }
+
+  val lrTrainOracle: String = {
+    val unpivot =
+      s"SELECT 'b' AS feature, b AS weight_fp FROM w$Iters\n" +
+        (0 until D).map { j =>
+          f"UNION ALL SELECT 'f$j%02d', w$j FROM w$Iters"
+        }.mkString("\n")
+    trainChainSql + unpivot + "\nORDER BY feature"
+  }
+
+  val lrScoreOracle: String = {
+    val raw = (0 until D).map(j => s"w.w$j * f.c$j").mkString(" + ") + " + w.b"
+    trainChainSql +
+      s""", scored AS (
+         |  SELECT f.doc_id, f.y,
+         |         LEAST(GREATEST(${2 * S} + ($raw), 0), ${4 * S}) AS p4
+         |  FROM feat f CROSS JOIN w$Iters w)
+         |SELECT doc_id, p4, p4 > ${2 * S} AS accepted, y,
+         |       (p4 > ${2 * S}) = (y = 1) AS correct
+         |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Seq[Q] = Seq(
+    Q("quality_lr_train", Some(lrTrainOracle), lrTrain),
+    Q("quality_lr_score", Some(lrScoreOracle), lrScore))
+}

