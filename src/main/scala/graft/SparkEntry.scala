@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.defs ++ EventOps.defs ++ Temporal.defs ++ Timeseries.defs ++
       Functions.defs ++
       SqlSurface.defs ++ TextOps.defs ++ Bpe.defs ++ NgramLm.defs ++ Search.defs ++ Dedup.defs ++ CorpusDedup.defs ++
-      Similarity.defs ++ Rag.defs ++ Classifier.defs ++ LrTrain.defs ++ Pca.defs ++
+      Similarity.defs ++ Rag.defs ++ LateInteraction.defs ++
+      Classifier.defs ++ LrTrain.defs ++ Pca.defs ++
       Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Multimodal.defs ++
       Audio.defs ++
       Audit.defs ++ EntityRes.defs ++ Drift.defs ++ Graph.defs ++
