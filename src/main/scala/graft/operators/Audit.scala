@@ -271,10 +271,89 @@ object Audit {
       |       count(DISTINCT n_chars // 100) >= 3 AS meets_l
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** t-closeness over the same (lang, source) classes and length-bucket
+    * sensitive attribute as [[kAnonymity]]/[[lDiversity]] — the third
+    * member of the privacy-audit triad (Li et al. 2007): l-diversity
+    * still leaks when a class's sensitive DISTRIBUTION is skewed far
+    * from the corpus-wide one, so the export gate also bounds the
+    * ordered-EMD between them. For an ordered categorical with m
+    * buckets, EMD = (1/(m−1))·Σ_i |P_cum(i) − Q_cum(i)| — computed here
+    * ENTIRELY in exact integer arithmetic on the common denominator
+    * n_class·N (cumulative count diffs, never float proportions), with
+    * the readout as micro fixed point (both engines' integer division
+    * truncates toward zero identically).
+    *
+    * Scale shape: one corpus scan for the (class × bucket) counts; the
+    * cumulative walk runs on the classes×m grid (quasi-identifier-
+    * bounded metadata, never row-scale), windowed PER CLASS. The exact
+    * common-denominator form bounds |terms| by n_class·N — fine through
+    * ~1e8-row classes; past that, swap the numerator for per-class
+    * micro-lattice cumulative proportions (bounded by 1e6·m) at the cost
+    * of one quantization, same plan shape. */
+  def tCloseness(s: SparkSession, d: String, tMicro: Long = 150000L): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select($"lang", $"source", floor($"n_chars" / lit(100)).cast("long").as("b"))
+    val cnts = docs.groupBy($"lang", $"source", $"b").agg(count(lit(1)).as("c"))
+    val glob = docs.groupBy($"b").agg(count(lit(1)).as("g"))
+    val nTot = docs.count()
+    // the bucket list is bounded metadata (length centiles) — explode it
+    // as a literal onto the class list rather than cross-joining relations
+    val buckets = glob.select($"b").orderBy($"b").as[Long].collect().toSeq
+    val m = buckets.size
+    val grid = cnts.select($"lang", $"source").distinct()
+      .withColumn("b", explode(typedlit(buckets)))
+      .join(cnts, Seq("lang", "source", "b"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = Window.partitionBy($"lang", $"source").orderBy($"b")
+    val cum = grid.join(broadcast(glob), "b")
+      .withColumn("cum_c", sum($"c").over(w))
+      .withColumn("cum_g", sum($"g").over(w))
+      .withColumn("n_class", sum($"c").over(
+        Window.partitionBy($"lang", $"source")))
+    cum
+      .groupBy($"lang", $"source", $"n_class")
+      .agg(sum(abs($"cum_c" * lit(nTot) - $"cum_g" * $"n_class")).as("emd_num"))
+      .select($"lang", $"source", $"n_class".as("n"),
+        expr(s"(1000000 * emd_num) div (n_class * cast($nTot as bigint) * cast(${m - 1} as bigint))")
+          .as("emd_micro"))
+      .withColumn("meets_t", $"emd_micro" <= tMicro)
+      .orderBy($"lang", $"source")
+  }
+
+  val tClosenessOracle: String =
+    """WITH docs AS (
+      |  SELECT lang, source, n_chars // 100 AS b FROM documents),
+      |cnts AS (
+      |  SELECT lang, source, b, count(*) AS c FROM docs GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT cl.lang, cl.source, bk.b, COALESCE(cn.c, 0) AS c
+      |  FROM (SELECT DISTINCT lang, source FROM cnts) cl
+      |  CROSS JOIN (SELECT DISTINCT b FROM cnts) bk
+      |  LEFT JOIN cnts cn USING (lang, source, b)),
+      |gcnt AS (SELECT b, count(*) AS g FROM docs GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_tot, count(DISTINCT b) AS m FROM docs),
+      |cum AS (
+      |  SELECT gr.lang, gr.source, gr.b,
+      |         sum(gr.c) OVER (PARTITION BY gr.lang, gr.source ORDER BY gr.b) AS cum_c,
+      |         sum(gl.g) OVER (PARTITION BY gr.lang, gr.source ORDER BY gr.b) AS cum_g,
+      |         sum(gr.c) OVER (PARTITION BY gr.lang, gr.source) AS n_class
+      |  FROM grid gr JOIN gcnt gl USING (b))
+      |SELECT lang, source, CAST(n_class AS BIGINT) AS n,
+      |       CAST((1000000 * sum(abs(cum_c * t.n_tot - cum_g * n_class)))
+      |            // (n_class * t.n_tot * (t.m - 1)) AS BIGINT) AS emd_micro,
+      |       CAST((1000000 * sum(abs(cum_c * t.n_tot - cum_g * n_class)))
+      |            // (n_class * t.n_tot * (t.m - 1)) AS BIGINT) <= 150000 AS meets_t
+      |FROM cum CROSS JOIN tot t
+      |GROUP BY lang, source, n_class, t.n_tot, t.m
+      |ORDER BY lang, source""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders),
     Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers),
     Q("audit_column_stats", Some(columnStatsOracle), columnStats),
     Q("audit_k_anonymity", Some(kAnonymityOracle), (s, d) => kAnonymity(s, d)),
-    Q("audit_l_diversity", Some(lDiversityOracle), (s, d) => lDiversity(s, d)))
+    Q("audit_l_diversity", Some(lDiversityOracle), (s, d) => lDiversity(s, d)),
+    Q("audit_t_closeness", Some(tClosenessOracle), (s, d) => tCloseness(s, d)))
 }

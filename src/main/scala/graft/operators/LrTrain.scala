@@ -199,7 +199,74 @@ object LrTrain {
          |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Cohen's kappa between the two quality raters the engine now has —
+    * the fixed hash-weight rule scorer ([[Classifier.qualityClassifierOf]])
+    * and this module's TRAINED model — the standard inter-rater agreement
+    * readout (Cohen 1960) a labeling pipeline runs before trusting a new
+    * classifier as a replacement gate. κ = (p_o − p_e)/(1 − p_e) is
+    * computed from the 2×2 confusion counts in EXACT integer arithmetic
+    * (κ_micro = 10⁶·(n·(a+d) − Σ marginals)/(n² − Σ marginals), both
+    * engines' division truncating toward zero), so the readout is
+    * bit-deterministic.
+    *
+    * Scale shape: both raters are narrow scoring passes; the join is
+    * doc-keyed and the confusion matrix is ONE map-side-combinable
+    * aggregate to a single driver row. */
+  def agreementKappa(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val rule = Classifier.qualityClassifierOf(docs)
+      .select($"doc_id", $"accepted".as("rule_acc"))
+    val lr = lrScore(s, d).select($"doc_id", $"accepted".as("lr_acc"))
+    val conf = rule.join(lr, "doc_id").agg(
+      count(lit(1)).as("n"),
+      sum(when($"rule_acc" && $"lr_acc", 1L).otherwise(0L)).as("both_accept"),
+      sum(when($"rule_acc" && !$"lr_acc", 1L).otherwise(0L)).as("rule_only"),
+      sum(when(!$"rule_acc" && $"lr_acc", 1L).otherwise(0L)).as("lr_only"),
+      sum(when(!$"rule_acc" && !$"lr_acc", 1L).otherwise(0L)).as("both_reject"))
+    conf.select(
+      $"n", $"both_accept", $"rule_only", $"lr_only", $"both_reject",
+      expr("""1000000 * (n * (both_accept + both_reject)
+             |  - ((both_accept + rule_only) * (both_accept + lr_only)
+             |     + (lr_only + both_reject) * (rule_only + both_reject)))
+             |div (n * n
+             |  - ((both_accept + rule_only) * (both_accept + lr_only)
+             |     + (lr_only + both_reject) * (rule_only + both_reject)))"""
+        .stripMargin).as("kappa_micro"))
+  }
+
+  val agreementKappaOracle: String =
+    trainChainSql +
+      s""", rule AS (
+         |  SELECT doc_id,
+         |         sum((${h32Sql("t")} % 1000) - 500) > 0 AS rule_acc
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)
+         |  GROUP BY doc_id),
+         |lrs AS (
+         |  SELECT f.doc_id,
+         |         LEAST(GREATEST(${2 * S} + (${(0 until D).map(j => s"w.w$j * f.c$j").mkString(" + ")} + w.b), 0), ${4 * S})
+         |           > ${2 * S} AS lr_acc
+         |  FROM feat f CROSS JOIN w$Iters w),
+         |conf AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN rule_acc AND lr_acc THEN 1 ELSE 0 END) AS BIGINT) AS both_accept,
+         |         CAST(sum(CASE WHEN rule_acc AND NOT lr_acc THEN 1 ELSE 0 END) AS BIGINT) AS rule_only,
+         |         CAST(sum(CASE WHEN NOT rule_acc AND lr_acc THEN 1 ELSE 0 END) AS BIGINT) AS lr_only,
+         |         CAST(sum(CASE WHEN NOT rule_acc AND NOT lr_acc THEN 1 ELSE 0 END) AS BIGINT) AS both_reject
+         |  FROM rule JOIN lrs USING (doc_id))
+         |SELECT n, both_accept, rule_only, lr_only, both_reject,
+         |       (1000000 * (n * (both_accept + both_reject)
+         |          - ((both_accept + rule_only) * (both_accept + lr_only)
+         |             + (lr_only + both_reject) * (rule_only + both_reject))))
+         |       // (n * n
+         |          - ((both_accept + rule_only) * (both_accept + lr_only)
+         |             + (lr_only + both_reject) * (rule_only + both_reject)))
+         |         AS kappa_micro
+         |FROM conf""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("quality_lr_train", Some(lrTrainOracle), lrTrain),
-    Q("quality_lr_score", Some(lrScoreOracle), lrScore))
+    Q("quality_lr_score", Some(lrScoreOracle), lrScore),
+    Q("quality_agreement_kappa", Some(agreementKappaOracle), agreementKappa))
 }

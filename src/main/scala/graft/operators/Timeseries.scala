@@ -396,9 +396,63 @@ object Timeseries {
 
   // NOTE: defs last — it references the oracle vals above, and object
   // vals initialize in declaration order (a forward reference is null).
+  /** Seasonal-naive decomposition of the hourly event series: per
+    * (event_type, hour-of-day) the seasonal component is the mean count
+    * over all days observed at that clock hour, and the residual is the
+    * de-seasonalized signal an anomaly rule then thresholds (the
+    * decomposition member of the control-chart family — EWMA smooths,
+    * CUSUM alarms, Holt forecasts, this one strips the daily cycle
+    * first). Everything stays EXACT: the seasonal mean is carried as the
+    * (Σx, count) integer pair and the readouts are milli fixed point via
+    * integer division (both engines truncate toward zero), so no float
+    * ever enters.
+    *
+    * Scale shape: one hourly count aggregate (map-side combinable), one
+    * (type × 24)-bounded seasonal aggregate, and a BROADCAST join of the
+    * seasonal table back onto the hourly series — the series is horizon ×
+    * key-cardinality, metadata-sized regardless of corpus volume. */
+  def seasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("hod", hour($"hour").cast("long"))
+    val seasonal = hourly.groupBy($"event_type", $"hod")
+      .agg(sum($"x").as("ssum"), count(lit(1)).as("scnt"))
+    hourly.join(broadcast(seasonal), Seq("event_type", "hod"))
+      .select(
+        $"event_type",
+        date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"hod", $"x", $"scnt",
+        expr("(1000 * ssum) div scnt").as("seasonal_milli"),
+        expr("(1000 * (x * scnt - ssum)) div scnt").as("resid_milli"))
+      .orderBy($"event_type", $"hour")
+  }
+
+  val seasonalDecomposeOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |hh AS (SELECT event_type, hour, x, CAST(hour(hour) AS BIGINT) AS hod
+      |       FROM hourly),
+      |seasonal AS (
+      |  SELECT event_type, hod, CAST(sum(x) AS BIGINT) AS ssum,
+      |         CAST(count(*) AS BIGINT) AS scnt
+      |  FROM hh GROUP BY 1, 2)
+      |SELECT h.event_type,
+      |       strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+      |       h.hod, h.x, s.scnt,
+      |       (1000 * s.ssum) // s.scnt AS seasonal_milli,
+      |       (1000 * (h.x * s.scnt - s.ssum)) // s.scnt AS resid_milli
+      |FROM hh h JOIN seasonal s USING (event_type, hod)
+      |ORDER BY h.event_type, h.hour""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("ev_gapfill_interpolate", Some(gapfillInterpolateOracle), gapfillInterpolate),
     Q("ev_ewma_hourly", Some(ewmaHourlyOracle), ewmaHourly),
     Q("ev_cusum_hourly", Some(cusumHourlyOracle), cusumHourly),
-    Q("ev_holt_trend", Some(holtTrendOracle), holtTrendHourly))
+    Q("ev_holt_trend", Some(holtTrendOracle), holtTrendHourly),
+    Q("ev_seasonal_decompose", Some(seasonalDecomposeOracle), seasonalDecompose))
+
 }

@@ -59,6 +59,30 @@ class BatchOpsSpec extends SparkSuite {
     assert(out("10:05") == 30.0 && out("10:06") == 30.0) // right carry
   }
 
+  test("seasonal decompose: residuals recompute from raw counts and sum to ~0 per (type, hod)") {
+    import spark.implicits._
+    val out = Timeseries.seasonalDecompose(spark, Sf).localCheckpoint()
+    // exact integer identities: seasonal_milli = 1000*ssum/scnt truncated,
+    // resid_milli = 1000*(x*scnt-ssum)/scnt truncated — recompute per group
+    val rows = out.select($"event_type", $"hod", $"x", $"scnt",
+      $"seasonal_milli", $"resid_milli")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val byGroup = rows.groupBy(r => (r._1, r._2))
+    byGroup.foreach { case ((_, _), g) =>
+      val ssum = g.map(_._3).sum
+      val scnt = g.length.toLong
+      g.foreach { case (et, hod, x, sc, seas, res) =>
+        assert(sc === scnt, s"($et,$hod) scnt")
+        assert(seas === 1000L * ssum / scnt)
+        assert(res === 1000L * (x * scnt - ssum) / scnt)
+      }
+      // truncated residuals of a group sum to within scnt millis of zero
+      val total = g.map(_._6).sum
+      assert(math.abs(total) < 1000L * scnt, s"residual drift: $total")
+    }
+    assert(byGroup.nonEmpty)
+  }
+
   test("ewma: closed form equals the textbook recursion on a hand series") {
     import spark.implicits._
     // x = [1, 3, 2, 6]: s1=1, s2=.5*3+.5*1=2, s3=.5*2+.5*2=2, s4=.5*6+.5*2=4

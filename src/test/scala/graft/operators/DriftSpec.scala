@@ -113,4 +113,29 @@ class DriftSpec extends SparkSuite {
     // classes must exist and be flagged, not silently passed
     assert(rows.exists(!_.getBoolean(3)), "expected at least one under-k class")
   }
+
+  test("t-closeness matches a plain-Scala ordered-EMD recomputation") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, Sf)
+      .select(col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+    val buckets = docs.map(_._3).distinct.sorted
+    val m = buckets.length
+    val nTot = docs.length.toLong
+    val globCum = buckets.map(b => docs.count(_._3 <= b).toLong)
+    val expected = docs.groupBy(d => (d._1, d._2)).map { case (cls, rows) =>
+      val nc = rows.length.toLong
+      val classCum = buckets.map(b => rows.count(_._3 <= b).toLong)
+      val num = classCum.zip(globCum)
+        .map { case (cc, gc) => math.abs(cc * nTot - gc * nc) }.sum
+      cls -> (nc, 1000000L * num / (nc * nTot * (m - 1)))
+    }
+    val got = Audit.tCloseness(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    // the verdict column is pure threshold arithmetic on emd_micro
+    Audit.tCloseness(spark, Sf).collect().foreach(r =>
+      assert(r.getBoolean(4) === (r.getLong(3) <= 150000L), r.toString))
+  }
 }

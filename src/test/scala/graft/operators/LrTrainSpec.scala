@@ -92,6 +92,25 @@ class LrTrainSpec extends SparkSuite {
     assert(trainOn(3) === trainOn(7))
   }
 
+  test("cohen's kappa matches a plain-Scala recomputation from the two raters") {
+    val rule = Classifier.qualityClassifierOf(graft.Tables.documents(spark, Sf))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val lr = LrTrain.lrScore(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val ids = rule.keySet.intersect(lr.keySet)
+    val n = ids.size.toLong
+    val a = ids.count(i => rule(i) && lr(i)).toLong
+    val b = ids.count(i => rule(i) && !lr(i)).toLong
+    val c = ids.count(i => !rule(i) && lr(i)).toLong
+    val dd = ids.count(i => !rule(i) && !lr(i)).toLong
+    val pe = (a + b) * (a + c) + (c + dd) * (b + dd)
+    val kappaMicro = 1000000L * (n * (a + dd) - pe) / (n * n - pe)
+    val got = LrTrain.agreementKappa(spark, Sf).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4), got.getLong(5)) ===
+      ((n, a, b, c, dd, kappaMicro)))
+  }
+
   test("train output shape: D+1 rows, deterministic order") {
     val out = LrTrain.lrTrain(spark, Sf).collect()
     assert(out.length === D + 1)
