@@ -1163,8 +1163,97 @@ object Graph {
        |       CAST(sid.scc_id AS BIGINT) AS scc_id, sizes.scc_size
        |FROM sid JOIN sizes USING (scc_id) ORDER BY node""".stripMargin
 
+  /** Personalized PageRank from a trusted seed set — the seed-expansion
+    * primitive of corpus curation (rank the whole host graph by proximity
+    * to hand-vetted domains, then admit by PPR threshold; the
+    * link-based counterpart of the seeded quality classifier): identical
+    * damped integer iteration to [[domainRank]], but the teleport mass
+    * (1−d) returns ONLY to the seeds instead of uniformly — so rank
+    * concentrates in the seeds' link neighborhood. Seeds here are the
+    * domains ≡ 0 (mod 10), standing in for the curated allowlist.
+    *
+    * Same exactness contract (integer fixed point, `div` truncation
+    * agreeing across engines) and same Pregel scale shape as
+    * [[domainRank]]; the only new state is the seed membership flag. */
+  def pprSeeded(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = domainEdges(s, d).persist()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node"))).distinct().persist()
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("odeg"))
+    val isSeed = ($"node" % 10 === 0)
+    val nSeeds = nodes.where(isSeed).count()
+    val seedBase = (15L * Scale) / (100L * nSeeds)
+    val init = Scale / nodes.count()
+
+    var ranks = nodes.withColumn("r", lit(init)).localCheckpoint()
+    for (_ <- 1 to Iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select($"dst", expr("r div odeg").as("share"))
+        .groupBy($"dst").agg(sum($"share").as("contrib"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select($"node",
+          (when(isSeed, lit(seedBase)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    edges.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    ranks
+      .select(
+        concat(lit("d"), $"node", lit(".example.com")).as("domain"),
+        isSeed.as("is_seed"),
+        $"r".as("ppr_scaled"))
+      .orderBy($"ppr_scaled".desc, $"domain")
+  }
+
+  /** Fully independent oracle: same unrolled-CTE replay as
+    * [[domainRankOracle]] with the seed-restricted teleport term. */
+  val pprSeededOracle: String = {
+    val edgeUnion = LinkDerivations
+      .map { case (m, c) =>
+        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
+      }
+      .mkString(" UNION ALL ")
+    val head =
+      s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |odeg AS (SELECT src AS node, count(*) AS odeg FROM edges GROUP BY src),
+         |n AS (SELECT count(*) AS n,
+         |             sum(CASE WHEN node % 10 = 0 THEN 1 ELSE 0 END) AS ns
+         |      FROM nodes),
+         |r0 AS (SELECT node, CAST($Scale // n.n AS BIGINT) AS r
+         |       FROM nodes CROSS JOIN n)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      val prev = s"r${i - 1}"
+      s""",
+         |c$i AS (SELECT e.dst AS node, CAST(sum(p.r // o.odeg) AS BIGINT) AS contrib
+         |        FROM edges e JOIN $prev p ON e.src = p.node
+         |        JOIN odeg o ON e.src = o.node
+         |        GROUP BY e.dst),
+         |r$i AS (SELECT nodes.node,
+         |               CAST(CASE WHEN nodes.node % 10 = 0
+         |                         THEN (15 * $Scale) // (100 * n.ns) ELSE 0 END
+         |                    + (85 * COALESCE(c$i.contrib, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node CROSS JOIN n)""".stripMargin
+    }.mkString
+    val tail =
+      s"""
+         |SELECT 'd' || CAST(node AS VARCHAR) || '.example.com' AS domain,
+         |       node % 10 = 0 AS is_seed,
+         |       r AS ppr_scaled
+         |FROM r$Iters
+         |ORDER BY ppr_scaled DESC, domain""".stripMargin
+    head + iters + tail
+  }
+
   val defs: Seq[Q] = Seq(
     Q("graph_domain_rank", Some(domainRankOracle), domainRank),
+    Q("graph_ppr_seeded", Some(pprSeededOracle), pprSeeded),
     Q("graph_pagerank_cert", Some(pagerankCertificateOracle), pagerankCertificate),
     Q("graph_harmonic_centrality", Some(harmonicCentralityOracle), harmonicCentrality),
     Q("graph_harmonic_hll", Some(harmonicHyperBallOracle), harmonicHyperBall),

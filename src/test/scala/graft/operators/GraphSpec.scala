@@ -63,6 +63,44 @@ class GraphSpec extends SparkSuite {
     assert(keys === keys.sorted)
   }
 
+  test("ppr: agrees bit-for-bit with an independent in-memory personalized PageRank") {
+    import spark.implicits._
+    val docIds = Tables.documents(spark, Sf).select($"doc_id").as[Long].collect().toSeq
+    val edges = (for {
+      d <- docIds
+      (m, c) <- Graph.LinkDerivations
+      src = d % Graph.NDomains
+      dst = (d * m + c) % Graph.NDomains
+      if src != dst
+    } yield (src, dst)).toSet
+    val nodes = edges.map(_._1) ++ edges.map(_._2)
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nSeeds = nodes.count(_ % 10 == 0).toLong
+    val seedBase = (15L * Graph.Scale) / (100L * nSeeds)
+    val init = Graph.Scale / nodes.size
+    var r = nodes.map(_ -> init).toMap
+    for (_ <- 1 to Graph.Iters) {
+      val contrib = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (s, t) =>
+        contrib(t) = contrib.getOrElse(t, 0L) + r(s) / outdeg(s)
+      }
+      r = nodes.map(v => v ->
+        ((if (v % 10 == 0) seedBase else 0L) +
+          (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    val got = Graph.pprSeeded(spark, Sf).collect().map { row =>
+      val node = row.getString(0).stripPrefix("d").stripSuffix(".example.com").toLong
+      node -> row.getLong(2)
+    }.toMap
+    assert(got === r)
+    // rank must actually concentrate near the seeds: seed mass share under
+    // PPR strictly exceeds its share under uniform-teleport PageRank
+    val pr = referencePr(docIds)
+    def seedShare(m: Map[Long, Long]) =
+      m.collect { case (k, v) if k % 10 == 0 => v }.sum.toDouble / m.values.sum
+    assert(seedShare(got) > seedShare(pr), "PPR failed to personalize")
+  }
+
   test("triangles: hand arithmetic on a planted K4 + pendant path") {
     import spark.implicits._
     // K4 on {0,1,2,3} (4 triangles; each vertex in C(3,2)=3 of them),
