@@ -62,8 +62,13 @@ object Kmeans {
   /** Lloyd training; returns final centroids. Memoized per (session, dir). */
   private[operators] def train(s: SparkSession, d: String): Seq[Seq[Long]] =
     SessionCaches.memo(s, s"kmeans:$d") {
+      trainOf(Tables.embeddings(s, d))
+    }
+
+  private[operators] def trainOf(embs: DataFrame): Seq[Seq[Long]] = {
+      val s = embs.sparkSession
       import s.implicits._
-      val q = quantized(Tables.embeddings(s, d))
+      val q = quantized(embs)
         .select($"vec_id", $"e").localCheckpoint()
       var cents: Seq[Seq[Long]] = q.where($"vec_id" < K)
         .orderBy($"vec_id").as[(Long, Seq[Long])].collect().map(_._2).toSeq

@@ -78,7 +78,11 @@ object LrTrain {
     * then each iteration is one D+2-column aggregate over it. */
   private[operators] def train(s: SparkSession, d: String): (Array[Long], Long) =
     SessionCaches.memo(s, s"lr-train:$d") {
-      val feats = featuresOf(Tables.documents(s, d)).localCheckpoint()
+      trainOf(Tables.documents(s, d))
+    }
+
+  private[operators] def trainOf(docs: DataFrame): (Array[Long], Long) = {
+      val feats = featuresOf(docs).localCheckpoint()
       val n = feats.count()
       val div = 16L * n * (1L << E)
       var w = Array.fill(D)(0L)
