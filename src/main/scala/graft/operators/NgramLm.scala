@@ -96,6 +96,34 @@ object NgramLm {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** The trained LM in broadcast-model form, for serving outside the
+    * batch join (the streaming admission path): bigram → lnp_micro,
+    * context → back-off lnp for an UNSEEN continuation of a seen context
+    * (ln(1/(c1+V)) on the same lattice), and the unseen-context default
+    * ln(1/V). Vocab-bounded driver state — the same class of bounded
+    * collect as k-means centroids or LR weights (at web scale the LM is
+    * top-V-capped with an OOV bucket, like [[Bpe.VocabCap]]). */
+  private[graft] def lmModel(s: SparkSession, d: String)
+      : (Map[String, Long], Map[String, Long], Long) =
+    SessionCaches.memo(s, s"bigram-lm:$d") {
+      import s.implicits._
+      val big = bigramsOf(Tables.documents(s, d))
+      val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val v = big.select($"w2").distinct().count()
+      def lat(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+      val lm = c2.join(c1, "w1")
+        .select(concat_ws(" ", $"w1", $"w2").as("k"),
+          floor(log(($"c2" + lit(1.0)) / ($"c1" + lit(v.toDouble))) * 1e6 + 0.5)
+            .cast("long").as("lnp"))
+        .as[(String, Long)].collect().toMap
+      val backoff = c1
+        .select($"w1", floor(log(lit(1.0) / ($"c1" + lit(v.toDouble))) * 1e6 + 0.5)
+          .cast("long").as("lnp"))
+        .as[(String, Long)].collect().toMap
+      (lm, backoff, lat(math.log(1.0 / v)))
+    }
+
   val defs: Seq[Q] = Seq(
     Q("text_bigram_ppl", Some(bigramPplOracle), bigramPpl))
 }

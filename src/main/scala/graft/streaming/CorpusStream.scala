@@ -76,4 +76,47 @@ object CorpusStream {
         "left_anti")
       .drop("sig", "cell", "nrm")
   }
+
+  /** Perplexity admission at ingest time: the batch-trained bigram LM
+    * ([[graft.operators.NgramLm]], the CCNet quality gate) serving in the
+    * stream path — arrivals whose log-perplexity under the corpus LM
+    * clears the threshold are admitted, gibberish is dropped before it
+    * lands. This is the production split: the LM trains offline on the
+    * trusted corpus (one batch job), and the scorer is a BROADCAST MODEL
+    * applied statelessly per arrival.
+    *
+    * Mechanics: exact repeats are suppressed by content signature within
+    * the watermark (bounded state, as [[dedupedSegments]]); scoring is
+    * 100% IN-ROW — the bigram walk, LM lookup with add-one back-off
+    * (seen bigram → lnp; unseen continuation of a seen context →
+    * ln(1/(c1+V)); unseen context → ln(1/V)), and the lattice sum all
+    * run inside higher-order array functions on the row, so the stream
+    * stage is STATELESS (no shuffle, no aggregation state) and scores
+    * are the IDENTICAL integers the batch `text_bigram_ppl` computes.
+    * The LM is vocab-bounded model state embedded as literals — the same
+    * broadcast-by-value contract as LR weights and k-means centroids. */
+  def perplexityAdmission(s: org.apache.spark.sql.SparkSession, d: String,
+      arrivals: DataFrame, keepBelowMicro: Long = graft.operators.NgramLm.KeepBelowMicro,
+      watermark: String = "10 minutes"): DataFrame = {
+    val (lm, backoff, unseen) = graft.operators.NgramLm.lmModel(s, d)
+    val lmCol = typedlit(lm)
+    val boCol = typedlit(backoff)
+    val toks = split(col("text"), " ")
+    val prev = concat(array(lit("<s>")), slice(toks, lit(1), size(toks) - 1))
+    val pairs = zip_with(prev, toks, (a, b) => concat_ws(" ", a, b))
+    val sumLnp = aggregate(pairs, lit(0L), (acc, p) =>
+      acc + coalesce(
+        element_at(lmCol, p),
+        element_at(boCol, element_at(split(p, " "), 1)),
+        lit(unseen)))
+    arrivals
+      .withWatermark("ts", watermark)
+      .withColumn("sig", md5(col("text")))
+      .dropDuplicatesWithinWatermark(Seq("sig"))
+      .withColumn("n_bigrams", size(toks).cast("long"))
+      .withColumn("sum_lnp_micro", sumLnp)
+      .withColumn("logppl_micro", expr("(-sum_lnp_micro) div n_bigrams"))
+      .where(col("logppl_micro") < keepBelowMicro)
+      .drop("sig")
+  }
 }

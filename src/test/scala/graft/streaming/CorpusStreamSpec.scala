@@ -100,4 +100,38 @@ class CorpusStreamSpec extends SparkSuite {
       assert(docs === Set(1L, 2L, 3L), s"got $docs")
     } finally q.stop()
   }
+
+  test("perplexity admission: fluent passes, gibberish dropped, repeat suppressed, score == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // take a document the batch gate itself KEEPS (lowest perplexity, so
+    // comfortably under the threshold); a fully out-of-vocabulary string
+    // scores at the unseen-context floor and must be dropped
+    val keptId = graft.operators.NgramLm.bigramPpl(spark, Sf)
+      .orderBy($"logppl_micro", $"doc_id").select($"doc_id").as[Long].head()
+    val fluent = graft.Tables.documents(spark, Sf)
+      .where($"doc_id" === keptId).select($"doc_id", $"text").head()
+    val gibberish = (1 to 12).map(i => s"zqxj$i").mkString(" ")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = CorpusStream.perplexityAdmission(
+      spark, Sf, in.toDS().toDF("doc_id", "ts", "text"), watermark = "60 minutes")
+    val q = out.writeStream.format("memory").queryName("ppl_admit")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((800001L, ts(0), fluent.getString(1)),
+        (800002L, ts(1), gibberish))
+      q.processAllAvailable()
+      in.addData((800003L, ts(2), fluent.getString(1))) // exact repeat
+      q.processAllAvailable()
+      val got = spark.table("ppl_admit")
+        .select($"doc_id", $"logppl_micro").as[(Long, Long)].collect().toMap
+      assert(got.keySet === Set(800001L), s"got ${got.keySet}")
+      // the stream scorer must produce the IDENTICAL integer the batch
+      // text_bigram_ppl computes for the same document
+      val batch = graft.operators.NgramLm.bigramPpl(spark, Sf)
+        .where($"doc_id" === fluent.getLong(0))
+        .select($"logppl_micro").as[Long].head()
+      assert(got(800001L) === batch)
+    } finally q.stop()
+  }
 }
