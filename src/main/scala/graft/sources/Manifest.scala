@@ -489,6 +489,53 @@ object Manifest {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Dynamic partition overwrite — the daily-backfill primitive every
+    * partitioned warehouse leans on (Spark's
+    * `partitionOverwriteMode=dynamic`, Hive's INSERT OVERWRITE
+    * partition semantics): rewrite ONLY the partitions present in the
+    * incoming frame, leave every other partition's files untouched.
+    * Here: orders laid out by o_orderstatus, then the 'F' partition is
+    * re-published with a +1000 price adjustment per row. The query
+    * aggregates the resulting table per status; the oracle recomputes
+    * the expectation from the PRISTINE orders table — so the hard gate
+    * proves all three failure modes absent at once: an append-instead-
+    * of-replace doubles F's count, a static overwrite vaporizes O/P,
+    * and a missed rewrite leaves F's sum unadjusted.
+    *
+    * Scale shape: the overwrite touches exactly the backfilled
+    * partition's files — O(partition), not O(table) — which is the whole
+    * point of the primitive at 100 TB. */
+  private[sources] def partitionOverwriteDir(s: SparkSession, d: String): String =
+    SessionCaches.dirMemo(s, s"pow-rt:$d") { path =>
+      val orders = Tables.orders(s, d)
+      orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      val backfill = orders.where(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0d))
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try backfill.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+
+  def partitionOverwriteAgg(s: SparkSession, d: String): DataFrame = {
+    val dir = partitionOverwriteDir(s, d)
+    s.read.parquet(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val partitionOverwriteOracle: String =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+      |       ROUND(SUM(o_totalprice +
+      |                 CASE WHEN o_orderstatus = 'F' THEN 1000.0 ELSE 0 END), 2)
+      |         AS sum_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("src_zorder_box_agg", Some(boxAggOracle), zorderBoxAgg),
     Q("src_manifest_pruned_agg", Some(boxAggOracle), manifestPrunedAgg),
@@ -496,7 +543,8 @@ object Manifest {
     Q("wh_vacuum_roundtrip", Some(vacuumRoundtripOracle), vacuumRoundtrip),
     // same pristine-orders oracle: the clone must NOT see the source's
     // post-clone append
-    Q("wh_shallow_clone", Some(vacuumRoundtripOracle), shallowCloneAgg))
+    Q("wh_shallow_clone", Some(vacuumRoundtripOracle), shallowCloneAgg),
+    Q("wh_partition_overwrite", Some(partitionOverwriteOracle), partitionOverwriteAgg))
 
   /** Fixed pivot of the two seeded 6,000-event generations (seeds 42 and
     * 7 — deterministic; regenerate by running the query and dumping the 5

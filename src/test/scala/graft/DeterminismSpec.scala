@@ -29,7 +29,14 @@ class DeterminismSpec extends SparkSuite {
     // (BPE merge rounds), driver-side greedy on rounded cosines (MMR),
     // codec round-trip + IEEE energy sums (audio), min-bucket distinct
     // counting (Heaps)
-    "text_bpe_train", "sim_mmr_select", "mm_audio_features", "text_heaps_law")
+    "text_bpe_train", "sim_mmr_select", "mm_audio_features", "text_heaps_law",
+    // round-9 fourth-sitting risk classes: fixed-point GD (LR trainer),
+    // lattice Lloyd iterations (k-means), IEEE-exact cosine max/sum
+    // (late interaction), LM lattice sums (perplexity), integer EMD
+    // cumulative walk (t-closeness), seed-restricted teleport (PPR)
+    "quality_lr_train", "sim_kmeans_assign", "sim_maxsim_topk",
+    "text_bigram_ppl", "audit_t_closeness", "graph_ppr_seeded",
+    "ev_seasonal_decompose", "quality_agreement_kappa")
 
   test("query outputs are bit-identical under 3 vs 7 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
