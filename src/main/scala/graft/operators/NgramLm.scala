@@ -50,23 +50,57 @@ object NgramLm {
       .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
   }
 
-  /** Per-document perplexity under the corpus bigram LM. */
-  def bigramPpl(s: SparkSession, d: String): DataFrame = {
+  /** Score a corpus against an LM given as its bigram-count table. The
+    * whole model state derives from c2 alone: context counts are the
+    * per-w1 sums (c1 ≡ Σ_w2 c2 by construction) and the vocab is the
+    * distinct targets — which is what makes the LM incrementally
+    * maintainable from ONE integer-count artifact. */
+  private def scoreWith(docs: DataFrame, c2: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val big = bigramsOf(Tables.documents(s, d))
-    val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-    val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val v = big.select($"w2").distinct().count()
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val v = c2.select($"w2").distinct().count()
     val lm = c2.join(c1, "w1")
       .select($"w1", $"w2",
         floor(log(($"c2" + lit(1.0)) / ($"c1" + lit(v.toDouble))) * 1e6 + 0.5)
           .cast("long").as("lnp_micro"))
-    big.join(broadcast(lm), Seq("w1", "w2"))
+    bigramsOf(docs).join(broadcast(lm), Seq("w1", "w2"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"lnp_micro").as("sum_lnp_micro"))
       .withColumn("logppl_micro", expr("(-sum_lnp_micro) div n_bigrams"))
       .withColumn("kept", $"logppl_micro" < KeepBelowMicro)
       .orderBy($"doc_id")
+  }
+
+  /** Per-document perplexity under the corpus bigram LM. */
+  def bigramPpl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    scoreWith(docs,
+      bigramsOf(docs).groupBy($"w1", $"w2").agg(count(lit(1)).as("c2")))
+  }
+
+  /** ∝-delta LM maintenance: the bigram-count table is a durable
+    * artifact built from the base corpus slice; an append costs one
+    * DELTA-sized bigram scan plus a vocab²-keyed integer merge — never a
+    * corpus rescan. Integer counts merge exactly, and c1/vocab re-derive
+    * from the merged table, so refresh ≡ full rebuild BIT-FOR-BIT — the
+    * query is therefore gated against the FULL-corpus relearning oracle
+    * (the [[Bpe.bpeTrainIncremental]] contract): any drift in the delta
+    * algebra fails the hard gate. */
+  def bigramPplIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val baseC2 = SessionCaches.parquetArtifact(s, s"lm-c2-base:$d") { dir =>
+      bigramsOf(Tables.documents(s, d).filter($"doc_id" % 10 =!= 7))
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    val deltaC2 = bigramsOf(Tables.documents(s, d).filter($"doc_id" % 10 === 7))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val merged = baseC2.select($"w1", $"w2", $"c2")
+      .unionByName(deltaC2)
+      .groupBy($"w1", $"w2").agg(sum($"c2").as("c2"))
+    scoreWith(Tables.documents(s, d), merged)
   }
 
   val bigramPplOracle: String =
@@ -125,5 +159,8 @@ object NgramLm {
     }
 
   val defs: Seq[Q] = Seq(
-    Q("text_bigram_ppl", Some(bigramPplOracle), bigramPpl))
+    Q("text_bigram_ppl", Some(bigramPplOracle), bigramPpl),
+    // refresh ≡ rebuild exactly, so the incremental path is gated against
+    // the FULL-corpus relearning oracle
+    Q("text_bigram_ppl_incremental", Some(bigramPplOracle), bigramPplIncremental))
 }

@@ -70,6 +70,28 @@ class NgramLmSpec extends SparkSuite {
     assert(kept > 0 && kept < out.count())
   }
 
+  test("incremental LM: base artifact excludes the delta slice; merged counts equal full-corpus counts") {
+    import spark.implicits._
+    // force the artifact build, then inspect it
+    NgramLm.bigramPplIncremental(spark, Sf).count()
+    val base = graft.operators.SessionCaches
+      .parquetArtifact(spark, s"lm-c2-base:$Sf")(_ => fail("must already exist"))
+    val docs = graft.Tables.documents(spark, Sf)
+    val baseExpected = NgramLm.bigramsOf(docs.where($"doc_id" % 10 =!= 7))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    assert(base.unionByName(baseExpected).distinct().count() ===
+      baseExpected.count(), "base artifact drifted from the base slice")
+    // delta merge reconstructs the full-corpus count table exactly
+    val full = NgramLm.bigramsOf(docs)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val delta = NgramLm.bigramsOf(docs.where($"doc_id" % 10 === 7))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val merged = base.unionByName(delta)
+      .groupBy($"w1", $"w2").agg(sum($"c2").as("c2"))
+    assert(merged.unionByName(full).distinct().count() === full.count(),
+      "merged counts != full-corpus counts")
+  }
+
   test("score is partitioning-invariant (lattice sums are exact)") {
     def run(parts: Int): Map[Long, Long] = {
       import spark.implicits._
