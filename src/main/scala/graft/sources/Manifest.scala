@@ -489,6 +489,55 @@ object Manifest {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Delta-RESTORE: roll the table's CURRENT state back to an older
+    * snapshot's file set — as a NEW version, never by rewriting history.
+    * The manifest is repointed at the snapshot's (complete) manifest rows
+    * and the rollback is itself frozen as the next snapshot: after
+    * `RESTORE v1` on a 2-version table, v3 serves v1's content while v2
+    * stays time-travelable until [[vacuum]] retires it — exactly Delta's
+    * RESTORE semantics. O(files) metadata, zero data moved; the bad
+    * write's files stay on disk (still referenced by the bad version)
+    * and fall to the vacuum. Returns the new version number. */
+  def restoreSnapshot(s: SparkSession, dataDir: String,
+                      cols: Seq[String], v: Int): Int = {
+    val mDir = manifestDir(s, dataDir, cols)
+    val snap = s.read.parquet(s"${snapshotRoot(dataDir)}/v$v")
+    snap.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(mDir)
+    SessionCaches.remarkComplete(mDir)
+    s.catalog.refreshByPath(mDir)
+    snapshotManifest(s, dataDir, cols)
+  }
+
+  /** The bad-write→rollback lifecycle on the driver's orders table:
+    * pristine v1 → a botched append (a duplicate slice of every 7th
+    * order) picked up by refresh and frozen as v2 → RESTORE v1 (= v3).
+    * The query aggregates through the restored manifest, and the oracle
+    * is the PRISTINE orders aggregate — the hard gate itself proves the
+    * rollback removed the bad rows from the current view without
+    * touching history. */
+  private[sources] def restoredOrdersDir(s: SparkSession, d: String): String =
+    SessionCaches.dirMemo(s, s"restore-rt:$d") { path =>
+      val cols = Seq("o_orderkey")
+      Tables.orders(s, d).repartition(4).write.mode("overwrite").parquet(path)
+      manifestDir(s, path, cols)
+      snapshotManifest(s, path, cols)                       // v1: pristine
+      Tables.orders(s, d).where(col("o_orderkey") % 7 === 0)
+        .write.mode("append").parquet(path)                  // the bad write
+      refreshManifest(s, path, cols)
+      snapshotManifest(s, path, cols)                       // v2: corrupted
+      restoreSnapshot(s, path, cols, 1)                     // v3 ≡ v1
+    }
+
+  def restoreSnapshotAgg(s: SparkSession, d: String): DataFrame = {
+    val dir = restoredOrdersDir(s, d)
+    val files = currentFiles(s, dir, Seq("o_orderkey"))
+    s.read.parquet(files: _*)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Dynamic partition overwrite — the daily-backfill primitive every
     * partitioned warehouse leans on (Spark's
     * `partitionOverwriteMode=dynamic`, Hive's INSERT OVERWRITE
@@ -544,7 +593,10 @@ object Manifest {
     // same pristine-orders oracle: the clone must NOT see the source's
     // post-clone append
     Q("wh_shallow_clone", Some(vacuumRoundtripOracle), shallowCloneAgg),
-    Q("wh_partition_overwrite", Some(partitionOverwriteOracle), partitionOverwriteAgg))
+    Q("wh_partition_overwrite", Some(partitionOverwriteOracle), partitionOverwriteAgg),
+    // pristine-orders oracle again: the restore must serve v1's content
+    // after the corrupted v2
+    Q("wh_restore_snapshot", Some(vacuumRoundtripOracle), restoreSnapshotAgg))
 
   /** Fixed pivot of the two seeded 6,000-event generations (seeds 42 and
     * 7 — deterministic; regenerate by running the query and dumping the 5

@@ -115,4 +115,27 @@ class VacuumSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Manifest.vacuum(spark, dir, cols, retainLast = 0))
   }
+
+  test("restore rolls current state to the old snapshot as a NEW version; history intact") {
+    val range = Seq(("o_orderkey", Double.MinValue, Double.MaxValue))
+    val dir = freshTable()
+    val truth = agg(spark.read.parquet(dir))
+    Manifest.manifestDir(spark, dir, cols)
+    val v1 = Manifest.snapshotManifest(spark, dir, cols)
+    // the bad write: a duplicate slice appended and picked up by refresh
+    Tables.orders(spark, Sf).where(col("o_orderkey") % 7 === 0)
+      .write.mode("append").parquet(dir)
+    Manifest.refreshManifest(spark, dir, cols)
+    val v2 = Manifest.snapshotManifest(spark, dir, cols)
+    val corrupted = agg(Manifest.prunedScanAsOf(spark, dir, range, v2))
+    assert(corrupted != truth, "the bad write must be visible in v2")
+    val v3 = Manifest.restoreSnapshot(spark, dir, cols, v1)
+    assert(v3 == v2 + 1, "restore must mint a NEW version")
+    // current state == v1 content; v2 stays readable (history not rewritten)
+    assert(agg(Manifest.prunedScanAsOf(spark, dir, range, v3)) == truth)
+    assert(agg(Manifest.prunedScanAsOf(spark, dir, range, v1)) == truth)
+    assert(agg(Manifest.prunedScanAsOf(spark, dir, range, v2)) == corrupted)
+    // zero data moved: the bad files are still on disk, awaiting vacuum
+    assert(dataFiles(dir).size > 6)
+  }
 }
