@@ -28,9 +28,11 @@ object Bench {
     "dedup_ngram_jaccard",    // full MinHash-LSH pipeline
     "sim_knn_brute",          // embedding scan + codegen dot
     "text_quality_score",     // text HOF suite
-    "mm_decode_batched",      // typed mapPartitions plumbing
-    "quality_lr_train",       // iterative fixed-point GD trainer
-    "sim_kmeans_assign")      // lattice Lloyd clustering
+    "mm_decode_batched")      // typed mapPartitions plumbing
+  // the iterative trainers (quality_lr_train, sim_kmeans_assign) are
+  // deliberately NOT headline entries: the headline total is the
+  // round-over-round comparable, and the trainers' multi-job loops would
+  // shift it by construction; the sweep + bench_detail.json time them.
 
   /** Second scale: the SCALE_NOTES Leg-1 warehouse at 10M events (100× the
     * sf0.1 event volume), reproducible per round so regressions show at
