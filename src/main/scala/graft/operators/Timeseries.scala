@@ -429,6 +429,42 @@ object Timeseries {
       .orderBy($"event_type", $"hour")
   }
 
+  /** The alerting readout over [[seasonalDecompose]]: hours whose count
+    * deviates from their hour-of-day seasonal mean by ≥ 50% — the
+    * "traffic for 3 AM is double its usual 3 AM level" rule, which a
+    * raw-count threshold cannot express. Pure integer comparison
+    * (2·|resid| ≥ seasonal in milli units — no division at all), so the
+    * flag cannot flip between engines; same one-aggregate + broadcast
+    * join shape as the decomposition. */
+  def seasonalAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    seasonalDecompose(s, d)
+      .where(abs($"resid_milli") * 2 >= $"seasonal_milli")
+      .orderBy($"event_type", $"hour")
+  }
+
+  val seasonalAnomalyOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |hh AS (SELECT event_type, hour, x, CAST(hour(hour) AS BIGINT) AS hod
+      |       FROM hourly),
+      |seasonal AS (
+      |  SELECT event_type, hod, CAST(sum(x) AS BIGINT) AS ssum,
+      |         CAST(count(*) AS BIGINT) AS scnt
+      |  FROM hh GROUP BY 1, 2),
+      |dec AS (
+      |  SELECT h.event_type,
+      |         strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+      |         h.hod, h.x, s.scnt,
+      |         (1000 * s.ssum) // s.scnt AS seasonal_milli,
+      |         (1000 * (h.x * s.scnt - s.ssum)) // s.scnt AS resid_milli
+      |  FROM hh h JOIN seasonal s USING (event_type, hod))
+      |SELECT * FROM dec
+      |WHERE abs(resid_milli) * 2 >= seasonal_milli
+      |ORDER BY event_type, hour""".stripMargin
+
   val seasonalDecomposeOracle: String =
     """WITH hourly AS (
       |  SELECT event_type, date_trunc('hour', ts) AS hour,
@@ -453,6 +489,7 @@ object Timeseries {
     Q("ev_ewma_hourly", Some(ewmaHourlyOracle), ewmaHourly),
     Q("ev_cusum_hourly", Some(cusumHourlyOracle), cusumHourly),
     Q("ev_holt_trend", Some(holtTrendOracle), holtTrendHourly),
-    Q("ev_seasonal_decompose", Some(seasonalDecomposeOracle), seasonalDecompose))
+    Q("ev_seasonal_decompose", Some(seasonalDecomposeOracle), seasonalDecompose),
+    Q("ev_seasonal_anomaly", Some(seasonalAnomalyOracle), seasonalAnomaly))
 
 }

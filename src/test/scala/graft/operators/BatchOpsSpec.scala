@@ -83,6 +83,20 @@ class BatchOpsSpec extends SparkSuite {
     assert(byGroup.nonEmpty)
   }
 
+  test("seasonal anomaly: exactly the >=50%-deviation rows of the decomposition") {
+    import spark.implicits._
+    val dec = Timeseries.seasonalDecompose(spark, Sf)
+      .select($"event_type", $"hour", $"resid_milli", $"seasonal_milli")
+      .as[(String, String, Long, Long)].collect()
+    val expect = dec.filter { case (_, _, r, se) => math.abs(r) * 2 >= se }
+      .map(t => (t._1, t._2)).toSet
+    val got = Timeseries.seasonalAnomaly(spark, Sf)
+      .select($"event_type", $"hour").as[(String, String)].collect().toSet
+    assert(got === expect)
+    // the rule must fire on some hours and not on all hours
+    assert(got.nonEmpty && got.size < dec.length)
+  }
+
   test("ewma: closed form equals the textbook recursion on a hand series") {
     import spark.implicits._
     // x = [1, 3, 2, 6]: s1=1, s2=.5*3+.5*1=2, s3=.5*2+.5*2=2, s4=.5*6+.5*2=4
