@@ -34,6 +34,21 @@ object Bench {
   // round-over-round comparable, and the trainers' multi-job loops would
   // shift it by construction; the sweep + bench_detail.json time them.
 
+  /** 1-minute loadavg from /proc/loadavg (−1 if unreadable). Captured at
+    * bench start/end so a noisy host indicts itself in the envelope
+    * (round-9 verdict: 6.7×/15× scale-leg blowups on untouched code could
+    * not be attributed without host-load evidence). */
+  private def loadavg(): Double = scala.util.Try(
+    Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+  ).getOrElse(-1.0)
+
+  /** (iowait, total) jiffies from /proc/stat's aggregate cpu line. */
+  private def cpuTicks(): (Long, Long) = scala.util.Try {
+    val f = Files.readAllLines(Paths.get("/proc/stat")).get(0)
+      .trim.split("\\s+").drop(1).map(_.toLong)
+    (f(4), f.sum)
+  }.getOrElse((-1L, -1L))
+
   /** Second scale: the SCALE_NOTES Leg-1 warehouse at 10M events (100× the
     * sf0.1 event volume), reproducible per round so regressions show at
     * BOTH scales, not just the sweep SF (round-2 verdict item 10). Opt out
@@ -215,10 +230,25 @@ object Bench {
     // sweep session's accumulated state (memo artifacts, FileStatusCache,
     // pending unpersists, GC pressure) charged to the leg. First-run
     // numbers measure the warehouse, not the session's history.
+    val loadStart = loadavg()
+    val (iowait0, ticks0) = cpuTicks()
     val scaleOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
+    // Median-of-3 with spread (round-9 verdict "Next round" #4): rep 1 is
+    // the true cold-JVM shot (kept as *_first — coldness is its point, an
+    // untimed discard would destroy it); reps 2-3 rerun the identical leg
+    // immediately after. A cold shot far above its own reps 2-3 indicts
+    // host I/O contention; three tight reps that are ALL slow indict the
+    // code. r9's unattributable 87 s write came from a single-shot leg.
     val scale =
       if (!scaleOn) Seq.empty
-      else try scaleLeg(spark)
+      else try {
+        val runs = (1 to 3).map(_ => scaleLeg(spark).toMap)
+        runs.head.keys.toSeq.sorted.flatMap { k =>
+          val vs = runs.map(_(k)).sorted
+          Seq(k -> vs(vs.size / 2), s"${k}_first" -> runs.head(k),
+            s"${k}_min" -> vs.head, s"${k}_max" -> vs.last)
+        }
+      }
       catch { case _: Throwable => Seq("scale_leg_failed" -> -1.0) }
 
     // Per query: (1) a warm-up run pays one-off codegen/JIT/scan-listing
@@ -317,9 +347,20 @@ object Bench {
     // Streaming freshness, last (its cost is idle boundary-waiting, and
     // running it after the sweep keeps the sweep's timings stream-free).
     // Opt out with SPARK_GRAFT_BENCH_FRESH=0 for quick local iteration.
+    // Median-of-3 with spread here too (round-9 verdict #4: freshness was
+    // single-shot and its 19.2 s-vs-1.3 s round delta unattributable).
+    // Each rep waits for its own minute boundary (~30 s expected idle), so
+    // 3 reps cost ~1.5 min of idle wall — attribution is worth the wait.
     val fresh =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH", "1") == "0") Seq.empty
-      else try freshnessLeg(spark)
+      else try {
+        val runs = (1 to 3).map(_ => freshnessLeg(spark).toMap)
+        runs.head.keys.toSeq.sorted.flatMap { k =>
+          val vs = runs.map(_(k)).sorted
+          Seq(k -> vs(vs.size / 2),
+            s"${k}_min" -> vs.head, s"${k}_max" -> vs.last)
+        }
+      }
       catch { case _: Throwable => Seq("freshness_failed" -> -1.0) }
 
     // Locale.ROOT: f"$v%.4f" uses the JVM default locale — a comma-decimal

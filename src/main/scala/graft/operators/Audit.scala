@@ -302,6 +302,14 @@ object Audit {
     // as a literal onto the class list rather than cross-joining relations
     val buckets = glob.select($"b").orderBy($"b").as[Long].collect().toSeq
     val m = buckets.size
+    // m == 1 would put a literal 0 in the divisor: Spark yields null
+    // emd_micro (and null meets_t) while the DuckDB oracle ERRORS on the
+    // division — two different failure modes for one degenerate corpus.
+    // EMD over a single bucket is identically 0 anyway, so fail loudly
+    // rather than return an engine-dependent artifact.
+    require(m >= 2, s"t-closeness needs >= 2 sensitive-attribute buckets " +
+      s"to form an ordered EMD; corpus has $m — distribution distance is " +
+      "undefined (trivially 0) on a single bucket")
     val grid = cnts.select($"lang", $"source").distinct()
       .withColumn("b", explode(typedlit(buckets)))
       .join(cnts, Seq("lang", "source", "b"), "left")

@@ -149,7 +149,7 @@ object Kmeans {
                 |new$t AS (
                 |  SELECT cluster AS j, list(v ORDER BY i) AS ce FROM (
                 |    SELECT a.cluster, u.i,
-                |           CAST(sum(q.e[u.i]) // count(*) AS BIGINT) AS v
+                |           ${SqlIdioms.tdivSql("CAST(sum(q.e[u.i]) AS BIGINT)", "CAST(count(*) AS BIGINT)")} AS v
                 |    FROM asg$t a JOIN qemb q USING (vec_id),
                 |         UNNEST(generate_series(1, $Dim)) AS u(i)
                 |    GROUP BY a.cluster, u.i)

@@ -166,16 +166,21 @@ object LrTrain {
       sb ++= s"         ${2 * S} + ($raw) AS pre\n"
       sb ++= s"  FROM feat f CROSS JOIN w$p w),\n"
       sb ++= s"g$t AS MATERIALIZED (\n  SELECT\n"
+      // CAST: sum(BIGINT) is HUGEINT in DuckDB; bring it back to BIGINT so
+      // downstream arithmetic matches the engine's int64 exactly.
       sb ++= (0 until D).map { j =>
-        s"    COALESCE(sum(CASE WHEN pre > 0 AND pre < ${4 * S} THEN (LEAST(GREATEST(pre, 0), ${4 * S}) - ${4 * S} * y) * c$j ELSE 0 END), 0) AS g$j"
+        s"    CAST(COALESCE(sum(CASE WHEN pre > 0 AND pre < ${4 * S} THEN (LEAST(GREATEST(pre, 0), ${4 * S}) - ${4 * S} * y) * c$j ELSE 0 END), 0) AS BIGINT) AS g$j"
       }.mkString("", ",\n", ",\n")
-      sb ++= s"    COALESCE(sum(CASE WHEN pre > 0 AND pre < ${4 * S} THEN LEAST(GREATEST(pre, 0), ${4 * S}) - ${4 * S} * y ELSE 0 END), 0) AS gb\n"
+      sb ++= s"    CAST(COALESCE(sum(CASE WHEN pre > 0 AND pre < ${4 * S} THEN LEAST(GREATEST(pre, 0), ${4 * S}) - ${4 * S} * y ELSE 0 END), 0) AS BIGINT) AS gb\n"
       sb ++= s"  FROM d$t),\n"
       sb ++= s"w$t AS (\n  SELECT\n"
+      // Gradients go NEGATIVE; Scala's `/` truncates toward zero while some
+      // DuckDB builds floor `//`. tdiv() (SqlIdioms.tdivSql) is truncating
+      // division under EITHER semantics, so the replay is build-portable.
       sb ++= (0 until D).map { j =>
-        s"    w.w$j - g.g$j // (16 * nn.n * ${1L << E}) AS w$j"
+        s"    w.w$j - ${SqlIdioms.tdivSql(s"g.g$j", s"(16 * nn.n * ${1L << E})")} AS w$j"
       }.mkString("", ",\n", ",\n")
-      sb ++= s"    w.b - g.gb // (16 * nn.n * ${1L << E}) AS b\n"
+      sb ++= s"    w.b - ${SqlIdioms.tdivSql("g.gb", s"(16 * nn.n * ${1L << E})")} AS b\n"
       sb ++= s"  FROM w$p w CROSS JOIN g$t g CROSS JOIN nn)"
       sb ++= (if (t < Iters) ",\n" else "\n")
     }
@@ -212,6 +217,13 @@ object LrTrain {
     * (κ_micro = 10⁶·(n·(a+d) − Σ marginals)/(n² − Σ marginals), both
     * engines' division truncating toward zero), so the readout is
     * bit-deterministic.
+    *
+    * Integer-range bound (cf. [[Audit]].tCloseness's documented bound):
+    * the scaled numerator is `10⁶·(n·(a+d) − Σ marginal products)`, i.e.
+    * O(10⁶·n²) — it stays inside int64 while n ≲ 3×10⁶ documents. Beyond
+    * that, run κ per shard/stratum (the standard practice for agreement
+    * audits anyway) or drop the 10⁶ micro-scaling; the confusion counts
+    * themselves are exact at any n.
     *
     * Scale shape: both raters are narrow scoring passes; the join is
     * doc-keyed and the confusion matrix is ONE map-side-combinable
@@ -260,12 +272,13 @@ object LrTrain {
          |         CAST(sum(CASE WHEN NOT rule_acc AND NOT lr_acc THEN 1 ELSE 0 END) AS BIGINT) AS both_reject
          |  FROM rule JOIN lrs USING (doc_id))
          |SELECT n, both_accept, rule_only, lr_only, both_reject,
-         |       (1000000 * (n * (both_accept + both_reject)
-         |          - ((both_accept + rule_only) * (both_accept + lr_only)
-         |             + (lr_only + both_reject) * (rule_only + both_reject))))
-         |       // (n * n
-         |          - ((both_accept + rule_only) * (both_accept + lr_only)
-         |             + (lr_only + both_reject) * (rule_only + both_reject)))
+         |       ${SqlIdioms.tdivSql(
+               """(1000000 * (n * (both_accept + both_reject)
+                 |          - ((both_accept + rule_only) * (both_accept + lr_only)
+                 |             + (lr_only + both_reject) * (rule_only + both_reject))))""".stripMargin,
+               """(n * n
+                 |          - ((both_accept + rule_only) * (both_accept + lr_only)
+                 |             + (lr_only + both_reject) * (rule_only + both_reject)))""".stripMargin)}
          |         AS kappa_micro
          |FROM conf""".stripMargin
 

@@ -443,8 +443,10 @@ object Timeseries {
       .orderBy($"event_type", $"hour")
   }
 
+  // resid_milli's numerator goes NEGATIVE (count below seasonal mean);
+  // tdiv keeps the replay truncating under floor-`//` DuckDB builds too.
   val seasonalAnomalyOracle: String =
-    """WITH hourly AS (
+    s"""WITH hourly AS (
       |  SELECT event_type, date_trunc('hour', ts) AS hour,
       |         CAST(count(*) AS BIGINT) AS x
       |  FROM events GROUP BY 1, 2),
@@ -459,14 +461,14 @@ object Timeseries {
       |         strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
       |         h.hod, h.x, s.scnt,
       |         (1000 * s.ssum) // s.scnt AS seasonal_milli,
-      |         (1000 * (h.x * s.scnt - s.ssum)) // s.scnt AS resid_milli
+      |         ${SqlIdioms.tdivSql("(1000 * (h.x * s.scnt - s.ssum))", "s.scnt")} AS resid_milli
       |  FROM hh h JOIN seasonal s USING (event_type, hod))
       |SELECT * FROM dec
       |WHERE abs(resid_milli) * 2 >= seasonal_milli
       |ORDER BY event_type, hour""".stripMargin
 
   val seasonalDecomposeOracle: String =
-    """WITH hourly AS (
+    s"""WITH hourly AS (
       |  SELECT event_type, date_trunc('hour', ts) AS hour,
       |         CAST(count(*) AS BIGINT) AS x
       |  FROM events GROUP BY 1, 2),
@@ -480,7 +482,7 @@ object Timeseries {
       |       strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
       |       h.hod, h.x, s.scnt,
       |       (1000 * s.ssum) // s.scnt AS seasonal_milli,
-      |       (1000 * (h.x * s.scnt - s.ssum)) // s.scnt AS resid_milli
+      |       ${SqlIdioms.tdivSql("(1000 * (h.x * s.scnt - s.ssum))", "s.scnt")} AS resid_milli
       |FROM hh h JOIN seasonal s USING (event_type, hod)
       |ORDER BY h.event_type, h.hour""".stripMargin
 

@@ -38,6 +38,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Environment skew is a real failure mode: round 9's gate went red on
+    # the driver's newer DuckDB (floor //) while local 1.0.0 (trunc //)
+    # passed. Print the version so local-vs-driver runs are comparable.
+    print(f"duckdb=={duckdb.__version__} pandas=={pd.__version__}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
