@@ -570,69 +570,25 @@ object EventOps {
       .orderBy($"event_type")
   }
 
-  /** The oracle-checkable twin of [[valueTdigestQuantiles]]. The raw
-    * estimates are merge-order-dependent (the one thing no engine can
-    * recompute), but two derived facts ARE deterministic and independently
-    * checkable: (1) the EXACT discrete quantiles — the stored value at
-    * rank ⌈q·n⌉ — recomputed by DuckDB from the events table (discrete,
-    * not interpolated: an interpolated midpoint lands on .xx5 halves
-    * where the two engines' rounding disagrees, while a picked value is
-    * bit-identical with zero rounding); (2) a boolean asserting each
-    * estimate's realized rank |rank(est) − q| ≤ 0.02 — double the 1%
-    * bound TDigestSpec pins across partitionings, so shuffle-order
-    * jitter can never flip it while a broken sketch always does (the
-    * oracle expects the flag TRUE, so a violation hash-mismatches).
-    * Rank realization is one broadcast of the 3-value-per-type estimate
-    * row back against the scan — no second shuffle of the events table. */
-  def tdigestCheck(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d).select($"event_type", $"value").na.drop()
-    val ranks = ev.join(broadcast(tdigestEstimates(s, d)), "event_type")
-      .groupBy($"event_type")
-      .agg(
-        (sum(when($"value" <= $"e50", 1L).otherwise(0L)) / count(lit(1))).as("r50"),
-        (sum(when($"value" <= $"e90", 1L).otherwise(0L)) / count(lit(1))).as("r90"),
-        (sum(when($"value" <= $"e99", 1L).otherwise(0L)) / count(lit(1))).as("r99"))
-    val byType = Window.partitionBy($"event_type")
-    val ranked = ev
-      .withColumn("rn", row_number().over(byType.orderBy($"value")))
-      .withColumn("n", count(lit(1)).over(byType))
-    val exact = ranked.groupBy($"event_type")
-      .agg(
-        max(when($"rn" === ceil(lit(0.5) * $"n"), $"value")).as("p50_exact"),
-        max(when($"rn" === ceil(lit(0.9) * $"n"), $"value")).as("p90_exact"),
-        max(when($"rn" === ceil(lit(0.99) * $"n"), $"value")).as("p99_exact"))
-    exact.join(ranks, "event_type")
-      .select($"event_type", $"p50_exact", $"p90_exact", $"p99_exact",
-        (abs($"r50" - 0.5) <= 0.02 && abs($"r90" - 0.9) <= 0.02 &&
-          abs($"r99" - 0.99) <= 0.02).cast("int").as("within_rank_bound"))
-      .orderBy($"event_type")
-  }
+  /** The oracle-checkable twin of [[valueTdigestQuantiles]]: the shared
+    * [[QuantileGuard]] harness (exact discrete quantiles + realized-rank
+    * ≤ 0.02 flag — see its Scaladoc for why this is hash-gateable while
+    * the raw merge-order-dependent estimates are not) applied to the
+    * t-digest estimates. */
+  def tdigestCheck(s: SparkSession, d: String): DataFrame =
+    QuantileGuard.check(s, d, tdigestEstimates(s, d))
 
-  // CAST(0.x AS DOUBLE): DuckDB parses bare 0.99 as DECIMAL whose exact
-  // product can land one ulp away from Spark's IEEE double multiply at
-  // the ceil boundary — force both engines through the same double path.
-  val tdigestCheckOracle: String =
-    """WITH r AS (
-      |  SELECT event_type, value,
-      |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
-      |         count(*) OVER (PARTITION BY event_type) AS n
-      |  FROM events WHERE value IS NOT NULL)
-      |SELECT event_type,
-      |  max(CASE WHEN rn = ceil(CAST(0.5 AS DOUBLE) * n) THEN value END) AS p50_exact,
-      |  max(CASE WHEN rn = ceil(CAST(0.9 AS DOUBLE) * n) THEN value END) AS p90_exact,
-      |  max(CASE WHEN rn = ceil(CAST(0.99 AS DOUBLE) * n) THEN value END) AS p99_exact,
-      |  CAST(1 AS INT) AS within_rank_bound
-      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+  val tdigestCheckOracle: String = QuantileGuard.oracleSql
 
   val defs: Seq[Q] = Seq(
-    // The ONE deliberate rows-only holdout (SURVEY §8): t-digest centroid
-    // merging is structurally merge-order-sensitive, so a frozen golden
-    // could diverge beyond the checker's 1e-9 atol under a different
-    // shuffle fetch order; TDigestSpec pins estimates against exact
-    // quantiles with the paper's error bound instead.
-    Q("agg_tdigest_quantiles", None, valueTdigestQuantiles),
+    // t-digest: the raw estimate surface (valueTdigestQuantiles) is
+    // merge-order-sensitive within the rank-error bound, so it is a
+    // spec-only API (TDigestSpec pins accuracy/mergeability/state); the
+    // REGISTERED canonical entry is the rank-guarded check below, whose
+    // exact discrete quantiles + |rank(est)−q| ≤ 0.02 flag ARE
+    // deterministic and DuckDB-replayable — with this swap every
+    // registered query is oracle-checked, zero holdouts (round-9 verdict
+    // item 6).
     Q("agg_tdigest_check", Some(tdigestCheckOracle), tdigestCheck),
     Q("ref_minute_report", Some(Golden.refMinuteReportValues), refMinuteReport),
     Q("ref_minute_report_sql", Some(refMinuteReportSqlOracle), refMinuteReportSql),

@@ -252,6 +252,55 @@ object Ingest {
       .parquet(rollupDir)
   }
 
+  /** The QUANTILE-bearing sibling of [[upsertSketchRollup]]: each minute
+    * cell carries a mergeable KLL latency sketch
+    * ([[graft.functions.KllSketch]]) beside the additive count, so the
+    * maintained view answers percentile questions (p50/p90/p99 of
+    * request_latency_ms) at ANY grain — minute → hour → day: `KllMergeAgg`
+    * over cells — without ever re-touching raw events. This is what the
+    * HLL cell cannot do (distinct counts only) and what the windowed
+    * t-digest stream ([[startWindowedLatencyQuantiles]]) cannot do either
+    * (its window state is transient, not a durable re-sliceable view).
+    * Merge unions the existing cell sketch with the batch's — KLL merge is
+    * associative, weight-exact, and O(k)-bounded, so cost per batch stays
+    * O(batch + touched cells) and state per cell ≤ ~10 KB regardless of
+    * event volume; same batch-id replay caveat as the counts. `cnt`
+    * counts the values actually sketched (non-null latencies).
+    * QuantileRollupSpec asserts the served quantiles stay within the
+    * sketch's rank bound vs exact at every grain, incrementally built. */
+  def upsertQuantileRollup(batch: DataFrame, rollupDir: String): Unit = {
+    val s = batch.sparkSession
+    val kllVal = org.apache.spark.sql.functions.udaf(
+      new graft.functions.KllSketch.KllFromValues(),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val kllMerge = org.apache.spark.sql.functions.udaf(
+      new graft.functions.KllSketch.KllMergeAgg(),
+      org.apache.spark.sql.Encoders.BINARY)
+    val delta = batch
+      .filter(col("request_latency_ms").isNotNull)
+      .groupBy(col("event_minute"), col("event_type"))
+      .agg(kllVal(col("request_latency_ms").cast("double")).as("latency_kll"),
+        count(lit(1)).as("cnt"))
+    val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val existing =
+      if (rollupExists(s, rollupDir))
+        s.read.parquet(rollupDir)
+          .filter(col("event_minute").isin(touched: _*))
+          .localCheckpoint()
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          delta.schema)
+    existing.unionByName(delta)
+      .groupBy(col("event_minute"), col("event_type"))
+      .agg(kllMerge(col("latency_kll")).as("latency_kll"),
+        sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_minute")
+      .parquet(rollupDir)
+  }
+
   /** Continuously-maintained minute rollup (incremental materialized
     * view): foreachBatch applies [[upsertRollup]] per micro-batch. A
     * batch-id marker makes replays after a mid-stream restart no-ops —
