@@ -49,6 +49,21 @@ object Bench {
     (f(4), f.sum)
   }.getOrElse((-1L, -1L))
 
+  /** Run one leg rep and append the host's 1-min loadavg at rep START plus
+    * the iowait share of cpu jiffies ACROSS the rep. These flow through the
+    * median/min/max machinery like any metric, so a slow rep carries its own
+    * contention evidence (round-10 verdict #2: the capture existed but was
+    * dead code, and the freshness leg's 61× spread stayed unattributable). */
+  private def withHostLoad(body: => Seq[(String, Double)]): Seq[(String, Double)] = {
+    val l0 = loadavg()
+    val (io0, tk0) = cpuTicks()
+    val out = body
+    val (io1, tk1) = cpuTicks()
+    val ioPct =
+      if (tk1 > tk0 && io0 >= 0) (io1 - io0).toDouble / (tk1 - tk0) * 100 else -1.0
+    out ++ Seq("host_load_1min" -> l0, "host_iowait_pct" -> ioPct)
+  }
+
   /** Second scale: the SCALE_NOTES Leg-1 warehouse at 10M events (100× the
     * sf0.1 event volume), reproducible per round so regressions show at
     * BOTH scales, not just the sweep SF (round-2 verdict item 10). Opt out
@@ -242,7 +257,7 @@ object Bench {
     val scale =
       if (!scaleOn) Seq.empty
       else try {
-        val runs = (1 to 3).map(_ => scaleLeg(spark).toMap)
+        val runs = (1 to 3).map(_ => withHostLoad(scaleLeg(spark)).toMap)
         runs.head.keys.toSeq.sorted.flatMap { k =>
           val vs = runs.map(_(k)).sorted
           Seq(k -> vs(vs.size / 2), s"${k}_first" -> runs.head(k),
@@ -250,6 +265,43 @@ object Bench {
         }
       }
       catch { case _: Throwable => Seq("scale_leg_failed" -> -1.0) }
+
+    // The 100M join probe, MOVED pre-sweep (round-10 verdict #3): two
+    // rounds running it post-sweep produced 106-164 s vs the 13.7 s class
+    // it was built at (SCALE_NOTES Leg 16), with `TaskMemoryManager:
+    // Failed to allocate a page` in the tail — post-sweep heap pressure,
+    // not the join. Controlled protocol: run before the 235-query sweep
+    // accumulates state (the 3 cold scale_10m legs above already warmed
+    // JIT/codegen), one untimed discard rep, then median-of-3 with spread,
+    // per-rep host-load, and a heap snapshot as the memory-pressure
+    // evidence the verdict asked for.
+    val (scale100m, scale100mStages) =
+      if (!scaleOn) (Seq.empty[(String, Double)], "[]")
+      else try {
+        graft.operators.SessionCaches.clear(spark)
+        spark.catalog.clearCache()
+        System.gc()
+        val rt = Runtime.getRuntime
+        val heapUsedMb = (rt.totalMemory - rt.freeMemory) / (1024.0 * 1024)
+        val heapMaxMb = rt.maxMemory / (1024.0 * 1024)
+        scala.util.Try(scale100mLeg(spark)) // untimed discard: JIT + residue
+        val reps = (1 to 3).map { _ =>
+          var stages = "[]"
+          val m = withHostLoad {
+            val (metrics, st) = scale100mLeg(spark)
+            stages = st
+            metrics
+          }.toMap
+          (m, stages)
+        }
+        val byTime = reps.sortBy(_._1("scale_100m_join_sec"))
+        val medianRep = byTime(reps.size / 2)
+        val metrics = reps.head._1.keys.toSeq.sorted.flatMap { k =>
+          val vs = reps.map(_._1(k)).sorted
+          Seq(k -> vs(vs.size / 2), s"${k}_min" -> vs.head, s"${k}_max" -> vs.last)
+        } ++ Seq("heap_used_mb_at_start" -> heapUsedMb, "heap_max_mb" -> heapMaxMb)
+        (metrics, medianRep._2)
+      } catch { case _: Throwable => (Seq("scale_100m_failed" -> -1.0), "[]") }
 
     // Per query: (1) a warm-up run pays one-off codegen/JIT/scan-listing
     // costs that a warm service never sees (the reference's 22.16 s
@@ -328,7 +380,7 @@ object Bench {
           // measured as a 23-47 s scatter on a leg that times at a steady
           // ~7 s in isolation (WriteDegrade experiment, round 8)
           scala.util.Try(new ProcessBuilder("sync").start().waitFor())
-          scaleLeg(spark).toMap
+          withHostLoad(scaleLeg(spark)).toMap
         }
         runs.head.keys.toSeq.sorted.flatMap { k =>
           val vs = runs.map(_(k)).sorted
@@ -336,13 +388,6 @@ object Bench {
             s"${k}_warm_min" -> vs.head, s"${k}_warm_max" -> vs.last)
         }
       } catch { case _: Throwable => Seq("scale_leg_warm_failed" -> -1.0) }
-
-    // The 100M join probe, after the warm legs (the JVM is warm — right
-    // for a join-throughput probe; the cold story is the scale_10m leg's).
-    val (scale100m, scale100mStages) =
-      if (!scaleOn) (Seq.empty[(String, Double)], "[]")
-      else try scale100mLeg(spark)
-      catch { case _: Throwable => (Seq("scale_100m_failed" -> -1.0), "[]") }
 
     // Streaming freshness, last (its cost is idle boundary-waiting, and
     // running it after the sweep keeps the sweep's timings stream-free).
@@ -354,7 +399,7 @@ object Bench {
     val fresh =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH", "1") == "0") Seq.empty
       else try {
-        val runs = (1 to 3).map(_ => freshnessLeg(spark).toMap)
+        val runs = (1 to 3).map(_ => withHostLoad(freshnessLeg(spark)).toMap)
         runs.head.keys.toSeq.sorted.flatMap { k =>
           val vs = runs.map(_(k)).sorted
           Seq(k -> vs(vs.size / 2),
@@ -362,6 +407,16 @@ object Bench {
         }
       }
       catch { case _: Throwable => Seq("freshness_failed" -> -1.0) }
+
+    // Bench-wide host evidence: loadavg at start/end plus the iowait share
+    // of cpu jiffies across the WHOLE bench (per-leg deltas live inside
+    // each leg's host_load_1min/host_iowait_pct metrics).
+    val loadEnd = loadavg()
+    val (iowait1, ticks1) = cpuTicks()
+    val iowaitPct =
+      if (ticks1 > ticks0 && iowait0 >= 0)
+        (iowait1 - iowait0).toDouble / (ticks1 - ticks0) * 100
+      else -1.0
 
     // Locale.ROOT: f"$v%.4f" uses the JVM default locale — a comma-decimal
     // host (de_DE, fr_FR) would print 12,3456 and break the JSON parse.
@@ -385,11 +440,14 @@ object Bench {
         String.format(java.util.Locale.ROOT, "%.4f", Double.box(lo)) + "," +
         String.format(java.util.Locale.ROOT, "%.4f", Double.box(hi)) + "]"
     }.mkString("{", ",", "}")
+    val hostLoadJson = jmap(Seq(
+      "load_start" -> loadStart, "load_end" -> loadEnd,
+      "iowait_pct" -> iowaitPct))
     val headlineJson =
-      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"headline_spread":$spreadJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"timing":"headline queries: median of 3 cold runs (graft session caches cleared before every timed run), spread in headline_spread; sweep queries: 1 cold run; artifact-backed queries also report a warm-serve time in bench_detail.json; scale_10m runs FIRST in a cold JVM (single shot by construction), scale_10m_warm is the median of 3 post-sweep repeats after one untimed discard rep; scale_100m is a post-sweep 100M-row shuffle-join probe with per-stage task medians/max","artifact_backed":$artifactBacked,"detail":"bench_detail.json"}"""
+      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"headline_spread":$spreadJson,"host_load":$hostLoadJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"timing":"headline queries: median of 3 cold runs (graft session caches cleared before every timed run), spread in headline_spread; sweep queries: 1 cold run; artifact-backed queries also report a warm-serve time in bench_detail.json; scale_10m runs FIRST in a cold JVM (single shot by construction), scale_10m_warm is the median of 3 post-sweep repeats after one untimed discard rep; scale_100m is a PRE-sweep 100M-row shuffle-join probe (one untimed discard, then median of 3 with spread, per-stage task medians/max from the median rep, heap snapshot at probe start); every leg rep carries host_load_1min (at rep start) and host_iowait_pct (across the rep); host_load is the bench-wide envelope","artifact_backed":$artifactBacked,"detail":"bench_detail.json"}"""
     // Full sweep → file (not stdout: ~100 entries overflow log capture).
     scala.util.Try(Files.writeString(Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"n_failed":$nFailed,"headline_spread":$spreadJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"queries":${jmap(results.toSeq.sortBy(_._1))},"warm_serve":${jmap(warmServe.sortBy(_._1))}}"""))
+      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"n_failed":$nFailed,"headline_spread":$spreadJson,"host_load":$hostLoadJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"queries":${jmap(results.toSeq.sortBy(_._1))},"warm_serve":${jmap(warmServe.sortBy(_._1))}}"""))
     // The driver-parseable headline, BOTH ways (BENCH_r01-r03 were all
     // `parsed: null` because sbt's log prefix + warning spam mangled the
     // stdout tail): (1) the exact object as a bare one-line FILE the driver

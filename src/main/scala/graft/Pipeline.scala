@@ -48,9 +48,11 @@ object Pipeline {
         .minusSeconds(60))
     val t0 = System.nanoTime()
     val extracted = Warehouse.readMinute(spark, warehouseDir, minute)
-    // one pass: analyze() already collects the (≤5-row) pivot, and zero
-    // totals mean the minute had no rows — no separate isEmpty job
-    val report = MinuteReport.analyze(extracted, fileName,
+    // one pass: analyzeWithLatency() collects the (≤10-row) count+sketch
+    // cells once — the reference report plus the p50/p90/p99 latency
+    // readout — and zero totals mean the minute had no rows, so there is
+    // no separate isEmpty job
+    val report = MinuteReport.analyzeWithLatency(extracted, fileName,
       processTime = (System.nanoTime() - t0) / 1e9)
     val json =
       if (report.totalEvents == 0L) {

@@ -182,7 +182,11 @@ object Scheduler {
         up.map(_.asInstanceOf[String]) match {
           case Some(p) if p.endsWith(".parquet") =>
             val t0 = System.nanoTime()
-            val report = reference.MinuteReport.analyze(
+            // analyzeWithLatency: the reference report plus the p50/p90/
+            // p99 latency readout, additive-only — same as the fused
+            // [[Pipeline.minutelyReport]] path, so both facades emit the
+            // same report document
+            val report = reference.MinuteReport.analyzeWithLatency(
               spark.read.parquet(p), fileName)
             reference.MinuteReport.toJson(
               report.copy(processTime = (System.nanoTime() - t0) / 1e9))

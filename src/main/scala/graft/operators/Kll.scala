@@ -74,7 +74,50 @@ object Kll {
     QuantileGuard.check(s, d, est)
   }
 
+  /** The report-grain readout (round-10 verdict #8): per (day ×
+    * event_type) — the repo's flagship pivot grain (EventOps.pivotDayType)
+    * — KLL latency-style quantiles of `value`, i.e. the p50/p90/p99 an
+    * SRE dashboard wants BESIDE the count cells. Guarded per cell by
+    * [[QuantileGuard.checkAt]]: exact discrete quantiles recomputed by
+    * DuckDB + a tie-safe rank-interval flag with the 0.02 + 1/n bound
+    * (day cells hold only tens-to-hundreds of values, where the sketch
+    * serves the exact discrete quantile but a flat point-rank bound would
+    * be tie-fragile). The facade twin over generated events is
+    * [[graft.reference.MinuteReport.analyzeWithLatency]]. */
+  def kllReportGrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kllVal = udaf(new KllSketch.KllFromValues(), Encoders.scalaDouble)
+    val ev = Tables.events(s, d)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+        $"value".as("v"))
+      .na.drop()
+    val est = ev.groupBy($"day", $"event_type")
+      .agg(kllVal($"v").as("sk"))
+      .as[(String, String, Array[Byte])]
+      .map { case (day, et, sk) =>
+        val qs = KllSketch.quantilesOf(sk, Seq(0.5, 0.9, 0.99))
+        (day, et, qs(0), qs(1), qs(2))
+      }
+      .toDF("day", "event_type", "e50", "e90", "e99")
+    QuantileGuard.checkAt(s, ev, Seq("day", "event_type"), est)
+  }
+
+  val reportGrainOracle: String =
+    """WITH r AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value,
+      |         row_number() OVER (PARTITION BY strftime(ts, '%Y-%m-%d'), event_type
+      |                            ORDER BY value) AS rn,
+      |         count(*) OVER (PARTITION BY strftime(ts, '%Y-%m-%d'), event_type) AS n
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT day, event_type,
+      |  max(CASE WHEN rn = ceil(CAST(0.5 AS DOUBLE) * n) THEN value END) AS p50_exact,
+      |  max(CASE WHEN rn = ceil(CAST(0.9 AS DOUBLE) * n) THEN value END) AS p90_exact,
+      |  max(CASE WHEN rn = ceil(CAST(0.99 AS DOUBLE) * n) THEN value END) AS p99_exact,
+      |  CAST(1 AS INT) AS within_rank_bound
+      |FROM r GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("agg_kll_check", Some(QuantileGuard.oracleSql), kllCheck),
-    Q("agg_kll_rollup_grains", Some(QuantileGuard.oracleSql), kllRollupGrains))
+    Q("agg_kll_rollup_grains", Some(QuantileGuard.oracleSql), kllRollupGrains),
+    Q("agg_kll_report_grain", Some(reportGrainOracle), kllReportGrain))
 }

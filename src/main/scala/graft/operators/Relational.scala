@@ -350,7 +350,9 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** approx_count_distinct (HLL++): the 100 TB-scale answer to aggDistinct.
-    * Not oracle-comparable (sketch internals differ per engine) → rows-only. */
+    * Sketch internals differ per engine, so the oracle is an invariant twin
+    * (estimate within rel-error band of the exact distinct count), fully
+    * rows+schema+hash checked — not rows-only. */
   def aggApproxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, d)

@@ -27,7 +27,8 @@ object MinuteReport {
       totalErrors: Long,
       byEventType: Map[String, (Long, Long)], // type -> (SUCCESS, ERROR)
       processTime: Double,
-      fileName: String)
+      fileName: String,
+      latencyMs: Option[(Double, Double, Double)] = None) // (p50, p90, p99)
 
   /** The pivot aggregation itself (reference spark.py:27-32): explicit
     * status value list, absent combos zero-filled, deterministic order. */
@@ -59,6 +60,51 @@ object MinuteReport {
     Report(totalEvents, totalErrors, byType, processTime, fileName)
   }
 
+  /** [[analyze]] plus the latency readout a real SRE dashboard wants
+    * beside the counts: p50/p90/p99 of request_latency_ms over the same
+    * minute, still ONE job — the pivot is desugared to a
+    * groupBy(event_type, status) carrying a per-cell KLL sketch next to
+    * each count, the ≤10 cell rows are collected once, and the counts
+    * (zero-filled, explicit-status-list semantics exactly as
+    * [[pivotCounts]]) and the minute-level quantiles (cell sketches
+    * merged driver-side — KLL merge is associative, so cell→minute is
+    * the same re-slice the warehouse rollup view serves) both come from
+    * that single collect. The oracle-gated twin of this grain pattern is
+    * `agg_kll_report_grain` (operators/Kll.scala); sketch accuracy and
+    * tie-safe rank bounds are pinned by KllSketchSpec/QuantileRollupSpec. */
+  def analyzeWithLatency(events: DataFrame, fileName: String,
+      processTime: Double = 0.0): Report = {
+    import org.apache.spark.sql.Encoders
+    import graft.functions.KllSketch
+    val kllVal = org.apache.spark.sql.functions.udaf(
+      new KllSketch.KllFromValues(), Encoders.scalaDouble)
+    val rows = events
+      .groupBy(col("event_type"), col("status"))
+      .agg(count(lit(1)).as("cnt"),
+        kllVal(col("request_latency_ms").cast("double")).as("sk"))
+      .collect()
+    // counts: mirror pivotCounts' explicit value list — only the listed
+    // statuses fill cells, but every event_type present appears (zero-
+    // filled), and totals derive from the cells as in analyze()
+    val byType = rows.groupBy(_.getString(0)).map { case (t, rs) =>
+      def cnt(st: String) =
+        rs.find(_.getString(1) == st).map(_.getAs[Long]("cnt")).getOrElse(0L)
+      t -> (cnt("SUCCESS"), cnt("ERROR"))
+    }
+    val totalErrors = byType.values.map(_._2).sum
+    val totalEvents = byType.values.map { case (s, e) => s + e }.sum
+    val latency =
+      if (rows.isEmpty) None
+      else {
+        val merged = rows
+          .map(r => KllSketch.deserialize(r.getAs[Array[Byte]]("sk")))
+          .reduce(_.mergeWith(_))
+        if (merged.totalWeight == 0L) None
+        else Some((merged.quantile(0.5), merged.quantile(0.9), merged.quantile(0.99)))
+      }
+    Report(totalEvents, totalErrors, byType, processTime, fileName, latency)
+  }
+
   /** JSON serialization matching the reference report envelope
     * (spark.py:86-90: {"report": {...}}). Keys ordered deterministically. */
   def toJson(r: Report): String = {
@@ -70,8 +116,14 @@ object MinuteReport {
     val types = r.byEventType.toSeq.sortBy(_._1).map { case (t, (s, e)) =>
       s""""${esc(t)}": {"SUCCESS": $s, "ERROR": $e}"""
     }.mkString("{", ", ", "}")
+    // latency_ms is additive-only: the reference keys keep their exact
+    // order and the block appears only when a latency readout was built
+    // (analyzeWithLatency), so reference-shape consumers are unaffected
+    val latency = r.latencyMs.map { case (p50, p90, p99) =>
+      s""""latency_ms": {"p50": $p50, "p90": $p90, "p99": $p99}, """
+    }.getOrElse("")
     s"""{"report": {"total_events": ${r.totalEvents}, "total_errors": ${r.totalErrors}, """ +
-      s""""by_event_type": $types, "process_time": ${r.processTime}, """ +
+      s""""by_event_type": $types, $latency"process_time": ${r.processTime}, """ +
       s""""file_name": "${esc(r.fileName)}"}}"""
   }
 

@@ -14,12 +14,10 @@ class KllSketchSpec extends SparkSuite {
 
   private val Probes = Seq(0.5, 0.9, 0.99)
 
-  /** Fraction of `sorted` strictly below `x` — the empirical rank. */
-  private def rankOf(sorted: Array[Double], x: Double): Double = {
-    val i = java.util.Arrays.binarySearch(sorted, x)
-    val pos = if (i >= 0) i else -i - 1
-    pos.toDouble / sorted.length
-  }
+  // tie-safe rank measurement: rankIntervalDist from SparkSuite (a
+  // binarySearch point rank lands on an ARBITRARY index among tied
+  // values, so it can drift by the tie multiplicity even for an exact
+  // discrete quantile)
 
   private def values: Array[Double] =
     graft.Tables.events(spark, Sf)
@@ -30,8 +28,8 @@ class KllSketchSpec extends SparkSuite {
     val sk = new KllSketch.Sketch(KllSketch.DefaultK)
     sorted.foreach(sk.add)
     for (q <- Probes) {
-      val e = rankOf(sorted, sk.quantile(q))
-      assert(math.abs(e - q) <= 0.01, s"q=$q est-rank=$e")
+      val e = rankIntervalDist(sorted, sk.quantile(q), q)
+      assert(e <= 0.01, s"q=$q rank-dist=$e")
     }
   }
 
@@ -51,8 +49,8 @@ class KllSketchSpec extends SparkSuite {
         .select(new KllSketch.KllQuantiles().toColumn).head()
     }
     for (qs <- qsByPartitioning; (q, est) <- Probes.zip(qs))
-      assert(math.abs(rankOf(sorted, est) - q) <= 0.01,
-        s"q=$q est=$est rank=${rankOf(sorted, est)}")
+      assert(rankIntervalDist(sorted, est, q) <= 0.01,
+        s"q=$q est=$est rank-dist=${rankIntervalDist(sorted, est, q)}")
   }
 
   test("merge preserves total weight exactly and keeps the rank bound") {
@@ -68,7 +66,7 @@ class KllSketchSpec extends SparkSuite {
     assert(m.totalWeight === sorted.length.toLong,
       "compaction/merge must preserve total weight exactly")
     for (q <- Probes)
-      assert(math.abs(rankOf(sorted, m.quantile(q)) - q) <= 0.01, s"q=$q")
+      assert(rankIntervalDist(sorted, m.quantile(q), q) <= 0.01, s"q=$q")
   }
 
   test("serialized cells merge to the same answers as live sketches") {
@@ -81,7 +79,7 @@ class KllSketchSpec extends SparkSuite {
       .reduce(_.mergeWith(_))
     assert(merged.n === sorted.length.toLong)
     for (q <- Probes)
-      assert(math.abs(rankOf(sorted, merged.quantile(q)) - q) <= 0.01, s"q=$q")
+      assert(rankIntervalDist(sorted, merged.quantile(q), q) <= 0.01, s"q=$q")
   }
 
   test("state stays bounded by k, independent of input size") {
@@ -96,6 +94,20 @@ class KllSketchSpec extends SparkSuite {
     val at100k = retainedAt(100000)
     assert(at100k <= bound, s"$at100k items retained")
     assert(retainedAt(1000000) <= bound) // 10x the data, same bound
+  }
+
+  test("report-grain guard holds at every day×type cell") {
+    val rows = graft.operators.Kll.kllReportGrain(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // tie-safe rank-interval flag true in every cell, exact quantiles
+    // present and ordered (cells are small -> sketch serves the exact
+    // discrete quantile, so the guard must hold with zero slack used)
+    for (r <- rows) {
+      assert(r.getAs[Int]("within_rank_bound") == 1, r.toString)
+      val (p50, p90, p99) = (r.getAs[Double]("p50_exact"),
+        r.getAs[Double]("p90_exact"), r.getAs[Double]("p99_exact"))
+      assert(p50 <= p90 && p90 <= p99, r.toString)
+    }
   }
 
   test("deterministic for a fixed input order; round-trips serialization") {

@@ -78,4 +78,40 @@ class MinuteReportSpec extends SparkSuite {
     val got = MinuteReport.forMinute(df, m)
     assert(got.count() == 6000) // 10ms spacing -> 6000 events/minute
   }
+
+  test("analyzeWithLatency: counts identical to analyze, quantiles exact on the constant-latency fixture") {
+    val base = MinuteReport.analyze(goldenFixture, "f.parquet")
+    val r = MinuteReport.analyzeWithLatency(goldenFixture, "f.parquet")
+    assert(r.totalEvents == base.totalEvents)
+    assert(r.totalErrors == base.totalErrors)
+    assert(r.byEventType == base.byEventType)
+    // every fixture row has latency 50 -> all three quantiles exactly 50
+    assert(r.latencyMs.contains((50.0, 50.0, 50.0)))
+    val json = MinuteReport.toJson(r)
+    assert(json.contains(""""latency_ms": {"p50": 50.0, "p90": 50.0, "p99": 50.0}"""))
+    // reference keys keep their order around the additive block
+    assert(json.startsWith("""{"report": {"total_events": 100, "total_errors": 15,"""))
+    assert(json.contains(""""file_name": "f.parquet""""))
+  }
+
+  test("analyzeWithLatency: generated-minute quantiles stay within the tie-safe rank bound") {
+    import org.apache.spark.sql.functions.col
+    val ev = Events.generate(spark, 3000, 1704067200000L, intervalMs = 10)
+    val r = MinuteReport.analyzeWithLatency(ev, "g.parquet")
+    assert(r.totalEvents == 3000)
+    val lats = ev.select(col("request_latency_ms").cast("double"))
+      .collect().map(_.getDouble(0))
+    val (p50, p90, p99) = r.latencyMs.get
+    for ((q, est) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99))
+      assert(rankIntervalDist(lats, est, q) <= 0.02 + 1.0 / lats.length,
+        s"q=$q est=$est")
+  }
+
+  test("analyzeWithLatency: empty input omits the latency block") {
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), Events.schema)
+    val r = MinuteReport.analyzeWithLatency(empty, "x.parquet")
+    assert(r.totalEvents == 0 && r.latencyMs.isEmpty)
+    assert(!MinuteReport.toJson(r).contains("latency_ms"))
+  }
 }

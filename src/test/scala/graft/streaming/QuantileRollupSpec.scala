@@ -21,9 +21,7 @@ class QuantileRollupSpec extends SparkSuite {
     Events.withEventMinute(
       Events.generate(spark, n, startMs, intervalMs = 1000))
 
-  /** Empirical rank of `x` in `xs`. */
-  private def rankOf(xs: Array[Double], x: Double): Double =
-    xs.count(_ < x).toDouble / xs.length
+  // tie-safe rank measurement: rankIntervalDist from SparkSuite
 
   test("incremental cells serve in-bound quantiles at minute, type, and global grain") {
     val dir = tmpDir("rollup-kll") + "/r"
@@ -65,7 +63,7 @@ class QuantileRollupSpec extends SparkSuite {
       assert(served.keySet == raw.keySet)
       for ((key, qs) <- served; (q, est) <- Seq(0.5, 0.9).zip(qs)) {
         val xs = raw(key)
-        assert(math.abs(rankOf(xs, est) - q) <= 0.02 + 1.0 / xs.length,
+        assert(rankIntervalDist(xs, est, q) <= 0.02 + 1.0 / xs.length,
           s"grain=${keyCols.mkString(",")} key=$key q=$q est=$est")
       }
     }
