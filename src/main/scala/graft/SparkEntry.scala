@@ -18,7 +18,8 @@ object SparkEntry {
       SqlSurface.defs ++ TextOps.defs ++ Bpe.defs ++ NgramLm.defs ++ Search.defs ++ Dedup.defs ++ CorpusDedup.defs ++
       Similarity.defs ++ Rag.defs ++ LateInteraction.defs ++ Kmeans.defs ++
       Classifier.defs ++ LrTrain.defs ++ Pca.defs ++
-      Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Kll.defs ++ Multimodal.defs ++
+      Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Kll.defs ++
+      HeavyHitters.defs ++ Multimodal.defs ++
       Audio.defs ++
       Audit.defs ++ EntityRes.defs ++ Drift.defs ++ Graph.defs ++
       graft.sources.Bucketed.defs ++ graft.sources.Formats.defs ++

@@ -104,6 +104,31 @@ object Formats {
       .orderBy($"o_orderstatus")
   }
 
+  /** XML round-trip: customer → XML (one `<customer>` element per row)
+    * → explicit-schema read → the same per-segment profile. XML is the
+    * third text ingest format, native in Spark 4 (the spark-xml data
+    * source was merged upstream): like CSV/JSON it serializes doubles
+    * shortest-round-trip so values survive exactly, and like them it
+    * parses every byte with no column statistics — land it, convert to
+    * parquet, query the columnar copy. `rowTag` is mandatory on read;
+    * schema inference over 100 TB of XML would be a full extra pass, so
+    * the reader gets the catalog schema explicitly. */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = roundtripDir(s, d, "xml",
+      (df, p) => df.write.mode("overwrite").option("rowTag", "customer")
+        .option("rootTag", "customers").xml(p),
+      Tables.customer(s, d))
+    s.read.schema(customerSchema).option("rowTag", "customer").xml(dir)
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"c_acctbal".cast("decimal(28,8)")).cast("double"), 2).as("total_bal"),
+        round(min($"c_acctbal"), 2).as("min_bal"),
+        round(max($"c_acctbal"), 2).as("max_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
   val orcRoundtripOracle: String =
     """SELECT o_orderstatus,
       |       CAST(count(*) AS BIGINT) AS n,
@@ -114,5 +139,6 @@ object Formats {
   val defs: Seq[Q] = Seq(
     Q("src_csv_roundtrip", Some(segmentProfileSql), csvRoundtrip),
     Q("src_json_roundtrip", Some(segmentProfileSql), jsonRoundtrip),
+    Q("src_xml_roundtrip", Some(segmentProfileSql), xmlRoundtrip),
     Q("src_orc_roundtrip", Some(orcRoundtripOracle), orcRoundtrip))
 }

@@ -301,6 +301,55 @@ object Ingest {
       .parquet(rollupDir)
   }
 
+  /** The FREQUENCY-bearing sibling of [[upsertQuantileRollup]],
+    * completing the maintained-view sketch family (HLL cells answer
+    * "how many distinct", KLL cells answer "what latency percentile",
+    * Misra–Gries cells answer "WHO dominates"): each minute cell carries
+    * a mergeable [[graft.functions.MisraGries.SummaryS]] over user ids
+    * beside the additive count, so the view serves top-k heavy users at
+    * ANY grain — minute → hour → total: `MgMergeAggS` over cells —
+    * without re-touching raw events, with the deterministic Misra–Gries
+    * guarantee (every estimate within n/(k+1) of the true count, every
+    * user above that threshold guaranteed present) surviving the
+    * re-slice unweakened per the mergeable-summaries theorem. Cost per
+    * batch O(batch + touched cells); cell state ≤ k (id, count) pairs
+    * ≈ 3 KB at the default k. Same batch-id replay caveat as the counts.
+    * HeavyHitterRollupSpec asserts the guarantee at every grain against
+    * exact per-user counts, incrementally built. */
+  def upsertHeavyHitterRollup(batch: DataFrame, rollupDir: String,
+      k: Int = graft.functions.MisraGries.DefaultK): Unit = {
+    val s = batch.sparkSession
+    val mgVal = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries.MgFromStrings(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val mgMerge = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries.MgMergeAggS(k),
+      org.apache.spark.sql.Encoders.BINARY)
+    val delta = batch
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_minute"))
+      .agg(mgVal(col("user_id")).as("users_mg"),
+        count(lit(1)).as("cnt"))
+    val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val existing =
+      if (rollupExists(s, rollupDir))
+        s.read.parquet(rollupDir)
+          .filter(col("event_minute").isin(touched: _*))
+          .localCheckpoint()
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          delta.schema)
+    existing.unionByName(delta)
+      .groupBy(col("event_minute"))
+      .agg(mgMerge(col("users_mg")).as("users_mg"),
+        sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_minute")
+      .parquet(rollupDir)
+  }
+
   /** Continuously-maintained minute rollup (incremental materialized
     * view): foreachBatch applies [[upsertRollup]] per micro-batch. A
     * batch-id marker makes replays after a mid-stream restart no-ops —

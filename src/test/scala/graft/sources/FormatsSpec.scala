@@ -33,6 +33,16 @@ class FormatsSpec extends SparkSuite {
     assert(rows(back) === rows(orig))
   }
 
+  test("XML round-trip preserves every customer row exactly") {
+    val orig = graft.Tables.customer(spark, Sf)
+    val back = {
+      Formats.xmlRoundtrip(spark, Sf).count()
+      val dir = Formats.dirFor(spark, Sf, "xml").get
+      spark.read.schema(orig.schema).option("rowTag", "customer").xml(dir)
+    }
+    assert(rows(back) === rows(orig))
+  }
+
   test("ORC round-trip preserves every orders row; ORC scan takes pushed filters") {
     import org.apache.spark.sql.functions._
     val orig = graft.Tables.orders(spark, Sf)
