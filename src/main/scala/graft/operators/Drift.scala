@@ -165,7 +165,90 @@ object Drift {
       |FROM g
       |ORDER BY bin""".stripMargin
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the `value`
+    * distributions of two event types — the nonparametric member of the
+    * drift family (χ² needs categories, PSI needs bins chosen up front;
+    * KS compares the full ECDFs with no binning decision at all).
+    *
+    * Exactness: over discrete samples,
+    * D = max over observed v of |F_A(v) − F_B(v)| with F(v) = P(X ≤ v),
+    * and D·n_A·n_B = max |cumA(v)·n_B − cumB(v)·n_A| is an INTEGER — the
+    * query outputs that scaled integer (`d_scaled`) plus the decimal-
+    * quantized double readout, so both engines agree bit-for-bit
+    * (overflow bound: cum·n ≤ n_A·n_B, int64-safe to ~3×10⁹ rows per
+    * side — beyond that, pre-aggregate into value buckets first).
+    *
+    * Scale shape — the RankStats two-level pattern, NO single-partition
+    * sort (`sum() OVER (ORDER BY v)` with no partition is the classic
+    * scale-killer this operator refuses): (1) one hash aggregation to
+    * distinct values carrying per-side counts; (2) range-bucket the
+    * values (approxQuantile bounds, ~32 doubles to the driver);
+    * (3) per-bucket (cntA, cntB) totals → exclusive prefix offsets (a
+    * ≤32-row bounded collect, broadcast back); (4) per-bucket ordered
+    * window cumsum + offset = exact global cumulative, every bucket
+    * sorting in parallel; (5) one max-aggregate. */
+  def ksValueDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (typeA, typeB) = ("view", "purchase")
+    val pts = Tables.events(s, d)
+      .filter($"value".isNotNull && $"event_type".isin(typeA, typeB))
+      .select($"value".as("v"),
+        when($"event_type" === typeA, 1L).otherwise(0L).as("a"),
+        when($"event_type" === typeB, 1L).otherwise(0L).as("b"))
+      .groupBy($"v")
+      .agg(sum($"a").as("ca"), sum($"b").as("cb"))
+    val bounds = RankStats.rangeBounds(pts, "v", RankStats.DefaultBuckets)
+    val bucketed = pts.withColumn("__bucket", RankStats.bucketOf($"v", bounds))
+    // per-bucket per-side totals → exclusive prefix offsets; ≤ buckets
+    // rows to the driver (the RankStats bucketOffsets shape, two sums)
+    val perBucket = bucketed.groupBy($"__bucket")
+      .agg(sum($"ca").as("sa"), sum($"cb").as("sb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offA = perBucket.scanLeft(0L)(_ + _._2).init
+    val offB = perBucket.scanLeft(0L)(_ + _._3).init
+    val na = perBucket.map(_._2).sum
+    val nb = perBucket.map(_._3).sum
+    val offsets = s.createDataFrame(
+      perBucket.map(_._1).zip(offA.zip(offB)).map { case (bk, (oa, ob)) => (bk, oa, ob) }.toSeq)
+      .toDF("__bucket", "__offa", "__offb")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"__bucket").orderBy($"v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bucketed
+      .join(broadcast(offsets), Seq("__bucket"))
+      .select((($"__offa" + sum($"ca").over(w)) * nb -
+        ($"__offb" + sum($"cb").over(w)) * na).as("diff"))
+      .agg(max(abs($"diff")).as("d_scaled"))
+      .select(lit(na).as("na"), lit(nb).as("nb"), $"d_scaled",
+        round(($"d_scaled".cast("double") / lit(na.toDouble * nb))
+          .cast("decimal(28,8)"), 6).cast("double").as("ks_stat"))
+  }
+
+  val ksValueDriftOracle: String =
+    """WITH s AS (
+      |  SELECT value AS v,
+      |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')),
+      |pts AS (
+      |  SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+      |  FROM s GROUP BY v),
+      |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM s),
+      |cum AS (
+      |  SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+      |         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+      |  FROM pts)
+      |SELECT na, nb,
+      |       CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_scaled,
+      |       CAST(round(CAST(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+      |              / (CAST(na AS DOUBLE) * nb) AS DECIMAL(28,8)), 6) AS DOUBLE) AS ks_stat
+      |FROM cum CROSS JOIN tot
+      |GROUP BY na, nb""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("audit_chi2_lang_source", Some(chi2LangSourceOracle), chi2LangSource),
-    Q("audit_psi_value_drift", Some(psiValueDriftOracle), psiValueDrift))
+    Q("audit_psi_value_drift", Some(psiValueDriftOracle), psiValueDrift),
+    Q("audit_ks_value_drift", Some(ksValueDriftOracle), ksValueDrift))
 }

@@ -97,18 +97,18 @@ object RankStats {
 
   /** ~`buckets` range boundaries from approxQuantile — a bounded driver
     * action (the only driver data is the boundary doubles themselves). */
-  private def rangeBounds(df: DataFrame, valueCol: String, buckets: Int): Seq[Double] =
+  private[operators] def rangeBounds(df: DataFrame, valueCol: String, buckets: Int): Seq[Double] =
     df.stat.approxQuantile(valueCol,
         (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
       .distinct.sorted.toSeq
 
   /** Strict-`>` range bucketing: equal values always share a bucket. */
-  private def bucketOf(v: Column, bounds: Seq[Double]): Column =
+  private[operators] def bucketOf(v: Column, bounds: Seq[Double]): Column =
     bounds.foldLeft(lit(0))((acc, b) => acc + when(v > lit(b), 1).otherwise(0))
 
   /** Per-bucket counts → exclusive cumulative offsets. The aggregate is at
     * most `buckets` rows — a bounded collect, broadcast back. */
-  private def bucketOffsets(bucketed: DataFrame): DataFrame = {
+  private[operators] def bucketOffsets(bucketed: DataFrame): DataFrame = {
     val s = bucketed.sparkSession
     import s.implicits._
     val counts = bucketed.groupBy($"__bucket").count()

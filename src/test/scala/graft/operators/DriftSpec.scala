@@ -36,6 +36,36 @@ class DriftSpec extends SparkSuite {
     assert(math.abs(out(-1L) - bins.sum) < 1e-4)
   }
 
+  test("ks: exact scaled statistic matches a plain-Scala ECDF recomputation; no single-partition window") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.Tables.events(spark, Sf)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("view", "purchase"))
+      .select("event_type", "value").as[(String, Double)].collect()
+    val a = rows.filter(_._1 == "view").map(_._2)
+    val b = rows.filter(_._1 == "purchase").map(_._2)
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val points = (a ++ b).distinct
+    val expected = points.map { v =>
+      math.abs(a.count(_ <= v).toLong * nb - b.count(_ <= v).toLong * na)
+    }.max
+    val df = Drift.ksValueDrift(spark, Sf)
+    val r = df.collect().head
+    assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == nb)
+    assert(r.getAs[Long]("d_scaled") == expected,
+      s"got ${r.getAs[Long]("d_scaled")} expected $expected")
+    val ks = r.getAs[Double]("ks_stat")
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(math.abs(ks - expected.toDouble / (na * nb)) < 1e-6)
+    // the ECDF cumsum must be per-bucket windows, never one global sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition") ||
+      // the final 1-row max-aggregate legitimately lands on one partition;
+      // what must NOT be single-partition is the Window
+      !plan.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition")),
+      plan.take(1200))
+  }
+
   test("robust outliers match a plain-Scala median/MAD recomputation") {
     val ev = graft.Tables.events(spark, Sf)
       .select("event_type", "value").as[(String, Double)].collect()
