@@ -187,9 +187,15 @@ object Drift {
     * ≤32-row bounded collect, broadcast back); (4) per-bucket ordered
     * window cumsum + offset = exact global cumulative, every bucket
     * sorting in parallel; (5) one max-aggregate. */
-  def ksValueDrift(s: SparkSession, d: String): DataFrame = {
+  /** Shared core for the two-sample rank statistics (KS, Mann–Whitney):
+    * per DISTINCT value v of the two samples, the per-side counts
+    * (ca, cb) and exact INCLUSIVE global cumulatives (cuma, cumb),
+    * computed with the RankStats two-level pattern, plus the side totals
+    * (na, nb) as driver scalars (read off the bounded per-bucket
+    * aggregate — no extra pass). */
+  private def sideCumulatives(s: SparkSession, d: String,
+      typeA: String, typeB: String): (DataFrame, Long, Long) = {
     import s.implicits._
-    val (typeA, typeB) = ("view", "purchase")
     val pts = Tables.events(s, d)
       .filter($"value".isNotNull && $"event_type".isin(typeA, typeB))
       .select($"value".as("v"),
@@ -215,10 +221,18 @@ object Drift {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"__bucket").orderBy($"v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    bucketed
+    val cum = bucketed
       .join(broadcast(offsets), Seq("__bucket"))
-      .select((($"__offa" + sum($"ca").over(w)) * nb -
-        ($"__offb" + sum($"cb").over(w)) * na).as("diff"))
+      .select($"v", $"ca", $"cb",
+        ($"__offa" + sum($"ca").over(w)).as("cuma"),
+        ($"__offb" + sum($"cb").over(w)).as("cumb"))
+    (cum, na, nb)
+  }
+
+  def ksValueDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cum, na, nb) = sideCumulatives(s, d, "view", "purchase")
+    cum.select(($"cuma" * nb - $"cumb" * na).as("diff"))
       .agg(max(abs($"diff")).as("d_scaled"))
       .select(lit(na).as("na"), lit(nb).as("nb"), $"d_scaled",
         round(($"d_scaled".cast("double") / lit(na.toDouble * nb))
@@ -247,8 +261,133 @@ object Drift {
       |FROM cum CROSS JOIN tot
       |GROUP BY na, nb""".stripMargin
 
+  /** Exact Mann–Whitney U between the same two samples as
+    * [[ksValueDrift]] — KS alarms on ANY distributional difference,
+    * MWU answers the directional question ("did purchases shift toward
+    * HIGHER values than views?") and its normalization U/(n_A·n_B) is
+    * exactly the AUC / common-language effect size: P(A < B) + ½P(A = B).
+    *
+    * Exactness with ties: using midranks, 2·midrank(v) = 2·lt(v) + t(v)
+    * + 1 (lt = rows strictly below v, t = ties at v) is an INTEGER, so
+    * 2R_A = Σ_v ca(v)·(2·lt(v) + t(v) + 1) and U2 = 2U = 2R_A −
+    * n_A(n_A+1) are exact int64 (bound: 2R_A ≤ 2·n_A·n — safe to ~10⁹
+    * rows per side). The double readout quantizes U2/(2·n_A·n_B)
+    * through the decimal idiom. Same one-shuffle two-level plan as KS
+    * (shared [[sideCumulatives]]); the extra statistic costs one more
+    * sum over the distinct-value relation, not a pass over the data. */
+  def mwuValueDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cum, na, nb) = sideCumulatives(s, d, "view", "purchase")
+    val lt = ($"cuma" - $"ca") + ($"cumb" - $"cb")
+    val t = $"ca" + $"cb"
+    cum.select(($"ca" * (lt * 2L + t + 1L)).as("r2"))
+      .agg(sum($"r2").as("r2a"))
+      .select(lit(na).as("na"), lit(nb).as("nb"),
+        ($"r2a" - lit(na * (na + 1L))).as("u2"),
+        round((($"r2a" - lit(na * (na + 1L))).cast("double") /
+          lit(2.0 * na * nb)).cast("decimal(28,8)"), 6)
+          .cast("double").as("auc"))
+  }
+
+  val mwuValueDriftOracle: String =
+    """WITH s AS (
+      |  SELECT value AS v,
+      |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')),
+      |pts AS (
+      |  SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+      |  FROM s GROUP BY v),
+      |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM s),
+      |cum AS (
+      |  SELECT ca, cb,
+      |         CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+      |         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+      |  FROM pts),
+      |r AS (
+      |  SELECT CAST(sum(ca * (((cuma - ca) + (cumb - cb)) * 2 + (ca + cb) + 1)) AS BIGINT) AS r2a
+      |  FROM cum)
+      |SELECT na, nb,
+      |       CAST(r2a - na * (na + 1) AS BIGINT) AS u2,
+      |       CAST(round(CAST(CAST(r2a - na * (na + 1) AS DOUBLE)
+      |              / (2.0 * na * nb) AS DECIMAL(28,8)), 6) AS DOUBLE) AS auc
+      |FROM r CROSS JOIN tot""".stripMargin
+
+  /** Benford first-significant-digit audit over positive event values —
+    * the classic "does this numeric column look organically generated?"
+    * tripwire (fabricated or truncated feeds flunk it; it is also a fine
+    * canary for unit mix-ups, e.g. dollars suddenly arriving as cents).
+    * Output: per digit 1–9 the observed count, the Benford-expected
+    * count n·log10(1+1/d), and the χ² term, plus the digit = -1 total.
+    *
+    * Cross-engine determinism: the first digit is extracted WITHOUT
+    * log10-of-double (floor(log10(v)) is off-by-one when log10 lands a
+    * 1-ulp short of an integer — the v = 1000.0 trap): m =
+    * floor(v·10⁶) is an exact IEEE multiply+floor in both engines, and
+    * the first digit of the INTEGER m (= first significant digit of v
+    * for v ≥ 10⁻⁶) comes from integer-to-string, which is exact
+    * everywhere. Expected masses use the same literal expression
+    * log10(1 + 1/d) on both engines and decimal-quantized sums (the
+    * [[psiValueDrift]] idiom). One aggregation pass to a 9-cell grid. */
+  def benfordValueDigits(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = floor($"value" * lit(1000000.0)).cast("long")
+    val digits = Tables.events(s, d)
+      .filter($"value".isNotNull && m > 0L)
+      .select(substring(m.cast("string"), 1, 1).cast("long").as("digit"))
+    val counts = s.sql("SELECT explode(sequence(1, 9)) AS digit")
+      .select($"digit".cast("long").as("digit"))
+      .join(digits.groupBy($"digit").agg(count(lit(1)).as("obs")),
+        Seq("digit"), "left")
+      .select($"digit", coalesce($"obs", lit(0L)).as("obs"))
+    val cached = counts.persist()
+    val n = cached.agg(sum($"obs")).head().getLong(0)
+    val e = lit(n.toDouble) * log10(lit(1.0) + lit(1.0) / $"digit".cast("double"))
+    val term = ($"obs".cast("double") - e) * ($"obs".cast("double") - e) / e
+    val perDigit = cached.select($"digit", $"obs",
+      round(e.cast("decimal(28,8)"), 4).cast("double").as("expected"),
+      round(term.cast("decimal(28,8)"), 4).cast("double").as("chi2"))
+    val total = cached.agg(
+      lit(-1L).as("digit"), sum($"obs").as("obs"),
+      round(sum(e.cast("decimal(28,8)")), 4).cast("double").as("expected"),
+      round(sum(term.cast("decimal(28,8)")), 4).cast("double").as("chi2"))
+    val out = perDigit.unionAll(total).orderBy($"digit")
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    cached.unpersist(blocking = false)
+    s.createDataFrame(rows, out.schema)
+  }
+
+  val benfordValueDigitsOracle: String =
+    """WITH m AS (
+      |  SELECT CAST(floor(value * 1000000.0) AS BIGINT) AS m
+      |  FROM events WHERE value IS NOT NULL AND floor(value * 1000000.0) > 0),
+      |dg AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM m),
+      |obs AS (SELECT digit, count(*) AS obs FROM dg GROUP BY 1),
+      |counts AS (
+      |  SELECT s.digit, coalesce(obs.obs, 0) AS obs
+      |  FROM (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS digit) s
+      |  LEFT JOIN obs ON obs.digit = s.digit),
+      |tot AS (SELECT CAST(sum(obs) AS DOUBLE) AS n FROM counts),
+      |g AS (SELECT digit, obs, n * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS e
+      |      FROM counts CROSS JOIN tot)
+      |SELECT digit, CAST(obs AS BIGINT) AS obs,
+      |       CAST(round(CAST(e AS DECIMAL(28,8)), 4) AS DOUBLE) AS expected,
+      |       CAST(round(CAST((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e
+      |                  AS DECIMAL(28,8)), 4) AS DOUBLE) AS chi2
+      |FROM g
+      |UNION ALL
+      |SELECT -1, CAST(sum(obs) AS BIGINT),
+      |       CAST(round(sum(CAST(e AS DECIMAL(28,8))), 4) AS DOUBLE),
+      |       CAST(round(sum(CAST((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e
+      |                  AS DECIMAL(28,8))), 4) AS DOUBLE)
+      |FROM g
+      |ORDER BY digit""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("audit_chi2_lang_source", Some(chi2LangSourceOracle), chi2LangSource),
     Q("audit_psi_value_drift", Some(psiValueDriftOracle), psiValueDrift),
-    Q("audit_ks_value_drift", Some(ksValueDriftOracle), ksValueDrift))
+    Q("audit_ks_value_drift", Some(ksValueDriftOracle), ksValueDrift),
+    Q("audit_mwu_value_drift", Some(mwuValueDriftOracle), mwuValueDrift),
+    Q("audit_benford_value_digits", Some(benfordValueDigitsOracle), benfordValueDigits))
 }

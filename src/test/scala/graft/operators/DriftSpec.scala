@@ -66,6 +66,52 @@ class DriftSpec extends SparkSuite {
       plan.take(1200))
   }
 
+  test("mwu: exact U2 matches a plain-Scala midrank recomputation; auc in [0,1]") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.Tables.events(spark, Sf)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("view", "purchase"))
+      .select("event_type", "value").as[(String, Double)].collect()
+    val a = rows.filter(_._1 == "view").map(_._2)
+    val b = rows.filter(_._1 == "purchase").map(_._2)
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val all = a ++ b
+    // 2*midrank of v in the combined sample = 2*lt + t + 1
+    val r2a = a.map { v =>
+      2L * all.count(_ < v) + all.count(_ == v) + 1L
+    }.sum
+    val expectedU2 = r2a - na * (na + 1L)
+    val r = Drift.mwuValueDrift(spark, Sf).collect().head
+    assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == nb)
+    assert(r.getAs[Long]("u2") == expectedU2,
+      s"got ${r.getAs[Long]("u2")} expected $expectedU2")
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(math.abs(auc - expectedU2.toDouble / (2.0 * na * nb)) < 1e-6)
+  }
+
+  test("benford: digit census matches plain Scala; expected masses sum to n; chi2 total = sum of terms") {
+    import org.apache.spark.sql.functions.col
+    val vals = graft.Tables.events(spark, Sf)
+      .filter(col("value").isNotNull).select("value").as[Double].collect()
+      .filter(v => math.floor(v * 1e6) > 0)
+    val expDigits = vals
+      .map(v => math.floor(v * 1e6).toLong.toString.charAt(0).asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val out = Drift.benfordValueDigits(spark, Sf).collect()
+      .map(r => r.getAs[Long]("digit") ->
+        (r.getAs[Long]("obs"), r.getAs[Double]("expected"), r.getAs[Double]("chi2")))
+      .toMap
+    assert(out.keySet == (-1L to 9L).toSet - 0L)
+    for (d <- 1L to 9L)
+      assert(out(d)._1 == expDigits.getOrElse(d, 0L), s"digit $d")
+    val (totObs, totExp, totChi) = out(-1L)
+    assert(totObs == vals.length.toLong)
+    assert(math.abs(totExp - totObs) < 0.01, s"Benford masses must sum to n: $totExp vs $totObs")
+    assert(math.abs(totChi - (1L to 9L).map(out(_)._3).sum) < 1e-2)
+    assert((1L to 9L).forall(d => out(d)._3 >= 0.0))
+  }
+
   test("robust outliers match a plain-Scala median/MAD recomputation") {
     val ev = graft.Tables.events(spark, Sf)
       .select("event_type", "value").as[(String, Double)].collect()
