@@ -91,6 +91,46 @@ object HeavyHitters {
           .select(new MisraGries.MgMergeAgg(K).toColumn).head())
     }
 
+  /** Misra–Gries where the guarantee actually BITES: corpus tokens are
+    * zipfian, so the head words exceed the n/(k+1) threshold by orders
+    * of magnitude and the coverage theorem guarantees they survive k=64
+    * slots against thousands of distinct tokens — the exact situation
+    * (feed-the-tokenizer frequency tables, stopword discovery) a 100 TB
+    * text pipeline runs this for. Same guard as the user queries but
+    * string-keyed ([[MisraGries.SummaryS]]); tokenization mirrors
+    * text_word_count so the oracle shares its proven split semantics. */
+  def mgTokensCheck(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("token"))
+    val summary = MisraGries.deserializeS(
+      toks.as[String].select(new MisraGries.MgFromStrings(64).toColumn).head())
+    val bound = summary.errorBound
+    val entriesDf = summary.entries.toDF("token", "est")
+    val exact = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val flags = exact.join(broadcast(entriesDf), Seq("token"), "left")
+      .agg(
+        min(when($"est".isNull ||
+          ($"est" <= $"cnt" && $"est" >= $"cnt" - bound), 1).otherwise(0))
+          .as("bound_ok"),
+        min(when($"cnt" > bound && $"est".isNull, 0).otherwise(1))
+          .as("coverage_ok"))
+      .head()
+    exact.orderBy($"cnt".desc, $"token").limit(10)
+      .select($"token", $"cnt",
+        lit(flags.getInt(0)).as("bound_ok"),
+        lit(flags.getInt(1)).as("coverage_ok"))
+  }
+
+  val tokensOracleSql: String =
+    """WITH ex AS (
+      |  SELECT token, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  GROUP BY token)
+      |SELECT token, CAST(cnt AS BIGINT) AS cnt,
+      |       CAST(1 AS INT) AS bound_ok, CAST(1 AS INT) AS coverage_ok
+      |FROM ex ORDER BY cnt DESC, token LIMIT 10""".stripMargin
+
   val oracleSql: String =
     """WITH ex AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
       |SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
@@ -99,5 +139,6 @@ object HeavyHitters {
 
   val defs: Seq[Q] = Seq(
     Q("agg_mg_topk_check", Some(oracleSql), mgTopkCheck),
-    Q("agg_mg_rollup_grains", Some(oracleSql), mgRollupGrains))
+    Q("agg_mg_rollup_grains", Some(oracleSql), mgRollupGrains),
+    Q("text_heavy_tokens_check", Some(tokensOracleSql), mgTokensCheck))
 }

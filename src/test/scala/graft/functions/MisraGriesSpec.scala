@@ -107,6 +107,26 @@ class MisraGriesSpec extends SparkSuite {
     assert(java.util.Arrays.equals(back.serialize(), b1))
   }
 
+  test("token guard: zipfian corpus makes coverage non-vacuous; flags hold") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, split}
+    val rows = graft.operators.HeavyHitters.mgTokensCheck(spark, Sf).collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      assert(r.getAs[Int]("bound_ok") == 1, r.toString)
+      assert(r.getAs[Int]("coverage_ok") == 1, r.toString)
+    }
+    // non-vacuousness: the corpus must actually have tokens above the
+    // n/(k+1) threshold (else coverage_ok proves nothing) — recompute the
+    // threshold from the raw token stream
+    val toks = graft.Tables.documents(spark, Sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = toks.count()
+    val bound = n / 65
+    val heavy = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > bound).count()
+    assert(heavy >= 1, s"corpus has no token above n/(k+1)=$bound — guard vacuous")
+  }
+
   test("registered guards: flags are 1 on every row, top-10 counts exact") {
     for (q <- Seq(graft.operators.HeavyHitters.mgTopkCheck _,
                   graft.operators.HeavyHitters.mgRollupGrains _)) {
