@@ -746,23 +746,29 @@ object EventPathOps {
     * window runs over the 10-row DECILE table, not the user table. */
   def paretoProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val user = Tables.events(s, d)
       .groupBy($"user_id").agg(count(lit(1)).as("n"))
     val tiled = RankStats.withGlobalRowNumber(user, "n", asc = false, Seq("user_id"))
       .withColumn("decile",
         RankStats.ntileFromRowNumber($"__rn", $"__n", 10).cast("int"))
+    // The 10-row decile census comes back to the driver (bounded by
+    // construction — the psiValueDrift grid idiom) and the Lorenz shares
+    // are plain Scala over it: a constant-partition window here would
+    // constant-fold to an UNPARTITIONED WindowExec and run — harmlessly,
+    // but indistinguishably in the logs from the real scale-killer that
+    // plan hygiene forbids. round semantics mirror Spark's Round
+    // (shortest-decimal BigDecimal, HALF_UP).
     val g = tiled.groupBy($"decile")
       .agg(count(lit(1)).as("n_users"), sum($"n").as("events"))
-    val whole = Window.partitionBy(lit(1))
-    val cum = Window.partitionBy(lit(1)).orderBy($"decile")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.select($"decile", $"n_users", $"events",
-        round($"events".cast("double") / sum($"events").over(whole), 4)
-          .as("share"),
-        round(sum($"events").over(cum).cast("double") /
-          sum($"events").over(whole), 4).as("cum_share"))
-      .orderBy($"decile")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = g.map(_._3).sum.toDouble
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cum = g.scanLeft(0L)(_ + _._3).tail
+    s.createDataFrame(g.zip(cum).map { case ((dec, nu, ev), c) =>
+      (dec, nu, ev, r4(ev.toDouble / total), r4(c.toDouble / total))
+    }.toSeq).toDF("decile", "n_users", "events", "share", "cum_share")
   }
 
   val paretoProfileOracle: String =
