@@ -763,12 +763,15 @@ object TextOps {
     * "First bucket a word appears in" turns cumulative-distinct into two
     * plain aggregates: groupBy word → min(bucket), then count per
     * min-bucket — no distinct-over-window anywhere, so the shuffles stay
-    * keyed on word/bucket at any corpus size. The cumulative window runs
-    * over the 10-row bucket table only (the ev_pareto_profile pattern;
-    * PlanHygieneSpec exempts it on the same bounded-input argument). */
+    * keyed on word/bucket at any corpus size. The 10-row bucket census
+    * comes back to the driver (bounded by construction — the
+    * ev_pareto_profile idiom) and the cumulative sums are a plain Scala
+    * scan over it: a constant-partition window here would constant-fold
+    * to an UNPARTITIONED WindowExec and run — harmlessly, but
+    * indistinguishably in the logs from the real scale-killer that plan
+    * hygiene forbids. */
   def heapsLaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val maxId = docs.agg(max($"doc_id")).head().getLong(0) // 1-value collect
     val tok = docs
@@ -778,14 +781,15 @@ object TextOps {
     val tokens = tok.groupBy($"bucket").agg(count(lit(1)).as("tokens_new"))
     val vocab = tok.groupBy($"word").agg(min($"bucket").as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("vocab_new"))
-    val cum = Window.partitionBy(lit(1)).orderBy($"bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tokens.join(vocab, Seq("bucket"), "left")
+    val g = tokens.join(vocab, Seq("bucket"), "left")
       .select($"bucket", $"tokens_new", coalesce($"vocab_new", lit(0L)).as("vocab_new"))
-      .select($"bucket", $"tokens_new", $"vocab_new",
-        sum($"tokens_new").over(cum).as("tokens_cum"),
-        sum($"vocab_new").over(cum).as("vocab_cum"))
-      .orderBy($"bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val tokCum = g.scanLeft(0L)(_ + _._2).tail
+    val vocCum = g.scanLeft(0L)(_ + _._3).tail
+    s.createDataFrame(g.indices.map { i =>
+      (g(i)._1, g(i)._2, g(i)._3, tokCum(i), vocCum(i))
+    }).toDF("bucket", "tokens_new", "vocab_new", "tokens_cum", "vocab_cum")
   }
 
   val heapsLawOracle: String =

@@ -30,9 +30,11 @@ class PlanHygieneSpec extends SparkSuite {
     * `Exchange SinglePartition` + one executor sorting the whole relation
     * — the global-rank trap RankStats exists to avoid. r8 eliminated the
     * runtime `WindowExec: No Partition Defined` warnings query by query;
-    * this pins the property for every registered query at once.
-    * Exemptions must be argued here by name: a window is only acceptable
-    * unpartitioned when its input is provably bounded (a ≤k-row report). */
+    * this pins the property for every registered query at once, with NO
+    * exemptions: the two former bounded-grid exceptions
+    * (ev_pareto_profile, text_heaps_law) now fold their ≤10-row census
+    * on the driver instead of constant-folding to an unpartitioned
+    * WindowExec, so the gate is universal. */
   test("no registered query plans an unpartitioned (single-partition) window") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -44,17 +46,7 @@ class PlanHygieneSpec extends SparkSuite {
         case _ => p.children.flatMap(flatten)
       })
 
-    // ev_pareto_profile: the cumulative-share window runs over the
-    // 10-row DECILE table (the user-table total order itself goes through
-    // RankStats' range-bucketed machinery) — a single partition of ≤10
-    // rows is the report-sort case, not the scale trap. The lit(1)
-    // partition key is constant-folded away by Catalyst, which is why it
-    // plans as an unpartitioned WindowExec at all.
-    // text_heaps_law shares the argument: its cumulative window runs over
-    // the 10-row BUCKET table (vocab/token totals per decile), never the
-    // token relation.
-    val exempt = Set("ev_pareto_profile", "text_heaps_law")
-    val offenders = SparkEntry.allDefs.filterNot(q => exempt(q.name)).flatMap { q =>
+    val offenders = SparkEntry.allDefs.flatMap { q =>
       val hits =
         try flatten(q.fn(spark, Sf).queryExecution.executedPlan).collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
