@@ -357,7 +357,73 @@ object Audit {
       |GROUP BY lang, source, n_class, t.n_tot, t.m
       |ORDER BY lang, source""".stripMargin
 
+  /** Exact functional-dependency audit: for each candidate FD `X → Y`,
+    * how many LHS groups exist, how many carry more than one distinct
+    * RHS value (the FD's violating groups), and the minimal number of
+    * row repairs that would restore the dependency (rows outside each
+    * group's plurality RHS — the standard g3-style error measure from
+    * the FD-discovery literature, TANE/Deequ lineage). The candidate
+    * set mixes dependencies that hold by construction (nation key →
+    * region) with ones real data violates (a customer orders under many
+    * priorities; a part ships from several suppliers), so both verdicts
+    * are exercised non-vacuously.
+    *
+    * Scale shape, per FD: groupBy(X, Y) count — one keyed shuffle over
+    * the table, map-side combinable — then groupBy(X) over the already-
+    * aggregated pair counts (input is |distinct(X,Y)|, far smaller than
+    * the table), then a scalar summary. No countDistinct (its Expand
+    * doubles the shuffle), no windows, no joins; a skewed X key is one
+    * hot reducer over pre-combined counts, not raw rows. */
+  def fdViolations(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cases = Seq(
+      ("documents: lang -> source", Tables.documents(s, d), "lang", "source"),
+      ("events: user_id -> event_type", Tables.events(s, d), "user_id", "event_type"),
+      ("lineitem: l_partkey -> l_suppkey", Tables.lineitem(s, d), "l_partkey", "l_suppkey"),
+      ("nation: n_nationkey -> n_regionkey", Tables.nation(s, d), "n_nationkey", "n_regionkey"),
+      ("orders: o_custkey -> o_orderpriority", Tables.orders(s, d), "o_custkey", "o_orderpriority"))
+    cases.map { case (fdName, t, x, y) => fdSummaryOf(t, fdName, x, y) }
+      .reduce(_.union(_)).orderBy($"fd")
+  }
+
+  /** One-row g3 summary for a single candidate FD `x → y` over any
+    * relation (spec entry point for hand-computed fixtures). */
+  def fdSummaryOf(t: DataFrame, fdName: String, x: String, y: String): DataFrame = {
+    val s = t.sparkSession
+    import s.implicits._
+    val pairs = t.groupBy(col(x).as("x"), col(y).as("y"))
+      .agg(count(lit(1)).as("c"))
+    val grp = pairs.groupBy($"x").agg(
+      sum($"c").as("n_rows"), count(lit(1)).as("dy"), max($"c").as("plu"))
+    grp.agg(
+      count(lit(1)).as("lhs_groups"),
+      sum(when($"dy" > 1, 1L).otherwise(0L)).as("violating_groups"),
+      sum($"n_rows" - $"plu").as("violating_rows"))
+      .select(lit(fdName).as("fd"), $"lhs_groups", $"violating_groups",
+        $"violating_rows", ($"violating_groups" === 0L).as("holds"))
+  }
+
+  val fdViolationsOracle: String = {
+    def leg(fd: String, table: String, x: String, y: String): String =
+      s"""SELECT '$fd' AS fd,
+         |       CAST(count(*) AS BIGINT) AS lhs_groups,
+         |       CAST(sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+         |       CAST(sum(n_rows - plu) AS BIGINT) AS violating_rows,
+         |       sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT x, count(*) AS dy, sum(c) AS n_rows, max(c) AS plu
+         |      FROM (SELECT $x AS x, count(*) AS c FROM $table GROUP BY $x, $y) p
+         |      GROUP BY x) g""".stripMargin
+    Seq(
+      leg("documents: lang -> source", "documents", "lang", "source"),
+      leg("events: user_id -> event_type", "events", "user_id", "event_type"),
+      leg("lineitem: l_partkey -> l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+      leg("nation: n_nationkey -> n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+      leg("orders: o_custkey -> o_orderpriority", "orders", "o_custkey", "o_orderpriority"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fd")
+  }
+
   val defs: Seq[Q] = Seq(
+    Q("audit_fd_violations", Some(fdViolationsOracle), fdViolations),
     Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders),
     Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers),
     Q("audit_column_stats", Some(columnStatsOracle), columnStats),

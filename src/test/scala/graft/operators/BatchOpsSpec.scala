@@ -222,6 +222,32 @@ class BatchOpsSpec extends SparkSuite {
     clean.unpersist()
   }
 
+  test("fd audit: g3 repair counts hand-checked; held FD reports zero violations") {
+    import spark.implicits._
+    // x=1 → {a,a,b}: 1 violating group, plurality a ⇒ 1 repair row.
+    // x=2 → {c,c}: clean. x=3 → {d,e,f}: plurality 1 ⇒ 2 repair rows.
+    val t = Seq((1, "a"), (1, "a"), (1, "b"), (2, "c"), (2, "c"),
+      (3, "d"), (3, "e"), (3, "f")).toDF("x", "y")
+    val r = Audit.fdSummaryOf(t, "t: x -> y", "x", "y").collect()(0)
+    assert(r.getLong(1) == 3L)   // lhs groups
+    assert(r.getLong(2) == 2L)   // violating groups (x=1, x=3)
+    assert(r.getLong(3) == 3L)   // minimal repairs (1 + 0 + 2)
+    assert(!r.getBoolean(4))
+    val held = Audit.fdSummaryOf(t.filter($"x" === 2), "t: x -> y", "x", "y").collect()(0)
+    assert(held.getLong(2) == 0L && held.getBoolean(4))
+    // the registered 5-FD suite: nation's key FD must hold, the
+    // known-violated ones must not, and every count is internally sane
+    val suite = Audit.fdViolations(spark, Sf).collect()
+      .map(row => row.getString(0) -> row).toMap
+    assert(suite("nation: n_nationkey -> n_regionkey").getBoolean(4))
+    assert(!suite("lineitem: l_partkey -> l_suppkey").getBoolean(4))
+    suite.values.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(1))          // viol groups ≤ groups
+      assert((row.getLong(2) == 0L) == row.getBoolean(4))
+      assert(row.getLong(3) >= row.getLong(2))          // ≥1 repair per viol group
+    }
+  }
+
   test("fuzzy join: pairs share a block, respect the distance bound, no self/dup pairs") {
     import spark.implicits._
     val out = EntityRes.fuzzyJoinBlocked(spark, Sf).cache()
