@@ -403,6 +403,71 @@ object Audit {
         $"violating_rows", ($"violating_groups" === 0L).as("holds"))
   }
 
+  /** Incremental FD monitor — the audit member of the ∝-delta family
+    * (exact fp: [[Dedup.incrementalDedup]]; spans: [[CorpusDedup]];
+    * semantic: [[Similarity]]): an incoming batch (l_orderkey % 10 == 7
+    * slice, per the family's fixture convention) is audited against the
+    * STANDING corpus for the `l_partkey → l_suppkey` dependency, and the
+    * report covers ONLY the LHS groups the batch touches: distinct-RHS
+    * count before/after, rows added, and whether the batch flipped the
+    * group from clean to violating (the alert a production FD monitor
+    * pages on).
+    *
+    * Scale shape: the batch's touched-key set gates the corpus via a
+    * left-semi join BEFORE any aggregation, so per-batch work is
+    * ∝ |rows of touched groups|, never ∝ |corpus|. In production the
+    * corpus side is the materialized per-(x,y) pair-count index the full
+    * audit already builds, maintained by append — the semi join then
+    * prunes to its touched partitions and the before-counts come from
+    * the index, not a rescan. */
+  def fdIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("id"), $"l_partkey".as("x"), $"l_suppkey".as("y"))
+    val batch = li.filter($"id" % 10 === 7).select($"x", $"y")
+    val corpus = li.filter($"id" % 10 =!= 7).select($"x", $"y")
+    val touched = batch.select($"x").distinct()
+    val corpusTouched = corpus.join(touched, Seq("x"), "left_semi")
+    def summarize(t: DataFrame, n: String, dy: String): DataFrame =
+      t.groupBy($"x", $"y").agg(count(lit(1)).as("c"))
+        .groupBy($"x").agg(sum($"c").as(n), count(lit(1)).as(dy))
+    val before = summarize(corpusTouched, "n_before", "dy_before")
+    val after = summarize(corpusTouched.union(batch), "n_after", "dy_after")
+    after.join(before, Seq("x"), "left")
+      .select($"x".as("l_partkey"),
+        coalesce($"n_before", lit(0L)).as("n_before"),
+        coalesce($"dy_before", lit(0L)).as("dy_before"),
+        $"n_after", $"dy_after",
+        ($"n_after" - coalesce($"n_before", lit(0L))).as("rows_added"),
+        (coalesce($"dy_before", lit(0L)) <= 1 && $"dy_after" > 1).as("newly_violating"))
+      .orderBy($"l_partkey")
+  }
+
+  val fdIncrementalOracle: String =
+    """WITH li AS (
+      |  SELECT l_orderkey AS id, l_partkey AS x, l_suppkey AS y FROM lineitem),
+      |batch AS (SELECT x, y FROM li WHERE id % 10 = 7),
+      |corpus AS (SELECT x, y FROM li WHERE id % 10 <> 7),
+      |touched AS (SELECT DISTINCT x FROM batch),
+      |ct AS (SELECT * FROM corpus WHERE x IN (SELECT x FROM touched)),
+      |before AS (
+      |  SELECT x, sum(c) AS n_before, count(*) AS dy_before
+      |  FROM (SELECT x, count(*) AS c FROM ct GROUP BY x, y) p GROUP BY x),
+      |after AS (
+      |  SELECT x, sum(c) AS n_after, count(*) AS dy_after
+      |  FROM (SELECT x, count(*) AS c
+      |        FROM (SELECT * FROM ct UNION ALL SELECT * FROM batch) u
+      |        GROUP BY x, y) p GROUP BY x)
+      |SELECT a.x AS l_partkey,
+      |       CAST(coalesce(b.n_before, 0) AS BIGINT) AS n_before,
+      |       CAST(coalesce(b.dy_before, 0) AS BIGINT) AS dy_before,
+      |       CAST(a.n_after AS BIGINT) AS n_after,
+      |       CAST(a.dy_after AS BIGINT) AS dy_after,
+      |       CAST(a.n_after - coalesce(b.n_before, 0) AS BIGINT) AS rows_added,
+      |       coalesce(b.dy_before, 0) <= 1 AND a.dy_after > 1 AS newly_violating
+      |FROM after a LEFT JOIN before b USING (x)
+      |ORDER BY l_partkey""".stripMargin
+
   val fdViolationsOracle: String = {
     def leg(fd: String, table: String, x: String, y: String): String =
       s"""SELECT '$fd' AS fd,
@@ -424,6 +489,7 @@ object Audit {
 
   val defs: Seq[Q] = Seq(
     Q("audit_fd_violations", Some(fdViolationsOracle), fdViolations),
+    Q("audit_fd_incremental", Some(fdIncrementalOracle), fdIncremental),
     Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders),
     Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers),
     Q("audit_column_stats", Some(columnStatsOracle), columnStats),

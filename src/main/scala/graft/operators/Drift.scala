@@ -384,8 +384,91 @@ object Drift {
       |FROM g
       |ORDER BY digit""".stripMargin
 
+  /** Mutual information of documents' lang × source — the
+    * information-theoretic complement to [[chi2LangSource]]: χ² answers
+    * "is the association statistically surprising?"; MI answers "how many
+    * nats does knowing the source tell you about the language?" — the
+    * quantity a corpus-mixing plan actually budgets (a high-NMI pair
+    * means the two stratification dimensions are redundant and the
+    * mixture grid can be collapsed). One row: MI, the three entropies it
+    * decomposes into, and NMI = MI/√(H(X)·H(Y)) ∈ [0,1].
+    *
+    * Scale shape: identical to χ² — one map-side-combinable aggregation
+    * to the observed-cell grid, marginals derived FROM the grid (never a
+    * rescan), tiny broadcast joins. Sparser than χ²: unobserved cells
+    * contribute exactly 0 to every term, so no correction identity is
+    * even needed.
+    *
+    * Cross-engine determinism: the [[chi2Of]] idiom — per-cell double
+    * contributions with identical operation order on both engines,
+    * quantized to DECIMAL(28,8), summed in exact decimal, rounded. NMI is
+    * derived from the ROUNDED components (÷ and √ are correctly rounded
+    * IEEE ops, so identical inputs give identical doubles). */
+  def miLangSource(s: SparkSession, d: String): DataFrame =
+    miOf(Tables.documents(s, d))
+
+  def miOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cells = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("o")).persist()
+    val rows = cells.groupBy($"lang").agg(sum($"o").as("rn"))
+    val cols = cells.groupBy($"source").agg(sum($"o").as("cn"))
+    val n = cells.agg(sum($"o")).head().getLong(0)
+    val nD = lit(n.toDouble)
+    val p = $"o".cast("double") / nD
+    val px = $"rn".cast("double") / nD
+    val py = $"cn".cast("double") / nD
+    val grid = cells.join(broadcast(rows), "lang").join(broadcast(cols), "source")
+    val joint = grid.agg(
+      round(sum((p * log(p / (px * py))).cast("decimal(28,8)")), 6)
+        .cast("double").as("mi"),
+      round(-sum((p * log(p)).cast("decimal(28,8)")), 6)
+        .cast("double").as("h_joint"),
+      count(lit(1)).as("n_cells")).withColumn("k", lit(1))
+    val hx = rows.agg(round(-sum((px * log(px)).cast("decimal(28,8)")), 6)
+      .cast("double").as("h_lang")).withColumn("k", lit(1))
+    val hy = cols.agg(round(-sum((py * log(py)).cast("decimal(28,8)")), 6)
+      .cast("double").as("h_source")).withColumn("k", lit(1))
+    val out = joint.join(broadcast(hx), "k").join(broadcast(hy), "k")
+      .select($"mi",
+        round(($"mi" / sqrt($"h_lang" * $"h_source")).cast("decimal(28,8)"), 4)
+          .cast("double").as("nmi"),
+        $"h_lang", $"h_source", $"h_joint", $"n_cells", lit(n).as("n_docs"))
+    // one-row result: materialize and release the persisted cell census
+    val rows0 = java.util.Arrays.asList(out.collect(): _*)
+    cells.unpersist(blocking = false)
+    s.createDataFrame(rows0, out.schema)
+  }
+
+  val miLangSourceOracle: String =
+    """WITH cells AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, sum(o) AS rn FROM cells GROUP BY 1),
+      |c AS (SELECT source, sum(o) AS cn FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS DOUBLE) AS n, CAST(sum(o) AS BIGINT) AS nl FROM cells),
+      |g AS (SELECT cells.o, r.rn, c.cn
+      |      FROM cells JOIN r ON cells.lang = r.lang
+      |                 JOIN c ON cells.source = c.source),
+      |joint AS (
+      |  SELECT CAST(round(sum(CAST((o / n) * ln((o / n) / ((rn / n) * (cn / n)))
+      |                          AS DECIMAL(28,8))), 6) AS DOUBLE) AS mi,
+      |         CAST(round(-sum(CAST((o / n) * ln(o / n) AS DECIMAL(28,8))), 6)
+      |              AS DOUBLE) AS h_joint,
+      |         count(*) AS n_cells, any_value(nl) AS n_docs
+      |  FROM g CROSS JOIN t),
+      |hx AS (SELECT CAST(round(-sum(CAST((rn / n) * ln(rn / n) AS DECIMAL(28,8))), 6)
+      |              AS DOUBLE) AS h_lang FROM r CROSS JOIN t),
+      |hy AS (SELECT CAST(round(-sum(CAST((cn / n) * ln(cn / n) AS DECIMAL(28,8))), 6)
+      |              AS DOUBLE) AS h_source FROM c CROSS JOIN t)
+      |SELECT mi,
+      |       CAST(round(CAST(mi / sqrt(h_lang * h_source) AS DECIMAL(28,8)), 4)
+      |            AS DOUBLE) AS nmi,
+      |       h_lang, h_source, h_joint,
+      |       CAST(n_cells AS BIGINT) AS n_cells, CAST(n_docs AS BIGINT) AS n_docs
+      |FROM joint, hx, hy""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("audit_chi2_lang_source", Some(chi2LangSourceOracle), chi2LangSource),
+    Q("audit_mi_lang_source", Some(miLangSourceOracle), miLangSource),
     Q("audit_psi_value_drift", Some(psiValueDriftOracle), psiValueDrift),
     Q("audit_ks_value_drift", Some(ksValueDriftOracle), ksValueDrift),
     Q("audit_mwu_value_drift", Some(mwuValueDriftOracle), mwuValueDrift),

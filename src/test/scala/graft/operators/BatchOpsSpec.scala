@@ -248,6 +248,42 @@ class BatchOpsSpec extends SparkSuite {
     }
   }
 
+  test("fd incremental: covers exactly the touched groups; counts reconcile with a full recompute") {
+    import spark.implicits._
+    val out = Audit.fdIncremental(spark, Sf).cache()
+    val li = graft.Tables.lineitem(spark, Sf)
+      .select($"l_orderkey".as("id"), $"l_partkey".as("x"), $"l_suppkey".as("y"))
+    // report rows = exactly the batch's distinct LHS keys
+    val touched = li.filter($"id" % 10 === 7).select($"x").distinct().count()
+    assert(out.count() == touched)
+    // every touched group gained at least one row; distinct-RHS never shrinks
+    assert(out.filter($"rows_added" < 1).count() == 0)
+    assert(out.filter($"dy_after" < $"dy_before").count() == 0)
+    assert(out.filter($"newly_violating" =!= ($"dy_before" <= 1 && $"dy_after" > 1)).count() == 0)
+    // after-counts agree with a from-scratch recompute over the full table
+    val full = li.groupBy($"x", $"y").count()
+      .groupBy($"x").agg(sum($"count").as("n_full"), count(lit(1)).as("dy_full"))
+    val j = out.join(full, out("l_partkey") === full("x"))
+    assert(j.filter($"n_after" =!= $"n_full" || $"dy_after" =!= $"dy_full").count() == 0)
+    out.unpersist()
+  }
+
+  test("mutual information: decomposition + bounds hold (MI = Hx+Hy-Hxy, 0 <= NMI <= 1)") {
+    import spark.implicits._
+    val r = Drift.miLangSource(spark, Sf).head()
+    val mi = r.getAs[Double]("mi"); val nmi = r.getAs[Double]("nmi")
+    val hx = r.getAs[Double]("h_lang"); val hy = r.getAs[Double]("h_source")
+    val hxy = r.getAs[Double]("h_joint")
+    // identity MI = H(X) + H(Y) - H(X,Y); per-term decimal quantization
+    // bounds the drift well inside 1e-4
+    assert(math.abs(mi - (hx + hy - hxy)) < 1e-4, s"mi=$mi hx=$hx hy=$hy hxy=$hxy")
+    assert(mi >= -1e-6 && mi <= math.min(hx, hy) + 1e-6)
+    assert(hxy >= math.max(hx, hy) - 1e-6 && hxy <= hx + hy + 1e-6)
+    assert(nmi >= -1e-6 && nmi <= 1.0 + 1e-6)
+    assert(r.getAs[Long]("n_docs") ==
+      graft.Tables.documents(spark, Sf).count())
+  }
+
   test("fuzzy join: pairs share a block, respect the distance bound, no self/dup pairs") {
     import spark.implicits._
     val out = EntityRes.fuzzyJoinBlocked(spark, Sf).cache()
