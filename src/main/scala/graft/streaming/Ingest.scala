@@ -350,6 +350,83 @@ object Ingest {
       .parquet(rollupDir)
   }
 
+  /** The INTEGRITY-bearing sibling of [[upsertHeavyHitterRollup]],
+    * extending the maintained-view family from "what does the data say"
+    * (HLL: distinct, KLL: percentile, MG: dominance) to "is the data
+    * still WELL-FORMED": a continuously-maintained functional-dependency
+    * monitor for `fdX → fdY`. The durable state is the exact per-(x, y)
+    * pair-count table — the same census [[graft.operators.Audit.fdViolations]]
+    * builds from scratch — hash-bucketed on x into `buckets` partitions so
+    * a batch rewrites only its touched buckets. Returns the per-x report
+    * over exactly the batch's touched LHS groups (n/distinct-y before and
+    * after, rows added, and the `newly_violating` flag a production FD
+    * monitor pages on — the streaming twin of
+    * [[graft.operators.Audit.fdIncremental]]).
+    *
+    * Cost per batch: O(batch + state of touched buckets). The driver only
+    * ever holds the touched BUCKET ids (≤ `buckets`, bounded by
+    * construction — never the unbounded touched-x set, which stays
+    * distributed in a left-semi join). Unlike the minute rollups, whose
+    * partition key IS the touched key, a bucket mixes touched and
+    * untouched x — so the merge must read whole touched buckets (dynamic
+    * partition overwrite rewrites them in full); raise `buckets` to
+    * shrink the rewrite slice as total x-cardinality grows. Same
+    * batch-id replay caveat as the counts (pair counts are additive, not
+    * idempotent). */
+  def upsertFdMonitor(batch: DataFrame, stateDir: String,
+      fdX: String, fdY: String, buckets: Int = 256): DataFrame = {
+    val s = batch.sparkSession
+    val delta = batch
+      .filter(col(fdX).isNotNull)
+      .select(col(fdX).as("x"), col(fdY).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", pmod(xxhash64(col("x")), lit(buckets)))
+      .localCheckpoint()
+    val touchedBuckets = delta.select("bucket").distinct().collect().map(_.get(0))
+    if (touchedBuckets.isEmpty) {
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(
+          StructField("x", batch.schema(fdX).dataType) +:
+            Seq("n_before", "dy_before", "n_after", "dy_after", "rows_added")
+              .map(StructField(_, LongType)) :+
+            StructField("newly_violating", BooleanType)))
+    }
+    val existing =
+      if (rollupExists(s, stateDir))
+        s.read.parquet(stateDir)
+          .filter(col("bucket").isin(touchedBuckets: _*))
+          .localCheckpoint()
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          delta.schema)
+    val merged = existing.unionByName(delta)
+      .groupBy(col("bucket"), col("x"), col("y"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint() // cut lineage to stateDir BEFORE overwriting it
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(stateDir)
+    // Report over exactly the touched x groups — before from the prior
+    // state slice, after from the merged slice; both prune via the
+    // bucket filter above and a distributed semi join (no x collect).
+    val touchedX = delta.select(col("x")).distinct()
+    def summarize(t: DataFrame, n: String, dy: String): DataFrame =
+      t.join(touchedX, Seq("x"), "left_semi")
+        .groupBy(col("x"))
+        .agg(sum(col("cnt")).as(n), count(lit(1)).as(dy))
+    summarize(merged, "n_after", "dy_after")
+      .join(summarize(existing, "n_before", "dy_before"), Seq("x"), "left")
+      .select(col("x"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("dy_before"), lit(0L)).as("dy_before"),
+        col("n_after"), col("dy_after"),
+        (col("n_after") - coalesce(col("n_before"), lit(0L))).as("rows_added"),
+        (coalesce(col("dy_before"), lit(0L)) <= 1 && col("dy_after") > 1)
+          .as("newly_violating"))
+  }
+
   /** Continuously-maintained minute rollup (incremental materialized
     * view): foreachBatch applies [[upsertRollup]] per micro-batch. A
     * batch-id marker makes replays after a mid-stream restart no-ops —
