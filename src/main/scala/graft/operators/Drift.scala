@@ -223,7 +223,7 @@ object Drift {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = bucketed
       .join(broadcast(offsets), Seq("__bucket"))
-      .select($"v", $"ca", $"cb",
+      .select($"__bucket", $"v", $"ca", $"cb",
         ($"__offa" + sum($"ca").over(w)).as("cuma"),
         ($"__offb" + sum($"cb").over(w)).as("cumb"))
     (cum, na, nb)
@@ -313,6 +313,75 @@ object Drift {
       |       CAST(round(CAST(CAST(r2a - na * (na + 1) AS DOUBLE)
       |              / (2.0 * na * nb) AS DECIMAL(28,8)), 6) AS DOUBLE) AS auc
       |FROM r CROSS JOIN tot""".stripMargin
+
+  /** Exact Wasserstein-1 (earth-mover) distance between the same two
+    * samples as [[ksValueDrift]], completing the drift trio: KS is the
+    * SUP of the CDF gap (one bad point trips it), MWU is the rank
+    * direction, W1 is the AREA between the CDFs — the "how much value
+    * mass actually has to move" number, in the column's own units, that
+    * a mixture-rebalancing decision wants.
+    *
+    * W1 = ∫|F_A − F_B| dx = Σ over consecutive distinct values
+    * |cuma·n_B − cumb·n_A| · (next(v) − v) / (n_A·n_B), with the
+    * integer-scaled CDF gap exact (shared [[sideCumulatives]] core) and
+    * the per-gap double term quantized to DECIMAL(28,8) before the exact
+    * decimal sum (the [[psiValueDrift]] idiom).
+    *
+    * The global max needs no successor: its CDF gap is identically zero
+    * (cuma = n_A, cumb = n_B), so its term vanishes — coalesce(gap, 0).
+    * next(v) itself is a lead WITHIN each range bucket (every bucket in
+    * parallel, no single-partition window); only each bucket's FIRST
+    * value — ≤ buckets rows, already on the driver's bounded per-bucket
+    * pass — crosses bucket seams, broadcast back as the previous
+    * bucket's seam successor. */
+  def wassersteinValueDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cum, na, nb) = sideCumulatives(s, d, "view", "purchase")
+    val firsts = cum.groupBy($"__bucket").agg(min($"v").as("fv"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val seam = firsts.zip(firsts.drop(1)).map { case ((bk, _), (_, nextFv)) =>
+      (bk, nextFv)
+    }
+    val seamDf = s.createDataFrame(seam.toSeq).toDF("__bucket", "__seam_next")
+    val wLead = org.apache.spark.sql.expressions.Window
+      .partitionBy($"__bucket").orderBy($"v")
+    val gap = coalesce(
+      coalesce(lead($"v", 1).over(wLead), $"__seam_next") - $"v", lit(0.0))
+    val term = abs($"cuma" * nb - $"cumb" * na).cast("double") * gap
+    cum.join(broadcast(seamDf), Seq("__bucket"), "left")
+      .select(term.cast("decimal(28,8)").as("t"))
+      .agg(sum($"t").as("w1_scaled"))
+      .select(lit(na).as("na"), lit(nb).as("nb"),
+        round(($"w1_scaled".cast("double") / lit(na.toDouble * nb))
+          .cast("decimal(28,8)"), 6).cast("double").as("w1"))
+  }
+
+  val wassersteinValueDriftOracle: String =
+    """WITH s AS (
+      |  SELECT value AS v,
+      |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')),
+      |pts AS (
+      |  SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+      |  FROM s GROUP BY v),
+      |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM s),
+      |cum AS (
+      |  SELECT v,
+      |         CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+      |         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb,
+      |         lead(v) OVER (ORDER BY v) AS nv
+      |  FROM pts),
+      |terms AS (
+      |  SELECT CAST(CAST(abs(cuma * nb - cumb * na) AS DOUBLE)
+      |              * coalesce(nv - v, 0.0) AS DECIMAL(28,8)) AS t
+      |  FROM cum CROSS JOIN tot)
+      |SELECT na, nb,
+      |       CAST(round(CAST(CAST(sum(t) AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+      |                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS w1
+      |FROM terms CROSS JOIN tot
+      |GROUP BY na, nb""".stripMargin
 
   /** Benford first-significant-digit audit over positive event values —
     * the classic "does this numeric column look organically generated?"
@@ -472,5 +541,6 @@ object Drift {
     Q("audit_psi_value_drift", Some(psiValueDriftOracle), psiValueDrift),
     Q("audit_ks_value_drift", Some(ksValueDriftOracle), ksValueDrift),
     Q("audit_mwu_value_drift", Some(mwuValueDriftOracle), mwuValueDrift),
+    Q("audit_w1_value_drift", Some(wassersteinValueDriftOracle), wassersteinValueDrift),
     Q("audit_benford_value_digits", Some(benfordValueDigitsOracle), benfordValueDigits))
 }

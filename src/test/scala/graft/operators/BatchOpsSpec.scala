@@ -284,6 +284,29 @@ class BatchOpsSpec extends SparkSuite {
       graft.Tables.documents(spark, Sf).count())
   }
 
+  test("wasserstein drift: matches an exact driver-side recompute; trio inequalities hold") {
+    import spark.implicits._
+    val r = Drift.wassersteinValueDrift(spark, Sf).head()
+    val na = r.getAs[Long]("na"); val nb = r.getAs[Long]("nb")
+    val w1 = r.getAs[Double]("w1")
+    // exact recompute on the driver from raw values (sf0.001 is small)
+    val vals = graft.Tables.events(spark, Sf)
+      .filter($"value".isNotNull && $"event_type".isin("view", "purchase"))
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val a = vals.filter(_._1 == "view").map(_._2).sorted
+    val b = vals.filter(_._1 == "purchase").map(_._2).sorted
+    assert(a.length == na && b.length == nb)
+    val distinct = (a ++ b).distinct.sorted
+    val exact = distinct.zip(distinct.drop(1)).map { case (v, nv) =>
+      val cuma = a.count(_ <= v).toLong; val cumb = b.count(_ <= v).toLong
+      math.abs(cuma * nb - cumb * na).toDouble * (nv - v)
+    }.sum / (na.toDouble * nb)
+    assert(math.abs(w1 - exact) < 1e-4, s"w1=$w1 exact=$exact")
+    // trio inequality: W1 <= KS * support width (area under a band)
+    val ks = Drift.ksValueDrift(spark, Sf).head().getAs[Double]("ks_stat")
+    assert(w1 >= 0.0 && w1 <= ks * (distinct.last - distinct.head) + 1e-6)
+  }
+
   test("fuzzy join: pairs share a block, respect the distance bound, no self/dup pairs") {
     import spark.implicits._
     val out = EntityRes.fuzzyJoinBlocked(spark, Sf).cache()
