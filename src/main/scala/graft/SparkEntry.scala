@@ -21,7 +21,7 @@ object SparkEntry {
       Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Kll.defs ++
       HeavyHitters.defs ++ Multimodal.defs ++
       Audio.defs ++
-      Audit.defs ++ EntityRes.defs ++ Drift.defs ++ Graph.defs ++
+      Audit.defs ++ EntityRes.defs ++ Drift.defs ++ EmbeddingAudit.defs ++ Graph.defs ++
       graft.sources.Bucketed.defs ++ graft.sources.Formats.defs ++
       graft.sources.Manifest.defs
 

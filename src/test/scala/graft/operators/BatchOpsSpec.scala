@@ -307,6 +307,26 @@ class BatchOpsSpec extends SparkSuite {
     assert(w1 >= 0.0 && w1 <= ks * (distinct.last - distinct.head) + 1e-6)
   }
 
+  test("embedding health: matches exact driver recompute; Jensen bound holds") {
+    import spark.implicits._
+    val r = EmbeddingAudit.embeddingHealth(spark, Sf).head()
+    val vecs = graft.Tables.embeddings(spark, Sf)
+      .select($"embedding").as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
+    val n = vecs.length; val dims = vecs.head.length
+    assert(r.getAs[Long]("n_vectors") == n && r.getAs[Long]("n_dims") == dims)
+    val meanSq = vecs.map(v => v.map(x => x * x).sum).sum / n
+    val mu = (0 until dims).map(j => vecs.map(_(j)).sum / n)
+    val muSq = mu.map(m => m * m).sum
+    assert(math.abs(r.getAs[Double]("mean_sq_norm") - meanSq) < 1e-3)
+    assert(math.abs(r.getAs[Double]("mu_sq_norm") - muSq) < 1e-4)
+    assert(math.abs(r.getAs[Double]("isotropy") - muSq / meanSq) < 1e-4)
+    // Jensen: ||mu||^2 <= E||v||^2, so isotropy in [0, 1]
+    val iso = r.getAs[Double]("isotropy")
+    assert(iso >= -1e-9 && iso <= 1.0 + 1e-9)
+    val mn = r.getAs[Double]("min_sq_norm"); val mx = r.getAs[Double]("max_sq_norm")
+    assert(mn <= meanSq + 1e-6 && meanSq <= mx + 1e-6)
+  }
+
   test("fuzzy join: pairs share a block, respect the distance bound, no self/dup pairs") {
     import spark.implicits._
     val out = EntityRes.fuzzyJoinBlocked(spark, Sf).cache()
