@@ -403,6 +403,79 @@ object Audit {
         $"violating_rows", ($"violating_groups" === 0L).as("holds"))
   }
 
+  /** Single-column FD DISCOVERY (the TANE/FDEP family's level-1 lattice,
+    * run exhaustively): mine every ordered column pair X → Y over a
+    * 5-attribute view of orders (three natural categoricals + two
+    * derived bands: order year, 50k price band) and report each
+    * candidate's g3 error — minimal fraction of rows to delete for the
+    * FD to hold — so near-dependencies surface, ranked, not just
+    * asserted ones. This is the profiling step a pipeline runs on an
+    * UNKNOWN upstream before writing [[fdViolations]]-style contracts.
+    *
+    * Scale shape: one independent pre-aggregated leg per candidate —
+    * groupBy(X,Y) pair census, then groupBy(X) over pair counts, then a
+    * 1-row summary; all 20 legs are a single union job (Spark schedules
+    * the scans in parallel, and each leg is two map-side-combinable hash
+    * aggs, no windows, no joins). Single-column-LHS legs share nothing
+    * with each other (distinct grouping keys), so the union IS the
+    * minimal plan; multi-column-LHS discovery would add lattice pruning
+    * (TANE), out of scope here. g3's numerator/denominator are exact
+    * int64; the rate quantizes through the decimal idiom. */
+  def fdDiscovery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.orders(s, d).select(
+      $"o_custkey", $"o_orderstatus", $"o_orderpriority",
+      year($"o_orderdate").cast("long").as("o_year"),
+      floor($"o_totalprice" / lit(50000.0)).cast("long").as("o_price_band"))
+      .localCheckpoint() // 20 legs scan this; cut re-read of the parquet
+    def leg(x: String, y: String): DataFrame = {
+      val pairs = t.groupBy(col(x).as("x"), col(y).as("y"))
+        .agg(count(lit(1)).as("c"))
+      pairs.groupBy($"x")
+        .agg(sum($"c").as("n_rows"), count(lit(1)).as("dy"), max($"c").as("plu"))
+        .agg(count(lit(1)).as("lhs_groups"),
+          sum(when($"dy" > 1, 1L).otherwise(0L)).as("violating_groups"),
+          sum($"n_rows" - $"plu").as("violating_rows"),
+          sum($"n_rows").as("n_total"))
+        .select(lit(s"$x -> $y").as("fd"), $"lhs_groups", $"violating_groups",
+          $"violating_rows", $"n_total",
+          round(($"violating_rows".cast("double") / $"n_total".cast("double"))
+            .cast("decimal(28,8)"), 6).cast("double").as("g3"),
+          ($"violating_groups" === 0L).as("holds"))
+    }
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_year", "o_price_band")
+    (for { x <- cols; y <- cols if x != y } yield leg(x, y))
+      .reduce(_.union(_)).orderBy($"fd")
+  }
+
+  val fdDiscoveryOracle: String = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_year", "o_price_band")
+    def leg(x: String, y: String): String =
+      s"""SELECT '$x -> $y' AS fd,
+         |       CAST(count(*) AS BIGINT) AS lhs_groups,
+         |       CAST(sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+         |       CAST(sum(n_rows - plu) AS BIGINT) AS violating_rows,
+         |       CAST(sum(n_rows) AS BIGINT) AS n_total,
+         |       CAST(round(CAST(CAST(sum(n_rows - plu) AS DOUBLE)
+         |                       / CAST(sum(n_rows) AS DOUBLE)
+         |                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS g3,
+         |       sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT x, sum(c) AS n_rows, count(*) AS dy, max(c) AS plu
+         |      FROM (SELECT $x AS x, $y AS y, count(*) AS c FROM t GROUP BY 1, 2) p
+         |      GROUP BY x) g""".stripMargin
+    val legs = (for { x <- cols; y <- cols if x != y } yield leg(x, y))
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT o_custkey, o_orderstatus, o_orderpriority,
+       |         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |         CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS o_price_band
+       |  FROM orders)
+       |$legs
+       |ORDER BY fd""".stripMargin
+  }
+
   /** Incremental FD monitor — the audit member of the ∝-delta family
     * (exact fp: [[Dedup.incrementalDedup]]; spans: [[CorpusDedup]];
     * semantic: [[Similarity]]): an incoming batch (l_orderkey % 10 == 7
@@ -490,6 +563,7 @@ object Audit {
   val defs: Seq[Q] = Seq(
     Q("audit_fd_violations", Some(fdViolationsOracle), fdViolations),
     Q("audit_fd_incremental", Some(fdIncrementalOracle), fdIncremental),
+    Q("audit_fd_discovery", Some(fdDiscoveryOracle), fdDiscovery),
     Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders),
     Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers),
     Q("audit_column_stats", Some(columnStatsOracle), columnStats),

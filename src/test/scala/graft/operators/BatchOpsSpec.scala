@@ -307,6 +307,29 @@ class BatchOpsSpec extends SparkSuite {
     assert(w1 >= 0.0 && w1 <= ks * (distinct.last - distinct.head) + 1e-6)
   }
 
+  test("fd discovery: 20 candidates, internal identities, one leg hand-recomputed") {
+    import spark.implicits._
+    val out = Audit.fdDiscovery(spark, Sf).cache()
+    val n = graft.Tables.orders(spark, Sf).count()
+    assert(out.count() == 20)
+    assert(out.filter($"n_total" =!= n).count() == 0)
+    assert(out.filter($"holds" =!= ($"violating_groups" === 0L)).count() == 0)
+    assert(out.filter($"violating_rows" > $"n_total" - $"lhs_groups").count() == 0)
+    // hand recompute the smallest leg: o_orderstatus -> o_orderpriority
+    val cells = graft.Tables.orders(spark, Sf)
+      .groupBy($"o_orderstatus", $"o_orderpriority").count()
+      .as[(String, String, Long)].collect()
+    val byX = cells.groupBy(_._1)
+    val vRows = byX.values.map(g => g.map(_._3).sum - g.map(_._3).max).sum
+    val vGroups = byX.values.count(_.length > 1)
+    val r = out.filter($"fd" === "o_orderstatus -> o_orderpriority").head()
+    assert(r.getAs[Long]("lhs_groups") == byX.size)
+    assert(r.getAs[Long]("violating_groups") == vGroups)
+    assert(r.getAs[Long]("violating_rows") == vRows)
+    assert(math.abs(r.getAs[Double]("g3") - vRows.toDouble / n) < 1e-5)
+    out.unpersist()
+  }
+
   test("embedding health: matches exact driver recompute; Jensen bound holds") {
     import spark.implicits._
     val r = EmbeddingAudit.embeddingHealth(spark, Sf).head()
