@@ -810,7 +810,67 @@ object TextOps {
       |FROM tn LEFT JOIN vn ON tn.bucket = vn.bucket
       |ORDER BY bucket""".stripMargin
 
+  /** Out-of-vocabulary audit for a NEW source against the standing
+    * corpus — the admission check a tokenizer/LM-backed pipeline runs
+    * before letting an unseen upstream into the training mix: src19's
+    * tokens vs the vocabulary of every other source. Two rates matter
+    * and they diverge exactly when it's interesting: the TYPE rate
+    * (share of distinct new-source tokens never seen before — tokenizer
+    * fragmentation risk) and the occurrence-weighted TOKEN rate (share
+    * of the new text that is OOV — LM perplexity risk). A high type
+    * rate with a low token rate means a long tail of rare novelties; a
+    * high token rate means the source speaks a different language.
+    *
+    * Scale shape: both sides collapse to vocabularies (hash aggregate,
+    * map-side combinable) BEFORE the only join, so the join is
+    * vocab-sized, never corpus-sized; counters are exact int64; rates
+    * quantize through the decimal idiom. */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"source", explode(split($"text", " ")).as("tk"))
+    val ref = toks.filter($"source" =!= "src19").select($"tk").distinct()
+    val refTypes = ref.agg(count(lit(1)).as("ref_types")).withColumn("k", lit(1))
+    val nw = toks.filter($"source" === "src19")
+      .groupBy($"tk").agg(count(lit(1)).as("c"))
+    val flagged = nw.join(ref.withColumn("in_ref", lit(1L)), Seq("tk"), "left")
+    flagged.agg(
+      count(lit(1)).as("new_types"),
+      sum(when($"in_ref".isNull, 1L).otherwise(0L)).as("oov_types"),
+      sum($"c").as("new_tokens"),
+      sum(when($"in_ref".isNull, $"c").otherwise(0L)).as("oov_tokens"))
+      .withColumn("k", lit(1))
+      .join(broadcast(refTypes), Seq("k"))
+      .select($"ref_types", $"new_types", $"oov_types",
+        round(($"oov_types".cast("double") / $"new_types".cast("double"))
+          .cast("decimal(28,8)"), 6).cast("double").as("oov_type_rate"),
+        $"new_tokens", $"oov_tokens",
+        round(($"oov_tokens".cast("double") / $"new_tokens".cast("double"))
+          .cast("decimal(28,8)"), 6).cast("double").as("oov_token_rate"))
+  }
+
+  val oovRateOracle: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |ref AS (SELECT DISTINCT tk FROM toks WHERE source <> 'src19'),
+      |rt AS (SELECT count(*) AS ref_types FROM ref),
+      |nw AS (SELECT tk, count(*) AS c FROM toks WHERE source = 'src19' GROUP BY tk),
+      |f AS (SELECT nw.c, CASE WHEN ref.tk IS NULL THEN 1 ELSE 0 END AS oov
+      |      FROM nw LEFT JOIN ref ON nw.tk = ref.tk)
+      |SELECT CAST(ref_types AS BIGINT) AS ref_types,
+      |       CAST(count(*) AS BIGINT) AS new_types,
+      |       CAST(sum(oov) AS BIGINT) AS oov_types,
+      |       CAST(round(CAST(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS oov_type_rate,
+      |       CAST(sum(c) AS BIGINT) AS new_tokens,
+      |       CAST(sum(oov * c) AS BIGINT) AS oov_tokens,
+      |       CAST(round(CAST(CAST(sum(oov * c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+      |                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS oov_token_rate
+      |FROM f CROSS JOIN rt
+      |GROUP BY ref_types""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("text_oov_rate", Some(oovRateOracle), oovRate),
     Q("text_heaps_law", Some(heapsLawOracle), heapsLaw),
     Q("corpus_url_filter", Some(urlBlocklistOracle), urlBlocklistFilter),
     Q("text_tfidf_topk", Some(tfidfTopKOracle), (s, d) => tfidfTopK(s, d)),

@@ -307,6 +307,26 @@ class BatchOpsSpec extends SparkSuite {
     assert(w1 >= 0.0 && w1 <= ks * (distinct.last - distinct.head) + 1e-6)
   }
 
+  test("oov rate: matches exact driver recompute from raw tokens") {
+    import spark.implicits._
+    val r = TextOps.oovRate(spark, Sf).head()
+    val docs = graft.Tables.documents(spark, Sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    val refVocab = docs.filter(_._1 != "src19")
+      .flatMap(_._2.split(" ", -1)).toSet
+    val newToks = docs.filter(_._1 == "src19").flatMap(_._2.split(" ", -1))
+    val newTypes = newToks.toSet
+    val oovTypes = newTypes.diff(refVocab)
+    val oovToks = newToks.count(!refVocab.contains(_))
+    assert(r.getAs[Long]("ref_types") == refVocab.size)
+    assert(r.getAs[Long]("new_types") == newTypes.size)
+    assert(r.getAs[Long]("oov_types") == oovTypes.size)
+    assert(r.getAs[Long]("new_tokens") == newToks.length)
+    assert(r.getAs[Long]("oov_tokens") == oovToks)
+    assert(math.abs(r.getAs[Double]("oov_token_rate")
+      - oovToks.toDouble / newToks.length) < 1e-5)
+  }
+
   test("fd discovery: 20 candidates, internal identities, one leg hand-recomputed") {
     import spark.implicits._
     val out = Audit.fdDiscovery(spark, Sf).cache()
