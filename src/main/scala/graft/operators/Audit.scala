@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -476,6 +476,84 @@ object Audit {
        |ORDER BY fd""".stripMargin
   }
 
+  /** Entropy-based dependency matrix over the same 5-attribute orders
+    * view as [[fdDiscovery]]: per ordered pair X → Y, the entropies
+    * H(X), H(Y), H(X,Y), the mutual information, and Theil's
+    * uncertainty coefficient U(Y|X) = I(X;Y)/H(Y) ∈ [0,1] — the
+    * INFORMATION metric beside g3's DELETION metric. The two disagree
+    * usefully: a near-FD with one giant clean group scores low g3 but
+    * can carry little information; U tells you how much knowing X
+    * actually narrows Y, which is what a feature-selection or
+    * grid-collapse decision wants.
+    *
+    * Scale shape: per pair one observed-cell census (hash agg), with
+    * BOTH marginals derived from the cells (never a rescan) and n a
+    * single driver scalar shared by all legs; 20 one-row legs union
+    * into one job. Determinism: the [[Drift.miOf]] idiom — per-cell
+    * double contributions in identical op order, DECIMAL(28,8)
+    * quantized, exact decimal sums; derived doubles (sums, the ratio)
+    * are correctly-rounded IEEE ops over identical inputs. */
+  def dependencyEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.orders(s, d).select(
+      $"o_custkey", $"o_orderstatus", $"o_orderpriority",
+      year($"o_orderdate").cast("long").as("o_year"),
+      floor($"o_totalprice" / lit(50000.0)).cast("long").as("o_price_band"))
+      .localCheckpoint()
+    val nD = t.count().toDouble
+    def entOf(cnts: DataFrame, c: Column, out: String): DataFrame = {
+      val p = c.cast("double") / lit(nD)
+      cnts.agg(round(-sum((p * log(p)).cast("decimal(28,8)")), 6)
+        .cast("double").as(out)).withColumn("k", lit(1))
+    }
+    def leg(x: String, y: String): DataFrame = {
+      val cells = t.groupBy(col(x).as("x"), col(y).as("y"))
+        .agg(count(lit(1)).as("c"))
+      val hxy = entOf(cells, $"c", "h_xy")
+      val hx = entOf(cells.groupBy($"x").agg(sum($"c").as("cx")), $"cx", "h_x")
+      val hy = entOf(cells.groupBy($"y").agg(sum($"c").as("cy")), $"cy", "h_y")
+      hxy.join(broadcast(hx), Seq("k")).join(broadcast(hy), Seq("k"))
+        .select(lit(s"$x -> $y").as("fd"), $"h_x", $"h_y", $"h_xy",
+          round(($"h_x" + $"h_y" - $"h_xy").cast("decimal(28,8)"), 6)
+            .cast("double").as("mi"),
+          round((($"h_x" + $"h_y" - $"h_xy") / $"h_y").cast("decimal(28,8)"), 6)
+            .cast("double").as("u_y_given_x"))
+    }
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_year", "o_price_band")
+    (for { x <- cols; y <- cols if x != y } yield leg(x, y))
+      .reduce(_.union(_)).orderBy($"fd")
+  }
+
+  val dependencyEntropyOracle: String = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_year", "o_price_band")
+    def leg(x: String, y: String): String =
+      s"""SELECT '$x -> $y' AS fd, h_x, h_y, h_xy,
+         |       CAST(round(CAST(h_x + h_y - h_xy AS DECIMAL(28,8)), 6) AS DOUBLE) AS mi,
+         |       CAST(round(CAST((h_x + h_y - h_xy) / h_y AS DECIMAL(28,8)), 6)
+         |            AS DOUBLE) AS u_y_given_x
+         |FROM (
+         |  SELECT
+         |    (SELECT CAST(round(-sum(CAST((cx / n.n) * ln(cx / n.n) AS DECIMAL(28,8))), 6) AS DOUBLE)
+         |     FROM (SELECT sum(c) * 1.0 AS cx FROM (SELECT $x AS x, $y AS y, count(*) AS c FROM t GROUP BY 1, 2) q GROUP BY x) m) AS h_x,
+         |    (SELECT CAST(round(-sum(CAST((cy / n.n) * ln(cy / n.n) AS DECIMAL(28,8))), 6) AS DOUBLE)
+         |     FROM (SELECT sum(c) * 1.0 AS cy FROM (SELECT $x AS x, $y AS y, count(*) AS c FROM t GROUP BY 1, 2) q GROUP BY y) m) AS h_y,
+         |    (SELECT CAST(round(-sum(CAST((c * 1.0 / n.n) * ln(c * 1.0 / n.n) AS DECIMAL(28,8))), 6) AS DOUBLE)
+         |     FROM (SELECT $x AS x, $y AS y, count(*) AS c FROM t GROUP BY 1, 2) q) AS h_xy
+         |  FROM n) e""".stripMargin
+    val legs = (for { x <- cols; y <- cols if x != y } yield leg(x, y))
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT o_custkey, o_orderstatus, o_orderpriority,
+       |         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |         CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS o_price_band
+       |  FROM orders),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t)
+       |$legs
+       |ORDER BY fd""".stripMargin
+  }
+
   /** Incremental FD monitor — the audit member of the ∝-delta family
     * (exact fp: [[Dedup.incrementalDedup]]; spans: [[CorpusDedup]];
     * semantic: [[Similarity]]): an incoming batch (l_orderkey % 10 == 7
@@ -564,6 +642,7 @@ object Audit {
     Q("audit_fd_violations", Some(fdViolationsOracle), fdViolations),
     Q("audit_fd_incremental", Some(fdIncrementalOracle), fdIncremental),
     Q("audit_fd_discovery", Some(fdDiscoveryOracle), fdDiscovery),
+    Q("audit_dependency_entropy", Some(dependencyEntropyOracle), dependencyEntropy),
     Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders),
     Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers),
     Q("audit_column_stats", Some(columnStatsOracle), columnStats),

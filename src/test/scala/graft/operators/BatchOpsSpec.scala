@@ -307,6 +307,25 @@ class BatchOpsSpec extends SparkSuite {
     assert(w1 >= 0.0 && w1 <= ks * (distinct.last - distinct.head) + 1e-6)
   }
 
+  test("dependency entropy: 20 pairs, information identities and bounds hold") {
+    import spark.implicits._
+    val out = Audit.dependencyEntropy(spark, Sf).cache()
+    assert(out.count() == 20)
+    // identities on every row: mi = hx + hy - hxy (to quantization),
+    // 0 <= mi <= min(hx, hy), u in [0, 1], h_xy >= max(h_x, h_y)
+    assert(out.filter(abs($"mi" - ($"h_x" + $"h_y" - $"h_xy")) > 1e-4).count() == 0)
+    assert(out.filter($"mi" < -1e-6 || $"mi" > least($"h_x", $"h_y") + 1e-6).count() == 0)
+    assert(out.filter($"u_y_given_x" < -1e-6 || $"u_y_given_x" > 1.0 + 1e-6).count() == 0)
+    assert(out.filter($"h_xy" < greatest($"h_x", $"h_y") - 1e-6).count() == 0)
+    // symmetry of the pieces: X -> Y and Y -> X share hx/hy swapped, same hxy/mi
+    val ab = out.filter($"fd" === "o_orderstatus -> o_orderpriority").head()
+    val ba = out.filter($"fd" === "o_orderpriority -> o_orderstatus").head()
+    assert(ab.getAs[Double]("h_x") == ba.getAs[Double]("h_y"))
+    assert(ab.getAs[Double]("h_xy") == ba.getAs[Double]("h_xy"))
+    assert(ab.getAs[Double]("mi") == ba.getAs[Double]("mi"))
+    out.unpersist()
+  }
+
   test("oov rate: matches exact driver recompute from raw tokens") {
     import spark.implicits._
     val r = TextOps.oovRate(spark, Sf).head()
