@@ -120,6 +120,129 @@ object EmbeddingAudit {
       |         AS max_sq_norm
       |FROM row_agg CROSS JOIN dim_agg CROSS JOIN mu_agg""".stripMargin
 
+  /** Label-conditional separation of the embedding space — the scatter
+    * decomposition behind Fisher's discriminant / one-way ANOVA, run on
+    * the labeled vectors: total scatter Σ‖v−μ‖² splits exactly into
+    * BETWEEN-class Σ_L n_L‖μ_L−μ‖² and WITHIN-class Σ_L Σ_{v∈L}‖v−μ_L‖².
+    * The ratio B/W (and η² = B/T) is the one-number answer to "do these
+    * labels actually structure the space?" — the go/no-go before
+    * trusting label-stratified sampling, per-label centroids
+    * ([[Similarity]] sim_label_centroid) or a classifier trained on
+    * these embeddings. Random labels ⇒ η² ≈ (L−1)/n; anything not ≫
+    * that is noise.
+    *
+    * Scale shape: ONE pass to the (label × dim) moment grid (hash agg,
+    * map-side combinable, ≤ L·d cells ≈ KBs regardless of corpus size);
+    * global per-dim moments derive from the grid by summing over
+    * labels, never a rescan. All readouts assemble on the bounded grid.
+    * Determinism: the [[embeddingHealth]] idiom — exact decimal sums of
+    * quantized per-cell double terms in identical op order. */
+  def embeddingSeparation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val flat = Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding"))
+      .select($"label".cast("long").as("label"), $"pos".as("dim"),
+        $"col".cast("double").as("x"))
+    val cells = flat.groupBy($"label", $"dim")
+      .agg(sum($"x".cast("decimal(28,8)")).as("sx"),
+        sum(($"x" * $"x").cast("decimal(28,8)")).as("sxx"),
+        count(lit(1)).as("cnt"))
+      .persist()
+    val gdim2 = cells.groupBy($"dim")
+      .agg(sum($"sx").as("gx"), sum($"sxx").as("sxx_g"), sum($"cnt").as("n"))
+    val n = gdim2.agg(max($"n")).head().getLong(0)
+    val nD = n.toDouble
+    // global ||mu||^2 and total sum of squares from the dim grid
+    val muD = $"gx".cast("double") / lit(nD)
+    val glob = gdim2.agg(
+      sum((muD * muD).cast("decimal(28,8)")).cast("double").as("mu_sq"),
+      sum($"sxx_g").cast("double").as("ssq"))
+      .withColumn("k", lit(1))
+    // per-label readouts against the broadcast global per-dim means
+    val withMu = cells.join(
+      broadcast(gdim2.select($"dim", ($"gx".cast("double") / lit(nD)).as("mu_d"))),
+      Seq("dim"))
+    val muLd = $"sx".cast("double") / $"cnt".cast("double")
+    val perLabel = withMu.groupBy($"label")
+      .agg(max($"cnt").as("n_vecs"),
+        sum($"sxx").as("ssq_l"),
+        sum(($"cnt".cast("double") * ((muLd - $"mu_d") * (muLd - $"mu_d")))
+          .cast("decimal(28,8)")).as("b_l"),
+        sum((muLd * muLd).cast("decimal(28,8)")).cast("double").as("musq_l"))
+    val withinL = ($"ssq_l".cast("double") - $"n_vecs".cast("double") * $"musq_l")
+      .cast("decimal(28,8)")
+    val agg = perLabel.agg(
+      count(lit(1)).as("n_labels"),
+      sum($"b_l").cast("double").as("between_raw"),
+      sum(withinL).cast("double").as("within_raw"))
+      .withColumn("k", lit(1))
+    val out = agg.join(broadcast(glob), Seq("k"))
+      .select($"n_labels", lit(n).as("n_vectors"),
+        round($"between_raw".cast("decimal(28,8)"), 4).cast("double").as("between_ss"),
+        round($"within_raw".cast("decimal(28,8)"), 4).cast("double").as("within_ss"),
+        round(($"ssq" - lit(nD) * $"mu_sq").cast("decimal(28,8)"), 4)
+          .cast("double").as("total_ss"),
+        round(($"between_raw" / $"within_raw").cast("decimal(28,8)"), 6)
+          .cast("double").as("fisher_ratio"),
+        round(($"between_raw" / ($"ssq" - lit(nD) * $"mu_sq"))
+          .cast("decimal(28,8)"), 6).cast("double").as("eta_sq"))
+    val rows0 = java.util.Arrays.asList(out.collect(): _*)
+    cells.unpersist(blocking = false)
+    s.createDataFrame(rows0, out.schema)
+  }
+
+  val embeddingSeparationOracle: String =
+    """WITH flat AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |         generate_subscripts(embedding, 1) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |cells AS (
+      |  SELECT label, dim, sum(CAST(x AS DECIMAL(28,8))) AS sx,
+      |         sum(CAST(x * x AS DECIMAL(28,8))) AS sxx,
+      |         count(*) AS cnt
+      |  FROM flat GROUP BY label, dim),
+      |gdim AS (
+      |  SELECT dim, sum(sx) AS gx, sum(sxx) AS sxx_g, sum(cnt) AS n_g
+      |  FROM cells GROUP BY dim),
+      |nn AS (SELECT CAST(max(n_g) AS DOUBLE) AS n FROM gdim),
+      |gtot AS (
+      |  SELECT CAST(sum(CAST((CAST(gx AS DOUBLE) / n) * (CAST(gx AS DOUBLE) / n)
+      |                       AS DECIMAL(28,8))) AS DOUBLE) AS mu_sq,
+      |         CAST(sum(sxx_g) AS DOUBLE) AS ssq
+      |  FROM gdim CROSS JOIN nn GROUP BY n),
+      |per_label AS (
+      |  SELECT label, max(cnt) AS n_vecs, sum(sxx) AS ssq_l,
+      |         sum(CAST(CAST(cnt AS DOUBLE)
+      |                  * ((CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)
+      |                      - CAST(gx AS DOUBLE) / n)
+      |                     * (CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)
+      |                        - CAST(gx AS DOUBLE) / n))
+      |             AS DECIMAL(28,8))) AS b_l,
+      |         CAST(sum(CAST((CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE))
+      |                       * (CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE))
+      |                  AS DECIMAL(28,8))) AS DOUBLE) AS musq_l
+      |  FROM cells JOIN gdim USING (dim) CROSS JOIN nn
+      |  GROUP BY label),
+      |agg AS (
+      |  SELECT count(*) AS n_labels,
+      |         CAST(sum(b_l) AS DOUBLE) AS between_raw,
+      |         CAST(sum(CAST(CAST(ssq_l AS DOUBLE)
+      |                       - CAST(n_vecs AS DOUBLE) * musq_l
+      |                  AS DECIMAL(28,8))) AS DOUBLE) AS within_raw
+      |  FROM per_label)
+      |SELECT CAST(n_labels AS BIGINT) AS n_labels,
+      |       CAST(n AS BIGINT) AS n_vectors,
+      |       CAST(round(CAST(between_raw AS DECIMAL(28,8)), 4) AS DOUBLE) AS between_ss,
+      |       CAST(round(CAST(within_raw AS DECIMAL(28,8)), 4) AS DOUBLE) AS within_ss,
+      |       CAST(round(CAST(ssq - n * mu_sq AS DECIMAL(28,8)), 4) AS DOUBLE) AS total_ss,
+      |       CAST(round(CAST(between_raw / within_raw AS DECIMAL(28,8)), 6) AS DOUBLE)
+      |         AS fisher_ratio,
+      |       CAST(round(CAST(between_raw / (ssq - n * mu_sq) AS DECIMAL(28,8)), 6)
+      |         AS DOUBLE) AS eta_sq
+      |FROM agg CROSS JOIN gtot CROSS JOIN nn""".stripMargin
+
   val defs: Seq[Q] = Seq(
-    Q("audit_embedding_health", Some(embeddingHealthOracle), embeddingHealth))
+    Q("audit_embedding_health", Some(embeddingHealthOracle), embeddingHealth),
+    Q("audit_embedding_separation", Some(embeddingSeparationOracle), embeddingSeparation))
 }

@@ -307,6 +307,34 @@ class BatchOpsSpec extends SparkSuite {
     assert(w1 >= 0.0 && w1 <= ks * (distinct.last - distinct.head) + 1e-6)
   }
 
+  test("embedding separation: scatter decomposition matches exact driver recompute") {
+    import spark.implicits._
+    val r = EmbeddingAudit.embeddingSeparation(spark, Sf).head()
+    val rows = graft.Tables.embeddings(spark, Sf)
+      .select($"label", $"embedding").as[(Int, Seq[Float])].collect()
+      .map { case (l, v) => (l.toLong, v.map(_.toDouble).toArray) }
+    val n = rows.length; val dims = rows.head._2.length
+    val mu = (0 until dims).map(j => rows.map(_._2(j)).sum / n)
+    val byL = rows.groupBy(_._1)
+    val between = byL.values.map { g =>
+      val muL = (0 until dims).map(j => g.map(_._2(j)).sum / g.length)
+      g.length * muL.zip(mu).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum
+    val within = byL.values.map { g =>
+      val muL = (0 until dims).map(j => g.map(_._2(j)).sum / g.length)
+      g.map(v => v._2.zip(muL).map { case (a, b) => (a - b) * (a - b) }.sum).sum
+    }.sum
+    assert(r.getAs[Long]("n_labels") == byL.size && r.getAs[Long]("n_vectors") == n)
+    assert(math.abs(r.getAs[Double]("between_ss") - between) < 1e-2,
+      s"between=${r.getAs[Double]("between_ss")} exact=$between")
+    assert(math.abs(r.getAs[Double]("within_ss") - within) < 1e-2)
+    // exact decomposition: total = between + within
+    assert(math.abs(r.getAs[Double]("total_ss") - (between + within)) < 1e-2)
+    assert(math.abs(r.getAs[Double]("fisher_ratio") - between / within) < 1e-4)
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta >= -1e-9 && eta <= 1.0 + 1e-9)
+  }
+
   test("dependency entropy: 20 pairs, information identities and bounds hold") {
     import spark.implicits._
     val out = Audit.dependencyEntropy(spark, Sf).cache()
