@@ -884,7 +884,65 @@ object Dedup {
        |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Cross-SOURCE duplication matrix: exact 3-gram-shingle Jaccard
+    * between every source pair — the corpus-curation readout that finds
+    * mirrored/scraped-twice upstreams BEFORE per-document dedup spends
+    * effort on them (two sources with jaccard ≈ 1 should be dropped at
+    * the manifest, not deduplicated document by document).
+    *
+    * Scale note — why this self-join is safe when the per-DOC
+    * shingle-index join (header warning above) is not: shingles are
+    * first collapsed to DISTINCT (source, shingle) pairs, so a shingle
+    * can appear at most once per source and contributes at most
+    * C(|sources|, 2) join pairs no matter how hot it is in the corpus;
+    * with a bounded source catalog the join output is ≤ |distinct
+    * shingles|·C(|S|,2), linear in vocabulary. Per-source set sizes and
+    * intersections are exact int64; Jaccard quantizes through the
+    * decimal idiom. Pairs sharing zero shingles are absent by
+    * construction (their Jaccard is 0). */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .filter(size(split($"text", " ")) >= 3)
+      .select($"source", explode(expr(
+        """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+          |                         i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"""
+          .stripMargin)).as("sh"))
+      .distinct()
+    val per = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        $"a.sh" === $"b.sh" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("s1"), $"b.source".as("s2"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(per.select($"source".as("s1"), $"n".as("n1"))), Seq("s1"))
+      .join(broadcast(per.select($"source".as("s2"), $"n".as("n2"))), Seq("s2"))
+      .select($"s1", $"s2", $"common", $"n1", $"n2",
+        round(($"common".cast("double") / ($"n1" + $"n2" - $"common").cast("double"))
+          .cast("decimal(28,8)"), 6).cast("double").as("jaccard"))
+      .orderBy($"s1", $"s2")
+  }
+
+  val sourceOverlapOracle: String =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |sh0 AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |        FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT source, sh FROM sh0),
+      |per AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS s1, b.source AS s2, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s1, s2, CAST(common AS BIGINT) AS common,
+      |       CAST(pa.n AS BIGINT) AS n1, CAST(pb.n AS BIGINT) AS n2,
+      |       CAST(round(CAST(CAST(common AS DOUBLE)
+      |                       / CAST(pa.n + pb.n - common AS DOUBLE)
+      |                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS jaccard
+      |FROM pairs JOIN per pa ON s1 = pa.source JOIN per pb ON s2 = pb.source
+      |ORDER BY s1, s2""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("corpus_source_overlap", Some(sourceOverlapOracle), sourceOverlap),
     Q("dedup_exact", Some(exactDedupOracle), exactDedup),
     Q("dedup_incremental_batch", Some(incrementalDedupOracle), incrementalDedup),
     Q("dedup_minhash_incremental", Some(incrementalMinhashTwin), (s, d) => incrementalMinhashDedup(s, d)),

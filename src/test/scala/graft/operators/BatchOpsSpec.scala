@@ -307,6 +307,28 @@ class BatchOpsSpec extends SparkSuite {
     assert(w1 >= 0.0 && w1 <= ks * (distinct.last - distinct.head) + 1e-6)
   }
 
+  test("source overlap: jaccard bounds hold; one pair recomputed exactly") {
+    import spark.implicits._
+    val out = Dedup.sourceOverlap(spark, Sf).cache()
+    assert(out.filter($"s1" >= $"s2").count() == 0)
+    assert(out.filter($"common" > least($"n1", $"n2")).count() == 0)
+    assert(out.filter($"jaccard" < 0.0 || $"jaccard" > 1.0).count() == 0)
+    def shingles(src: String): Set[String] = graft.Tables.documents(spark, Sf)
+      .filter($"source" === src).select($"text").as[String].collect()
+      .flatMap { t =>
+        val w = t.split(" ", -1)
+        if (w.length < 3) Seq.empty
+        else w.sliding(3).map(_.mkString(" ")).toSeq
+      }.toSet
+    val a = shingles("src0"); val b = shingles("src1")
+    val r = out.filter($"s1" === "src0" && $"s2" === "src1").head()
+    assert(r.getAs[Long]("n1") == a.size && r.getAs[Long]("n2") == b.size)
+    assert(r.getAs[Long]("common") == a.intersect(b).size)
+    assert(math.abs(r.getAs[Double]("jaccard") -
+      a.intersect(b).size.toDouble / a.union(b).size) < 1e-5)
+    out.unpersist()
+  }
+
   test("embedding separation: scatter decomposition matches exact driver recompute") {
     import spark.implicits._
     val r = EmbeddingAudit.embeddingSeparation(spark, Sf).head()
