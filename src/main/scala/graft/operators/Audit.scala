@@ -501,18 +501,24 @@ object Audit {
       floor($"o_totalprice" / lit(50000.0)).cast("long").as("o_price_band"))
       .localCheckpoint()
     val nD = t.count().toDouble
-    def entOf(cnts: DataFrame, c: Column, out: String): DataFrame = {
-      val p = c.cast("double") / lit(nD)
-      cnts.agg(round(-sum((p * log(p)).cast("decimal(28,8)")), 6)
-        .cast("double").as(out)).withColumn("k", lit(1))
-    }
+    // Each leg is ONE aggregate over a tagged union of the three count
+    // relations (cells, x-marginals, y-marginals) — no 1-row×1-row joins,
+    // which Catalyst would constant-fold into BroadcastNestedLoopJoin
+    // (the literal join key folds away and trips the hygiene gate even
+    // though both sides are single rows).
     def leg(x: String, y: String): DataFrame = {
       val cells = t.groupBy(col(x).as("x"), col(y).as("y"))
         .agg(count(lit(1)).as("c"))
-      val hxy = entOf(cells, $"c", "h_xy")
-      val hx = entOf(cells.groupBy($"x").agg(sum($"c").as("cx")), $"cx", "h_x")
-      val hy = entOf(cells.groupBy($"y").agg(sum($"c").as("cy")), $"cy", "h_y")
-      hxy.join(broadcast(hx), Seq("k")).join(broadcast(hy), Seq("k"))
+      val tagged = cells.select(lit("xy").as("tag"), $"c".as("m"))
+        .unionByName(cells.groupBy($"x").agg(sum($"c").as("m"))
+          .select(lit("x").as("tag"), $"m"))
+        .unionByName(cells.groupBy($"y").agg(sum($"c").as("m"))
+          .select(lit("y").as("tag"), $"m"))
+      val p = $"m".cast("double") / lit(nD)
+      def ent(tag: String): Column =
+        round(-sum(when($"tag" === tag, (p * log(p)).cast("decimal(28,8)"))), 6)
+          .cast("double")
+      tagged.agg(ent("x").as("h_x"), ent("y").as("h_y"), ent("xy").as("h_xy"))
         .select(lit(s"$x -> $y").as("fd"), $"h_x", $"h_y", $"h_xy",
           round(($"h_x" + $"h_y" - $"h_xy").cast("decimal(28,8)"), 6)
             .cast("double").as("mi"),

@@ -36,10 +36,21 @@ object Drift {
   def chi2Of(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    chi2OfCells(docs.groupBy($"lang", $"source").agg(count(lit(1)).as("o")))
+  }
+
+  /** [[chi2Of]] from a pre-built (lang, source, o) observed-cell census —
+    * the entry the CONTINUOUSLY-MAINTAINED cell view serves from
+    * ([[graft.streaming.CorpusStream.upsertContingencyRollup]]): cell
+    * counts are additive, so the maintained view IS the census and the
+    * statistic never re-touches raw documents. */
+  def chi2OfCells(cellsIn: DataFrame): DataFrame = {
+    val s = cellsIn.sparkSession
+    import s.implicits._
     // ONE pass over the table: the marginals and the grand total are sums
     // over the observed-cell aggregate (every doc lands in a cell), so
     // they derive from `cells`, never from re-scanning docs.
-    val cells = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("o")).persist()
+    val cells = cellsIn.persist()
     val rows = cells.groupBy($"lang").agg(sum($"o").as("rn"))
     val cols = cells.groupBy($"source").agg(sum($"o").as("cn"))
     val n = cells.agg(sum($"o")).head().getLong(0)
@@ -479,7 +490,15 @@ object Drift {
   def miOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val cells = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("o")).persist()
+    miOfCells(docs.groupBy($"lang", $"source").agg(count(lit(1)).as("o")))
+  }
+
+  /** [[miOf]] from a pre-built observed-cell census — see
+    * [[chi2OfCells]]; the same maintained view serves both statistics. */
+  def miOfCells(cellsIn: DataFrame): DataFrame = {
+    val s = cellsIn.sparkSession
+    import s.implicits._
+    val cells = cellsIn.persist()
     val rows = cells.groupBy($"lang").agg(sum($"o").as("rn"))
     val cols = cells.groupBy($"source").agg(sum($"o").as("cn"))
     val n = cells.agg(sum($"o")).head().getLong(0)

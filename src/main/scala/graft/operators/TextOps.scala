@@ -834,19 +834,24 @@ object TextOps {
     val nw = toks.filter($"source" === "src19")
       .groupBy($"tk").agg(count(lit(1)).as("c"))
     val flagged = nw.join(ref.withColumn("in_ref", lit(1L)), Seq("tk"), "left")
-    flagged.agg(
+    val newAgg = flagged.agg(
       count(lit(1)).as("new_types"),
       sum(when($"in_ref".isNull, 1L).otherwise(0L)).as("oov_types"),
       sum($"c").as("new_tokens"),
       sum(when($"in_ref".isNull, $"c").otherwise(0L)).as("oov_tokens"))
       .withColumn("k", lit(1))
-      .join(broadcast(refTypes), Seq("k"))
+    val out = newAgg.join(broadcast(refTypes), Seq("k"))
       .select($"ref_types", $"new_types", $"oov_types",
         round(($"oov_types".cast("double") / $"new_types".cast("double"))
           .cast("decimal(28,8)"), 6).cast("double").as("oov_type_rate"),
         $"new_tokens", $"oov_tokens",
         round(($"oov_tokens".cast("double") / $"new_tokens".cast("double"))
           .cast("decimal(28,8)"), 6).cast("double").as("oov_token_rate"))
+    // one-row readout: materialize (the miOf idiom) — the live plan's
+    // constant-key 1-row×1-row join would constant-fold to a
+    // BroadcastNestedLoopJoin and trip the hygiene gate
+    s.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
   }
 
   val oovRateOracle: String =

@@ -119,4 +119,54 @@ object CorpusStream {
       .where(col("logppl_micro") < keepBelowMicro)
       .drop("sig")
   }
+
+  /** Continuously-maintained lang × source contingency census — the
+    * DRIFT-STATISTIC member of the maintained-view family (counts /
+    * HLL / KLL / MG / FD in [[Ingest]]): observed-cell counts are purely
+    * additive, so the maintained view IS the census that
+    * [[graft.operators.Drift.chi2OfCells]] and
+    * [[graft.operators.Drift.miOfCells]] compute from — χ², MI, NMI and
+    * the full entropy decomposition are served at ANY time without
+    * re-touching a single raw document. Cost per batch is
+    * O(batch + touched source-partitions); cell state is the bounded
+    * |langs|×|sources| grid. Same batch-id replay caveat as the counts.
+    *
+    * This closes the audit loop the batch queries open: the batch
+    * `audit_chi2_lang_source` / `audit_mi_lang_source` establish the
+    * reference association; the streaming view keeps TODAY's census
+    * current so the comparison is a constant-time cell read, which is
+    * how a production mix-shift alarm actually runs. */
+  def upsertContingencyRollup(batch: DataFrame, rollupDir: String): Unit = {
+    val s = batch.sparkSession
+    val delta = batch
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val touched = delta.select("source").distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val existing =
+      if (Ingest.rollupExists(s, rollupDir))
+        s.read.parquet(rollupDir)
+          .filter(col("source").isin(touched: _*))
+          .localCheckpoint()
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          delta.schema)
+    existing.unionByName(delta)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("o")).as("o"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("source")
+      .parquet(rollupDir)
+  }
+
+  /** Serve χ² and MI/NMI from the maintained census in one constant-time
+    * read of the bounded cell grid. */
+  def servedChi2(s: org.apache.spark.sql.SparkSession, rollupDir: String): DataFrame =
+    graft.operators.Drift.chi2OfCells(
+      s.read.parquet(rollupDir).select(col("lang"), col("source"), col("o")))
+
+  def servedMi(s: org.apache.spark.sql.SparkSession, rollupDir: String): DataFrame =
+    graft.operators.Drift.miOfCells(
+      s.read.parquet(rollupDir).select(col("lang"), col("source"), col("o")))
 }

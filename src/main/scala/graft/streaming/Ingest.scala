@@ -183,7 +183,7 @@ object Ingest {
     * — the exact trap Warehouse.readEvents documents — and a silent
     * "absent" here would OVERWRITE the accumulated rollup instead of
     * merging into it. */
-  private def rollupExists(s: SparkSession, dir: String): Boolean = {
+  private[streaming] def rollupExists(s: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -372,15 +372,28 @@ object Ingest {
     * partition overwrite rewrites them in full); raise `buckets` to
     * shrink the rewrite slice as total x-cardinality grows. Same
     * batch-id replay caveat as the counts (pair counts are additive, not
-    * idempotent). */
+    * idempotent).
+    *
+    * `bucketOf` maps an x column to its bucket id in [0, buckets) and
+    * MUST be a deterministic pure function of x, stable for the life of
+    * the state directory (changing it orphans existing rows in their old
+    * buckets). The default hashes x — correct for any key type, but it
+    * deliberately SCATTERS the key space, so even a key-localized
+    * upstream batch touches every bucket (FdMonitorProbe measured this:
+    * hash bucketing forfeits locality entirely). When the upstream is
+    * naturally key-localized (time- or tenant-partitioned), pass a
+    * RANGE bucket expression aligned with that locality and the touched
+    * slice collapses to the few buckets the batch actually spans. */
   def upsertFdMonitor(batch: DataFrame, stateDir: String,
-      fdX: String, fdY: String, buckets: Int = 256): DataFrame = {
+      fdX: String, fdY: String, buckets: Int = 256,
+      bucketOf: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        (x, b) => pmod(xxhash64(x), lit(b))): DataFrame = {
     val s = batch.sparkSession
     val delta = batch
       .filter(col(fdX).isNotNull)
       .select(col(fdX).as("x"), col(fdY).as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
-      .withColumn("bucket", pmod(xxhash64(col("x")), lit(buckets)))
+      .withColumn("bucket", bucketOf(col("x"), buckets))
       .localCheckpoint()
     val touchedBuckets = delta.select("bucket").distinct().collect().map(_.get(0))
     if (touchedBuckets.isEmpty) {

@@ -35,17 +35,25 @@ object FdMonitorProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    def run(tag: String, mkBatch: Int => DataFrame): Unit = {
+    type BucketFn = (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column
+    val hashBuckets: BucketFn = (x, b) => pmod(xxhash64(x), lit(b))
+
+    def run(tag: String, mkBatch: Int => DataFrame,
+        bucketOf: BucketFn = hashBuckets, buckets: Int = 256): Unit = {
       val dir = java.nio.file.Files
         .createTempDirectory(s"fdprobe-$tag").toString + "/state"
       // untimed discard rep on a scratch dir: JIT + codegen caches
       Ingest.upsertFdMonitor(mkBatch(0), dir + "-warmup",
-        "l_partkey", "l_suppkey")
+        "l_partkey", "l_suppkey", buckets, bucketOf)
       val times = (0 until nBatches).map { i =>
         val b = mkBatch(i).localCheckpoint()
-        val t = timed { Ingest.upsertFdMonitor(b, dir, "l_partkey", "l_suppkey") }
+        val touched = b.select(bucketOf($"l_partkey", buckets)).distinct().count()
+        val t = timed {
+          Ingest.upsertFdMonitor(b, dir, "l_partkey", "l_suppkey", buckets, bucketOf)
+        }
         val stateRows = spark.read.parquet(dir).count()
-        println(f"[fdprobe] $tag batch=$i upsert=$t%.2f s state_rows=$stateRows")
+        println(f"[fdprobe] $tag batch=$i upsert=$t%.2f s " +
+          f"touched_buckets=$touched/$buckets state_rows=$stateRows")
         t
       }
       println(f"[fdprobe] $tag first=${times.head}%.2f s last=${times.last}%.2f s " +
@@ -63,11 +71,18 @@ object FdMonitorProbe {
 
     // Regime A: id % nBatches — part keys uniform across the whole space
     run("uniform", i => li.filter($"id" % nBatches === i))
-    // Regime B: contiguous l_partkey ranges — localized LHS per batch
+    // Regime B: contiguous l_partkey ranges (localized LHS) but the
+    // DEFAULT hash bucketing — locality scattered, expect no win
     val maxPart = li.agg(max($"l_partkey")).head().getLong(0)
     val span = maxPart / nBatches + 1
-    run("localized", i =>
-      li.filter($"l_partkey" >= i * span && $"l_partkey" < (i + 1) * span))
+    def localized(i: Int): DataFrame =
+      li.filter($"l_partkey" >= i * span && $"l_partkey" < (i + 1) * span)
+    run("localized-hash", localized)
+    // Regime C: the same localized batches with RANGE bucketing aligned
+    // to the key space — touched buckets ∝ batch span, flat per-batch cost
+    val rangeBuckets: BucketFn = (x, b) =>
+      least(floor(x / lit(maxPart.toDouble / b)).cast("long"), lit(b - 1L))
+    run("localized-range", localized, rangeBuckets)
     spark.stop()
   }
 }
