@@ -507,6 +507,15 @@ object Audit {
     // (the literal join key folds away and trips the hygiene gate even
     // though both sides are single rows).
     def leg(x: String, y: String): DataFrame = {
+      // Deliberately NO persist/checkpoint on the per-leg census even
+      // though the three union branches each recompute it: measured cold
+      // at sf0.1 in one harness (EntropyTimeProbe), plain recompute runs
+      // the whole 20-leg union as ONE job with full inter-leg
+      // parallelism (6.9 s); eager per-leg localCheckpoints serialize 20
+      // build-time jobs (10.6 s) and lazy persists add cache-exchange
+      // barriers (13.7 s). Recompute of a map-side-combinable agg over a
+      // localCheckpointed input is the cheapest coordination at this
+      // grid size.
       val cells = t.groupBy(col(x).as("x"), col(y).as("y"))
         .agg(count(lit(1)).as("c"))
       val tagged = cells.select(lit("xy").as("tag"), $"c".as("m"))
