@@ -403,6 +403,80 @@ object Audit {
         $"violating_rows", ($"violating_groups" === 0L).as("holds"))
   }
 
+  /** Join-key skew census — the readout that decides, BEFORE a big join
+    * or aggregation ships, whether a key needs salting / AQE skew
+    * handling: per monitored key column, the group-count distribution's
+    * shape. `skew_max_over_avg` is the straggler multiplier a shuffle on
+    * this key eats (the exact quantity SCALE_NOTES Leg 14 stress-tested
+    * with a planted 181k-row hub); `cv` its spread; `hhi` the
+    * Herfindahl concentration Σ share² — 1/n_keys for uniform keys,
+    * →1 as one key swallows the table (hot-key detector that doesn't
+    * need a top-k pass).
+    *
+    * Scale shape: per key ONE map-side-combinable count aggregate, then
+    * a 1-row moment summary over the group-count relation — Σc, Σc²,
+    * max as exact int64 (Σc² ≤ n² bounds it to ~3×10⁹ rows/key), HHI
+    * through the decimal-quantization idiom. Four legs, one union job,
+    * no joins, no windows, nothing driver-side. */
+  def joinKeySkew(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val legs: Seq[(String, DataFrame)] = Seq(
+      "events.user_id" -> Tables.events(s, d).select($"user_id".as("key")),
+      "lineitem.l_partkey" -> Tables.lineitem(s, d)
+        .select($"l_partkey".cast("string").as("key")),
+      "lineitem.l_suppkey" -> Tables.lineitem(s, d)
+        .select($"l_suppkey".cast("string").as("key")),
+      "orders.o_custkey" -> Tables.orders(s, d)
+        .select($"o_custkey".cast("string").as("key")))
+    legs.map { case (name, t) =>
+      val counts = t.filter($"key".isNotNull)
+        .groupBy($"key").agg(count(lit(1)).as("c"))
+      val m = counts.agg(
+        count(lit(1)).as("n_keys"), sum($"c").as("n_rows"),
+        max($"c").as("max_cnt"), sum($"c" * $"c").as("sum_c2"))
+      val nK = $"n_keys".cast("double")
+      val nR = $"n_rows".cast("double")
+      val avg = nR / nK
+      val varC = $"sum_c2".cast("double") / nK - avg * avg
+      // HHI = Σ share² = Σc² / n² — the numerator is already the exact
+      // int64 sum_c2 moment, so no per-group float pass is needed
+      m.select(lit(name).as("key_name"), $"n_keys", $"n_rows", $"max_cnt",
+        round(($"max_cnt".cast("double") / avg).cast("decimal(28,8)"), 6)
+          .cast("double").as("skew_max_over_avg"),
+        round((sqrt(varC) / avg).cast("decimal(28,8)"), 6)
+          .cast("double").as("cv"),
+        round(($"sum_c2".cast("double") / (nR * nR)).cast("decimal(28,8)"), 8)
+          .cast("double").as("hhi"))
+    }.reduce(_.union(_)).orderBy($"key_name")
+  }
+
+  val joinKeySkewOracle: String = {
+    def leg(name: String, table: String, key: String): String =
+      s"""SELECT '$name' AS key_name,
+         |       CAST(count(*) AS BIGINT) AS n_keys,
+         |       CAST(sum(c) AS BIGINT) AS n_rows,
+         |       CAST(max(c) AS BIGINT) AS max_cnt,
+         |       CAST(round(CAST(CAST(max(c) AS DOUBLE)
+         |                       / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS skew_max_over_avg,
+         |       CAST(round(CAST(sqrt(CAST(sum(c * c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |                            - (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |                              * (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+         |                       / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS cv,
+         |       CAST(round(CAST(CAST(sum(c * c) AS DOUBLE)
+         |                       / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+         |                  AS DECIMAL(28,8)), 8) AS DOUBLE) AS hhi
+         |FROM (SELECT $key AS key, count(*) AS c FROM $table
+         |      WHERE $key IS NOT NULL GROUP BY 1) g""".stripMargin
+    Seq(
+      leg("events.user_id", "events", "user_id"),
+      leg("lineitem.l_partkey", "lineitem", "CAST(l_partkey AS VARCHAR)"),
+      leg("lineitem.l_suppkey", "lineitem", "CAST(l_suppkey AS VARCHAR)"),
+      leg("orders.o_custkey", "orders", "CAST(o_custkey AS VARCHAR)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
+  }
+
   /** Single-column FD DISCOVERY (the TANE/FDEP family's level-1 lattice,
     * run exhaustively): mine every ordered column pair X → Y over a
     * 5-attribute view of orders (three natural categoricals + two
@@ -658,6 +732,7 @@ object Audit {
     Q("audit_fd_incremental", Some(fdIncrementalOracle), fdIncremental),
     Q("audit_fd_discovery", Some(fdDiscoveryOracle), fdDiscovery),
     Q("audit_dependency_entropy", Some(dependencyEntropyOracle), dependencyEntropy),
+    Q("audit_join_key_skew", Some(joinKeySkewOracle), joinKeySkew),
     Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders),
     Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers),
     Q("audit_column_stats", Some(columnStatsOracle), columnStats),

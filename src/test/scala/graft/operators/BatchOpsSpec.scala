@@ -307,6 +307,29 @@ class BatchOpsSpec extends SparkSuite {
     assert(w1 >= 0.0 && w1 <= ks * (distinct.last - distinct.head) + 1e-6)
   }
 
+  test("join key skew: moments match a driver recompute; hhi/skew bounds hold") {
+    import spark.implicits._
+    val out = Audit.joinKeySkew(spark, Sf).cache()
+    assert(out.count() == 4)
+    // bounds: skew >= 1, cv >= 0, 1/n_keys <= hhi <= 1
+    assert(out.filter($"skew_max_over_avg" < 1.0 - 1e-9).count() == 0)
+    assert(out.filter($"cv" < -1e-9).count() == 0)
+    assert(out.filter(
+      $"hhi" < lit(1.0) / $"n_keys" - 1e-9 || $"hhi" > 1.0 + 1e-9).count() == 0)
+    // exact driver recompute for one leg
+    val cnts = graft.Tables.orders(spark, Sf).groupBy($"o_custkey").count()
+      .as[(Long, Long)].collect().map(_._2)
+    val n = cnts.sum.toDouble; val k = cnts.length.toDouble
+    val r = out.filter($"key_name" === "orders.o_custkey").head()
+    assert(r.getAs[Long]("n_keys") == cnts.length)
+    assert(r.getAs[Long]("n_rows") == cnts.sum)
+    assert(r.getAs[Long]("max_cnt") == cnts.max)
+    assert(math.abs(r.getAs[Double]("skew_max_over_avg") - cnts.max / (n / k)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("hhi")
+      - cnts.map(c => c.toDouble * c).sum / (n * n)) < 1e-6)
+    out.unpersist()
+  }
+
   test("source overlap: jaccard bounds hold; one pair recomputed exactly") {
     import spark.implicits._
     val out = Dedup.sourceOverlap(spark, Sf).cache()
