@@ -403,6 +403,56 @@ object Audit {
         $"violating_rows", ($"violating_groups" === 0L).as("holds"))
   }
 
+  /** CONDITIONAL FD audit (the CFD family, Bohannon et al. ICDE'07,
+    * level-1 pattern tableau): the dependency o_custkey → o_orderpriority
+    * evaluated SEPARATELY within each o_orderstatus partition — a
+    * dependency that fails globally often holds (or fails worse) under
+    * specific conditions, and the per-condition g3 profile is what a
+    * data-contract author needs to write the tableau ("holds where
+    * status = 'F'") instead of discarding the rule outright.
+    *
+    * Scale shape: identical to [[fdDiscovery]] with the condition column
+    * riding the grouping keys — pair census on (cond, x, y), per-(cond,
+    * x) summary, per-cond rollup; three map-side-combinable hash-agg
+    * levels, one job, no joins. */
+  def fdConditional(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, d)
+      .groupBy($"o_orderstatus".as("cond"), $"o_custkey".as("x"),
+        $"o_orderpriority".as("y"))
+      .agg(count(lit(1)).as("c"))
+    pairs.groupBy($"cond", $"x")
+      .agg(sum($"c").as("n_rows"), count(lit(1)).as("dy"), max($"c").as("plu"))
+      .groupBy($"cond")
+      .agg(count(lit(1)).as("lhs_groups"),
+        sum(when($"dy" > 1, 1L).otherwise(0L)).as("violating_groups"),
+        sum($"n_rows" - $"plu").as("violating_rows"),
+        sum($"n_rows").as("n_rows"))
+      .select($"cond", $"lhs_groups", $"violating_groups", $"violating_rows",
+        $"n_rows",
+        round(($"violating_rows".cast("double") / $"n_rows".cast("double"))
+          .cast("decimal(28,8)"), 6).cast("double").as("g3"),
+        ($"violating_groups" === 0L).as("holds"))
+      .orderBy($"cond")
+  }
+
+  val fdConditionalOracle: String =
+    """SELECT cond, CAST(count(*) AS BIGINT) AS lhs_groups,
+      |       CAST(sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+      |       CAST(sum(n_rows - plu) AS BIGINT) AS violating_rows,
+      |       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+      |       CAST(round(CAST(CAST(sum(n_rows - plu) AS DOUBLE)
+      |                       / CAST(sum(n_rows) AS DOUBLE)
+      |                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS g3,
+      |       sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      |FROM (SELECT cond, x, sum(c) AS n_rows, count(*) AS dy, max(c) AS plu
+      |      FROM (SELECT o_orderstatus AS cond, o_custkey AS x,
+      |                   o_orderpriority AS y, count(*) AS c
+      |            FROM orders GROUP BY 1, 2, 3) p
+      |      GROUP BY cond, x) g
+      |GROUP BY cond
+      |ORDER BY cond""".stripMargin
+
   /** Join-key skew census — the readout that decides, BEFORE a big join
     * or aggregation ships, whether a key needs salting / AQE skew
     * handling: per monitored key column, the group-count distribution's
@@ -733,6 +783,7 @@ object Audit {
     Q("audit_fd_discovery", Some(fdDiscoveryOracle), fdDiscovery),
     Q("audit_dependency_entropy", Some(dependencyEntropyOracle), dependencyEntropy),
     Q("audit_join_key_skew", Some(joinKeySkewOracle), joinKeySkew),
+    Q("audit_fd_conditional", Some(fdConditionalOracle), fdConditional),
     Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders),
     Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers),
     Q("audit_column_stats", Some(columnStatsOracle), columnStats),

@@ -307,6 +307,31 @@ class BatchOpsSpec extends SparkSuite {
     assert(w1 >= 0.0 && w1 <= ks * (distinct.last - distinct.head) + 1e-6)
   }
 
+  test("fd conditional: per-condition g3 reconciles with the global FD census") {
+    import spark.implicits._
+    val out = Audit.fdConditional(spark, Sf).cache()
+    val statuses = graft.Tables.orders(spark, Sf)
+      .select($"o_orderstatus").distinct().count()
+    assert(out.count() == statuses)
+    assert(out.filter($"violating_rows" > $"n_rows" - $"lhs_groups").count() == 0)
+    assert(out.filter($"holds" =!= ($"violating_groups" === 0L)).count() == 0)
+    // partition identity: condition n_rows sum to the table size, and
+    // one condition recomputed exactly on the driver
+    assert(out.agg(sum($"n_rows")).head().getLong(0) ==
+      graft.Tables.orders(spark, Sf).count())
+    val cells = graft.Tables.orders(spark, Sf)
+      .filter($"o_orderstatus" === "F")
+      .groupBy($"o_custkey", $"o_orderpriority").count()
+      .as[(Long, String, Long)].collect()
+    val byX = cells.groupBy(_._1)
+    val r = out.filter($"cond" === "F").head()
+    assert(r.getAs[Long]("lhs_groups") == byX.size)
+    assert(r.getAs[Long]("violating_groups") == byX.values.count(_.length > 1))
+    assert(r.getAs[Long]("violating_rows") ==
+      byX.values.map(g => g.map(_._3).sum - g.map(_._3).max).sum)
+    out.unpersist()
+  }
+
   test("join key skew: moments match a driver recompute; hhi/skew bounds hold") {
     import spark.implicits._
     val out = Audit.joinKeySkew(spark, Sf).cache()
