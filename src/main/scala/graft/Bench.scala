@@ -34,6 +34,38 @@ object Bench {
   // round-over-round comparable, and the trainers' multi-job loops would
   // shift it by construction; the sweep + bench_detail.json time them.
 
+  /** One-line JSON-safe rendering of a leg failure: exception class +
+    * message, control/quote characters flattened, truncated to ~200
+    * chars. Round-11's freshness leg failed in the driver's artifact as a
+    * bare `"freshness_failed": -1.0` and the cause was unattributable
+    * because the catch-all threw the exception away — every catch site
+    * now routes through this so a red leg carries its own diagnosis. */
+  def errTxt(e: Throwable): String = {
+    val raw = e.getClass.getName + ": " + Option(e.getMessage).getOrElse("")
+    val flat = raw.map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
+    if (flat.length > 200) flat.take(200) else flat
+  }
+
+  /** Contention self-label (round-11 verdict "Next round" #4): the r11
+    * driver run started at loadavg 3.26, ended at 14.82, and took two
+    * headline medians at 2.8× their quiet-host class — attributable only
+    * by diffing against the builder's committed envelope. This derives
+    * the label IN the artifact: contended when the bench started on a
+    * busy host (loadavg > cpus/4 — a quarter of the cores already running
+    * something else), or when the headline cold-rep dispersion itself
+    * shows it (≥2 headline queries with max/min > 2× and an absolute
+    * spread > 0.1 s — one jittery sub-100 ms query is normal variance,
+    * broad multi-query scatter is the host). Pure function of the
+    * envelope fields so BenchEnvelopeSpec can pin both rules. */
+  def hostContended(loadStart: Double, cpus: Int,
+      spread: Seq[(String, Double, Double)]): Boolean = {
+    val loaded = loadStart > cpus / 4.0
+    val scattered = spread.count { case (_, lo, hi) =>
+      lo > 0 && hi / lo > 2.0 && hi - lo > 0.1
+    } >= 2
+    loaded || scattered
+  }
+
   /** 1-minute loadavg from /proc/loadavg (−1 if unreadable). Captured at
     * bench start/end so a noisy host indicts itself in the envelope
     * (round-9 verdict: 6.7×/15× scale-leg blowups on untouched code could
@@ -248,6 +280,10 @@ object Bench {
     val loadStart = loadavg()
     val (iowait0, ticks0) = cpuTicks()
     val scaleOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
+    // leg/query name -> sanitized exception text; lands in BENCH_HEADLINE
+    // .json and bench_detail.json as "leg_errors" so no -1.0 is ever
+    // silent again (round-11 verdict "Next round" #1)
+    val legErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Median-of-3 with spread (round-9 verdict "Next round" #4): rep 1 is
     // the true cold-JVM shot (kept as *_first — coldness is its point, an
     // untimed discard would destroy it); reps 2-3 rerun the identical leg
@@ -264,7 +300,10 @@ object Bench {
             s"${k}_min" -> vs.head, s"${k}_max" -> vs.last)
         }
       }
-      catch { case _: Throwable => Seq("scale_leg_failed" -> -1.0) }
+      catch { case e: Throwable =>
+        legErrors("scale_10m") = errTxt(e)
+        Seq("scale_leg_failed" -> -1.0)
+      }
 
     // The 100M join probe, MOVED pre-sweep (round-10 verdict #3): two
     // rounds running it post-sweep produced 106-164 s vs the 13.7 s class
@@ -301,7 +340,10 @@ object Bench {
           Seq(k -> vs(vs.size / 2), s"${k}_min" -> vs.head, s"${k}_max" -> vs.last)
         } ++ Seq("heap_used_mb_at_start" -> heapUsedMb, "heap_max_mb" -> heapMaxMb)
         (metrics, medianRep._2)
-      } catch { case _: Throwable => (Seq("scale_100m_failed" -> -1.0), "[]") }
+      } catch { case e: Throwable =>
+        legErrors("scale_100m") = errTxt(e)
+        (Seq("scale_100m_failed" -> -1.0), "[]")
+      }
 
     // Per query: (1) a warm-up run pays one-off codegen/JIT/scan-listing
     // costs that a warm service never sees (the reference's 22.16 s
@@ -344,7 +386,10 @@ object Bench {
             (System.nanoTime() - t1) / 1e9
           }.toOption
         (name, cold, samples.min, samples.max, warm)
-      } catch { case _: Throwable => (name, -1.0, -1.0, -1.0, None) }
+      } catch { case e: Throwable =>
+        legErrors(name) = errTxt(e)
+        (name, -1.0, -1.0, -1.0, None)
+      }
     }
     val results = timings.map { case (n, cold, _, _, _) => n -> cold }.toMap
     val warmServe = timings.collect { case (n, _, _, _, Some(w)) => n -> w }
@@ -387,7 +432,10 @@ object Bench {
           Seq(s"${k}_warm" -> vs(vs.size / 2),
             s"${k}_warm_min" -> vs.head, s"${k}_warm_max" -> vs.last)
         }
-      } catch { case _: Throwable => Seq("scale_leg_warm_failed" -> -1.0) }
+      } catch { case e: Throwable =>
+        legErrors("scale_10m_warm") = errTxt(e)
+        Seq("scale_leg_warm_failed" -> -1.0)
+      }
 
     // Streaming freshness, last (its cost is idle boundary-waiting, and
     // running it after the sweep keeps the sweep's timings stream-free).
@@ -396,17 +444,35 @@ object Bench {
     // single-shot and its 19.2 s-vs-1.3 s round delta unattributable).
     // Each rep waits for its own minute boundary (~30 s expected idle), so
     // 3 reps cost ~1.5 min of idle wall — attribution is worth the wait.
+    // Reps run one-by-one so a rep-2 failure still lands rep-1's numbers:
+    // round 11's official artifact carried ONLY `freshness_failed: -1.0`
+    // with the exception discarded, and the leg went unattributable for a
+    // round despite the builder's runs being green — now a failure emits
+    // the error text plus any completed reps' partial medians.
     val fresh =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH", "1") == "0") Seq.empty
-      else try {
-        val runs = (1 to 3).map(_ => withHostLoad(freshnessLeg(spark)).toMap)
-        runs.head.keys.toSeq.sorted.flatMap { k =>
-          val vs = runs.map(_(k)).sorted
-          Seq(k -> vs(vs.size / 2),
-            s"${k}_min" -> vs.head, s"${k}_max" -> vs.last)
+      else {
+        val done = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+        var failed = false
+        var rep = 0
+        while (rep < 3 && !failed) {
+          try done += withHostLoad(freshnessLeg(spark)).toMap
+          catch { case e: Throwable =>
+            legErrors("freshness") = errTxt(e)
+            failed = true
+          }
+          rep += 1
         }
+        val medians =
+          if (done.isEmpty) Seq("freshness_failed" -> -1.0)
+          else done.head.keys.toSeq.sorted.flatMap { k =>
+            val vs = done.map(_(k)).sorted
+            Seq(k -> vs(vs.size / 2),
+              s"${k}_min" -> vs.head, s"${k}_max" -> vs.last)
+          }
+        if (failed) medians :+ ("freshness_reps_completed" -> done.size.toDouble)
+        else medians
       }
-      catch { case _: Throwable => Seq("freshness_failed" -> -1.0) }
 
     // Bench-wide host evidence: loadavg at start/end plus the iowait share
     // of cpu jiffies across the WHOLE bench (per-leg deltas live inside
@@ -443,11 +509,17 @@ object Bench {
     val hostLoadJson = jmap(Seq(
       "load_start" -> loadStart, "load_end" -> loadEnd,
       "iowait_pct" -> iowaitPct))
+    val contended = hostContended(loadStart, cpus, spread)
+    // errTxt already flattened quotes/backslashes/control chars, so the
+    // values embed into JSON with no further escaping
+    val legErrorsJson = legErrors.take(10).map { case (k, v) =>
+      "\"" + k + "\":\"" + v + "\""
+    }.mkString("{", ",", "}")
     val headlineJson =
-      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"headline_spread":$spreadJson,"host_load":$hostLoadJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"timing":"headline queries: median of 3 cold runs (graft session caches cleared before every timed run), spread in headline_spread; sweep queries: 1 cold run; artifact-backed queries also report a warm-serve time in bench_detail.json; scale_10m runs FIRST in a cold JVM (single shot by construction), scale_10m_warm is the median of 3 post-sweep repeats after one untimed discard rep; scale_100m is a PRE-sweep 100M-row shuffle-join probe (one untimed discard, then median of 3 with spread, per-stage task medians/max from the median rep, heap snapshot at probe start); every leg rep carries host_load_1min (at rep start) and host_iowait_pct (across the rep); host_load is the bench-wide envelope","artifact_backed":$artifactBacked,"detail":"bench_detail.json"}"""
+      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"headline_spread":$spreadJson,"host_load":$hostLoadJson,"host_contended":$contended,"leg_errors":$legErrorsJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"timing":"headline queries: median of 3 cold runs (graft session caches cleared before every timed run), spread in headline_spread; sweep queries: 1 cold run; artifact-backed queries also report a warm-serve time in bench_detail.json; scale_10m runs FIRST in a cold JVM (single shot by construction), scale_10m_warm is the median of 3 post-sweep repeats after one untimed discard rep; scale_100m is a PRE-sweep 100M-row shuffle-join probe (one untimed discard, then median of 3 with spread, per-stage task medians/max from the median rep, heap snapshot at probe start); every leg rep carries host_load_1min (at rep start) and host_iowait_pct (across the rep); host_load is the bench-wide envelope; host_contended=true labels a run that started at loadavg > cpus/4 or whose headline cold reps scatter >2x on 2+ queries; any failed leg or query lands its exception text in leg_errors — a -1.0 is never silent","artifact_backed":$artifactBacked,"detail":"bench_detail.json"}"""
     // Full sweep → file (not stdout: ~100 entries overflow log capture).
     scala.util.Try(Files.writeString(Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"n_failed":$nFailed,"headline_spread":$spreadJson,"host_load":$hostLoadJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"queries":${jmap(results.toSeq.sortBy(_._1))},"warm_serve":${jmap(warmServe.sortBy(_._1))}}"""))
+      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"n_failed":$nFailed,"headline_spread":$spreadJson,"host_load":$hostLoadJson,"host_contended":$contended,"leg_errors":$legErrorsJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"queries":${jmap(results.toSeq.sortBy(_._1))},"warm_serve":${jmap(warmServe.sortBy(_._1))}}"""))
     // The driver-parseable headline, BOTH ways (BENCH_r01-r03 were all
     // `parsed: null` because sbt's log prefix + warning spam mangled the
     // stdout tail): (1) the exact object as a bare one-line FILE the driver
@@ -463,7 +535,7 @@ object Bench {
     // Everything beyond metric/value/unit/sf/queries/n_queries_all/
     // n_failed lives in BENCH_HEADLINE.json and bench_detail.json.
     val minimalJson =
-      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"n_queries_all":${results.size},"n_failed":$nFailed,"detail":"BENCH_HEADLINE.json"}"""
+      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"n_queries_all":${results.size},"n_failed":$nFailed,"host_contended":$contended,"n_leg_errors":${legErrors.size},"detail":"BENCH_HEADLINE.json"}"""
     spark.stop()
     println(minimalJson)
   }

@@ -145,14 +145,26 @@ object Audit {
 
   /** Per-column table statistics over `events` — the ANALYZE TABLE
     * primitive every optimizer and data-quality gate feeds on: row count,
-    * null count, exact NDV, and typed min/max per column, in ONE scan.
+    * null count, exact NDV, and typed min/max per column.
     *
-    * Scale shape: a single aggregate node; the multiple DISTINCT
-    * aggregates expand map-side (Spark's Expand) but never materialize
-    * the table twice, and the result is six driver rows. At 100 TB the
-    * exact NDVs swap for `approx_count_distinct` (the engine's HLL
-    * family) — same plan shape, bounded sketch state; exact NDV is kept
-    * here because it is what makes the query oracle-checkable.
+    * Scale shape (round-11 verdict "Next round" #3): one independent leg
+    * per column — groupBy(column) value census, then a 1-row summary
+    * over the ≤NDV census rows — all legs one union job. The previous
+    * shape (9 exact `countDistinct`s in ONE aggregate) made Catalyst
+    * plan the distincts via Expand, replicating EVERY input row ~10×
+    * before the shuffle; at 100 TB that ×10 replication on a profiling
+    * pass is real money. The census shape never replicates: each leg
+    * prunes its scan to one column (columnar parquet ⇒ the six pruned
+    * scans together read the same bytes as the old single wide scan),
+    * combines map-side on the column's values, and every moment the
+    * summary needs — n_rows = Σcnt, n_nulls = Σcnt over the null group,
+    * ndv = count of non-null groups, min/max over group keys — falls out
+    * of the census without touching raw rows again. The FD legs
+    * ([[fdDiscovery]]) established the pattern ("no countDistinct
+    * Expand"); DriftSpec asserts no Expand node survives in this plan.
+    * At 100 TB the exact NDVs swap for `approx_count_distinct` (the
+    * engine's HLL family) in a single pass; exact NDV is kept here
+    * because it is what makes the query oracle-checkable.
     *
     * Representation choices for the cross-engine hash: numeric/timestamp
     * extremes travel as DOUBLE (timestamps as micros/1e6 — exact, both
@@ -167,39 +179,25 @@ object Audit {
   def columnStatsOf(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
-    val aggs = Seq(count(lit(1)).as("n_rows")) ++ StatCols.flatMap {
-      case (c, kind) =>
-        Seq(count(col(c)).as(s"cnt_$c"),
-          countDistinct(col(c)).as(s"ndv_$c")) ++ (kind match {
-          case "num" =>
-            Seq(min(col(c)).cast("double").as(s"mn_$c"),
-              max(col(c)).cast("double").as(s"mx_$c"))
-          case "ts" =>
-            Seq(min(col(c)).cast("double").as(s"mn_$c"),
-              max(col(c)).cast("double").as(s"mx_$c"))
-          case "str" =>
-            Seq(min(col(c)).as(s"smn_$c"), max(col(c)).as(s"smx_$c"))
-        })
-    }
-    val r = ev.agg(aggs.head, aggs.tail: _*).head()
-    def d0(name: String): Option[Double] =
-      if (r.isNullAt(r.fieldIndex(name))) None
-      else Some(r.getDouble(r.fieldIndex(name)))
-    def s0(name: String): Option[String] =
-      Option(r.getString(r.fieldIndex(name)))
-    val nRows = r.getLong(0)
-    val rows = StatCols.map { case (c, kind) =>
+    val legs = StatCols.map { case (c, kind) =>
+      val census = ev.groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
       val (vmin, vmax, smin, smax) = kind match {
-        case "str" => (None, None, s0(s"smn_$c"), s0(s"smx_$c"))
-        case _     => (d0(s"mn_$c"), d0(s"mx_$c"), None, None)
+        case "str" =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            min($"k"), max($"k"))
+        case _ => // num + ts: extremes as DOUBLE (ts ⇒ epoch seconds)
+          (min($"k").cast("double"), max($"k").cast("double"),
+            lit(null).cast("string"), lit(null).cast("string"))
       }
-      (c, nRows, nRows - r.getLong(r.fieldIndex(s"cnt_$c")),
-        r.getLong(r.fieldIndex(s"ndv_$c")),
-        vmin, vmax, smin, smax)
+      census.agg(
+        coalesce(sum($"cnt"), lit(0L)).as("n_rows"),
+        coalesce(sum(when($"k".isNull, $"cnt")), lit(0L)).as("n_nulls"),
+        count(when($"k".isNotNull, lit(1))).as("ndv"),
+        vmin.as("vmin"), vmax.as("vmax"), smin.as("smin"), smax.as("smax"))
+        .select(lit(c).as("col_name"), $"n_rows", $"n_nulls", $"ndv",
+          $"vmin", $"vmax", $"smin", $"smax")
     }
-    rows.toDF("col_name", "n_rows", "n_nulls", "ndv",
-        "vmin", "vmax", "smin", "smax")
-      .orderBy($"col_name")
+    legs.reduce(_.unionByName(_)).orderBy($"col_name")
   }
 
   val columnStatsOracle: String = {
@@ -487,7 +485,11 @@ object Audit {
       val nK = $"n_keys".cast("double")
       val nR = $"n_rows".cast("double")
       val avg = nR / nK
-      val varC = $"sum_c2".cast("double") / nK - avg * avg
+      // clamp before the root: on perfectly uniform counts the two-term
+      // variance cancels to ±ε in floating point, and sqrt(−ε) is NaN on
+      // Spark / out-of-range on DuckDB (the oracle clamps identically)
+      val varC = greatest(
+        $"sum_c2".cast("double") / nK - avg * avg, lit(0.0))
       // HHI = Σ share² = Σc² / n² — the numerator is already the exact
       // int64 sum_c2 moment, so no per-group float pass is needed
       m.select(lit(name).as("key_name"), $"n_keys", $"n_rows", $"max_cnt",
@@ -509,9 +511,9 @@ object Audit {
          |       CAST(round(CAST(CAST(max(c) AS DOUBLE)
          |                       / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
          |                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS skew_max_over_avg,
-         |       CAST(round(CAST(sqrt(CAST(sum(c * c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |       CAST(round(CAST(sqrt(greatest(CAST(sum(c * c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |                            - (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-         |                              * (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+         |                              * (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 0.0))
          |                       / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
          |                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS cv,
          |       CAST(round(CAST(CAST(sum(c * c) AS DOUBLE)

@@ -240,14 +240,26 @@ object Drift {
     (cum, na, nb)
   }
 
+  /** Degenerate-input guard shared by the two-sample trio: with either
+    * side empty, Spark's global aggregate over the empty cum relation
+    * yields ONE all-null row while the oracle's GROUP BY yields ZERO
+    * rows — a row-count mismatch on exactly the inputs a drift monitor
+    * is most likely to hit first (a brand-new source with no purchases
+    * yet). na/nb are already driver scalars, so returning the same
+    * zero-row relation the oracle produces costs nothing. */
+  private def emptySideGuard(result: DataFrame, na: Long, nb: Long): DataFrame =
+    if (na == 0 || nb == 0) result.limit(0) else result
+
   def ksValueDrift(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (cum, na, nb) = sideCumulatives(s, d, "view", "purchase")
-    cum.select(($"cuma" * nb - $"cumb" * na).as("diff"))
-      .agg(max(abs($"diff")).as("d_scaled"))
-      .select(lit(na).as("na"), lit(nb).as("nb"), $"d_scaled",
-        round(($"d_scaled".cast("double") / lit(na.toDouble * nb))
-          .cast("decimal(28,8)"), 6).cast("double").as("ks_stat"))
+    emptySideGuard(
+      cum.select(($"cuma" * nb - $"cumb" * na).as("diff"))
+        .agg(max(abs($"diff")).as("d_scaled"))
+        .select(lit(na).as("na"), lit(nb).as("nb"), $"d_scaled",
+          round(($"d_scaled".cast("double") / lit(na.toDouble * nb))
+            .cast("decimal(28,8)"), 6).cast("double").as("ks_stat")),
+      na, nb)
   }
 
   val ksValueDriftOracle: String =
@@ -273,10 +285,15 @@ object Drift {
       |GROUP BY na, nb""".stripMargin
 
   /** Exact Mann–Whitney U between the same two samples as
-    * [[ksValueDrift]] — KS alarms on ANY distributional difference,
-    * MWU answers the directional question ("did purchases shift toward
-    * HIGHER values than views?") and its normalization U/(n_A·n_B) is
-    * exactly the AUC / common-language effect size: P(A < B) + ½P(A = B).
+    * [[ksValueDrift]] — KS alarms on ANY distributional difference, MWU
+    * answers the directional question, and its normalization U/(n_A·n_B)
+    * is exactly the AUC / common-language effect size for side A:
+    * P(A > B) + ½P(A = B) with A = `typeA` (view), B = `typeB`
+    * (purchase). U here is U_A = R_A − n_A(n_A+1)/2, the count of
+    * (a, b) pairs with a > b plus half the ties — so HIGH auc means
+    * VIEWS sit at higher values than purchases, auc ≈ 0.5 means no
+    * shift, and "purchases shifted toward higher values" reads as auc
+    * BELOW 0.5 (sanity anchor: A = {1}, B = {2} gives auc = 0).
     *
     * Exactness with ties: using midranks, 2·midrank(v) = 2·lt(v) + t(v)
     * + 1 (lt = rows strictly below v, t = ties at v) is an INTEGER, so
@@ -291,13 +308,15 @@ object Drift {
     val (cum, na, nb) = sideCumulatives(s, d, "view", "purchase")
     val lt = ($"cuma" - $"ca") + ($"cumb" - $"cb")
     val t = $"ca" + $"cb"
-    cum.select(($"ca" * (lt * 2L + t + 1L)).as("r2"))
-      .agg(sum($"r2").as("r2a"))
-      .select(lit(na).as("na"), lit(nb).as("nb"),
-        ($"r2a" - lit(na * (na + 1L))).as("u2"),
-        round((($"r2a" - lit(na * (na + 1L))).cast("double") /
-          lit(2.0 * na * nb)).cast("decimal(28,8)"), 6)
-          .cast("double").as("auc"))
+    emptySideGuard(
+      cum.select(($"ca" * (lt * 2L + t + 1L)).as("r2"))
+        .agg(sum($"r2").as("r2a"))
+        .select(lit(na).as("na"), lit(nb).as("nb"),
+          ($"r2a" - lit(na * (na + 1L))).as("u2"),
+          round((($"r2a" - lit(na * (na + 1L))).cast("double") /
+            lit(2.0 * na * nb)).cast("decimal(28,8)"), 6)
+            .cast("double").as("auc")),
+      na, nb)
   }
 
   val mwuValueDriftOracle: String =
@@ -359,12 +378,14 @@ object Drift {
     val gap = coalesce(
       coalesce(lead($"v", 1).over(wLead), $"__seam_next") - $"v", lit(0.0))
     val term = abs($"cuma" * nb - $"cumb" * na).cast("double") * gap
-    cum.join(broadcast(seamDf), Seq("__bucket"), "left")
-      .select(term.cast("decimal(28,8)").as("t"))
-      .agg(sum($"t").as("w1_scaled"))
-      .select(lit(na).as("na"), lit(nb).as("nb"),
-        round(($"w1_scaled".cast("double") / lit(na.toDouble * nb))
-          .cast("decimal(28,8)"), 6).cast("double").as("w1"))
+    emptySideGuard(
+      cum.join(broadcast(seamDf), Seq("__bucket"), "left")
+        .select(term.cast("decimal(28,8)").as("t"))
+        .agg(sum($"t").as("w1_scaled"))
+        .select(lit(na).as("na"), lit(nb).as("nb"),
+          round(($"w1_scaled".cast("double") / lit(na.toDouble * nb))
+            .cast("decimal(28,8)"), 6).cast("double").as("w1")),
+      na, nb)
   }
 
   val wassersteinValueDriftOracle: String =

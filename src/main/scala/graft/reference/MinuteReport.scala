@@ -30,12 +30,17 @@ object MinuteReport {
       fileName: String,
       latencyMs: Option[(Double, Double, Double)] = None) // (p50, p90, p99)
 
+  /** The explicit status domain of the reference pivot (spark.py:27-32).
+    * Shared by [[pivotCounts]] and [[analyzeWithLatency]] so counts and
+    * latency quantiles always cover the SAME rows. */
+  val PivotStatuses: Seq[String] = Seq("ERROR", "SUCCESS")
+
   /** The pivot aggregation itself (reference spark.py:27-32): explicit
     * status value list, absent combos zero-filled, deterministic order. */
   def pivotCounts(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"))
-      .pivot("status", Seq("ERROR", "SUCCESS"))
+      .pivot("status", PivotStatuses)
       .count()
       .na.fill(0)
       .orderBy(col("event_type"))
@@ -93,10 +98,17 @@ object MinuteReport {
     }
     val totalErrors = byType.values.map(_._2).sum
     val totalEvents = byType.values.map { case (s, e) => s + e }.sum
+    // latency merges ONLY the cells whose status the counts cover
+    // (PivotStatuses): without this, a status outside the explicit list
+    // would feed the quantiles while total_events/total_errors exclude
+    // it — a silent divergence the moment the status domain grows
+    // (currently vacuous: generator and reference producer emit only
+    // SUCCESS/ERROR, but the report must not depend on that)
+    val listed = rows.filter(r => PivotStatuses.contains(r.getString(1)))
     val latency =
-      if (rows.isEmpty) None
+      if (listed.isEmpty) None
       else {
-        val merged = rows
+        val merged = listed
           .map(r => KllSketch.deserialize(r.getAs[Array[Byte]]("sk")))
           .reduce(_.mergeWith(_))
         if (merged.totalWeight == 0L) None

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench envelope's self-diagnosis helpers (round-11 verdict
+  * "Next round" #1 and #4): [[Bench.errTxt]] must render ANY throwable as
+  * a JSON-embeddable single line, and [[Bench.hostContended]] must label
+  * a contended run from the envelope's own fields — the "deliberately
+  * loaded smoke run" is encoded here as the r11 driver run's actual
+  * numbers (load_start 3.26 on 32 cpus is NOT loaded by the cpu rule,
+  * but the 2.8× headline scatter it produced IS caught by the spread
+  * rule; load 14.82 trips the cpu rule directly). */
+class BenchEnvelopeSpec extends AnyFunSuite {
+
+  test("errTxt flattens quotes, newlines and truncates to 200 chars") {
+    val e = new IllegalStateException("line1\nline2 \"quoted\" \\slash\t" + "x" * 300)
+    val t = Bench.errTxt(e)
+    assert(t.startsWith("java.lang.IllegalStateException: line1 line2"))
+    assert(!t.exists(c => c == '"' || c == '\\' || c < ' '))
+    assert(t.length <= 200)
+    // null-message throwables (NPE et al.) must not NPE the renderer
+    assert(Bench.errTxt(new NullPointerException()) ===
+      "java.lang.NullPointerException: ")
+  }
+
+  test("hostContended: quiet host, tight reps -> false") {
+    val spread = Seq(("q1", 0.10, 0.12), ("q3", 0.30, 0.33), ("q7", 0.69, 0.71))
+    assert(!Bench.hostContended(loadStart = 0.85, cpus = 32, spread))
+  }
+
+  test("hostContended: loadavg above a quarter of the cores -> true") {
+    // the r11 driver run ENDED at 14.82 on 32 cpus; a bench starting
+    // there must self-label regardless of how the reps scatter
+    assert(Bench.hostContended(14.82, 32, Nil))
+    assert(!Bench.hostContended(7.9, 32, Nil)) // 32/4 = 8 is the line
+    assert(Bench.hostContended(8.1, 32, Nil))
+  }
+
+  test("hostContended: broad multi-query rep scatter -> true") {
+    // r11 driver shape: sql_market_share 2.8x and asof 1.7x+ its floor
+    // while the load climbed 3.26 -> 14.82 during the run
+    val r11ish = Seq(
+      ("sql_market_share", 0.65, 1.97),
+      ("asof_click_attribution", 0.40, 1.12),
+      ("q1_pricing_summary", 0.14, 0.15))
+    assert(Bench.hostContended(3.26, 32, r11ish))
+  }
+
+  test("hostContended: one jittery sub-100ms query alone -> false") {
+    // a single tiny query doubling (50 -> 110 ms) is normal variance,
+    // not host evidence; the flag needs >= 2 scattered queries
+    val oneJitter = Seq(
+      ("text_quality_score", 0.05, 0.11),
+      ("sql_market_share", 0.65, 0.70),
+      ("q7_nation_volume", 0.69, 0.72))
+    assert(!Bench.hostContended(1.0, 32, oneJitter))
+    // ... and a 2x ratio with a tiny ABSOLUTE delta (30 -> 65 ms twice)
+    // stays quiet too: the 0.1 s floor filters sub-jitter ratios
+    val tinyAbs = Seq(("a", 0.03, 0.065), ("b", 0.03, 0.068))
+    assert(!Bench.hostContended(1.0, 32, tinyAbs))
+  }
+}

@@ -181,6 +181,17 @@ class DriftSpec extends SparkSuite {
     assert(tsMin > 1.5e9 && tsMin < 2.5e9, s"epoch-seconds expected: $tsMin")
   }
 
+  test("column stats plan has no Expand (round-11 verdict #3)") {
+    // the old shape (9 exact countDistincts in ONE aggregate) planned the
+    // distincts via Expand — ~10x input-row replication before the
+    // shuffle; the census-per-column rewrite must never regress to it
+    val plan = Audit.columnStats(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "columnStats planned an Expand:\n" +
+        plan.linesIterator.filter(_.contains("Expand")).mkString("\n"))
+  }
+
   test("k-anonymity flags under-k classes and certifies crowd-sized ones") {
     val rows = Audit.kAnonymity(spark, Sf).collect()
     assert(rows.nonEmpty)
