@@ -466,9 +466,12 @@ object Audit {
     * max as exact int64 (Σc² ≤ n² bounds it to ~3×10⁹ rows/key), HHI
     * through the decimal-quantization idiom. Four legs, one union job,
     * no joins, no windows, nothing driver-side. */
-  def joinKeySkew(s: SparkSession, d: String): DataFrame = {
+  /** The monitored join/aggregation keys for the skew family — shared by
+    * the census ([[joinKeySkew]]) and the salting advisor ([[saltPlan]]).
+    * Each leg is a 1-column projection keyed `key`. */
+  private def skewKeyLegs(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
     import s.implicits._
-    val legs: Seq[(String, DataFrame)] = Seq(
+    Seq(
       "events.user_id" -> Tables.events(s, d).select($"user_id".as("key")),
       "lineitem.l_partkey" -> Tables.lineitem(s, d)
         .select($"l_partkey".cast("string").as("key")),
@@ -476,7 +479,11 @@ object Audit {
         .select($"l_suppkey".cast("string").as("key")),
       "orders.o_custkey" -> Tables.orders(s, d)
         .select($"o_custkey".cast("string").as("key")))
-    legs.map { case (name, t) =>
+  }
+
+  def joinKeySkew(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    skewKeyLegs(s, d).map { case (name, t) =>
       val counts = t.filter($"key".isNotNull)
         .groupBy($"key").agg(count(lit(1)).as("c"))
       val m = counts.agg(
@@ -519,6 +526,79 @@ object Audit {
          |       CAST(round(CAST(CAST(sum(c * c) AS DOUBLE)
          |                       / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
          |                  AS DECIMAL(28,8)), 8) AS DOUBLE) AS hhi
+         |FROM (SELECT $key AS key, count(*) AS c FROM $table
+         |      WHERE $key IS NOT NULL GROUP BY 1) g""".stripMargin
+    Seq(
+      leg("events.user_id", "events", "user_id"),
+      leg("lineitem.l_partkey", "lineitem", "CAST(l_partkey AS VARCHAR)"),
+      leg("lineitem.l_suppkey", "lineitem", "CAST(l_suppkey AS VARCHAR)"),
+      leg("orders.o_custkey", "orders", "CAST(o_custkey AS VARCHAR)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
+  }
+
+  /** Readout → remedy (round-11 verdict "Next round" #5): the skew
+    * census measures the straggler; this maps it to the concrete salting
+    * decision the engine's own salted-aggregation/AQE machinery consumes.
+    *
+    * The rule: a shuffle on this key at `parallelism`-way parallelism
+    * gives each task an even share of n_rows/parallelism rows; a key is
+    * a straggler iff its single group exceeds that share (max_cnt >
+    * n_rows/parallelism — it cannot be split by adding partitions, only
+    * by salting). The salt factor that restores balance splits the
+    * hottest key into shards of ≤ one even share each:
+    * ceil(max_cnt · parallelism / n_rows), clamped to [1, parallelism]
+    * (more shards than tasks buys nothing). Computed in exact int64
+    * ((max·P + n − 1) div n — no float seam between engines);
+    * `needs_salt` ⇔ factor > 1. SCALE_NOTES Leg 14 is the measured
+    * backdrop: a 30% hot key that byte-based AQE skew detection misses
+    * entirely — this advisor flags it from the count census alone,
+    * before the shuffle ever runs.
+    *
+    * `parallelism` defaults to 32 = the engine's
+    * spark.sql.shuffle.partitions; on a real cluster pass the actual
+    * shuffle parallelism (the decision scales with it: the same key
+    * distribution that is fine at 32-way needs salt at 2000-way). */
+  def saltPlanFor(t: DataFrame, name: String, parallelism: Int): DataFrame = {
+    val s = t.sparkSession
+    import s.implicits._
+    val m = t.filter($"key".isNotNull)
+      .groupBy($"key").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"), sum($"c").as("n_rows"),
+        max($"c").as("max_cnt"))
+    val avg = $"n_rows".cast("double") / $"n_keys".cast("double")
+    val factor = least(greatest(
+      expr(s"(max_cnt * CAST($parallelism AS BIGINT) + n_rows - 1) div n_rows"),
+      lit(1L)), lit(parallelism.toLong))
+    m.select(lit(name).as("key_name"), $"n_keys", $"n_rows", $"max_cnt",
+      round(($"max_cnt".cast("double") / avg).cast("decimal(28,8)"), 6)
+        .cast("double").as("skew_max_over_avg"),
+      lit(parallelism.toLong).as("parallelism"),
+      factor.as("recommended_salt_factor"),
+      (factor > 1L).as("needs_salt"))
+  }
+
+  def saltPlan(s: SparkSession, d: String, parallelism: Int = 32): DataFrame = {
+    import s.implicits._
+    skewKeyLegs(s, d).map { case (name, t) =>
+      saltPlanFor(t, name, parallelism)
+    }.reduce(_.union(_)).orderBy($"key_name")
+  }
+
+  val saltPlanOracle: String = {
+    val p = 32
+    def leg(name: String, table: String, key: String): String =
+      s"""SELECT '$name' AS key_name,
+         |       CAST(count(*) AS BIGINT) AS n_keys,
+         |       CAST(sum(c) AS BIGINT) AS n_rows,
+         |       CAST(max(c) AS BIGINT) AS max_cnt,
+         |       CAST(round(CAST(CAST(max(c) AS DOUBLE)
+         |                       / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS skew_max_over_avg,
+         |       CAST($p AS BIGINT) AS parallelism,
+         |       CAST(least(greatest((max(c) * $p + sum(c) - 1) // sum(c), 1), $p) AS BIGINT)
+         |         AS recommended_salt_factor,
+         |       least(greatest((max(c) * $p + sum(c) - 1) // sum(c), 1), $p) > 1
+         |         AS needs_salt
          |FROM (SELECT $key AS key, count(*) AS c FROM $table
          |      WHERE $key IS NOT NULL GROUP BY 1) g""".stripMargin
     Seq(
@@ -785,6 +865,7 @@ object Audit {
     Q("audit_fd_discovery", Some(fdDiscoveryOracle), fdDiscovery),
     Q("audit_dependency_entropy", Some(dependencyEntropyOracle), dependencyEntropy),
     Q("audit_join_key_skew", Some(joinKeySkewOracle), joinKeySkew),
+    Q("audit_salt_plan", Some(saltPlanOracle), (s, d) => saltPlan(s, d)),
     Q("audit_fd_conditional", Some(fdConditionalOracle), fdConditional),
     Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders),
     Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers),

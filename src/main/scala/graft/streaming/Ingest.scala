@@ -384,6 +384,44 @@ object Ingest {
     * naturally key-localized (time- or tenant-partitioned), pass a
     * RANGE bucket expression aligned with that locality and the touched
     * slice collapses to the few buckets the batch actually spans. */
+  /** Ready-made RANGE bucket function for [[upsertFdMonitor]]'s
+    * `bucketOf` parameter, for callers whose upstream is key-localized
+    * (time- or tenant-partitioned batches over an integral x). The
+    * physics is measured, not assumed (FdMonitorProbe, SCALE_NOTES
+    * Leg 22, sf0.1 lineitem, 8 batches, 256 buckets): the hash DEFAULT
+    * scatters a contiguous key range over 256/256 buckets — upstream
+    * locality buys nothing, per-batch 4.9→7.6 s — while aligned range
+    * buckets collapse the touched slice to 32/256 at 1.1→1.7 s per
+    * batch, ~4.5× cheaper on the same data, batches and state. At
+    * 100 TB this is the difference between per-batch work ∝ batch and
+    * ∝ total state.
+    *
+    * `[minKey, maxKey]` is the EXPECTED key domain and must stay fixed
+    * for the life of the state directory (same stability contract as any
+    * `bucketOf`): keys outside the declared domain clamp into the edge
+    * buckets — deterministic and correct, but a domain that keeps
+    * growing past `maxKey` piles new keys into the last bucket, so
+    * declare the domain generously (equal-width buckets over a 10×
+    * overshoot still beat hash scatter for a localized upstream).
+    * Division by a driver-computed width (never `(x−min)·buckets`)
+    * keeps the arithmetic overflow-free across the full Long domain. */
+  def rangeBucketOf(minKey: Long, maxKey: Long)
+      : (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = {
+    require(maxKey >= minKey, s"empty key domain [$minKey, $maxKey]")
+    (x, b) => {
+      // span = max−min overflows Long only when the declared domain is
+      // (nearly) the whole Long range — saturate to MaxValue there; the
+      // +1 makes width a ceiling so bucket ids stay < b before the clamp
+      val spanRaw = maxKey - minKey
+      val span = if (spanRaw < 0) Long.MaxValue else spanRaw
+      val width = math.max(span / b + 1, 1L)
+      // clamp BEFORE the int cast: under ANSI (Spark 4 default) an
+      // out-of-domain key's huge quotient would throw in Cast first
+      least(greatest(floor((x.cast("long") - lit(minKey)) / lit(width)),
+        lit(0L)), lit((b - 1).toLong)).cast("int")
+    }
+  }
+
   def upsertFdMonitor(batch: DataFrame, stateDir: String,
       fdX: String, fdY: String, buckets: Int = 256,
       bucketOf: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =

@@ -192,6 +192,35 @@ class DriftSpec extends SparkSuite {
         plan.linesIterator.filter(_.contains("Expand")).mkString("\n"))
   }
 
+  test("salt plan maps the planted hot key to a concrete salt factor") {
+    import org.apache.spark.sql.functions.{lit, pmod, when, xxhash64}
+    // the SkewStress/Leg-14 shape: ~30% of rows on one hot key, the rest
+    // spread over 100k keys — the straggler byte-based AQE detection
+    // misses, which the count census must convert into a salting decision
+    val fact = spark.range(200000).select(
+      when(pmod(xxhash64($"id"), lit(100)) < 30, lit(42L))
+        .otherwise(pmod(xxhash64($"id" + 7), lit(100000L)))
+        .cast("string").as("key"))
+    val p = 32
+    val plan = Audit.saltPlanFor(fact, "planted.hot_key", p).head()
+    // the rule, recomputed exactly from the planted data itself
+    val counts = fact.groupBy($"key").count().collect()
+      .map(_.getLong(1))
+    val n = counts.sum
+    val mx = counts.max
+    val expect = math.min(p.toLong, math.max(1L, (mx * p + n - 1) / n))
+    assert(plan.getAs[Long]("recommended_salt_factor") === expect)
+    assert(plan.getAs[Boolean]("needs_salt"))
+    // ~30% on one key at 32-way parallelism ⇒ ~10 shards
+    assert(expect >= 8 && expect <= 12, s"unexpected factor $expect")
+
+    // uniform keys: max group ≈ even share ⇒ nothing to salt
+    val uni = spark.range(10000).select($"id".cast("string").as("key"))
+    val u = Audit.saltPlanFor(uni, "planted.uniform", p).head()
+    assert(u.getAs[Long]("recommended_salt_factor") === 1L)
+    assert(!u.getAs[Boolean]("needs_salt"))
+  }
+
   test("k-anonymity flags under-k classes and certifies crowd-sized ones") {
     val rows = Audit.kAnonymity(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -69,6 +69,51 @@ class FdMonitorSpec extends SparkSuite {
     reports.foreach(_.unpersist())
   }
 
+  test("rangeBucketOf: aligned range buckets keep localized batches narrow") {
+    // the Leg-22 physics (FdMonitorProbe): hash bucketing scatters a
+    // contiguous key range over every bucket; the ready-made
+    // rangeBucketOf helper must (1) keep the state census exact, (2) lay
+    // keys out by the declared range rule, (3) collapse a key-localized
+    // batch's touched slice to ~|batch range|/|domain| of the buckets
+    val dir = tmpDir("fd-monitor-range") + "/state"
+    val maxPart = li.agg(max($"l_partkey")).head().getLong(0)
+    val byRange = Ingest.rangeBucketOf(0L, maxPart)
+    // three contiguous l_partkey thirds — a tenant/time-partitioned
+    // upstream's shape
+    val cut1 = maxPart / 3
+    val cut2 = 2 * maxPart / 3
+    val slices = Seq(
+      li.filter($"l_partkey" <= cut1),
+      li.filter($"l_partkey" > cut1 && $"l_partkey" <= cut2),
+      li.filter($"l_partkey" > cut2)).map(_.localCheckpoint())
+    slices.foreach { b =>
+      Ingest.upsertFdMonitor(b, dir, "l_partkey", "l_suppkey", Buckets, byRange)
+    }
+    val state = spark.read.parquet(dir)
+    // census exact under the non-default bucketing too
+    val exact = li.groupBy($"l_partkey".as("x"), $"l_suppkey".as("y"))
+      .agg(count(lit(1)).as("cnt_exact"))
+    assert(state.count() == exact.count())
+    assert(state.join(exact, Seq("x", "y"))
+      .filter($"cnt" =!= $"cnt_exact").count() == 0)
+    // layout follows the declared range rule
+    val width = math.max(maxPart / Buckets + 1, 1L)
+    assert(state.filter($"bucket" =!=
+      least(greatest(floor($"x" / width), lit(0L)), lit((Buckets - 1).toLong))
+        .cast("int")).count() == 0)
+    // a one-third-of-the-domain batch touches about a third of the
+    // buckets (a contiguous third spans ceil(8/3)=3 widths and can
+    // straddle one seam on each end ⇒ ≤4), never all of them — the
+    // 4.5× lever
+    slices.foreach { b =>
+      val touched = b.select(least(greatest(
+        floor($"l_partkey" / width), lit(0L)), lit((Buckets - 1).toLong)))
+        .distinct().count()
+      assert(touched <= Buckets / 3 + 2,
+        s"localized batch scattered to $touched/$Buckets buckets")
+    }
+  }
+
   test("empty batch is a no-op: empty report, state untouched") {
     val dir = tmpDir("fd-monitor-empty") + "/state"
     Ingest.upsertFdMonitor(li.filter($"id" % 3 === 0), dir,
