@@ -62,4 +62,23 @@ object Pipeline {
     Warehouse.writeReportJson(spark, json, s"$reportDir/${fileName.stripSuffix(".parquet")}")
     json
   }
+
+  /** The drift-alerting health report over the maintained views
+    * ([[graft.streaming.HealthReport.serve]]): latency quantile drift
+    * (KLL cells), volume-mix shift + window χ² (exact counts), and
+    * heavy-hitter churn (Misra–Gries cells), comparing everything after
+    * `splitMinute` against everything before it — the page-on-this
+    * readout of a continuously-ingesting deployment, served from
+    * O(minutes × types) sketch cells without re-touching raw events.
+    * `quantileRollupDir`/`heavyHitterRollupDir` are maintained by
+    * [[graft.streaming.Ingest.upsertQuantileRollup]] /
+    * [[graft.streaming.Ingest.upsertHeavyHitterRollup]] (foreachBatch).
+    * Oracle-gated batch twin: `audit_health_report`. */
+  def healthReport(
+      spark: SparkSession,
+      quantileRollupDir: String,
+      heavyHitterRollupDir: String,
+      splitMinute: java.sql.Timestamp): DataFrame =
+    graft.streaming.HealthReport.serve(
+      spark, quantileRollupDir, heavyHitterRollupDir, splitMinute)
 }

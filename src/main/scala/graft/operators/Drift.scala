@@ -575,7 +575,105 @@ object Drift {
       |       CAST(n_cells AS BIGINT) AS n_cells, CAST(n_docs AS BIGINT) AS n_docs
       |FROM joint, hx, hy""".stripMargin
 
+  /** Per-type drift HEALTH REPORT between two time windows (ref = week 1,
+    * cur = week 2 of the stream) — the one-page readout an ingest
+    * pipeline pages on, and the oracle-gated batch twin of the
+    * maintained-view composite [[graft.streaming.HealthReport]]: volume
+    * mix (per-type share of each window + delta + alert at 5 share
+    * points) and value level (exact per-window p50/p99 via
+    * `percentile_disc` — an actual order statistic, bit-identical across
+    * engines per the [[graft.operators.Audit.robustOutliers]] precedent —
+    * with an alert when the median moves ±1.5× between windows).
+    *
+    * Scale shape: ONE aggregation pass over the filtered scan — both
+    * windows' counts and percentiles come from conditional aggregates in
+    * the same groupBy(event_type) (percentile over `CASE WHEN win THEN
+    * value END` ignores the other window's rows as nulls), so adding the
+    * second window costs columns, not a second scan. The ≤|event_type|
+    * census rows then materialize on the driver for the share totals
+    * (the miOf idiom — joining a 1-row total back would constant-fold to
+    * a BNLJ) and the flags derive from the QUANTIZED columns so both
+    * engines compare identical doubles. */
+  def healthReportBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val census = Tables.events(s, d)
+      .filter($"ts" >= "2024-01-01" && $"ts" < "2024-01-15")
+      .select($"event_type", ($"ts" < "2024-01-08").as("is_ref"), $"value")
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"is_ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("n_cur"),
+        expr("percentile_disc(0.5) WITHIN GROUP " +
+          "(ORDER BY CASE WHEN is_ref THEN value END)").as("p50_ref"),
+        expr("percentile_disc(0.5) WITHIN GROUP " +
+          "(ORDER BY CASE WHEN NOT is_ref THEN value END)").as("p50_cur"),
+        expr("percentile_disc(0.99) WITHIN GROUP " +
+          "(ORDER BY CASE WHEN is_ref THEN value END)").as("p99_ref"),
+        expr("percentile_disc(0.99) WITHIN GROUP " +
+          "(ORDER BY CASE WHEN NOT is_ref THEN value END)").as("p99_cur"))
+    val rows = census.collect() // ≤ |event_type| rows, bounded
+    val totR = rows.map(_.getAs[Long]("n_ref")).sum
+    val totC = rows.map(_.getAs[Long]("n_cur")).sum
+    val base = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), census.schema)
+    val shaped = base.select(
+      $"event_type", $"n_ref", $"n_cur",
+      round(($"n_ref".cast("double") / lit(totR.toDouble))
+        .cast("decimal(28,8)"), 6).cast("double").as("share_ref"),
+      round(($"n_cur".cast("double") / lit(totC.toDouble))
+        .cast("decimal(28,8)"), 6).cast("double").as("share_cur"),
+      round(($"n_cur".cast("double") / lit(totC.toDouble)
+        - $"n_ref".cast("double") / lit(totR.toDouble))
+        .cast("decimal(28,8)"), 6).cast("double").as("share_delta"),
+      $"p50_ref", $"p50_cur", $"p99_ref", $"p99_cur")
+    val out = shaped.select($"*",
+      (abs($"share_delta") > 0.05).as("alert_volume"),
+      coalesce($"p50_cur" > $"p50_ref" * 1.5 ||
+        $"p50_cur" < $"p50_ref" / 1.5, lit(false)).as("alert_value_shift"))
+      .orderBy($"event_type")
+    // degenerate-window guard, same contract as the two-sample trio: an
+    // empty ref or cur window yields zero rows on both engines
+    if (totR == 0 || totC == 0) out.limit(0) else out
+  }
+
+  val healthReportBatchOracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, ts < TIMESTAMP '2024-01-08' AS is_ref, value
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'),
+      |c AS (
+      |  SELECT event_type,
+      |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |         CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+      |         quantile_disc(CASE WHEN is_ref THEN value END, 0.5) AS p50_ref,
+      |         quantile_disc(CASE WHEN NOT is_ref THEN value END, 0.5) AS p50_cur,
+      |         quantile_disc(CASE WHEN is_ref THEN value END, 0.99) AS p99_ref,
+      |         quantile_disc(CASE WHEN NOT is_ref THEN value END, 0.99) AS p99_cur
+      |  FROM ev GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+      |               CAST(sum(n_cur) AS BIGINT) AS tc FROM c),
+      |q AS (
+      |  SELECT event_type, n_ref, n_cur,
+      |         CAST(round(CAST(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)
+      |                    AS DECIMAL(28,8)), 6) AS DOUBLE) AS share_ref,
+      |         CAST(round(CAST(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
+      |                    AS DECIMAL(28,8)), 6) AS DOUBLE) AS share_cur,
+      |         CAST(round(CAST(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
+      |                         - CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)
+      |                    AS DECIMAL(28,8)), 6) AS DOUBLE) AS share_delta,
+      |         p50_ref, p50_cur, p99_ref, p99_cur
+      |  FROM c CROSS JOIN tot
+      |  WHERE tr > 0 AND tc > 0)
+      |SELECT event_type, n_ref, n_cur, share_ref, share_cur, share_delta,
+      |       p50_ref, p50_cur, p99_ref, p99_cur,
+      |       abs(share_delta) > 0.05 AS alert_volume,
+      |       coalesce(p50_cur > p50_ref * CAST(1.5 AS DOUBLE)
+      |             OR p50_cur < p50_ref / CAST(1.5 AS DOUBLE), false)
+      |         AS alert_value_shift
+      |FROM q ORDER BY event_type""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("audit_health_report", Some(healthReportBatchOracle), healthReportBatch),
     Q("audit_chi2_lang_source", Some(chi2LangSourceOracle), chi2LangSource),
     Q("audit_mi_lang_source", Some(miLangSourceOracle), miLangSource),
     Q("audit_psi_value_drift", Some(psiValueDriftOracle), psiValueDrift),
