@@ -96,6 +96,7 @@ class OracleDivisionSpec extends AnyFunSuite {
     "(N * CAST(c AS BIGINT))",              // kmeans purity: group count
     "(N * s.ssum)",                         // seasonal mean: sum of hourly counts
     "(N * sum(abs(cum_c * t.n_tot - cum_g * n_class)))", // t-closeness EMD: abs-sum
+    "(max(c) * N + sum(c) - N)",            // salt plan ceil-div: c = group counts >= 1, P = 32, so max*P + sum - 1 >= 32
     "(max(n) + N)",                         // mm_audio_resample: sample count
     "(sum(CAST(round(l_extendedprice * N) AS BIGINT) * CAST(round((N.N - l_discount) * N) AS BIGINT)) + N)", // q7 revenue: price >= 0, discount <= 1
     "/ (N * n.ns) ELSE N END + (N * COALESCE(cN.contrib, N))", // PPR rank mass: nonneg
