@@ -200,6 +200,53 @@ object Audit {
     legs.reduce(_.unionByName(_)).orderBy($"col_name")
   }
 
+  /** The 100 TB profiling twin of [[columnStatsOf]]: the SAME report
+    * shape with exact NDVs swapped for `approx_count_distinct` (HLL++,
+    * default rsd 1.5%), which — unlike exact multi-column DISTINCT —
+    * is an ordinary algebraic sketch aggregate, so the WHOLE six-column
+    * profile is ONE aggregation pass over one scan: no Expand, no
+    * per-column census legs, bounded sketch state per column. This is
+    * the pass a 100 TB profile actually runs; the exact census variant
+    * stays the oracle-checkable gate. Deliberately NOT a registered
+    * query (HLL++ estimates are engine-specific, so there is no DuckDB
+    * oracle); DriftSpec pins every non-NDV column bit-equal to the
+    * exact pass, the NDV estimates within the published error bound,
+    * and the Expand-free single-aggregate plan. */
+  def columnStatsApproxOf(ev: DataFrame, rsd: Double = 0.015): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ StatCols.flatMap {
+      case (c, kind) =>
+        Seq(count(col(c)).as(s"cnt_$c"),
+          approx_count_distinct(col(c), rsd).as(s"ndv_$c")) ++ (kind match {
+          case "str" =>
+            Seq(min(col(c)).as(s"smn_$c"), max(col(c)).as(s"smx_$c"))
+          case _ =>
+            Seq(min(col(c)).cast("double").as(s"mn_$c"),
+              max(col(c)).cast("double").as(s"mx_$c"))
+        })
+    }
+    val r = ev.agg(aggs.head, aggs.tail: _*).head()
+    def d0(name: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(name))) None
+      else Some(r.getDouble(r.fieldIndex(name)))
+    def s0(name: String): Option[String] =
+      Option(r.getString(r.fieldIndex(name)))
+    val nRows = r.getLong(0)
+    val rows = StatCols.map { case (c, kind) =>
+      val (vmin, vmax, smin, smax) = kind match {
+        case "str" => (None, None, s0(s"smn_$c"), s0(s"smx_$c"))
+        case _     => (d0(s"mn_$c"), d0(s"mx_$c"), None, None)
+      }
+      (c, nRows, nRows - r.getLong(r.fieldIndex(s"cnt_$c")),
+        r.getLong(r.fieldIndex(s"ndv_$c")),
+        vmin, vmax, smin, smax)
+    }
+    rows.toDF("col_name", "n_rows", "n_nulls", "ndv",
+        "vmin", "vmax", "smin", "smax")
+      .orderBy($"col_name")
+  }
+
   val columnStatsOracle: String = {
     val per = StatCols.map { case (c, kind) =>
       val (vmin, vmax, smin, smax) = kind match {
@@ -221,6 +268,156 @@ object Audit {
     }
     per.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
+
+  /** Snapshot reconciliation (CDC-style diff audit): given two versions
+    * of a keyed table, classify every key as added / removed / changed /
+    * unchanged and report per-class counts + key ranges — the audit a
+    * pipeline runs after a backfill, a re-ingest, or an upstream vendor
+    * drop to answer "what actually moved". The whole-ROW generalization
+    * of [[graft.operators.EntityRes.snapshotDiff]] (`dim_snapshot_diff`,
+    * which diffs ONE dimension attribute over an identical key set):
+    * here the key sets themselves differ — all four classes fire — and
+    * arbitrarily many columns are compared at once through a single
+    * digest. Rows are compared by a
+    * FINGERPRINT (md5 over a '|'-joined rendering of the audited
+    * columns) so the join carries two slim (key, fp) relations, never
+    * the full row payloads — at 100 TB the diff reads the audited
+    * columns only and ships 16-byte digests through the shuffle.
+    * Doubles are deliberately excluded from the fingerprint (engine
+    * string-rendering seam — the columnStats lesson); auditing a float
+    * column means quantizing it first.
+    *
+    * The second snapshot is a deterministic mutation of `orders` both
+    * engines construct identically (drop keys ≡0 mod 97, rewrite
+    * priority on keys ≡0 mod 101, clone keys ≡0 mod 103 shifted past
+    * the key domain), standing in for "yesterday's load vs today's".
+    *
+    * Scale shape: ONE full-outer shuffle join on the key (bucketed
+    * snapshots make it co-partitioned and shuffle-free), a projected
+    * class expression, and a 4-row map-side-combinable count — no
+    * windows, no driver state. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = md5(concat_ws("|", $"o_orderstatus", $"o_orderpriority",
+      $"o_custkey".cast("string"),
+      date_format($"o_orderdate", "yyyy-MM-dd")))
+    val o = Tables.orders(s, d)
+    val v1 = o.select($"o_orderkey", fp.as("fp1"))
+    val v2 = o.filter($"o_orderkey" % 97 =!= 0)
+      .withColumn("o_orderpriority",
+        when($"o_orderkey" % 101 === 0, lit("9-SYNTH"))
+          .otherwise($"o_orderpriority"))
+      .unionByName(o.filter($"o_orderkey" % 103 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + lit(100000000L)))
+      .select($"o_orderkey", fp.as("fp2"))
+    v1.join(v2, Seq("o_orderkey"), "full_outer")
+      .select($"o_orderkey",
+        when($"fp1".isNull, "added")
+          .when($"fp2".isNull, "removed")
+          .when($"fp1" =!= $"fp2", "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy($"change_type")
+      .agg(count(lit(1)).as("n"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      .orderBy($"change_type")
+  }
+
+  val snapshotDiffOracle: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey,
+      |         md5(concat_ws('|', o_orderstatus, o_orderpriority,
+      |             CAST(o_custkey AS VARCHAR),
+      |             strftime(o_orderdate, '%Y-%m-%d'))) AS fp1
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey,
+      |         md5(concat_ws('|', o_orderstatus,
+      |             CASE WHEN o_orderkey % 101 = 0 THEN '9-SYNTH'
+      |                  ELSE o_orderpriority END,
+      |             CAST(o_custkey AS VARCHAR),
+      |             strftime(o_orderdate, '%Y-%m-%d'))) AS fp2
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000,
+      |         md5(concat_ws('|', o_orderstatus, o_orderpriority,
+      |             CAST(o_custkey AS VARCHAR),
+      |             strftime(o_orderdate, '%Y-%m-%d')))
+      |  FROM orders WHERE o_orderkey % 103 = 0),
+      |j AS (
+      |  SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS k, fp1, fp2
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+      |SELECT CASE WHEN fp1 IS NULL THEN 'added'
+      |            WHEN fp2 IS NULL THEN 'removed'
+      |            WHEN fp1 <> fp2 THEN 'changed'
+      |            ELSE 'unchanged' END AS change_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(k) AS BIGINT) AS min_key,
+      |       CAST(max(k) AS BIGINT) AS max_key
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Ingest-continuity audit: over a fixed hourly grid (the January
+    * stream window), report every hour that is MISSING (zero events) or
+    * SHORT (under half the window's mean hourly volume — the threshold
+    * is the integer inequality 1440·n < total, exact on both engines
+    * with no float seam; mean, not median, deliberately: it needs no
+    * order statistic over the grid and a coverage audit wants "below
+    * half of expected throughput", not "below half of typical"). This
+    * is the gap detector a continuously-ingesting warehouse pages on —
+    * an upstream outage shows up as a run of missing/short hours long
+    * before any distribution statistic moves.
+    *
+    * Scale shape: one map-side-combinable hour census over the scan
+    * (720 output cells for the month — the grid is O(audit window),
+    * independent of data volume), then a bounded driver pass to
+    * zero-fill against the expected grid (the miOf idiom; a
+    * generate_series + outer-join formulation would put a 720-row
+    * broadcast join in the plan for the same result). At a year the
+    * grid is 8 760 rows — still driver-trivial. */
+  def hourCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val startMs = 1704067200000L // 2024-01-01T00:00:00Z
+    val hours = 30 * 24
+    val census = Tables.events(s, d)
+      .filter($"ts" >= "2024-01-01" && $"ts" < "2024-01-31")
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val total = census.values.sum
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:00:00")
+      .withZone(java.time.ZoneOffset.UTC)
+    val rows = (0 until hours).flatMap { i =>
+      val ms = startMs + i * 3600000L
+      val n = census.getOrElse(ms, 0L)
+      if (n == 0L)
+        Some((fmt.format(java.time.Instant.ofEpochMilli(ms)), 0L, "missing"))
+      else if (1440L * n < total)
+        Some((fmt.format(java.time.Instant.ofEpochMilli(ms)), n, "short"))
+      else None
+    }
+    rows.toDF("hour", "n", "status").orderBy($"hour")
+  }
+
+  val hourCoverageOracle: String =
+    """WITH grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+      |                                TIMESTAMP '2024-01-30 23:00:00',
+      |                                INTERVAL 1 HOUR)) AS h),
+      |obs AS (
+      |  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM obs),
+      |g AS (
+      |  SELECT grid.h, CAST(coalesce(obs.n, 0) AS BIGINT) AS n
+      |  FROM grid LEFT JOIN obs ON grid.h = obs.h)
+      |SELECT strftime(g.h, '%Y-%m-%d %H:00:00') AS hour, n,
+      |       CASE WHEN n = 0 THEN 'missing' ELSE 'short' END AS status
+      |FROM g CROSS JOIN tot
+      |WHERE n = 0 OR 1440 * n < total
+      |ORDER BY hour""".stripMargin
 
   /** k-anonymity audit over a quasi-identifier combination — the
     * pre-release privacy gate (Sweeney 2002): any (lang, source) class
@@ -866,6 +1063,8 @@ object Audit {
     Q("audit_dependency_entropy", Some(dependencyEntropyOracle), dependencyEntropy),
     Q("audit_join_key_skew", Some(joinKeySkewOracle), joinKeySkew),
     Q("audit_salt_plan", Some(saltPlanOracle), (s, d) => saltPlan(s, d)),
+    Q("audit_snapshot_diff", Some(snapshotDiffOracle), snapshotDiff),
+    Q("audit_hour_coverage", Some(hourCoverageOracle), hourCoverage),
     Q("audit_fd_conditional", Some(fdConditionalOracle), fdConditional),
     Q("audit_orders_constraints", Some(auditOrdersOracle), auditOrders),
     Q("audit_robust_outliers", Some(robustOutliersOracle), robustOutliers),

@@ -143,7 +143,10 @@ object EntityRes {
     *
     * Scale: ONE full-outer shuffle join on the key (exchange-free if both
     * snapshots are bucketed on it); the classification is a narrow
-    * projection. Reported as per-class counts — bounded output. */
+    * projection. Reported as per-class counts — bounded output. The
+    * whole-row sibling is [[graft.operators.Audit.snapshotDiff]]
+    * (`audit_snapshot_diff`): multi-column md5-fingerprint comparison
+    * with diverging key sets, so added/removed fire too. */
   def snapshotDiff(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val before = Tables.customer(s, d)

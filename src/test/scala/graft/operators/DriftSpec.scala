@@ -181,6 +181,30 @@ class DriftSpec extends SparkSuite {
     assert(tsMin > 1.5e9 && tsMin < 2.5e9, s"epoch-seconds expected: $tsMin")
   }
 
+  test("approx column stats: one Expand-free pass, NDV in bound, rest bit-equal") {
+    val ev = graft.Tables.events(spark, Sf)
+    val exact = Audit.columnStatsOf(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approxDf = Audit.columnStatsApproxOf(ev)
+    // one aggregation pass, and no Expand despite 6 distinct-counts
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "approx profile must not Expand")
+    val approx = approxDf.collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((c, a) <- approx; e = exact(c)) {
+      // everything except ndv is computed identically — bit-equal
+      Seq(1, 2).foreach(i => assert(a.getLong(i) === e.getLong(i), s"$c col $i"))
+      Seq(4, 5).foreach(i => assert(a.isNullAt(i) === e.isNullAt(i) &&
+        (a.isNullAt(i) || a.getDouble(i) === e.getDouble(i)), s"$c col $i"))
+      Seq(6, 7).foreach(i => assert(a.isNullAt(i) === e.isNullAt(i) &&
+        (a.isNullAt(i) || a.getString(i) === e.getString(i)), s"$c col $i"))
+      // HLL++ at rsd 1.5%: allow 5 sigma plus small-cardinality slack
+      val (nd, exactNd) = (a.getLong(3), e.getLong(3))
+      assert(math.abs(nd - exactNd) <= math.max(5, 5 * 0.015 * exactNd),
+        s"$c ndv: approx $nd vs exact $exactNd")
+    }
+  }
+
   test("column stats plan has no Expand (round-11 verdict #3)") {
     // the old shape (9 exact countDistincts in ONE aggregate) planned the
     // distincts via Expand — ~10x input-row replication before the
