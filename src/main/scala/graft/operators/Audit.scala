@@ -375,14 +375,22 @@ object Audit {
     * grid is 8 760 rows — still driver-trivial. */
   def hourCoverage(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val startMs = 1704067200000L // 2024-01-01T00:00:00Z
-    val hours = 30 * 24
     val census = Tables.events(s, d)
       .filter($"ts" >= "2024-01-01" && $"ts" < "2024-01-31")
       .groupBy(date_trunc("hour", $"ts").as("h"))
       .agg(count(lit(1)).as("n"))
       .collect()
       .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    hourCoverageOf(s, census, 1704067200000L /* 2024-01-01T00:00Z */, 30 * 24)
+  }
+
+  /** Grid assembly shared by the batch query and the maintained-view
+    * serve path ([[graft.streaming.Ingest.servedHourCoverage]]): an
+    * (epoch-ms → count) hour census against an `hours`-slot grid from
+    * `startMs`. Driver-side by design — the grid is O(audit window). */
+  private[graft] def hourCoverageOf(s: SparkSession, census: Map[Long, Long],
+      startMs: Long, hours: Int): DataFrame = {
+    import s.implicits._
     val total = census.values.sum
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:00:00")
@@ -392,7 +400,7 @@ object Audit {
       val n = census.getOrElse(ms, 0L)
       if (n == 0L)
         Some((fmt.format(java.time.Instant.ofEpochMilli(ms)), 0L, "missing"))
-      else if (1440L * n < total)
+      else if (2L * hours * n < total) // n < half the grid mean, exact ints
         Some((fmt.format(java.time.Instant.ofEpochMilli(ms)), n, "short"))
       else None
     }

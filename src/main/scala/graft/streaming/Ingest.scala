@@ -301,6 +301,28 @@ object Ingest {
       .parquet(rollupDir)
   }
 
+  /** Hour-coverage audit served from the maintained COUNT rollup
+    * ([[upsertRollup]]'s (event_minute, event_type, status, cnt) cells)
+    * instead of raw events — counts in the view are exact and additive,
+    * so the served report is BIT-EQUAL to the batch audit
+    * (`audit_hour_coverage`, [[graft.operators.Audit.hourCoverage]])
+    * while reading O(minutes × types × statuses) cells, not O(events)
+    * rows: the continuity alarm a continuously-ingesting warehouse
+    * checks every few minutes for the cost of a rollup scan.
+    * `startMs` must be hour-aligned; the grid covers `hours` slots. */
+  def servedHourCoverage(s: SparkSession, rollupDir: String,
+      startMs: Long, hours: Int): DataFrame = {
+    val endMs = startMs + hours * 3600000L
+    val census = s.read.parquet(rollupDir)
+      .filter(col("event_minute") >= lit(new java.sql.Timestamp(startMs)) &&
+        col("event_minute") < lit(new java.sql.Timestamp(endMs)))
+      .groupBy(date_trunc("hour", col("event_minute")).as("h"))
+      .agg(sum(col("cnt")).as("n"))
+      .collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    graft.operators.Audit.hourCoverageOf(s, census, startMs, hours)
+  }
+
   /** The FREQUENCY-bearing sibling of [[upsertQuantileRollup]],
     * completing the maintained-view sketch family (HLL cells answer
     * "how many distinct", KLL cells answer "what latency percentile",

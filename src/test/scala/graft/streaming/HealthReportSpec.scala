@@ -107,6 +107,31 @@ class HealthReportSpec extends SparkSuite {
       "control run paged: " + fired.mkString("; "))
   }
 
+  test("served hour coverage flags a planted outage, bit-equal to raw recompute") {
+    val dir = tmpDir("hour-coverage") + "/rollup"
+    // hour 0 full (3600 events at 1/s), hour 1 MISSING (no batch), hour 2
+    // full, hour 3 SHORT (3 events) — an upstream outage and its limp-back
+    val batches = Seq(
+      Events.generate(spark, 3600, T0, intervalMs = 1000),
+      Events.generate(spark, 3600, T0 + 2 * 3600 * 1000L, intervalMs = 1000),
+      Events.generate(spark, 3, T0 + 3 * 3600 * 1000L, intervalMs = 1000))
+    batches.foreach(b =>
+      Ingest.upsertRollup(Events.withEventMinute(b).localCheckpoint(), dir))
+    val got = Ingest.servedHourCoverage(spark, dir, T0, hours = 4)
+      .as[(String, Long, String)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01 01:00:00", 0L, "missing"),
+      ("2024-01-01 03:00:00", 3L, "short")))
+    // bit-equal to the raw-events recompute through the same grid core
+    val raw = batches.reduce(_ unionByName _)
+      .groupBy(date_trunc("hour", $"event_timestamp").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val direct = graft.operators.Audit.hourCoverageOf(spark, raw, T0, 4)
+      .as[(String, Long, String)].collect().toSeq
+    assert(got === direct)
+  }
+
   test("degenerate split (everything on one side) serves an empty report") {
     val base = tmpDir("health-degenerate")
     val (qDir, hDir) = (base + "/q", base + "/hh")
