@@ -42,7 +42,11 @@ object Bench {
     * now routes through this so a red leg carries its own diagnosis. */
   def errTxt(e: Throwable): String = {
     val raw = e.getClass.getName + ": " + Option(e.getMessage).getOrElse("")
-    val flat = raw.map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
+    // flatten to printable ASCII, not just control/quote chars: a
+    // take(200) that split a surrogate pair would make the whole
+    // envelope's Files.writeString throw — and that IOException is
+    // swallowed, silently dropping the very artifact this exists for
+    val flat = raw.map(c => if (c < ' ' || c > '~' || c == '"' || c == '\\') ' ' else c)
     if (flat.length > 200) flat.take(200) else flat
   }
 
@@ -56,7 +60,10 @@ object Bench {
     * shows it (≥2 headline queries with max/min > 2× and an absolute
     * spread > 0.1 s — one jittery sub-100 ms query is normal variance,
     * broad multi-query scatter is the host). Pure function of the
-    * envelope fields so BenchEnvelopeSpec can pin both rules. */
+    * envelope fields so BenchEnvelopeSpec can pin both rules. `cpus`
+    * must be the MACHINE's core count (loadavg is host-wide), not the
+    * session's SPARK_GRAFT_CPUS thread count — main passes
+    * availableProcessors. */
   def hostContended(loadStart: Double, cpus: Int,
       spread: Seq[(String, Double, Double)]): Boolean = {
     val loaded = loadStart > cpus / 4.0
@@ -467,7 +474,10 @@ object Bench {
           if (done.isEmpty) Seq("freshness_failed" -> -1.0)
           else done.head.keys.toSeq.sorted.flatMap { k =>
             val vs = done.map(_(k)).sorted
-            Seq(k -> vs(vs.size / 2),
+            // lower median: on a 2-rep partial, size/2 would report the
+            // MAX under the median key, biasing a failure round high
+            // exactly when it gets compared against true 3-rep medians
+            Seq(k -> vs((vs.size - 1) / 2),
               s"${k}_min" -> vs.head, s"${k}_max" -> vs.last)
           }
         if (failed) medians :+ ("freshness_reps_completed" -> done.size.toDouble)
@@ -509,10 +519,19 @@ object Bench {
     val hostLoadJson = jmap(Seq(
       "load_start" -> loadStart, "load_end" -> loadEnd,
       "iowait_pct" -> iowaitPct))
-    val contended = hostContended(loadStart, cpus, spread)
-    // errTxt already flattened quotes/backslashes/control chars, so the
-    // values embed into JSON with no further escaping
-    val legErrorsJson = legErrors.take(10).map { case (k, v) =>
+    // physical cores, NOT the SPARK_GRAFT_CPUS session thread count:
+    // loadavg is a host-wide signal, and an env var of 4 on a 32-core
+    // box would stamp host_contended=true at a healthy loadavg of 1.2
+    val contended = hostContended(
+      loadStart, Runtime.getRuntime.availableProcessors, spread)
+    // errTxt already flattened to printable ASCII sans quote/backslash,
+    // so the values embed into JSON with no further escaping; a systemic
+    // failure burst keeps the first 10 diagnoses and COUNTS the rest —
+    // truncation must never be silent either
+    val legErrorsJson = (legErrors.take(10) ++
+      (if (legErrors.size > 10)
+        Seq("_truncated" -> s"${legErrors.size - 10} more failures not shown")
+      else Nil)).map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\""
     }.mkString("{", ",", "}")
     val headlineJson =

@@ -241,12 +241,12 @@ object Drift {
   }
 
   /** Degenerate-input guard shared by the two-sample trio: with either
-    * side empty, Spark's global aggregate over the empty cum relation
-    * yields ONE all-null row while the oracle's GROUP BY yields ZERO
-    * rows — a row-count mismatch on exactly the inputs a drift monitor
-    * is most likely to hit first (a brand-new source with no purchases
-    * yet). na/nb are already driver scalars, so returning the same
-    * zero-row relation the oracle produces costs nothing. */
+    * side empty the statistics are undefined (denominator na·nb = 0 —
+    * the aggregate would emit one NaN/null row), so BOTH engines return
+    * ZERO rows: Spark via this limit(0), each oracle via its
+    * `WHERE na > 0 AND nb > 0`. This is the input a drift monitor hits
+    * first (a brand-new source with no purchases yet); na/nb are
+    * already driver scalars, so the guard costs nothing. */
   private def emptySideGuard(result: DataFrame, na: Long, nb: Long): DataFrame =
     if (na == 0 || nb == 0) result.limit(0) else result
 
@@ -282,6 +282,7 @@ object Drift {
       |       CAST(round(CAST(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
       |              / (CAST(na AS DOUBLE) * nb) AS DECIMAL(28,8)), 6) AS DOUBLE) AS ks_stat
       |FROM cum CROSS JOIN tot
+      |WHERE na > 0 AND nb > 0
       |GROUP BY na, nb""".stripMargin
 
   /** Exact Mann–Whitney U between the same two samples as
@@ -342,7 +343,8 @@ object Drift {
       |       CAST(r2a - na * (na + 1) AS BIGINT) AS u2,
       |       CAST(round(CAST(CAST(r2a - na * (na + 1) AS DOUBLE)
       |              / (2.0 * na * nb) AS DECIMAL(28,8)), 6) AS DOUBLE) AS auc
-      |FROM r CROSS JOIN tot""".stripMargin
+      |FROM r CROSS JOIN tot
+      |WHERE na > 0 AND nb > 0""".stripMargin
 
   /** Exact Wasserstein-1 (earth-mover) distance between the same two
     * samples as [[ksValueDrift]], completing the drift trio: KS is the
@@ -413,6 +415,7 @@ object Drift {
       |       CAST(round(CAST(CAST(sum(t) AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
       |                       AS DECIMAL(28,8)), 6) AS DOUBLE) AS w1
       |FROM terms CROSS JOIN tot
+      |WHERE na > 0 AND nb > 0
       |GROUP BY na, nb""".stripMargin
 
   /** Benford first-significant-digit audit over positive event values —

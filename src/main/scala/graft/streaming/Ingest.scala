@@ -425,22 +425,23 @@ object Ingest {
     * growing past `maxKey` piles new keys into the last bucket, so
     * declare the domain generously (equal-width buckets over a 10×
     * overshoot still beat hash scatter for a localized upstream).
-    * Division by a driver-computed width (never `(x−min)·buckets`)
-    * keeps the arithmetic overflow-free across the full Long domain. */
+    * Domains wider than Long.MaxValue (e.g. the full signed-hash range)
+    * are REJECTED at construction: a key space that wide has no usable
+    * locality, which is exactly what the hash default is for. Keys are
+    * clamped into the domain BEFORE the subtraction, so x − minKey is
+    * bounded by the (validated) span and the arithmetic can never
+    * overflow — Spark 4 runs ANSI by default, where a wrapped Long is
+    * not a wrong bucket but a killed batch. */
   def rangeBucketOf(minKey: Long, maxKey: Long)
       : (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = {
     require(maxKey >= minKey, s"empty key domain [$minKey, $maxKey]")
+    require(BigInt(maxKey) - BigInt(minKey) <= BigInt(Long.MaxValue),
+      s"domain [$minKey, $maxKey] wider than Long.MaxValue has no " +
+        "usable locality - use the hash default instead")
     (x, b) => {
-      // span = max−min overflows Long only when the declared domain is
-      // (nearly) the whole Long range — saturate to MaxValue there; the
-      // +1 makes width a ceiling so bucket ids stay < b before the clamp
-      val spanRaw = maxKey - minKey
-      val span = if (spanRaw < 0) Long.MaxValue else spanRaw
-      val width = math.max(span / b + 1, 1L)
-      // clamp BEFORE the int cast: under ANSI (Spark 4 default) an
-      // out-of-domain key's huge quotient would throw in Cast first
-      least(greatest(floor((x.cast("long") - lit(minKey)) / lit(width)),
-        lit(0L)), lit((b - 1).toLong)).cast("int")
+      val width = math.max((maxKey - minKey) / b + 1, 1L) // ceiling width
+      val clamped = least(greatest(x.cast("long"), lit(minKey)), lit(maxKey))
+      floor((clamped - lit(minKey)) / lit(width)).cast("int")
     }
   }
 

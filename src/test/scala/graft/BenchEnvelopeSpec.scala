@@ -23,6 +23,20 @@ class BenchEnvelopeSpec extends AnyFunSuite {
       "java.lang.NullPointerException: ")
   }
 
+  test("errTxt is encoding-safe: non-ASCII (incl. surrogate pairs) flattened") {
+    // a message with a supplementary char straddling the 200-char cut
+    // must never leave a lone surrogate — that would make the envelope's
+    // Files.writeString throw, and the swallow would drop the artifact
+    val emoji = new String(Character.toChars(0x1F600))
+    val msg = "x" * 198 + emoji + "tail é中"
+    val t = Bench.errTxt(new RuntimeException(msg))
+    assert(t.length <= 200)
+    assert(t.forall(c => c >= ' ' && c <= '~'), s"non-ASCII survived: $t")
+    // and the result is always valid UTF-8-encodable text
+    java.nio.charset.StandardCharsets.UTF_8.newEncoder()
+      .encode(java.nio.CharBuffer.wrap(t))
+  }
+
   test("hostContended: quiet host, tight reps -> false") {
     val spread = Seq(("q1", 0.10, 0.12), ("q3", 0.30, 0.33), ("q7", 0.69, 0.71))
     assert(!Bench.hostContended(loadStart = 0.85, cpus = 32, spread))
