@@ -79,10 +79,11 @@ object FdMonitorProbe {
       li.filter($"l_partkey" >= i * span && $"l_partkey" < (i + 1) * span)
     run("localized-hash", localized)
     // Regime C: the same localized batches with RANGE bucketing aligned
-    // to the key space — touched buckets ∝ batch span, flat per-batch cost
-    val rangeBuckets: BucketFn = (x, b) =>
-      least(floor(x / lit(maxPart.toDouble / b)).cast("long"), lit(b - 1L))
-    run("localized-range", localized, rangeBuckets)
+    // to the key space — touched buckets ∝ batch span, flat per-batch
+    // cost. Uses the shipped helper this probe's Leg-22 numbers justify
+    // (round 12 packaged the hand-rolled expression as
+    // Ingest.rangeBucketOf; the probe now exercises the production path)
+    run("localized-range", localized, Ingest.rangeBucketOf(0L, maxPart))
     spark.stop()
   }
 }
