@@ -302,23 +302,32 @@ object Audit {
       $"o_custkey".cast("string"),
       date_format($"o_orderdate", "yyyy-MM-dd")))
     val o = Tables.orders(s, d)
-    val v1 = o.select($"o_orderkey", fp.as("fp1"))
+    val v1 = o.select($"o_orderkey", fp)
     val v2 = o.filter($"o_orderkey" % 97 =!= 0)
       .withColumn("o_orderpriority",
         when($"o_orderkey" % 101 === 0, lit("9-SYNTH"))
           .otherwise($"o_orderpriority"))
       .unionByName(o.filter($"o_orderkey" % 103 === 0)
         .withColumn("o_orderkey", $"o_orderkey" + lit(100000000L)))
-      .select($"o_orderkey", fp.as("fp2"))
-    v1.join(v2, Seq("o_orderkey"), "full_outer")
-      .select($"o_orderkey",
+      .select($"o_orderkey", fp)
+    snapshotDiffOf(v1, v2)
+  }
+
+  /** The generic entry: diff any two (key, fingerprint) snapshot
+    * relations (column names are positional — key first, digest
+    * second). SnapshotDiffProbe drives this at 10M rows. */
+  def snapshotDiffOf(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val s = v1.sparkSession
+    import s.implicits._
+    v1.toDF("key", "fp1").join(v2.toDF("key", "fp2"), Seq("key"), "full_outer")
+      .select($"key",
         when($"fp1".isNull, "added")
           .when($"fp2".isNull, "removed")
           .when($"fp1" =!= $"fp2", "changed")
           .otherwise("unchanged").as("change_type"))
       .groupBy($"change_type")
       .agg(count(lit(1)).as("n"),
-        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+        min($"key").as("min_key"), max($"key").as("max_key"))
       .orderBy($"change_type")
   }
 
