@@ -85,7 +85,9 @@ object Classifier {
     * filter threshold is tuned from. Bins are pure integer/exact-boundary
     * arithmetic (never a transcendental squashing first), so bin
     * membership can't flip between engines. One narrow scan + one tiny
-    * aggregation; the bin table is |bins|-bounded. */
+    * aggregation; the bin table is |bins|-bounded. The TRAINED model's
+    * probability-scale companion (mean predicted vs empirical rate +
+    * ECE) is [[LrTrain.lrCalibration]] (`quality_lr_calibration`). */
   def qualityCalibration(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     labeled(Tables.documents(s, d))

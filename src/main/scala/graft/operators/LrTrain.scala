@@ -208,6 +208,128 @@ object LrTrain {
          |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Calibration audit for the trained quality gate — the reliability
+    * diagram + expected calibration error (ECE, Naeini et al. 2015) a
+    * pipeline checks before trusting the model's SCORES (not just its
+    * accept/reject decisions) for weighting or curriculum decisions:
+    * per predicted-probability decile, how does the mean predicted
+    * probability compare to the empirical positive rate? The
+    * PROBABILITY-scale companion of
+    * [[Classifier.qualityCalibration]] (`quality_calibration`, which
+    * tabulates the FIXED rule scorer's raw logit bins against positive
+    * rates but compares nothing to a predicted probability): only a
+    * trained model emits calibratable probabilities, and only this
+    * query summarizes miscalibration into the single ECE number a
+    * gate can alert on.
+    *
+    * Exactness: the prediction is the hard-sigmoid activation p4 ∈
+    * [0, 4S] in 2⁻²² fixed point, so per bin the sums (Σp4, Σy, n) are
+    * exact int64 (bound: Σp4 ≤ n·4S — int64-safe to ~2×10¹² docs;
+    * beyond that, audit per shard) and every readout quantizes through
+    * the decimal idiom from the same integers on both engines. The bin
+    * id is floor(p4·10/4S) computed in double — exact, since
+    * p4·10 ≤ 4×10⁷ ≪ 2⁵³. The ECE row (bin = −1) is the
+    * bin-count-weighted sum of |mean_pred − frac_pos| via per-bin
+    * DECIMAL(28,8) contributions (the [[Drift.psiValueDrift]] idiom).
+    *
+    * Scale shape: the scoring pass is the same narrow map as
+    * [[lrScore]] (weights from the session-memoized trainer), then one
+    * map-side-combinable aggregate to ≤10 bin cells, materialized on
+    * the driver for the grand totals (the miOf idiom — no 1-row-join
+    * constant-fold). The empty middle bins of a well-separated model
+    * are simply absent on both engines. */
+  def lrCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (w, b) = train(s, d)
+    val feats = featuresOf(Tables.documents(s, d))
+    val raw = (0 until D).map(j => col("c")(j) * lit(w(j))).reduce(_ + _) + lit(b)
+    val p4 = least(greatest(lit(2L * S) + raw, lit(0L)), lit(4L * S))
+    val cells = feats.select(
+        least(floor((p4 * lit(10L)).cast("double") / lit((4L * S).toDouble)),
+          lit(9.0)).cast("long").as("bin"),
+        p4.as("p4"), $"y")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"), sum($"p4").as("sum_p4"))
+      .collect() // ≤ 10 bin cells
+    val totN = cells.map(_.getAs[Long]("n")).sum
+    val totPos = cells.map(_.getAs[Long]("n_pos")).sum
+    val totP4 = cells.map(_.getAs[Long]("sum_p4")).sum
+    val base = s.createDataFrame(
+      java.util.Arrays.asList(cells: _*),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.LongType) ::
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType) ::
+        org.apache.spark.sql.types.StructField("n_pos",
+          org.apache.spark.sql.types.LongType) ::
+        org.apache.spark.sql.types.StructField("sum_p4",
+          org.apache.spark.sql.types.LongType) :: Nil))
+    val s4 = (4L * S).toDouble
+    def meanPred(sumP4: Column, n: Column) =
+      sumP4.cast("double") / (n.cast("double") * lit(s4))
+    def fracPos(nPos: Column, n: Column) = nPos.cast("double") / n.cast("double")
+    val perBin = base.select($"bin", $"n", $"n_pos", $"sum_p4",
+      round(meanPred($"sum_p4", $"n").cast("decimal(28,8)"), 6)
+        .cast("double").as("mean_pred"),
+      round(fracPos($"n_pos", $"n").cast("decimal(28,8)"), 6)
+        .cast("double").as("frac_pos"),
+      round(abs(meanPred($"sum_p4", $"n") - fracPos($"n_pos", $"n"))
+        .cast("decimal(28,8)"), 6).cast("double").as("gap"))
+    val ece = base.select(
+      (abs(meanPred($"sum_p4", $"n") - fracPos($"n_pos", $"n"))
+        * $"n".cast("double") / lit(totN.toDouble))
+        .cast("decimal(28,8)").as("contrib"))
+      .agg(round(sum($"contrib"), 6).cast("double").as("ece"))
+    val totalRow = ece.select(lit(-1L).as("bin"), lit(totN).as("n"),
+      lit(totPos).as("n_pos"), lit(totP4).as("sum_p4"),
+      round((lit(totP4.toDouble) / (lit(totN.toDouble) * lit(s4)))
+        .cast("decimal(28,8)"), 6).cast("double").as("mean_pred"),
+      round((lit(totPos.toDouble) / lit(totN.toDouble))
+        .cast("decimal(28,8)"), 6).cast("double").as("frac_pos"),
+      $"ece".as("gap"))
+    perBin.unionByName(totalRow).orderBy($"bin")
+  }
+
+  val lrCalibrationOracle: String = {
+    val raw = (0 until D).map(j => s"w.w$j * f.c$j").mkString(" + ") + " + w.b"
+    trainChainSql +
+      s""", scored AS (
+         |  SELECT f.y,
+         |         LEAST(GREATEST(${2 * S} + ($raw), 0), ${4 * S}) AS p4
+         |  FROM feat f CROSS JOIN w$Iters w),
+         |c AS (
+         |  SELECT CAST(LEAST(floor(CAST(p4 * 10 AS DOUBLE) / ${4 * S}.0), 9.0) AS BIGINT) AS bin,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(y) AS BIGINT) AS n_pos,
+         |         CAST(sum(p4) AS BIGINT) AS sum_p4
+         |  FROM scored GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_pos) AS BIGINT) AS tp,
+         |               CAST(sum(sum_p4) AS BIGINT) AS tsp FROM c)
+         |SELECT bin, n, n_pos, sum_p4,
+         |       CAST(round(CAST(CAST(sum_p4 AS DOUBLE) / (CAST(n AS DOUBLE) * ${4 * S}.0)
+         |                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS mean_pred,
+         |       CAST(round(CAST(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+         |                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS frac_pos,
+         |       CAST(round(CAST(abs(CAST(sum_p4 AS DOUBLE) / (CAST(n AS DOUBLE) * ${4 * S}.0)
+         |                           - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+         |                  AS DECIMAL(28,8)), 6) AS DOUBLE) AS gap
+         |FROM c
+         |UNION ALL
+         |SELECT -1, tn, tp, tsp,
+         |       CAST(round(CAST(CAST(tsp AS DOUBLE) / (CAST(tn AS DOUBLE) * ${4 * S}.0)
+         |                  AS DECIMAL(28,8)), 6) AS DOUBLE),
+         |       CAST(round(CAST(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)
+         |                  AS DECIMAL(28,8)), 6) AS DOUBLE),
+         |       CAST(round(sum(CAST(abs(CAST(sum_p4 AS DOUBLE) / (CAST(n AS DOUBLE) * ${4 * S}.0)
+         |                               - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+         |                           * CAST(n AS DOUBLE) / CAST(tn AS DOUBLE)
+         |                      AS DECIMAL(28,8))), 6) AS DOUBLE)
+         |FROM c CROSS JOIN tot
+         |GROUP BY tn, tp, tsp
+         |ORDER BY bin""".stripMargin
+  }
+
   /** Cohen's kappa between the two quality raters the engine now has —
     * the fixed hash-weight rule scorer ([[Classifier.qualityClassifierOf]])
     * and this module's TRAINED model — the standard inter-rater agreement
@@ -285,5 +407,6 @@ object LrTrain {
   val defs: Seq[Q] = Seq(
     Q("quality_lr_train", Some(lrTrainOracle), lrTrain),
     Q("quality_lr_score", Some(lrScoreOracle), lrScore),
+    Q("quality_lr_calibration", Some(lrCalibrationOracle), lrCalibration),
     Q("quality_agreement_kappa", Some(agreementKappaOracle), agreementKappa))
 }

@@ -111,6 +111,46 @@ class LrTrainSpec extends SparkSuite {
       ((n, a, b, c, dd, kappaMicro)))
   }
 
+  test("calibration deciles + ECE match a plain-Scala recompute from the scores") {
+    // per-doc (p4, y) from the scored output is ground truth; the
+    // calibration table must be exactly the decile census over it
+    val scored = LrTrain.lrScore(spark, Sf).collect()
+      .map(r => (r.getLong(1), r.getLong(3))) // (p4, y)
+    val s4 = (4L * S).toDouble
+    val byBin = scored.groupBy { case (p4, _) =>
+      math.min(math.floor(p4 * 10 / s4), 9.0).toLong
+    }
+    val got = LrTrain.lrCalibration(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === byBin.keySet + (-1L))
+    var ece = BigDecimal(0)
+    val totN = scored.length.toDouble
+    for ((bin, xs) <- byBin) {
+      val r = got(bin)
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(r.getLong(2) === xs.map(_._2).sum)
+      assert(r.getLong(3) === xs.map(_._1).sum)
+      val meanPred = xs.map(_._1).sum / (xs.length * s4)
+      val fracPos = xs.map(_._2).sum.toDouble / xs.length
+      assert(math.abs(r.getDouble(4) - meanPred) < 5e-7, s"mean_pred bin $bin")
+      assert(math.abs(r.getDouble(5) - fracPos) < 5e-7, s"frac_pos bin $bin")
+      assert(math.abs(r.getDouble(6) - math.abs(meanPred - fracPos)) < 5e-7)
+      ece += BigDecimal(math.abs(meanPred - fracPos) * xs.length / totN)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val tot = got(-1L)
+    assert(tot.getLong(1) === scored.length.toLong)
+    assert(math.abs(tot.getDouble(6) -
+      ece.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 5e-7,
+      s"ece ${tot.getDouble(6)} vs $ece")
+    // ECE is a weighted mean of per-bin gaps, so it lives in [0, 1] —
+    // and at sf0.001 it comes out ≈0.245: the 8-round hard-sigmoid gate
+    // is decision-accurate but NOT probability-calibrated, which is
+    // precisely the fact this audit exists to surface (weight by rank,
+    // don't trust the activations as probabilities)
+    assert(tot.getDouble(6) >= 0.0 && tot.getDouble(6) <= 1.0)
+  }
+
   test("train output shape: D+1 rows, deterministic order") {
     val out = LrTrain.lrTrain(spark, Sf).collect()
     assert(out.length === D + 1)
