@@ -78,7 +78,9 @@ object Pipeline {
       spark: SparkSession,
       quantileRollupDir: String,
       heavyHitterRollupDir: String,
-      splitMinute: java.sql.Timestamp): DataFrame =
+      splitMinute: java.sql.Timestamp,
+      countRollupDir: Option[String] = None): DataFrame =
     graft.streaming.HealthReport.serve(
-      spark, quantileRollupDir, heavyHitterRollupDir, splitMinute)
+      spark, quantileRollupDir, heavyHitterRollupDir, splitMinute,
+      countRollupDir = countRollupDir)
 }

@@ -61,16 +61,23 @@ object HealthReport {
       ref_value: Option[Double], cur_value: Option[Double],
       stat: Option[Double], alert: Boolean)
 
-  /** Serve the health report from the two maintained views. Returns an
+  /** Serve the health report from the maintained views. Returns an
     * EMPTY report (zero rows, full schema) when either window has no
-    * quantile cells — degenerate split, nothing to compare. */
+    * quantile cells — degenerate split, nothing to compare.
+    * `countRollupDir` (optional): when the caller also maintains the
+    * COUNT rollup ([[Ingest.upsertRollup]]'s (minute, type, status,
+    * cnt) cells), the report additionally emits `error_rate` rows per
+    * event_type — exact per-window ERROR share from the additive
+    * counts; stat = rate delta; alert at |delta| > shareDelta. Error
+    * rate is the canonical SRE page, and the cells already carry it. */
   def serve(s: SparkSession,
       quantileRollupDir: String, heavyHitterRollupDir: String,
       splitMinute: java.sql.Timestamp,
       hhTopK: Int = 10,
       latencyRatio: Double = 1.5,
       shareDelta: Double = 0.05,
-      jaccardMin: Double = 0.5): DataFrame = {
+      jaccardMin: Double = 0.5,
+      countRollupDir: Option[String] = None): DataFrame = {
     import s.implicits._
     val kllMerge = udaf(new KllSketch.KllMergeAgg(), org.apache.spark.sql.Encoders.BINARY)
     val mgMerge = udaf(new MisraGries.MgMergeAggS(), org.apache.spark.sql.Encoders.BINARY)
@@ -160,7 +167,28 @@ object HealthReport {
       case _ => Seq.empty
     }
 
-    (latencyRows.toSeq ++ shareRows.toSeq ++ Seq(chi2Row) ++ hhRows)
+    // error-rate drift from the count rollup's (type, status) cells —
+    // exact additive counts, ≤ 2·|types|·|statuses| rows collected
+    val errRows = countRollupDir.toSeq.flatMap { dir =>
+      val byTypeWin = s.read.parquet(dir)
+        .withColumn("win", winOf)
+        .groupBy($"win", $"event_type")
+        .agg(sum($"cnt").as("n"),
+          sum(when($"status" === "ERROR", $"cnt").otherwise(0L)).as("err"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("err"))).toMap
+      byTypeWin.keys.map(_._2).toSeq.distinct.sorted.map { t =>
+        def rateOf(w: String): Option[Double] =
+          byTypeWin.get((w, t)).collect { case (n, e) if n > 0 => e.toDouble / n }
+        val (r, c) = (rateOf("ref"), rateOf("cur"))
+        val delta = for (rv <- r; cv <- c) yield cv - rv
+        Row("error_rate", t, r, c, delta,
+          delta.exists(d => math.abs(d) > shareDelta))
+      }
+    }
+
+    (latencyRows.toSeq ++ shareRows.toSeq ++ Seq(chi2Row) ++ hhRows ++ errRows)
       .toDS().toDF().orderBy($"metric", $"key")
   }
 }

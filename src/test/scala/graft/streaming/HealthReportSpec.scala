@@ -19,10 +19,12 @@ class HealthReportSpec extends SparkSuite {
   private val T0 = 1704067200000L // 2024-01-01T00:00:00Z
   private val N = 2000L
 
-  private def build(events: DataFrame, qDir: String, hDir: String): Unit = {
+  private def build(events: DataFrame, qDir: String, hDir: String,
+      cDir: String = ""): Unit = {
     val e = Events.withEventMinute(events).localCheckpoint()
     Ingest.upsertQuantileRollup(e, qDir)
     Ingest.upsertHeavyHitterRollup(e, hDir)
+    if (cDir.nonEmpty) Ingest.upsertRollup(e, cDir)
   }
 
   test("planted latency/mix/hot-user shift pages on every metric family") {
@@ -90,17 +92,46 @@ class HealthReportSpec extends SparkSuite {
     assert(rep(("hh_topk_jaccard", "all")).getDouble(4) < 1.0)
   }
 
+  test("error-rate drift from the count rollup: planted shift pages, rates exact") {
+    val base = tmpDir("health-errrate")
+    val (qDir, hDir, cDir) = (base + "/q", base + "/hh", base + "/c")
+    // ref at the default 25% error probability, cur planted at 45%
+    val ref = Events.generate(spark, N, T0, intervalMs = 1000)
+    val cur = Events.generate(spark, N, T0 + 3600 * 1000L, intervalMs = 1000,
+      errorProb = 0.45)
+    build(ref, qDir, hDir, cDir)
+    build(cur, qDir, hDir, cDir)
+    val rep = HealthReport.serve(spark, qDir, hDir,
+      new java.sql.Timestamp(T0 + 3000 * 1000L), countRollupDir = Some(cDir))
+      .filter($"metric" === "error_rate").collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(rep.keySet === Events.EventTypes.toSet)
+    Events.EventTypes.foreach { t =>
+      val row = rep(t)
+      // rates are exact shares of the additive counts — bit-equal to a
+      // raw recompute per window and type
+      def rate(df: DataFrame) = {
+        val g = df.filter($"event_type" === t)
+        g.filter($"status" === "ERROR").count().toDouble / g.count()
+      }
+      assert(row.getDouble(2) === rate(ref), s"ref rate $t")
+      assert(row.getDouble(3) === rate(cur), s"cur rate $t")
+      assert(row.getBoolean(5), s"+20pp error-rate shift must alert for $t")
+    }
+  }
+
   test("no-shift control pages on nothing") {
     val base = tmpDir("health-control")
-    val (qDir, hDir) = (base + "/q", base + "/hh")
+    val (qDir, hDir, cDir) = (base + "/q", base + "/hh", base + "/c")
     // identical distributions (same seed, same n), disjoint minutes —
     // user ids deliberately do NOT carry the start salt, so the same
     // simulated users recur and the MG top-k sets coincide
-    build(Events.generate(spark, N, T0, intervalMs = 1000), qDir, hDir)
+    build(Events.generate(spark, N, T0, intervalMs = 1000), qDir, hDir, cDir)
     build(Events.generate(spark, N, T0 + 3600 * 1000L, intervalMs = 1000),
-      qDir, hDir)
+      qDir, hDir, cDir)
     val split = new java.sql.Timestamp(T0 + 3000 * 1000L)
-    val rep = HealthReport.serve(spark, qDir, hDir, split)
+    val rep = HealthReport.serve(spark, qDir, hDir, split,
+      countRollupDir = Some(cDir))
     assert(rep.count() > 0)
     val fired = rep.filter($"alert").collect()
     assert(fired.isEmpty,
