@@ -104,6 +104,7 @@ object GraftFunctions {
   val SimHashName = "graft_simhash64"
   val MinHashName = "graft_minhash_sig"
   val WindowMinName = "graft_window_min"
+  val HilbertName = "graft_hilbert"
 
   // Once-per-session guard (weak keys: sessions stay collectable). Without
   // it every operator invocation re-registers and SimpleFunctionRegistry
@@ -125,6 +126,8 @@ object GraftFunctions {
       exprs => ByteDotExpr(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(SimHashName,
       exprs => SimHash64Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(HilbertName,
+      exprs => HilbertIndexExpr(exprs.head, exprs(1)), "built-in")
     // Signature length comes from Dedup.MinHashK — the single source of
     // the k/bands/rows shape (measured recall table: SCALE_NOTES Leg 2).
     reg.createOrReplaceTempFunction(MinHashName,

@@ -1073,7 +1073,116 @@ object Audit {
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fd")
   }
 
+  // ---------------------------------------------------------------------
+  // Schema / data-contract validation
+  // ---------------------------------------------------------------------
+
+  /** Data-CONTRACT validation — the declarative ingest gate a pipeline
+    * runs before letting a batch into the lake: every rule of the events
+    * contract (non-null key, key uniqueness, id validity, enum domain,
+    * numeric range, null-rate ceiling, event-time window, payload shape)
+    * evaluated in ONE readout with per-rule violation counts, rates and a
+    * pass/fail flag against the rule's tolerance (0 for hard rules, 1%
+    * for the null-rate ceiling).
+    *
+    * Scale shape: rules 1 and 3–8 are conditional sums inside a SINGLE
+    * full-scan aggregate (one map-side-combinable pass, no Expand — the
+    * columnStats lesson), fanned to rows by `stack` AFTER aggregation
+    * (8 tiny rows, not 8 scans). Uniqueness is the one rule that needs
+    * key grouping and gets the two-level shape: groupBy(event_id) counts
+    * then `Σc − #groups` — never a countDistinct next to other
+    * aggregates. Total cost at 100 TB: one scan + one narrow shuffle on
+    * the key column, independent of how many scalar rules the contract
+    * carries. The deliberately tight `value ≤ 400` bound and the
+    * generator's invalid user ids keep both verdicts live (FAIL rows
+    * prove the gate actually fires; see the oracle). */
+  def schemaContract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val domain = Seq("view", "click", "purchase", "signup", "error")
+    val scalarLeg = ev.agg(
+        count(lit(1)).as("checked"),
+        sum(when($"event_id".isNull, 1L).otherwise(0L)).as("v1"),
+        sum(when($"user_id".isNull || $"user_id" <= 0L, 1L).otherwise(0L)).as("v3"),
+        sum(when($"event_type".isNull ||
+          !$"event_type".isin(domain.map(x => x: Any): _*), 1L).otherwise(0L)).as("v4"),
+        sum(when($"value" < 0d || $"value" > 400d, 1L).otherwise(0L)).as("v5"),
+        sum(when($"value".isNull, 1L).otherwise(0L)).as("v6"),
+        sum(when($"ts".isNull || $"ts" < lit("2024-01-01").cast("timestamp") ||
+          $"ts" >= lit("2027-01-01").cast("timestamp"), 1L).otherwise(0L)).as("v7"),
+        sum(when($"props".isNull ||
+          !$"props".rlike("^\\{\"k\": -?[0-9]+\\}$"), 1L).otherwise(0L)).as("v8"))
+      .selectExpr("checked",
+        """stack(7,
+          |  'r1_event_id_not_null', v1,
+          |  'r3_user_id_valid',     v3,
+          |  'r4_type_in_domain',    v4,
+          |  'r5_value_in_range',    v5,
+          |  'r6_value_null_rate',   v6,
+          |  'r7_ts_in_window',      v7,
+          |  'r8_props_json_shape',  v8) AS (rule, violations)""".stripMargin)
+      .select($"rule", $"violations", $"checked")
+    val uniqueLeg = ev.groupBy($"event_id").agg(count(lit(1)).as("c"))
+      .agg(sum($"c").as("checked"),
+        (sum($"c") - count(lit(1))).as("violations"))
+      .select(lit("r2_event_id_unique").as("rule"), $"violations", $"checked")
+    scalarLeg.union(uniqueLeg)
+      .withColumn("max_rate",
+        when($"rule" === "r6_value_null_rate", 0.01d).otherwise(0.0d))
+      .withColumn("violation_rate",
+        round(($"violations".cast("double") / $"checked".cast("double"))
+          .cast("decimal(28,8)"), 6).cast("double"))
+      .withColumn("pass", $"violation_rate" <= $"max_rate")
+      .select($"rule", $"checked", $"violations", $"violation_rate",
+        $"max_rate", $"pass")
+      .orderBy($"rule")
+  }
+
+  val schemaContractOracle: String =
+    """WITH base AS (
+      |  SELECT count(*) AS checked,
+      |    sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v1,
+      |    sum(CASE WHEN user_id IS NULL OR user_id <= 0 THEN 1 ELSE 0 END) AS v3,
+      |    sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+      |             ('view','click','purchase','signup','error')
+      |        THEN 1 ELSE 0 END) AS v4,
+      |    sum(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END) AS v5,
+      |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS v6,
+      |    sum(CASE WHEN ts IS NULL
+      |             OR CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-01'
+      |             OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2027-01-01'
+      |        THEN 1 ELSE 0 END) AS v7,
+      |    sum(CASE WHEN props IS NULL
+      |             OR NOT regexp_matches(props, '^\{"k": -?[0-9]+\}$')
+      |        THEN 1 ELSE 0 END) AS v8
+      |  FROM events),
+      |uniq AS (
+      |  SELECT sum(c) AS checked, sum(c) - count(*) AS violations
+      |  FROM (SELECT event_id, count(*) AS c FROM events GROUP BY 1) g),
+      |rules AS (
+      |  SELECT 'r1_event_id_not_null' AS rule, v1 AS violations, checked FROM base
+      |  UNION ALL SELECT 'r2_event_id_unique', violations, checked FROM uniq
+      |  UNION ALL SELECT 'r3_user_id_valid',    v3, checked FROM base
+      |  UNION ALL SELECT 'r4_type_in_domain',   v4, checked FROM base
+      |  UNION ALL SELECT 'r5_value_in_range',   v5, checked FROM base
+      |  UNION ALL SELECT 'r6_value_null_rate',  v6, checked FROM base
+      |  UNION ALL SELECT 'r7_ts_in_window',     v7, checked FROM base
+      |  UNION ALL SELECT 'r8_props_json_shape', v8, checked FROM base)
+      |SELECT rule, CAST(checked AS BIGINT) AS checked,
+      |       CAST(violations AS BIGINT) AS violations,
+      |       CAST(round(CAST(CAST(violations AS DOUBLE)
+      |                       / CAST(checked AS DOUBLE) AS DECIMAL(28,8)), 6)
+      |            AS DOUBLE) AS violation_rate,
+      |       CAST(CASE WHEN rule = 'r6_value_null_rate' THEN 0.01 ELSE 0.0 END
+      |            AS DOUBLE) AS max_rate,
+      |       CAST(round(CAST(CAST(violations AS DOUBLE)
+      |                       / CAST(checked AS DOUBLE) AS DECIMAL(28,8)), 6)
+      |            AS DOUBLE)
+      |         <= CASE WHEN rule = 'r6_value_null_rate' THEN 0.01 ELSE 0.0 END AS pass
+      |FROM rules ORDER BY rule""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("audit_schema_contract", Some(schemaContractOracle), schemaContract),
     Q("audit_fd_violations", Some(fdViolationsOracle), fdViolations),
     Q("audit_fd_incremental", Some(fdIncrementalOracle), fdIncremental),
     Q("audit_fd_discovery", Some(fdDiscoveryOracle), fdDiscovery),

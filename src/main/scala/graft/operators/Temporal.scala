@@ -221,10 +221,139 @@ object Temporal {
       |       CAST(round(CAST(sum(share) AS DOUBLE), 4) AS DOUBLE) AS attributed
       |FROM shares GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Interval × interval overlap join (grid-bucketed)
+  // ---------------------------------------------------------------------
+
+  /** Generic interval×interval OVERLAP join — the case neither the as-of
+    * window trick nor the point-in-interval bucket replication above can
+    * express, because BOTH sides are genuine intervals and there is no
+    * shared equi-key. A naive `a.join(b, overlap-predicate)` has no
+    * extractable equi-condition, so Catalyst plans a nested loop —
+    * quadratic, dead at scale.
+    *
+    * Construction: both sides explode each interval to the `gridSec`-wide
+    * time cells it covers (`sequence(floor(start/g), floor(end/g))`), the
+    * join runs on the cell as an equi-key with the exact closed-interval
+    * overlap (`aStart <= bEnd && bStart <= aEnd`) as the hash-join
+    * residual. A pair overlapping across k shared cells would match k
+    * times; the first-overlapping-cell rule dedupes WITHOUT a distinct
+    * shuffle: the overlap region starts at `greatest(aStart, bStart)`,
+    * which lies inside both intervals whenever they overlap at all, so
+    * requiring `cell == floor(greatest(starts)/g)` keeps exactly one of
+    * the k matches. Cost is O(rows · len/gridSec) exploded rows and ONE
+    * equi-join shuffle — pick `gridSec` near the median interval length
+    * so the explode factor stays ~2 while cells keep join selectivity.
+    *
+    * Both input frames must have disjoint column names; outputs all of
+    * `a`'s then all of `b`'s columns, one row per overlapping pair. */
+  def intervalOverlapJoin(a: DataFrame, aStart: String, aEnd: String,
+                          b: DataFrame, bStart: String, bEnd: String,
+                          gridSec: Long): DataFrame = {
+    def cells(df: DataFrame, st: String, en: String) =
+      df.withColumn("__cell", explode(sequence(
+        floor(unix_timestamp(col(st)) / gridSec).cast("long"),
+        floor(unix_timestamp(col(en)) / gridSec).cast("long"))))
+    val ae = cells(a, aStart, aEnd).alias("a")
+    val be = cells(b, bStart, bEnd).alias("b")
+    ae.join(be,
+        col("a.__cell") === col("b.__cell") &&
+          col(s"a.$aStart") <= col(s"b.$bEnd") &&
+          col(s"b.$bStart") <= col(s"a.$aEnd") &&
+          col("a.__cell") === floor(unix_timestamp(
+            greatest(col(s"a.$aStart"), col(s"b.$bStart"))) / gridSec).cast("long"))
+      .select(a.columns.map(c => col(s"a.$c")) ++
+        b.columns.map(c => col(s"b.$c")): _*)
+  }
+
+  /** Incident-impact readout over the overlap join: error BURSTS (per-hour
+    * span of 'error' events, hours with ≥3 errors) × user SESSIONS (the
+    * 30-min-gap sessions of [[sessionize]]) — for each burst, how many
+    * sessions/users were active while it ran and for how long in total.
+    * This is the time-only overlap (no user key joins a burst to ALL
+    * concurrent sessions), i.e. the genuinely keyless interval join.
+    *
+    * Determinism: overlap durations are summed as exact int64
+    * MICROSECONDS (both engines compute `µs(least(ends)) −
+    * µs(greatest(starts))` on identical µs timestamps), and only the
+    * final sum divides to seconds — one identical double op per group,
+    * no float summation-order seam. */
+  def intervalOverlapImpact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val bursts = ev.filter($"event_type" === "error")
+      .groupBy(date_trunc("hour", $"ts").as("bh"))
+      .agg(min($"ts").as("b_start"), max($"ts").as("b_end"),
+        count(lit(1)).as("n_errors"))
+      .filter($"n_errors" >= 3)
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = ev
+      .withColumn("brk",
+        when(lag($"ts", 1).over(byUser).isNull ||
+          $"ts" - lag($"ts", 1).over(byUser) > expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum($"brk").over(running))
+      .groupBy($"user_id", $"session_no")
+      .agg(min($"ts").as("s_start"), max($"ts").as("s_end"))
+    intervalOverlapJoin(bursts, "b_start", "b_end",
+        sessions, "s_start", "s_end", gridSec = 3600L)
+      .withColumn("ov_us",
+        unix_micros(least($"b_end", $"s_end")) -
+          unix_micros(greatest($"b_start", $"s_start")))
+      .groupBy($"bh")
+      .agg(max($"n_errors").as("n_errors"),
+        count(lit(1)).as("impacted_sessions"),
+        countDistinct($"user_id").as("impacted_users"),
+        (sum($"ov_us").cast("double") / lit(1000000.0)).as("overlap_sec"))
+      .select(date_format($"bh", "yyyy-MM-dd HH").as("burst_hour"),
+        $"n_errors", $"impacted_sessions", $"impacted_users", $"overlap_sec")
+      .orderBy($"burst_hour")
+  }
+
+  val intervalOverlapOracle: String =
+    """WITH bursts AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bh,
+      |         min(CAST(ts AS TIMESTAMP)) AS b_start,
+      |         max(CAST(ts AS TIMESTAMP)) AS b_end,
+      |         count(*) AS n_errors
+      |  FROM events WHERE event_type = 'error'
+      |  GROUP BY 1 HAVING count(*) >= 3),
+      |g AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+      |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER
+      |           (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+      |         OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER
+      |           (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |            > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, uts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY uts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM g),
+      |iv AS (
+      |  SELECT user_id, session_no, min(uts) AS s_start, max(uts) AS s_end
+      |  FROM sess GROUP BY user_id, session_no),
+      |ov AS (
+      |  SELECT b.bh, b.n_errors, s.user_id,
+      |         epoch_us(least(b.b_end, s.s_end))
+      |           - epoch_us(greatest(b.b_start, s.s_start)) AS ov_us
+      |  FROM bursts b JOIN iv s
+      |    ON b.b_start <= s.s_end AND s.s_start <= b.b_end)
+      |SELECT strftime(bh, '%Y-%m-%d %H') AS burst_hour,
+      |       CAST(max(n_errors) AS BIGINT) AS n_errors,
+      |       CAST(count(*) AS BIGINT) AS impacted_sessions,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS impacted_users,
+      |       CAST(CAST(sum(ov_us) AS BIGINT) AS DOUBLE) / 1000000.0 AS overlap_sec
+      |FROM ov GROUP BY bh ORDER BY burst_hour""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("asof_click_attribution", Some(asofOracle), asofClickAttribution),
     Q("ev_sessionize", Some(sessionizeOracle), sessionize),
     Q("ev_session_window_native", Some(sessionWindowOracle), sessionWindowNative),
     Q("range_join_purchases_1h", Some(rangeJoinOracle), rangeJoinPurchasesAfterView),
-    Q("ev_multitouch_attribution", Some(multitouchOracle), multitouchAttribution))
+    Q("ev_multitouch_attribution", Some(multitouchOracle), multitouchAttribution),
+    Q("join_interval_overlap", Some(intervalOverlapOracle), intervalOverlapImpact))
 }

@@ -383,6 +383,25 @@ object Manifest {
     boxAgg(s.read.parquet(zorderedLineitemDir(s, d)), p1, p2, s1, s2)
   }
 
+  /** lineitem HILBERT-ordered on the same two keys, one artifact per sf. */
+  private[sources] def hilbertLineitemDir(s: SparkSession, d: String): String =
+    SessionCaches.dirMemo(s, s"hilbert:lineitem:$d")(path =>
+      ZOrder.writeHilbert(
+        Tables.lineitem(s, d).select(
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag")),
+        "l_partkey", "l_suppkey", path))
+
+  /** Same box aggregate over the Hilbert layout — third derivation of the
+    * same answer (pristine table = z-order = Hilbert): the hard gate
+    * proves a space-filling-curve rewrite can never change results, only
+    * I/O. HilbertSpec + SCALE_NOTES carry the measured per-file bound
+    * comparison between the two curves. */
+  def hilbertBoxAgg(s: SparkSession, d: String): DataFrame = {
+    val (p1, p2, s1, s2) = boxBounds(s, d)
+    boxAgg(s.read.parquet(hilbertLineitemDir(s, d)), p1, p2, s1, s2)
+  }
+
   /** Same box aggregate through the manifest: driver-side file skipping
     * first, row filter second. Result must equal [[zorderBoxAgg]] — the
     * index changes I/O, never answers. */
@@ -587,6 +606,7 @@ object Manifest {
 
   val defs: Seq[Q] = Seq(
     Q("src_zorder_box_agg", Some(boxAggOracle), zorderBoxAgg),
+    Q("src_hilbert_box_agg", Some(boxAggOracle), hilbertBoxAgg),
     Q("src_manifest_pruned_agg", Some(boxAggOracle), manifestPrunedAgg),
     Q("wh_compact_roundtrip", Some(compactRoundtripOracle), compactRoundtrip),
     Q("wh_vacuum_roundtrip", Some(vacuumRoundtripOracle), vacuumRoundtrip),

@@ -66,4 +66,32 @@ object ZOrder {
     df.repartitionByRange(files, col(c1))
       .sortWithinPartitions(col(c1))
       .write.mode("overwrite").parquet(path)
+
+  /** Write `df` HILBERT-ordered on two numeric columns — identical
+    * machinery to [[writeZOrdered]] (same quantizer, same single bounds
+    * pass, same range-shuffle + in-partition sort), only the curve
+    * differs: [[graft.functions.HilbertIndexExpr]] instead of the Morton
+    * interleave. The Hilbert curve never jumps (each step moves to an
+    * adjacent cell), so each file's contiguous curve segment is one
+    * compact blob and footer min/max stats bound a tighter box on both
+    * dims — HilbertSpec measures the delta against [[writeZOrdered]] on
+    * the same input. At 100 TB the write cost is IDENTICAL to z-order
+    * (one narrow codegen'd expression per row + one range shuffle);
+    * better per-file bounds mean strictly fewer row-groups read back. */
+  def writeHilbert(df: DataFrame, c1: String, c2: String, path: String,
+                   files: Int = 16): Unit = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val b = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    // quantized cells first, as named columns, so the expression sees
+    // plain bigint inputs (and the plan stays readable in explain)
+    df.withColumn("__qx", quantized(c1, b.getDouble(0), b.getDouble(1), Bits))
+      .withColumn("__qy", quantized(c2, b.getDouble(2), b.getDouble(3), Bits))
+      .withColumn("__h", expr("graft_hilbert(__qx, __qy)"))
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__qx", "__qy", "__h")
+      .write.mode("overwrite").parquet(path)
+  }
 }
