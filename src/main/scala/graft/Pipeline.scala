@@ -83,4 +83,18 @@ object Pipeline {
     graft.streaming.HealthReport.serve(
       spark, quantileRollupDir, heavyHitterRollupDir, splitMinute,
       countRollupDir = countRollupDir)
+
+  /** Windowed producer-contract report served from the maintained
+    * per-minute violation cells
+    * ([[graft.streaming.Ingest.upsertContractMonitor]]) — the streaming
+    * twin of the batch ingest gate (`audit_schema_contract`): per-rule
+    * checked/violations/rate/pass over `[fromMs, toMs)` for the cost of
+    * a cell scan, never a raw-event rescan. */
+  def contractReport(
+      spark: SparkSession,
+      contractMonitorDir: String,
+      fromMs: Long,
+      toMs: Long): DataFrame =
+    graft.streaming.Ingest.servedContractReport(
+      spark, contractMonitorDir, fromMs, toMs)
 }

@@ -501,6 +501,112 @@ object Ingest {
           .as("newly_violating"))
   }
 
+  // ---------------------------------------------------------------------
+  // Maintained contract monitor (streaming twin of audit_schema_contract)
+  // ---------------------------------------------------------------------
+
+  /** The wire-format contract of the reference producer (producer.py null
+    * rules, SURVEY §2.8 F6) as per-rule violation PREDICATES over the
+    * generated event schema — shared by the streaming monitor below and
+    * its spec so the two can't drift. Every rule is a scalar row
+    * predicate, so per-minute violation counts are exact and ADDITIVE —
+    * the property that lets the monitor maintain them as mergeable cells.
+    * (Key UNIQUENESS is deliberately not here: it is not additive across
+    * batches; the checkpointed exactly-once sink owns that guarantee —
+    * see [[startIngest]]'s T5 note.) */
+  val ContractRules: Seq[(String, org.apache.spark.sql.Column)] = {
+    val uuid = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    Seq(
+      "c1_event_id_uuid" ->
+        (col("event_id").isNull || !col("event_id").rlike(uuid)),
+      "c2_user_id_uuid" ->
+        (col("user_id").isNull || !col("user_id").rlike(uuid)),
+      "c3_type_in_domain" ->
+        (col("event_type").isNull ||
+          !col("event_type").isin(graft.reference.Events.EventTypes: _*)),
+      "c4_latency_in_range" ->
+        (col("request_latency_ms").isNull ||
+          col("request_latency_ms") < 50 || col("request_latency_ms") > 1500),
+      "c5_status_in_domain" ->
+        (col("status").isNull || !col("status").isin("SUCCESS", "ERROR")),
+      "c6_error_code_iff_error" ->
+        (when(col("status") === "ERROR",
+            col("error_code").isNull ||
+              col("error_code") < 400 || col("error_code") > 599)
+          .otherwise(col("error_code").isNotNull)),
+      "c7_product_id_iff_product" ->
+        (when(col("event_type").isin(graft.reference.Events.ProductEventTypes: _*),
+            col("product_id").isNull ||
+              col("product_id") < 1 || col("product_id") > 10000)
+          .otherwise(col("product_id").isNotNull)))
+  }
+
+  /** Maintained CONTRACT monitor: per-(minute, rule) violation cells over
+    * the ingest stream — the streaming twin of the batch gate
+    * (`audit_schema_contract`): instead of re-scanning the warehouse, the
+    * contract report for ANY window is served from O(minutes × rules)
+    * additive cells.
+    *
+    * Per-batch cost: ONE conditional-aggregate pass over the batch (all
+    * rules as sums in a single groupBy(minute) — the same no-Expand shape
+    * as the batch gate), fanned to (rule, violations) rows by `stack`
+    * AFTER aggregation; merge touches only the minutes present in the
+    * batch (dynamic partition overwrite, same as every rollup here). */
+  def upsertContractMonitor(batch: DataFrame, monitorDir: String): Unit = {
+    val s = batch.sparkSession
+    val sums = ContractRules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"v$i")
+    }
+    val stackArgs = ContractRules.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', v$i" }
+      .mkString(s"stack(${ContractRules.size}, ", ", ", ") AS (rule, violations)")
+    val delta = batch
+      .groupBy(col("event_minute"))
+      .agg(count(lit(1)).as("checked"), sums: _*)
+      .selectExpr("event_minute", "checked", stackArgs)
+      .select(col("event_minute"), col("rule"), col("violations"), col("checked"))
+      .localCheckpoint()
+    val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val existing =
+      if (rollupExists(s, monitorDir))
+        s.read.parquet(monitorDir)
+          .filter(col("event_minute").isin(touched: _*))
+          .localCheckpoint()
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          delta.schema)
+    existing.unionByName(delta)
+      .groupBy(col("event_minute"), col("rule"))
+      .agg(sum(col("violations")).as("violations"),
+        sum(col("checked")).as("checked"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_minute")
+      .parquet(monitorDir)
+  }
+
+  /** Contract report for a minute window, served ENTIRELY from the
+    * monitor's cells (never raw events): per-rule totals, quantized
+    * violation rate and the hard pass flag — the same row shape as the
+    * batch gate, bit-equal to recomputing it over the window's raw rows
+    * because the cells are exact additive counts (ContractMonitorSpec
+    * proves it against planted corruption). */
+  def servedContractReport(s: SparkSession, monitorDir: String,
+      fromMs: Long, toMs: Long): DataFrame = {
+    s.read.parquet(monitorDir)
+      .filter(col("event_minute") >= lit(new java.sql.Timestamp(fromMs)) &&
+        col("event_minute") < lit(new java.sql.Timestamp(toMs)))
+      .groupBy(col("rule"))
+      .agg(sum(col("checked")).as("checked"),
+        sum(col("violations")).as("violations"))
+      .select(col("rule"), col("checked"), col("violations"),
+        round((col("violations").cast("double") / col("checked").cast("double"))
+          .cast("decimal(28,8)"), 6).cast("double").as("violation_rate"),
+        (col("violations") === 0L).as("pass"))
+      .orderBy(col("rule"))
+  }
+
   /** Continuously-maintained minute rollup (incremental materialized
     * view): foreachBatch applies [[upsertRollup]] per micro-batch. A
     * batch-id marker makes replays after a mid-stream restart no-ops —
