@@ -823,6 +823,145 @@ object Audit {
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
   }
 
+  /** Join-strategy advisor — the second readout→remedy pass next to
+    * [[saltPlan]]: for each candidate join, compute the EXACT join output
+    * cardinality and per-key hot spot from the two sides' key censuses
+    * alone (never running the data join), then map them to the concrete
+    * physical decision: broadcast which side, or shuffle, and if shuffle,
+    * with what salt factor.
+    *
+    * Why this beats waiting for the optimizer: Catalyst's size estimate
+    * for a join assumes uniform key frequency (NDV-based), so a
+    * many-to-many hub key is invisible until AQE observes the skewed
+    * shuffle blocks AT RUNTIME — after the map side already ran. The
+    * censuses here give the exact answer for the price of two map-side-
+    * combinable counts plus one full-outer join over DISTINCT keys (the
+    * census relation, not the data): out_rows = Σ_k cL(k)·cR(k),
+    * max_key_out = max_k cL(k)·cR(k). On 100 TB that census is the cheap
+    * pre-pass that decides whether the real join is safe to ship.
+    *
+    * Decision rules (deterministic, both engines):
+    *  - `strategy`: broadcast the right side iff its row count ≤
+    *    `broadcastRows` (default 10,000 ≈ the 10 MB auto-broadcast
+    *    threshold at ~1 KB/row — calibrate per schema on a real cluster),
+    *    else broadcast the left iff it fits, else shuffle. A broadcast
+    *    join has no shuffle, so skew is moot there.
+    *  - `recommended_salt_factor` (shuffle only): the [[saltPlanFor]]
+    *    rule applied to the join OUTPUT distribution — a key is a
+    *    straggler iff its output exceeds one even task share
+    *    (max_key_out > out_rows/parallelism); the factor
+    *    ceil(max_key_out·P/out_rows) splits it back under the share,
+    *    exact int64, clamped to [1, P].
+    *  - `amplification` = out_rows / max(left_rows, right_rows) — the
+    *    many-to-many blowup detector (≤1 for FK→PK joins; ≫1 means the
+    *    join output dwarfs its inputs and needs rethinking, not salt).
+    */
+  def joinPlanFor(left: DataFrame, right: DataFrame, name: String,
+      parallelism: Int = 32, broadcastRows: Long = 10000L): DataFrame = {
+    val s = left.sparkSession
+    import s.implicits._
+    val cl = left.filter($"key".isNotNull)
+      .groupBy($"key").agg(count(lit(1)).as("cl"))
+    val cr = right.filter($"key".isNotNull)
+      .groupBy($"key").agg(count(lit(1)).as("cr"))
+    val m = cl.join(cr, Seq("key"), "full_outer").agg(
+      sum(coalesce($"cl", lit(0L))).as("left_rows"),
+      sum(coalesce($"cr", lit(0L))).as("right_rows"),
+      count(when($"cl".isNotNull && $"cr".isNotNull, lit(1))).as("matched_keys"),
+      sum(coalesce($"cl" * $"cr", lit(0L))).as("out_rows"),
+      max(coalesce($"cl" * $"cr", lit(0L))).as("max_key_out"))
+    val strategy = when($"right_rows" <= broadcastRows, lit("broadcast_right"))
+      .when($"left_rows" <= broadcastRows, lit("broadcast_left"))
+      .otherwise(lit("shuffle"))
+    val factor = when(strategy === "shuffle" && $"out_rows" > 0L,
+      least(greatest(
+        expr(s"(max_key_out * CAST($parallelism AS BIGINT) + out_rows - 1) div out_rows"),
+        lit(1L)), lit(parallelism.toLong))).otherwise(lit(1L))
+    m.select(lit(name).as("join_name"),
+        $"left_rows", $"right_rows", $"matched_keys", $"out_rows", $"max_key_out",
+        round(($"out_rows".cast("double") /
+            greatest($"left_rows", $"right_rows", lit(1L)).cast("double"))
+          .cast("decimal(28,8)"), 6).cast("double").as("amplification"),
+        strategy.as("strategy"),
+        lit(parallelism.toLong).as("parallelism"),
+        factor.as("recommended_salt_factor"))
+      .withColumn("needs_salt", $"recommended_salt_factor" > 1L)
+  }
+
+  /** The monitored candidate joins: three warehouse FK joins plus the
+    * behavioral view⋈purchase self-join on user — the one census where a
+    * hot user turns a harmless-looking equi-join many-to-many. */
+  private def joinPlanLegs(s: SparkSession, d: String): Seq[(String, DataFrame, DataFrame)] = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    Seq(
+      ("events_view_purchase",
+        ev.filter($"event_type" === "view").select($"user_id".cast("string").as("key")),
+        ev.filter($"event_type" === "purchase").select($"user_id".cast("string").as("key"))),
+      ("lineitem_orders",
+        Tables.lineitem(s, d).select($"l_orderkey".cast("string").as("key")),
+        Tables.orders(s, d).select($"o_orderkey".cast("string").as("key"))),
+      ("lineitem_part",
+        Tables.lineitem(s, d).select($"l_partkey".cast("string").as("key")),
+        Tables.part(s, d).select($"p_partkey".cast("string").as("key"))),
+      ("orders_customer",
+        Tables.orders(s, d).select($"o_custkey".cast("string").as("key")),
+        Tables.customer(s, d).select($"c_custkey".cast("string").as("key"))))
+  }
+
+  def joinPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    joinPlanLegs(s, d).map { case (name, l, r) => joinPlanFor(l, r, name) }
+      .reduce(_.union(_)).orderBy($"join_name")
+  }
+
+  val joinPlanOracle: String = {
+    val (p, b) = (32, 10000)
+    def leg(name: String, lt: String, lk: String, rt: String, rk: String): String =
+      s"""SELECT join_name, left_rows, right_rows, matched_keys, out_rows, max_key_out,
+         |       amplification, strategy, parallelism,
+         |       CASE WHEN strategy = 'shuffle' AND out_rows > 0
+         |            THEN least(greatest((max_key_out * $p + out_rows - 1) // out_rows, 1), $p)
+         |            ELSE 1 END AS recommended_salt_factor,
+         |       (CASE WHEN strategy = 'shuffle' AND out_rows > 0
+         |             THEN least(greatest((max_key_out * $p + out_rows - 1) // out_rows, 1), $p)
+         |             ELSE 1 END) > 1 AS needs_salt
+         |FROM (
+         |  SELECT join_name, left_rows, right_rows, matched_keys, out_rows, max_key_out,
+         |         CAST(round(CAST(CAST(out_rows AS DOUBLE)
+         |                         / CAST(greatest(left_rows, right_rows, 1) AS DOUBLE)
+         |                    AS DECIMAL(28,8)), 6) AS DOUBLE) AS amplification,
+         |         CASE WHEN right_rows <= $b THEN 'broadcast_right'
+         |              WHEN left_rows <= $b THEN 'broadcast_left'
+         |              ELSE 'shuffle' END AS strategy,
+         |         CAST($p AS BIGINT) AS parallelism
+         |  FROM (
+         |    SELECT '$name' AS join_name,
+         |           CAST(sum(coalesce(cl, 0)) AS BIGINT) AS left_rows,
+         |           CAST(sum(coalesce(cr, 0)) AS BIGINT) AS right_rows,
+         |           CAST(count(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 END) AS BIGINT)
+         |             AS matched_keys,
+         |           CAST(sum(coalesce(cl * cr, 0)) AS BIGINT) AS out_rows,
+         |           CAST(max(coalesce(cl * cr, 0)) AS BIGINT) AS max_key_out
+         |    FROM (SELECT $lk AS key, count(*) AS cl FROM $lt
+         |          WHERE $lk IS NOT NULL GROUP BY 1) l
+         |    FULL OUTER JOIN
+         |         (SELECT $rk AS key, count(*) AS cr FROM $rt
+         |          WHERE $rk IS NOT NULL GROUP BY 1) r
+         |    USING (key)) m) sdef""".stripMargin
+    Seq(
+      leg("events_view_purchase",
+        "(SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'view')", "k",
+        "(SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'purchase')", "k"),
+      leg("lineitem_orders",
+        "lineitem", "CAST(l_orderkey AS VARCHAR)", "orders", "CAST(o_orderkey AS VARCHAR)"),
+      leg("lineitem_part",
+        "lineitem", "CAST(l_partkey AS VARCHAR)", "part", "CAST(p_partkey AS VARCHAR)"),
+      leg("orders_customer",
+        "orders", "CAST(o_custkey AS VARCHAR)", "customer", "CAST(c_custkey AS VARCHAR)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
+  }
+
   /** Single-column FD DISCOVERY (the TANE/FDEP family's level-1 lattice,
     * run exhaustively): mine every ordered column pair X → Y over a
     * 5-attribute view of orders (three natural categoricals + two
@@ -1189,6 +1328,7 @@ object Audit {
     Q("audit_dependency_entropy", Some(dependencyEntropyOracle), dependencyEntropy),
     Q("audit_join_key_skew", Some(joinKeySkewOracle), joinKeySkew),
     Q("audit_salt_plan", Some(saltPlanOracle), (s, d) => saltPlan(s, d)),
+    Q("audit_join_plan", Some(joinPlanOracle), joinPlan),
     Q("audit_snapshot_diff", Some(snapshotDiffOracle), snapshotDiff),
     Q("audit_hour_coverage", Some(hourCoverageOracle), hourCoverage),
     Q("audit_fd_conditional", Some(fdConditionalOracle), fdConditional),

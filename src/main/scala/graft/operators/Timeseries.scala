@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -486,7 +486,195 @@ object Timeseries {
       |FROM hh h JOIN seasonal s USING (event_type, hod)
       |ORDER BY h.event_type, h.hour""".stripMargin
 
+  /** LTTB-style visual downsampling (Steinarsson's Largest-Triangle-
+    * Three-Buckets, the standard dashboard decimation): reduce each
+    * event_type's (ts, value) series to ≤ [[LttbBuckets]] points that
+    * preserve the series' visual shape — per time bucket, keep the point
+    * forming the largest triangle with its neighbour buckets, so spikes
+    * and inflections survive while flat runs collapse. The step a 100 TB
+    * store runs before shipping a series to a chart: the renderer gets
+    * ~50 points per series no matter how many billions back them.
+    *
+    * Variant note: canonical LTTB anchors each triangle on the PREVIOUSLY
+    * SELECTED point — a sequential dependency that cannot parallelize.
+    * This is the fixed-anchor (bucket-mean) variant: both anchors are the
+    * neighbour buckets' mean points, so every bucket's argmax is
+    * independent — one groupBy census, one tiny per-series window for the
+    * anchors, one broadcast join back, one partitioned argmax window. The
+    * first/last buckets keep the series' first/last point (canonical).
+    * Empty buckets fall back to the nearest non-empty neighbour anchor
+    * (lag/lead over existing buckets does this for free).
+    *
+    * Scale shape: the heavy relations see only ONE shuffle each — the
+    * (type, bucket) mean census (map-side combinable) and the per-bucket
+    * argmax window (partitioned by (type, bucket), never SinglePartition);
+    * the anchor relation is |types|·|buckets| rows, broadcast. Cross-
+    * engine determinism: bucket index and time offsets are exact int64
+    * µs, bucket means divide identical operands in identical order, the
+    * area is quantized to 6 dp before ranking, and ties break on
+    * (t, event_id). */
+  private val LttbBuckets = 48
+
+  def lttbDownsample(s: SparkSession, d: String): DataFrame =
+    lttbDownsampleOf(Tables.events(s, d), LttbBuckets)
+
+  /** The downsampler over any (event_type, ts, value, event_id) relation —
+    * spec entry point. */
+  def lttbDownsampleOf(ev: DataFrame, nBuckets: Int): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val pts = ev.filter($"ts".isNotNull && $"value".isNotNull)
+      .select($"event_type", unix_micros($"ts").as("t"), $"value".as("v"),
+        $"event_id".as("id"))
+    val rng = pts.groupBy($"event_type")
+      .agg(min($"t").as("mn"), max($"t").as("mx"))
+    val pb = pts.join(broadcast(rng), Seq("event_type"))
+      .select($"event_type",
+        expr(s"((t - mn) * CAST($nBuckets AS BIGINT)) div (mx - mn + 1)").as("b"),
+        ($"t" - $"mn").as("dt"), $"t", $"v", $"id")
+    val avgs = pb.groupBy($"event_type", $"b")
+      .agg(count(lit(1)).as("n_pts"), sum($"dt").as("sdt"),
+        sum($"v".cast("decimal(28,8)")).as("sv"))
+      .select($"event_type", $"b", $"n_pts",
+        ($"sdt".cast("double") / $"n_pts".cast("double") / lit(1000000.0)).as("at"),
+        ($"sv".cast("double") / $"n_pts".cast("double")).as("av"))
+    val w = Window.partitionBy($"event_type").orderBy($"b")
+    val anchors = avgs
+      .withColumn("ax", lag($"at", 1).over(w))
+      .withColumn("ay", lag($"av", 1).over(w))
+      .withColumn("cx", lead($"at", 1).over(w))
+      .withColumn("cy", lead($"av", 1).over(w))
+      .withColumn("maxb", max($"b").over(Window.partitionBy($"event_type")))
+    val dts = $"dt".cast("double") / lit(1000000.0)
+    val areaQ = round(
+      abs(($"ax" - $"cx") * ($"v" - $"ay") - ($"ax" - dts) * ($"cy" - $"ay"))
+        .cast("decimal(28,6)"), 6).cast("double")
+    val key1 = when($"b" === 0L, dts)
+      .when($"b" === $"maxb", -dts)
+      .otherwise(-coalesce(areaQ, lit(0.0)))
+    val pick = Window.partitionBy($"event_type", $"b")
+      .orderBy(key1.asc, $"t".asc, $"id".asc)
+    pb.join(broadcast(anchors), Seq("event_type", "b"))
+      .withColumn("rn", row_number().over(pick))
+      .filter($"rn" === 1)
+      .select($"event_type", $"b".as("bucket"), $"n_pts",
+        $"t".as("sel_t_us"), $"v".as("sel_value"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val lttbDownsampleOracle: String =
+    s"""WITH pts AS (
+      |  SELECT event_type, epoch_us(ts) AS t, value AS v, event_id AS id
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |rng AS (SELECT event_type, min(t) AS mn, max(t) AS mx FROM pts GROUP BY 1),
+      |pb AS (
+      |  SELECT p.event_type, ((p.t - r.mn) * $LttbBuckets) // (r.mx - r.mn + 1) AS b,
+      |         p.t - r.mn AS dt, p.t, p.v, p.id
+      |  FROM pts p JOIN rng r USING (event_type)),
+      |avgs AS (
+      |  SELECT event_type, b, CAST(count(*) AS BIGINT) AS n_pts,
+      |         CAST(sum(dt) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS at,
+      |         CAST(sum(CAST(v AS DECIMAL(28,8))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS av
+      |  FROM pb GROUP BY 1, 2),
+      |anch AS (
+      |  SELECT event_type, b, n_pts,
+      |         lag(at) OVER w AS ax, lag(av) OVER w AS ay,
+      |         lead(at) OVER w AS cx, lead(av) OVER w AS cy,
+      |         max(b) OVER (PARTITION BY event_type) AS maxb
+      |  FROM avgs WINDOW w AS (PARTITION BY event_type ORDER BY b)),
+      |scored AS (
+      |  SELECT p.event_type, p.b, a.n_pts, p.t, p.v, p.id,
+      |         CASE WHEN p.b = 0 THEN p.dt / 1000000.0
+      |              WHEN p.b = a.maxb THEN -(p.dt / 1000000.0)
+      |              ELSE -coalesce(CAST(round(CAST(abs(
+      |                       (a.ax - a.cx) * (p.v - a.ay)
+      |                       - (a.ax - p.dt / 1000000.0) * (a.cy - a.ay))
+      |                     AS DECIMAL(28,6)), 6) AS DOUBLE), 0.0)
+      |         END AS key1
+      |  FROM pb p JOIN anch a USING (event_type, b)),
+      |sel AS (
+      |  SELECT event_type, b, n_pts, t, v,
+      |         row_number() OVER (PARTITION BY event_type, b
+      |                            ORDER BY key1 ASC, t ASC, id ASC) AS rn
+      |  FROM scored)
+      |SELECT event_type, b AS bucket, n_pts, t AS sel_t_us, v AS sel_value
+      |FROM sel WHERE rn = 1
+      |ORDER BY event_type, bucket""".stripMargin
+
+  /** M4 downsampling (Jugel et al., VLDB'14): per (series, time bucket)
+    * keep exactly the FOUR points a pixel-perfect line renderer needs —
+    * first, last, min-value, max-value — deduplicated when one point
+    * plays several roles. The companion to [[lttbDownsample]]: M4 is
+    * error-free for line rendering at the bucket-per-pixel width, LTTB
+    * is better-looking at aggressive ratios; a 100 TB store serves both
+    * from the same bucket census.
+    *
+    * Scale shape: ONE shuffle — four row_number rankings over the same
+    * (type, bucket) window partition (Spark plans them in a single
+    * Window node, one sort, no extra exchange), then a distinct on the
+    * kept points. Determinism: every ranking's full tiebreak ends on
+    * (t, event_id); roles dedupe to one row per kept point with a
+    * role bitmask so the oracle hash is order-safe. */
+  def m4Downsample(s: SparkSession, d: String): DataFrame =
+    m4DownsampleOf(Tables.events(s, d), LttbBuckets)
+
+  def m4DownsampleOf(ev: DataFrame, nBuckets: Int): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val pts = ev.filter($"ts".isNotNull && $"value".isNotNull)
+      .select($"event_type", unix_micros($"ts").as("t"), $"value".as("v"),
+        $"event_id".as("id"))
+    val rng = pts.groupBy($"event_type")
+      .agg(min($"t").as("mn"), max($"t").as("mx"))
+    val pb = pts.join(broadcast(rng), Seq("event_type"))
+      .select($"event_type",
+        expr(s"((t - mn) * CAST($nBuckets AS BIGINT)) div (mx - mn + 1)").as("b"),
+        $"t", $"v", $"id")
+    def w(cols: Column*) =
+      Window.partitionBy($"event_type", $"b").orderBy(cols: _*)
+    pb
+      .withColumn("r_first", row_number().over(w($"t".asc, $"id".asc)))
+      .withColumn("r_last", row_number().over(w($"t".desc, $"id".desc)))
+      .withColumn("r_min", row_number().over(w($"v".asc, $"t".asc, $"id".asc)))
+      .withColumn("r_max", row_number().over(w($"v".desc, $"t".desc, $"id".desc)))
+      .filter($"r_first" === 1 || $"r_last" === 1 || $"r_min" === 1 || $"r_max" === 1)
+      .select($"event_type", $"b".as("bucket"), $"t".as("sel_t_us"),
+        $"v".as("sel_value"),
+        (when($"r_first" === 1, 1).otherwise(0)
+          + when($"r_last" === 1, 2).otherwise(0)
+          + when($"r_min" === 1, 4).otherwise(0)
+          + when($"r_max" === 1, 8).otherwise(0)).cast("int").as("roles"))
+      .orderBy($"event_type", $"bucket", $"sel_t_us", $"sel_value", $"roles")
+  }
+
+  val m4DownsampleOracle: String =
+    s"""WITH pts AS (
+      |  SELECT event_type, epoch_us(ts) AS t, value AS v, event_id AS id
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |rng AS (SELECT event_type, min(t) AS mn, max(t) AS mx FROM pts GROUP BY 1),
+      |pb AS (
+      |  SELECT p.event_type, ((p.t - r.mn) * $LttbBuckets) // (r.mx - r.mn + 1) AS b,
+      |         p.t, p.v, p.id
+      |  FROM pts p JOIN rng r USING (event_type)),
+      |ranked AS (
+      |  SELECT event_type, b, t, v,
+      |         row_number() OVER (PARTITION BY event_type, b ORDER BY t ASC, id ASC) AS r_first,
+      |         row_number() OVER (PARTITION BY event_type, b ORDER BY t DESC, id DESC) AS r_last,
+      |         row_number() OVER (PARTITION BY event_type, b ORDER BY v ASC, t ASC, id ASC) AS r_min,
+      |         row_number() OVER (PARTITION BY event_type, b ORDER BY v DESC, t DESC, id DESC) AS r_max
+      |  FROM pb)
+      |SELECT event_type, b AS bucket, t AS sel_t_us, v AS sel_value,
+      |       CAST(CASE WHEN r_first = 1 THEN 1 ELSE 0 END
+      |            + CASE WHEN r_last = 1 THEN 2 ELSE 0 END
+      |            + CASE WHEN r_min = 1 THEN 4 ELSE 0 END
+      |            + CASE WHEN r_max = 1 THEN 8 ELSE 0 END AS INTEGER) AS roles
+      |FROM ranked
+      |WHERE r_first = 1 OR r_last = 1 OR r_min = 1 OR r_max = 1
+      |ORDER BY event_type, bucket, sel_t_us, sel_value, roles""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("ev_lttb_downsample", Some(lttbDownsampleOracle), lttbDownsample),
+    Q("ev_m4_downsample", Some(m4DownsampleOracle), m4Downsample),
     Q("ev_gapfill_interpolate", Some(gapfillInterpolateOracle), gapfillInterpolate),
     Q("ev_ewma_hourly", Some(ewmaHourlyOracle), ewmaHourly),
     Q("ev_cusum_hourly", Some(cusumHourlyOracle), cusumHourly),

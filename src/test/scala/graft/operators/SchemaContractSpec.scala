@@ -8,7 +8,8 @@ import graft.SparkSuite
   * both verdicts live on the real data (the generator plants invalid
   * user ids; the deliberately tight value bound catches the tail).
   */
-class SchemaContractSpec extends SparkSuite {
+class SchemaContractSpec extends SparkSuite
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
   private lazy val rows =
@@ -16,6 +17,15 @@ class SchemaContractSpec extends SparkSuite {
       .map(r => r.getString(0) -> r).toMap
 
   private lazy val ev = graft.Tables.events(spark, Sf).cache()
+
+  // The session is shared across suites: a cached full-width events
+  // relation would otherwise serve OTHER suites' plan asserts from an
+  // InMemoryRelation (no parquet pruning/pushdown nodes) depending on
+  // suite order. Drop the cache entry on the way out.
+  override def afterAll(): Unit = {
+    ev.unpersist(blocking = true)
+    super.afterAll()
+  }
 
   test("per-rule violation counts match independent filter recomputes") {
     val n = ev.count()
