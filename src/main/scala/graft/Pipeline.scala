@@ -97,4 +97,16 @@ object Pipeline {
       toMs: Long): DataFrame =
     graft.streaming.Ingest.servedContractReport(
       spark, contractMonitorDir, fromMs, toMs)
+
+  /** Dashboard-ready latency series per event_type at any minute-aligned
+    * bucket width, served from the maintained M4 extremes cells
+    * ([[graft.streaming.Ingest.upsertM4Rollup]], foreachBatch) — the
+    * charting twin of the batch `ev_m4_downsample`: ≤4 points per bucket
+    * (first/last/min/max, role-bitmasked), bit-exact vs a raw recompute,
+    * for the cost of a cell scan. */
+  def chartSeries(
+      spark: SparkSession,
+      m4RollupDir: String,
+      bucketMinutes: Int): DataFrame =
+    graft.streaming.Ingest.servedM4(spark, m4RollupDir, bucketMinutes)
 }

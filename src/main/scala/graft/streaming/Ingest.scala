@@ -372,6 +372,93 @@ object Ingest {
       .parquet(rollupDir)
   }
 
+  /** The SHAPE-bearing sibling of [[upsertQuantileRollup]], extending the
+    * maintained-view family to "what does the series LOOK like": per
+    * (event_minute, event_type) cell, the four M4 extremes of the latency
+    * series — (value, time) at the min and max, (time, value) at the
+    * first and last — plus the additive count. Unlike the KLL cell
+    * (ranks, no timestamps) this is exactly what a line renderer needs,
+    * and unlike LTTB it decomposes EXACTLY: bucket-min = min of
+    * minute-mins, bucket-first = min of minute-firsts (struct comparison
+    * is lexicographic, so min(struct(t, v)) IS argmin-by-time), all four
+    * merges associative and idempotent-per-point — so [[servedM4]]
+    * answers ANY minute-aligned bucket width — minute → hour → day —
+    * bit-exactly, without re-touching raw events. Cost per batch
+    * O(batch + touched cells); cell state is four (double, long) pairs
+    * ≈ 70 bytes, the cheapest cell in the family. Same batch-id replay
+    * caveat as the counts (a replayed batch cannot corrupt the extremes
+    * — min/max of a reapplied point is a no-op — but inflates `cnt`).
+    * M4RollupSpec proves incremental == one-shot and pins the planted
+    * spike/endpoint semantics. */
+  def upsertM4Rollup(batch: DataFrame, rollupDir: String): Unit = {
+    val s = batch.sparkSession
+    val delta = batch
+      .filter(col("request_latency_ms").isNotNull &&
+        col("event_timestamp").isNotNull)
+      .select(col("event_minute"), col("event_type"),
+        col("request_latency_ms").cast("double").as("v"),
+        unix_micros(col("event_timestamp")).as("t"))
+      .groupBy(col("event_minute"), col("event_type"))
+      .agg(min(struct(col("v"), col("t"))).as("min_s"),
+        max(struct(col("v"), col("t"))).as("max_s"),
+        min(struct(col("t"), col("v"))).as("first_s"),
+        max(struct(col("t"), col("v"))).as("last_s"),
+        count(lit(1)).as("cnt"))
+    val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val existing =
+      if (rollupExists(s, rollupDir))
+        s.read.parquet(rollupDir)
+          .filter(col("event_minute").isin(touched: _*))
+          .localCheckpoint()
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          delta.schema)
+    existing.unionByName(delta)
+      .groupBy(col("event_minute"), col("event_type"))
+      .agg(min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"),
+        min(col("first_s")).as("first_s"), max(col("last_s")).as("last_s"),
+        sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_minute")
+      .parquet(rollupDir)
+  }
+
+  /** Serve an M4-downsampled latency series per event_type at ANY
+    * minute-aligned bucket width from the maintained
+    * [[upsertM4Rollup]] cells — O(minutes × types) cells read, never raw
+    * events. Buckets are absolute wall-clock-aligned
+    * (floor(minute-epoch-seconds / (bucketMinutes·60))), so a refresh
+    * extends the series without re-bucketing history. Output matches the
+    * batch `ev_m4_downsample` role-bitmask shape: ≤4 points per bucket,
+    * roles 1=first 2=last 4=min 8=max OR-ed when one point plays several
+    * roles; points deduplicate on (t, value) — two distinct raw events
+    * tied on both are indistinguishable to a renderer. */
+  def servedM4(s: SparkSession, rollupDir: String, bucketMinutes: Int): DataFrame = {
+    val g = s.read.parquet(rollupDir)
+      .groupBy(col("event_type"),
+        expr(s"unix_timestamp(event_minute) div ${bucketMinutes * 60L}").as("bucket"))
+      .agg(min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"),
+        min(col("first_s")).as("first_s"), max(col("last_s")).as("last_s"),
+        sum(col("cnt")).as("cnt"))
+    g.select(col("event_type"), col("bucket"), col("cnt"),
+        explode(array(
+          struct(col("first_s.t").as("t"), col("first_s.v").as("v"),
+            lit(1).as("role")),
+          struct(col("last_s.t").as("t"), col("last_s.v").as("v"),
+            lit(2).as("role")),
+          struct(col("min_s.t").as("t"), col("min_s.v").as("v"),
+            lit(4).as("role")),
+          struct(col("max_s.t").as("t"), col("max_s.v").as("v"),
+            lit(8).as("role")))).as("p"))
+      .groupBy(col("event_type"), col("bucket"), col("cnt"),
+        col("p.t").as("sel_t_us"), col("p.v").as("sel_value"))
+      .agg(sum(col("p.role")).cast("int").as("roles"))
+      .orderBy(col("event_type"), col("bucket"), col("sel_t_us"),
+        col("sel_value"), col("roles"))
+  }
+
   /** The INTEGRITY-bearing sibling of [[upsertHeavyHitterRollup]],
     * extending the maintained-view family from "what does the data say"
     * (HLL: distinct, KLL: percentile, MG: dominance) to "is the data

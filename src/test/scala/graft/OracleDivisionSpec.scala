@@ -96,7 +96,9 @@ class OracleDivisionSpec extends AnyFunSuite {
     "(N * CAST(c AS BIGINT))",              // kmeans purity: group count
     "(N * s.ssum)",                         // seasonal mean: sum of hourly counts
     "(N * sum(abs(cum_c * t.n_tot - cum_g * n_class)))", // t-closeness EMD: abs-sum
+    "((p.t - r.mn) * N)",                   // lttb/m4 bucketing: t >= per-series min by construction of rng
     "(max(c) * N + sum(c) - N)",            // salt plan ceil-div: c = group counts >= 1, P = 32, so max*P + sum - 1 >= 32
+    "(max_key_out * N + out_rows - N)",     // join plan ceil-div: both are sums/maxes of count products >= 0, and the branch guards out_rows > 0, so numerator >= 0*32 + 1 - 1 = 0
     "(max(n) + N)",                         // mm_audio_resample: sample count
     "(sum(CAST(round(l_extendedprice * N) AS BIGINT) * CAST(round((N.N - l_discount) * N) AS BIGINT)) + N)", // q7 revenue: price >= 0, discount <= 1
     "/ (N * n.ns) ELSE N END + (N * COALESCE(cN.contrib, N))", // PPR rank mass: nonneg
