@@ -888,6 +888,82 @@ object Audit {
       .withColumn("needs_salt", $"recommended_salt_factor" > 1L)
   }
 
+  /** Sketch readout of [[joinPlanFor]] — the same advisor decision from
+    * ONE shuffle-free pass per side with O(k) state, for the regime where
+    * even the exact census is too expensive: the census's full-outer join
+    * shuffles every DISTINCT key, which on a 100 TB fact with billions of
+    * keys is itself a major job, while this probe is a single 1-row
+    * aggregate per side (exact count + HLL++ NDV + a Misra–Gries summary
+    * of the key column — all map-side combinable, nothing exchanged but
+    * k counters per task). The natural serving mode: if the ingest
+    * already maintains MG cells ([[graft.streaming.Ingest.upsertHeavyHitterRollup]]),
+    * the advisor is free — merge the cells instead of re-scanning.
+    *
+    * What survives the sketch, by theorem (Misra–Gries: for every key,
+    * est ≤ true ≤ est + n/(k+1); any key with true > n/(k+1) is tracked):
+    *  - `maxKeyOutLo ≤ true max_key_out ≤ maxKeyOutHi` — products of
+    *    per-side underestimates, resp. of (est + err) with the
+    *    untracked-key ceiling errL·errR folded in;
+    *  - `outRowsLo ≤ true out_rows` — the tracked-pair product sum;
+    *  - the broadcast decision is EXACT (row counts are exact);
+    *  - a hot key whose per-side counts clear the n/(k+1) noise floor is
+    *    guaranteed visible — the salt flag cannot miss a straggler that
+    *    matters at k=256 unless its count is below n/257 ≈ 0.4% of the
+    *    side, which by definition is not a straggler.
+    * `outRowsEst` adds a uniform residual (rest-mass / max residual NDV)
+    * on top of outRowsLo — an estimate, not a bound; bounds and estimate
+    * are kept in separate fields so a consumer can choose its risk.
+    * JoinPlanSketchSpec sandwiches every bound against exact recomputes
+    * on planted skewed/uniform fixtures and real data. */
+  final case class JoinPlanSketch(
+      nLeft: Long, nRight: Long, ndvLeft: Long, ndvRight: Long,
+      outRowsLo: Long, outRowsEst: Long,
+      maxKeyOutLo: Long, maxKeyOutHi: Long,
+      strategy: String, needsSalt: Boolean, saltFactor: Long)
+
+  def joinPlanSketchFor(left: DataFrame, right: DataFrame,
+      parallelism: Int = 32, broadcastRows: Long = 10000L,
+      k: Int = 256): JoinPlanSketch = {
+    import org.apache.spark.sql.Encoders
+    import graft.functions.MisraGries
+    def probe(df: DataFrame): (Long, Long, MisraGries.SummaryS) = {
+      val mgAgg = org.apache.spark.sql.functions.udaf(
+        new MisraGries.MgFromStrings(k), Encoders.STRING)
+      val r = df.filter(col("key").isNotNull)
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(col("key")).as("ndv"),
+          mgAgg(col("key").cast("string")).as("mg"))
+        .collect().head
+      (r.getLong(0), r.getLong(1),
+        MisraGries.deserializeS(r.getAs[Array[Byte]](2)))
+    }
+    val (nL, ndvL, sL) = probe(left)
+    val (nR, ndvR, sR) = probe(right)
+    val (errL, errR) = (sL.errorBound, sR.errorBound)
+    val keys = (sL.entries.map(_._1) ++ sR.entries.map(_._1)).distinct
+    val prodLo = keys.map(x => sL.estimate(x) * sR.estimate(x))
+    val maxLo = if (prodLo.isEmpty) 0L else prodLo.max
+    val maxHi = math.max(
+      if (keys.isEmpty) 0L
+      else keys.map(x => (sL.estimate(x) + errL) * (sR.estimate(x) + errR)).max,
+      errL * errR)
+    val outLo = prodLo.sum
+    val restL = math.max(nL - sL.entries.map(_._2).sum, 0L)
+    val restR = math.max(nR - sR.entries.map(_._2).sum, 0L)
+    val ndvRest = math.max(math.max(ndvL - sL.size, ndvR - sR.size), 1L)
+    val outEst = outLo + (BigInt(restL) * BigInt(restR) / BigInt(ndvRest)).toLong
+    val strategy =
+      if (nR <= broadcastRows) "broadcast_right"
+      else if (nL <= broadcastRows) "broadcast_left"
+      else "shuffle"
+    val rawF =
+      if (outEst > 0) (maxLo * parallelism + outEst - 1) / outEst else 1L
+    val f = if (strategy == "shuffle")
+      math.min(math.max(rawF, 1L), parallelism.toLong) else 1L
+    JoinPlanSketch(nL, nR, ndvL, ndvR, outLo, outEst, maxLo, maxHi,
+      strategy, strategy == "shuffle" && f > 1L, f)
+  }
+
   /** The monitored candidate joins: three warehouse FK joins plus the
     * behavioral view⋈purchase self-join on user — the one census where a
     * hot user turns a harmless-looking equi-join many-to-many. */

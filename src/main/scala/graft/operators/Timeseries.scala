@@ -609,12 +609,18 @@ object Timeseries {
     * is better-looking at aggressive ratios; a 100 TB store serves both
     * from the same bucket census.
     *
-    * Scale shape: ONE shuffle — four row_number rankings over the same
-    * (type, bucket) window partition (Spark plans them in a single
-    * Window node, one sort, no extra exchange), then a distinct on the
-    * kept points. Determinism: every ranking's full tiebreak ends on
-    * (t, event_id); roles dedupe to one row per kept point with a
-    * role bitmask so the oracle hash is order-safe. */
+    * Scale shape: M4 decomposes — first/last/min/max are all struct
+    * min/max (lexicographic), so the whole decimation is ONE map-side-
+    * combinable aggregate per (type, bucket): no window, no sort, no
+    * state beyond 4 structs × buckets per task. Same cell shape as
+    * [[graft.streaming.Ingest.upsertM4Rollup]] — the batch and
+    * streaming paths share their physics. (A first cut used four
+    * row_number windows whose differing sort orders plan as four sorts:
+    * 63 s at 100M points vs the aggregate's census-bound cost —
+    * SCALE_NOTES Leg 26 has both.) Determinism: struct comparison
+    * breaks value ties by time; two raw events tied on BOTH (t, v) are
+    * indistinguishable in the output and their roles merge into one
+    * row's bitmask — so the oracle hash is order-safe. */
   def m4Downsample(s: SparkSession, d: String): DataFrame =
     m4DownsampleOf(Tables.events(s, d), LttbBuckets)
 
@@ -622,54 +628,54 @@ object Timeseries {
     val s = ev.sparkSession
     import s.implicits._
     val pts = ev.filter($"ts".isNotNull && $"value".isNotNull)
-      .select($"event_type", unix_micros($"ts").as("t"), $"value".as("v"),
-        $"event_id".as("id"))
+      .select($"event_type", unix_micros($"ts").as("t"), $"value".as("v"))
     val rng = pts.groupBy($"event_type")
       .agg(min($"t").as("mn"), max($"t").as("mx"))
     val pb = pts.join(broadcast(rng), Seq("event_type"))
       .select($"event_type",
         expr(s"((t - mn) * CAST($nBuckets AS BIGINT)) div (mx - mn + 1)").as("b"),
-        $"t", $"v", $"id")
-    def w(cols: Column*) =
-      Window.partitionBy($"event_type", $"b").orderBy(cols: _*)
-    pb
-      .withColumn("r_first", row_number().over(w($"t".asc, $"id".asc)))
-      .withColumn("r_last", row_number().over(w($"t".desc, $"id".desc)))
-      .withColumn("r_min", row_number().over(w($"v".asc, $"t".asc, $"id".asc)))
-      .withColumn("r_max", row_number().over(w($"v".desc, $"t".desc, $"id".desc)))
-      .filter($"r_first" === 1 || $"r_last" === 1 || $"r_min" === 1 || $"r_max" === 1)
-      .select($"event_type", $"b".as("bucket"), $"t".as("sel_t_us"),
-        $"v".as("sel_value"),
-        (when($"r_first" === 1, 1).otherwise(0)
-          + when($"r_last" === 1, 2).otherwise(0)
-          + when($"r_min" === 1, 4).otherwise(0)
-          + when($"r_max" === 1, 8).otherwise(0)).cast("int").as("roles"))
+        $"t", $"v")
+    pb.groupBy($"event_type", $"b")
+      .agg(min(struct($"t", $"v")).as("first_s"),
+        max(struct($"t", $"v")).as("last_s"),
+        min(struct($"v", $"t")).as("min_s"),
+        max(struct($"v", $"t")).as("max_s"))
+      .select($"event_type", $"b",
+        explode(array(
+          struct($"first_s.t".as("t"), $"first_s.v".as("v"), lit(1).as("role")),
+          struct($"last_s.t".as("t"), $"last_s.v".as("v"), lit(2).as("role")),
+          struct($"min_s.t".as("t"), $"min_s.v".as("v"), lit(4).as("role")),
+          struct($"max_s.t".as("t"), $"max_s.v".as("v"), lit(8).as("role")))).as("p"))
+      .groupBy($"event_type", $"b".as("bucket"),
+        $"p.t".as("sel_t_us"), $"p.v".as("sel_value"))
+      .agg(sum($"p.role").cast("int").as("roles"))
       .orderBy($"event_type", $"bucket", $"sel_t_us", $"sel_value", $"roles")
   }
 
   val m4DownsampleOracle: String =
     s"""WITH pts AS (
-      |  SELECT event_type, epoch_us(ts) AS t, value AS v, event_id AS id
+      |  SELECT event_type, epoch_us(ts) AS t, value AS v
       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
       |rng AS (SELECT event_type, min(t) AS mn, max(t) AS mx FROM pts GROUP BY 1),
       |pb AS (
       |  SELECT p.event_type, ((p.t - r.mn) * $LttbBuckets) // (r.mx - r.mn + 1) AS b,
-      |         p.t, p.v, p.id
+      |         p.t, p.v
       |  FROM pts p JOIN rng r USING (event_type)),
-      |ranked AS (
-      |  SELECT event_type, b, t, v,
-      |         row_number() OVER (PARTITION BY event_type, b ORDER BY t ASC, id ASC) AS r_first,
-      |         row_number() OVER (PARTITION BY event_type, b ORDER BY t DESC, id DESC) AS r_last,
-      |         row_number() OVER (PARTITION BY event_type, b ORDER BY v ASC, t ASC, id ASC) AS r_min,
-      |         row_number() OVER (PARTITION BY event_type, b ORDER BY v DESC, t DESC, id DESC) AS r_max
-      |  FROM pb)
+      |m AS (
+      |  SELECT event_type, b,
+      |         min(struct_pack(t := t, v := v)) AS first_s,
+      |         max(struct_pack(t := t, v := v)) AS last_s,
+      |         min(struct_pack(v := v, t := t)) AS min_s,
+      |         max(struct_pack(v := v, t := t)) AS max_s
+      |  FROM pb GROUP BY 1, 2),
+      |pts4 AS (
+      |  SELECT event_type, b, (first_s).t AS t, (first_s).v AS v, 1 AS role FROM m
+      |  UNION ALL SELECT event_type, b, (last_s).t, (last_s).v, 2 FROM m
+      |  UNION ALL SELECT event_type, b, (min_s).t, (min_s).v, 4 FROM m
+      |  UNION ALL SELECT event_type, b, (max_s).t, (max_s).v, 8 FROM m)
       |SELECT event_type, b AS bucket, t AS sel_t_us, v AS sel_value,
-      |       CAST(CASE WHEN r_first = 1 THEN 1 ELSE 0 END
-      |            + CASE WHEN r_last = 1 THEN 2 ELSE 0 END
-      |            + CASE WHEN r_min = 1 THEN 4 ELSE 0 END
-      |            + CASE WHEN r_max = 1 THEN 8 ELSE 0 END AS INTEGER) AS roles
-      |FROM ranked
-      |WHERE r_first = 1 OR r_last = 1 OR r_min = 1 OR r_max = 1
+      |       CAST(sum(role) AS INTEGER) AS roles
+      |FROM pts4 GROUP BY 1, 2, 3, 4
       |ORDER BY event_type, bucket, sel_t_us, sel_value, roles""".stripMargin
 
   val defs: Seq[Q] = Seq(
