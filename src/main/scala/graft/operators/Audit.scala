@@ -855,7 +855,14 @@ object Audit {
     *  - `amplification` = out_rows / max(left_rows, right_rows) — the
     *    many-to-many blowup detector (≤1 for FK→PK joins; ≫1 means the
     *    join output dwarfs its inputs and needs rethinking, not salt).
-    */
+    *
+    * Overflow posture: the census products are exact int64. A key pair
+    * whose product exceeds int64 (out_rows > 9.2×10^18 — three orders
+    * beyond any executable join output) fails LOUDLY on both engines
+    * rather than wrapping: Spark runs ANSI (overflow throws), DuckDB
+    * widens to HUGEINT and throws on the BIGINT cast. If a census ever
+    * dies here, the advisor has answered the question — do not run that
+    * join. */
   def joinPlanFor(left: DataFrame, right: DataFrame, name: String,
       parallelism: Int = 32, broadcastRows: Long = 10000L): DataFrame = {
     val s = left.sparkSession
@@ -956,8 +963,15 @@ object Audit {
       if (nR <= broadcastRows) "broadcast_right"
       else if (nL <= broadcastRows) "broadcast_left"
       else "shuffle"
+    // Salt decision divides the hot key's LOWER bound by outRowsLo — a
+    // sound lower bound on the denominator too (maxLo <= outLo by
+    // construction). Using outRowsEst here would let the uniform
+    // residual INFLATE the denominator and silently un-flag a true
+    // straggler whose share of the real output is dominant; with the
+    // lower bound the flag can over-page (factor is an upper-ish
+    // estimate) but cannot miss a tracked straggler.
     val rawF =
-      if (outEst > 0) (maxLo * parallelism + outEst - 1) / outEst else 1L
+      if (outLo > 0) (maxLo * parallelism + outLo - 1) / outLo else 1L
     val f = if (strategy == "shuffle")
       math.min(math.max(rawF, 1L), parallelism.toLong) else 1L
     JoinPlanSketch(nL, nR, ndvL, ndvR, outLo, outEst, maxLo, maxHi,

@@ -730,16 +730,19 @@ object Relational {
     val adv = Audit.joinPlanFor(
       left.select(col(key).as("key")), right.select(col(key).as("key")),
       "plan_aware", parallelism, broadcastRows).collect().head
-    val outCols = col(key) +:
-      (left.columns.filter(_ != key).map(left(_)) ++
-        right.columns.filter(_ != key).map(right(_)))
+    // Output shaping relies ONLY on the usingColumns join's column order
+    // (key, left-others, right-others) — never on post-join left(_)/
+    // right(_) attribute references, which share expression ids when
+    // both inputs derive from the same DataFrame (the filtered SELF-join
+    // is the advisor's own motivating hot-hub shape) and would either
+    // throw failAmbiguousSelfJoin or silently resolve to the left copy.
     adv.getAs[String]("strategy") match {
       case "broadcast_right" =>
-        left.join(broadcast(right), Seq(key)).select(outCols: _*)
+        left.join(broadcast(right), Seq(key))
       case "broadcast_left" =>
-        broadcast(left).join(right, Seq(key)).select(outCols: _*)
+        broadcast(left).join(right, Seq(key))
       case _ if !adv.getAs[Boolean]("needs_salt") =>
-        left.join(right.hint("shuffle_hash"), Seq(key)).select(outCols: _*)
+        left.join(right.hint("shuffle_hash"), Seq(key))
       case _ =>
         val f = adv.getAs[Long]("recommended_salt_factor")
         val leftIsBig = adv.getAs[Long]("left_rows") >= adv.getAs[Long]("right_rows")
@@ -754,7 +757,7 @@ object Relational {
           else
             replicated(left).join(salted(right).hint("shuffle_hash"),
               Seq(key, "__salt"))
-        j.select(outCols: _*)
+        j.drop("__salt")
     }
   }
 

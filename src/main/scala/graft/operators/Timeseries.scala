@@ -518,9 +518,14 @@ object Timeseries {
   def lttbDownsample(s: SparkSession, d: String): DataFrame =
     lttbDownsampleOf(Tables.events(s, d), LttbBuckets)
 
-  /** The downsampler over any (event_type, ts, value, event_id) relation —
-    * spec entry point. */
-  def lttbDownsampleOf(ev: DataFrame, nBuckets: Int): DataFrame = {
+  /** Shared decimation front end for LTTB and M4: null-filtered
+    * (event_type, b, dt, t, v, id) points with the exact-int64 bucket
+    * index over each series' own [mn, mx] µs span — the two decimators
+    * must bucket IDENTICALLY or their oracles drift, so the formula
+    * lives once. Columns a caller's aggregates never reference (M4 uses
+    * neither dt nor id) are pruned by Catalyst, so sharing costs
+    * nothing. */
+  private def bucketedPoints(ev: DataFrame, nBuckets: Int): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
     val pts = ev.filter($"ts".isNotNull && $"value".isNotNull)
@@ -528,10 +533,18 @@ object Timeseries {
         $"event_id".as("id"))
     val rng = pts.groupBy($"event_type")
       .agg(min($"t").as("mn"), max($"t").as("mx"))
-    val pb = pts.join(broadcast(rng), Seq("event_type"))
+    pts.join(broadcast(rng), Seq("event_type"))
       .select($"event_type",
         expr(s"((t - mn) * CAST($nBuckets AS BIGINT)) div (mx - mn + 1)").as("b"),
         ($"t" - $"mn").as("dt"), $"t", $"v", $"id")
+  }
+
+  /** The downsampler over any (event_type, ts, value, event_id) relation —
+    * spec entry point. */
+  def lttbDownsampleOf(ev: DataFrame, nBuckets: Int): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val pb = bucketedPoints(ev, nBuckets)
     val avgs = pb.groupBy($"event_type", $"b")
       .agg(count(lit(1)).as("n_pts"), sum($"dt").as("sdt"),
         sum($"v".cast("decimal(28,8)")).as("sv"))
@@ -624,28 +637,27 @@ object Timeseries {
   def m4Downsample(s: SparkSession, d: String): DataFrame =
     m4DownsampleOf(Tables.events(s, d), LttbBuckets)
 
+  /** The ≤4-point role explode shared by the batch decimator and the
+    * served rollup ([[graft.streaming.Ingest.servedM4]]): turns the four
+    * extreme structs (first_s/last_s as (t, v); min_s/max_s as (v, t))
+    * into (t, v, role-bit) points — one definition so the two serving
+    * paths' bitmask shapes cannot drift. */
+  private[graft] def m4RolesExploded: Column = explode(array(
+    struct(col("first_s.t").as("t"), col("first_s.v").as("v"), lit(1).as("role")),
+    struct(col("last_s.t").as("t"), col("last_s.v").as("v"), lit(2).as("role")),
+    struct(col("min_s.t").as("t"), col("min_s.v").as("v"), lit(4).as("role")),
+    struct(col("max_s.t").as("t"), col("max_s.v").as("v"), lit(8).as("role"))))
+
   def m4DownsampleOf(ev: DataFrame, nBuckets: Int): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
-    val pts = ev.filter($"ts".isNotNull && $"value".isNotNull)
-      .select($"event_type", unix_micros($"ts").as("t"), $"value".as("v"))
-    val rng = pts.groupBy($"event_type")
-      .agg(min($"t").as("mn"), max($"t").as("mx"))
-    val pb = pts.join(broadcast(rng), Seq("event_type"))
-      .select($"event_type",
-        expr(s"((t - mn) * CAST($nBuckets AS BIGINT)) div (mx - mn + 1)").as("b"),
-        $"t", $"v")
+    val pb = bucketedPoints(ev, nBuckets)
     pb.groupBy($"event_type", $"b")
       .agg(min(struct($"t", $"v")).as("first_s"),
         max(struct($"t", $"v")).as("last_s"),
         min(struct($"v", $"t")).as("min_s"),
         max(struct($"v", $"t")).as("max_s"))
-      .select($"event_type", $"b",
-        explode(array(
-          struct($"first_s.t".as("t"), $"first_s.v".as("v"), lit(1).as("role")),
-          struct($"last_s.t".as("t"), $"last_s.v".as("v"), lit(2).as("role")),
-          struct($"min_s.t".as("t"), $"min_s.v".as("v"), lit(4).as("role")),
-          struct($"max_s.t".as("t"), $"max_s.v".as("v"), lit(8).as("role")))).as("p"))
+      .select($"event_type", $"b", m4RolesExploded.as("p"))
       .groupBy($"event_type", $"b".as("bucket"),
         $"p.t".as("sel_t_us"), $"p.v".as("sel_value"))
       .agg(sum($"p.role").cast("int").as("roles"))

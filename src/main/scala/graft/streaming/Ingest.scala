@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -188,19 +188,29 @@ object Ingest {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  def upsertRollup(batch: DataFrame, rollupDir: String): Unit = {
-    val s = batch.sparkSession
-    val delta = batch
-      .groupBy(col("event_minute"), col("event_type"), col("status"))
-      .agg(count(lit(1)).as("cnt"))
+  /** The merge-upsert skeleton every maintained minute-cell view shares
+    * (counts, HLL, KLL, Misra–Gries, contract, M4): take the batch's
+    * already-aggregated `delta` cells, read the CURRENT rollup rows of
+    * only the touched minute-partitions, re-aggregate the union with the
+    * view's merge functions, and rewrite exactly those partitions
+    * (dynamic partition overwrite). Cost per batch O(batch + touched
+    * cells), never O(rollup); the driver holds only the distinct touched
+    * minutes (bounded by batch time-span).
+    *
+    * The localCheckpoint on the existing slice is load-bearing: it
+    * materializes the rows BEFORE the write — Spark (rightly) refuses a
+    * plan that overwrites a path it is still reading — and the slice is
+    * small (touched minutes × cell keys). `mergeAggs` must be the view's
+    * ASSOCIATIVE merge of `delta`'s own cell schema (same column names),
+    * or incremental and one-shot builds diverge — every view's spec
+    * proves that equality. */
+  private def mergeMinuteRollup(delta: DataFrame, rollupDir: String,
+      groupCols: Seq[String], mergeAggs: Seq[Column]): Unit = {
+    val s = delta.sparkSession
     val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
     if (touched.isEmpty) return
     val existing =
       if (rollupExists(s, rollupDir))
-        // localCheckpoint: materialize the touched slice BEFORE the write —
-        // Spark (rightly) refuses a plan that overwrites a path it is
-        // still reading; the checkpoint cuts the plan's tie to the path,
-        // and the slice is small (touched minutes × type × status)
         s.read.parquet(rollupDir)
           .filter(col("event_minute").isin(touched: _*))
           .localCheckpoint()
@@ -208,12 +218,21 @@ object Ingest {
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           delta.schema)
     existing.unionByName(delta)
-      .groupBy(col("event_minute"), col("event_type"), col("status"))
-      .agg(sum(col("cnt")).as("cnt"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_minute")
       .parquet(rollupDir)
+  }
+
+  def upsertRollup(batch: DataFrame, rollupDir: String): Unit = {
+    val delta = batch
+      .groupBy(col("event_minute"), col("event_type"), col("status"))
+      .agg(count(lit(1)).as("cnt"))
+    mergeMinuteRollup(delta, rollupDir,
+      Seq("event_minute", "event_type", "status"),
+      Seq(sum(col("cnt")).as("cnt")))
   }
 
   /** [[upsertRollup]]'s sketch-bearing sibling: each minute cell carries a
@@ -227,29 +246,13 @@ object Ingest {
     * caveat applies); cost per batch stays O(batch + touched cells),
     * state per cell a few KB regardless of user cardinality. */
   def upsertSketchRollup(batch: DataFrame, rollupDir: String): Unit = {
-    val s = batch.sparkSession
     val delta = batch
       .groupBy(col("event_minute"), col("event_type"))
       .agg(hll_sketch_agg(col("user_id")).as("user_sketch"),
         count(lit(1)).as("cnt"))
-    val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
-    if (touched.isEmpty) return
-    val existing =
-      if (rollupExists(s, rollupDir))
-        s.read.parquet(rollupDir)
-          .filter(col("event_minute").isin(touched: _*))
-          .localCheckpoint()
-      else
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          delta.schema)
-    existing.unionByName(delta)
-      .groupBy(col("event_minute"), col("event_type"))
-      .agg(hll_union_agg(col("user_sketch")).as("user_sketch"),
-        sum(col("cnt")).as("cnt"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("event_minute")
-      .parquet(rollupDir)
+    mergeMinuteRollup(delta, rollupDir, Seq("event_minute", "event_type"),
+      Seq(hll_union_agg(col("user_sketch")).as("user_sketch"),
+        sum(col("cnt")).as("cnt")))
   }
 
   /** The QUANTILE-bearing sibling of [[upsertSketchRollup]]: each minute
@@ -269,7 +272,6 @@ object Ingest {
     * QuantileRollupSpec asserts the served quantiles stay within the
     * sketch's rank bound vs exact at every grain, incrementally built. */
   def upsertQuantileRollup(batch: DataFrame, rollupDir: String): Unit = {
-    val s = batch.sparkSession
     val kllVal = org.apache.spark.sql.functions.udaf(
       new graft.functions.KllSketch.KllFromValues(),
       org.apache.spark.sql.Encoders.scalaDouble)
@@ -281,24 +283,9 @@ object Ingest {
       .groupBy(col("event_minute"), col("event_type"))
       .agg(kllVal(col("request_latency_ms").cast("double")).as("latency_kll"),
         count(lit(1)).as("cnt"))
-    val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
-    if (touched.isEmpty) return
-    val existing =
-      if (rollupExists(s, rollupDir))
-        s.read.parquet(rollupDir)
-          .filter(col("event_minute").isin(touched: _*))
-          .localCheckpoint()
-      else
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          delta.schema)
-    existing.unionByName(delta)
-      .groupBy(col("event_minute"), col("event_type"))
-      .agg(kllMerge(col("latency_kll")).as("latency_kll"),
-        sum(col("cnt")).as("cnt"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("event_minute")
-      .parquet(rollupDir)
+    mergeMinuteRollup(delta, rollupDir, Seq("event_minute", "event_type"),
+      Seq(kllMerge(col("latency_kll")).as("latency_kll"),
+        sum(col("cnt")).as("cnt")))
   }
 
   /** Hour-coverage audit served from the maintained COUNT rollup
@@ -340,7 +327,6 @@ object Ingest {
     * exact per-user counts, incrementally built. */
   def upsertHeavyHitterRollup(batch: DataFrame, rollupDir: String,
       k: Int = graft.functions.MisraGries.DefaultK): Unit = {
-    val s = batch.sparkSession
     val mgVal = org.apache.spark.sql.functions.udaf(
       new graft.functions.MisraGries.MgFromStrings(k),
       org.apache.spark.sql.Encoders.STRING)
@@ -352,24 +338,9 @@ object Ingest {
       .groupBy(col("event_minute"))
       .agg(mgVal(col("user_id")).as("users_mg"),
         count(lit(1)).as("cnt"))
-    val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
-    if (touched.isEmpty) return
-    val existing =
-      if (rollupExists(s, rollupDir))
-        s.read.parquet(rollupDir)
-          .filter(col("event_minute").isin(touched: _*))
-          .localCheckpoint()
-      else
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          delta.schema)
-    existing.unionByName(delta)
-      .groupBy(col("event_minute"))
-      .agg(mgMerge(col("users_mg")).as("users_mg"),
-        sum(col("cnt")).as("cnt"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("event_minute")
-      .parquet(rollupDir)
+    mergeMinuteRollup(delta, rollupDir, Seq("event_minute"),
+      Seq(mgMerge(col("users_mg")).as("users_mg"),
+        sum(col("cnt")).as("cnt")))
   }
 
   /** The SHAPE-bearing sibling of [[upsertQuantileRollup]], extending the
@@ -391,7 +362,6 @@ object Ingest {
     * M4RollupSpec proves incremental == one-shot and pins the planted
     * spike/endpoint semantics. */
   def upsertM4Rollup(batch: DataFrame, rollupDir: String): Unit = {
-    val s = batch.sparkSession
     val delta = batch
       .filter(col("request_latency_ms").isNotNull &&
         col("event_timestamp").isNotNull)
@@ -404,25 +374,10 @@ object Ingest {
         min(struct(col("t"), col("v"))).as("first_s"),
         max(struct(col("t"), col("v"))).as("last_s"),
         count(lit(1)).as("cnt"))
-    val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
-    if (touched.isEmpty) return
-    val existing =
-      if (rollupExists(s, rollupDir))
-        s.read.parquet(rollupDir)
-          .filter(col("event_minute").isin(touched: _*))
-          .localCheckpoint()
-      else
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          delta.schema)
-    existing.unionByName(delta)
-      .groupBy(col("event_minute"), col("event_type"))
-      .agg(min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"),
+    mergeMinuteRollup(delta, rollupDir, Seq("event_minute", "event_type"),
+      Seq(min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"),
         min(col("first_s")).as("first_s"), max(col("last_s")).as("last_s"),
-        sum(col("cnt")).as("cnt"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("event_minute")
-      .parquet(rollupDir)
+        sum(col("cnt")).as("cnt")))
   }
 
   /** Serve an M4-downsampled latency series per event_type at ANY
@@ -443,15 +398,7 @@ object Ingest {
         min(col("first_s")).as("first_s"), max(col("last_s")).as("last_s"),
         sum(col("cnt")).as("cnt"))
     g.select(col("event_type"), col("bucket"), col("cnt"),
-        explode(array(
-          struct(col("first_s.t").as("t"), col("first_s.v").as("v"),
-            lit(1).as("role")),
-          struct(col("last_s.t").as("t"), col("last_s.v").as("v"),
-            lit(2).as("role")),
-          struct(col("min_s.t").as("t"), col("min_s.v").as("v"),
-            lit(4).as("role")),
-          struct(col("max_s.t").as("t"), col("max_s.v").as("v"),
-            lit(8).as("role")))).as("p"))
+        graft.operators.Timeseries.m4RolesExploded.as("p"))
       .groupBy(col("event_type"), col("bucket"), col("cnt"),
         col("p.t").as("sel_t_us"), col("p.v").as("sel_value"))
       .agg(sum(col("p.role")).cast("int").as("roles"))
@@ -640,7 +587,6 @@ object Ingest {
     * AFTER aggregation; merge touches only the minutes present in the
     * batch (dynamic partition overwrite, same as every rollup here). */
   def upsertContractMonitor(batch: DataFrame, monitorDir: String): Unit = {
-    val s = batch.sparkSession
     val sums = ContractRules.zipWithIndex.map { case ((_, pred), i) =>
       sum(when(pred, 1L).otherwise(0L)).as(s"v$i")
     }
@@ -653,24 +599,9 @@ object Ingest {
       .selectExpr("event_minute", "checked", stackArgs)
       .select(col("event_minute"), col("rule"), col("violations"), col("checked"))
       .localCheckpoint()
-    val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
-    if (touched.isEmpty) return
-    val existing =
-      if (rollupExists(s, monitorDir))
-        s.read.parquet(monitorDir)
-          .filter(col("event_minute").isin(touched: _*))
-          .localCheckpoint()
-      else
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          delta.schema)
-    existing.unionByName(delta)
-      .groupBy(col("event_minute"), col("rule"))
-      .agg(sum(col("violations")).as("violations"),
-        sum(col("checked")).as("checked"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("event_minute")
-      .parquet(monitorDir)
+    mergeMinuteRollup(delta, monitorDir, Seq("event_minute", "rule"),
+      Seq(sum(col("violations")).as("violations"),
+        sum(col("checked")).as("checked")))
   }
 
   /** Contract report for a minute window, served ENTIRELY from the

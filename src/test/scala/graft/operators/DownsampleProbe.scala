@@ -23,19 +23,25 @@ import org.apache.spark.sql.functions._
 object DownsampleProbe {
 
   def main(args: Array[String]): Unit = {
-    val n = sys.env.getOrElse("DS_ROWS", "100000000").toLong
+    // normalize to a multiple of 5 so every series has exactly n/5
+    // points and the endpoint asserts hold for any DS_ROWS
+    val n = (sys.env.getOrElse("DS_ROWS", "100000000").toLong / 5) * 5
+    require(n >= 5000, s"DS_ROWS too small to bucket meaningfully: $n")
     val spark = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     import spark.implicits._
 
     val t0us = 1704067200000000L // 2024-01-01 UTC in micros
     val perType = n / 5
+    // interior offset derived from the actual series length so the
+    // spike exists (and sits mid-series) at any DS_ROWS
+    val spikeOff = perType / 2
     // 5 series, 1 point/ms per series; flat-noise values in [0, 100)
     // with one planted spike (v=1e6) per series at a known offset
     def ev = spark.range(n).select(
       concat(lit("s"), ($"id" % 5).cast("string")).as("event_type"),
       timestamp_micros(lit(t0us) + expr("id div 5") * 1000L).as("ts"),
-      when(expr("id div 5") === 777777L, lit(1000000.0))
+      when(expr("id div 5") === spikeOff, lit(1000000.0))
         .otherwise((pmod(xxhash64($"id"), lit(10000L))).cast("double") / 100.0)
         .as("value"),
       $"id".as("event_id"))
@@ -55,7 +61,7 @@ object DownsampleProbe {
 
     // ground truth: the spike survives both decimators in every series;
     // endpoints verbatim
-    val spikeT = t0us + 777777L * 1000L
+    val spikeT = t0us + spikeOff * 1000L
     for ((rows, what) <- Seq(lttb.head._1 -> "lttb", m4.head._1 -> "m4")) {
       val byType = rows.groupBy(_.getString(0))
       assert(byType.keySet == Set("s0", "s1", "s2", "s3", "s4"))

@@ -40,6 +40,17 @@ class PlanAwareJoinSpec extends SparkSuite {
     assert(j.count() == 400L * 3 + 50)
   }
 
+  test("filtered SELF-join (the advisor's motivating shape) executes cleanly") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, Sf)
+    val l = ev.filter($"event_type" === "view").select($"user_id", $"value")
+    val r = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts")
+    val j = Relational.planAwareJoin(l, r, "user_id")
+    assert(j.columns.toSeq == Seq("user_id", "value", "ts"))
+    assert(j.count() == l.join(r, "user_id").count())
+  }
+
   test("unskewed shuffle verdict stays a plain shuffle join, no salting") {
     val l = leftDf((1 to 200).map("k" + _))
     val r = rightDf((1 to 200).map("k" + _))
