@@ -109,4 +109,15 @@ object Pipeline {
       m4RollupDir: String,
       bucketMinutes: Int): DataFrame =
     graft.streaming.Ingest.servedM4(spark, m4RollupDir, bucketMinutes)
+
+  /** One-point-per-bucket LTTB twin of [[chartSeries]], served from the
+    * same cells ([[graft.streaming.Ingest.servedLttb]]): exact
+    * bucket-mean anchors, argmax over the per-minute M4 extremes, exact
+    * series endpoints — the aggressive-zoom-out shape (M4 is the
+    * pixel-exact shape at bucket-per-pixel widths). */
+  def chartSeriesLttb(
+      spark: SparkSession,
+      m4RollupDir: String,
+      bucketMinutes: Int): DataFrame =
+    graft.streaming.Ingest.servedLttb(spark, m4RollupDir, bucketMinutes)
 }

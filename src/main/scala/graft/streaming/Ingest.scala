@@ -367,17 +367,26 @@ object Ingest {
         col("event_timestamp").isNotNull)
       .select(col("event_minute"), col("event_type"),
         col("request_latency_ms").cast("double").as("v"),
-        unix_micros(col("event_timestamp")).as("t"))
+        unix_micros(col("event_timestamp")).as("t"),
+        // in-minute offset: summable exactly (≤ 60e6·cnt — absolute-µs
+        // sums would overflow int64 at ~5400 rows of 2024 epochs);
+        // [[servedLttb]] reconstructs exact bucket-mean times from it
+        (unix_micros(col("event_timestamp")) -
+          unix_micros(col("event_minute"))).as("dtm"))
       .groupBy(col("event_minute"), col("event_type"))
       .agg(min(struct(col("v"), col("t"))).as("min_s"),
         max(struct(col("v"), col("t"))).as("max_s"),
         min(struct(col("t"), col("v"))).as("first_s"),
         max(struct(col("t"), col("v"))).as("last_s"),
-        count(lit(1)).as("cnt"))
+        count(lit(1)).as("cnt"),
+        sum(col("dtm")).as("sum_dtm"),
+        sum(col("v").cast("decimal(28,8)")).as("sum_v"))
     mergeMinuteRollup(delta, rollupDir, Seq("event_minute", "event_type"),
       Seq(min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"),
         min(col("first_s")).as("first_s"), max(col("last_s")).as("last_s"),
-        sum(col("cnt")).as("cnt")))
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum_dtm")).as("sum_dtm"),
+        sum(col("sum_v").cast("decimal(28,8)")).as("sum_v")))
   }
 
   /** Serve an M4-downsampled latency series per event_type at ANY
@@ -404,6 +413,86 @@ object Ingest {
       .agg(sum(col("p.role")).cast("int").as("roles"))
       .orderBy(col("event_type"), col("bucket"), col("sel_t_us"),
         col("sel_value"), col("roles"))
+  }
+
+  /** LTTB served from the SAME maintained cells — the zoomable-chart
+    * endgame: one point per (type, wall-aligned bucket) at any
+    * minute-aligned width, without re-touching raw events. This is LTTB
+    * over the M4-THINNED series: the anchors (neighbour buckets' mean
+    * points) are EXACT — reconstructed from the cells' additive
+    * Σ(in-minute offset) and Σvalue — while the per-bucket argmax is
+    * taken over the cells' ≤4-per-minute extreme points instead of all
+    * raw rows. The approximation is principled: for fixed anchors the
+    * triangle area is |a·v + b·t + c|, a linear functional whose scale
+    * is dominated by the time term a = (prev−next anchor gap), so its
+    * maximizer gravitates to the value extremes — which M4 keeps
+    * exactly, per minute. First/last buckets return the series' exact
+    * endpoints (min first_s / max last_s over cells — the true first
+    * and last rows). Cost: O(minutes × types) cells, one tiny anchor
+    * window (partitioned by type), one broadcast join.
+    * M4RollupSpec pins: incremental == one-shot, a planted spike is
+    * selected, endpoints verbatim, and on generated traffic the served
+    * point's triangle area is ≥95% of the best RAW point's in every
+    * interior bucket. */
+  def servedLttb(s: SparkSession, rollupDir: String, bucketMinutes: Int): DataFrame = {
+    val w = bucketMinutes * 60L
+    val cells = s.read.parquet(rollupDir)
+      .withColumn("mstart", unix_timestamp(col("event_minute")))
+      .withColumn("bucket", expr(s"mstart div $w"))
+    // exact mean point per bucket, all-int64 until the final division:
+    // Σ(sum_dtm + cnt·(minute − bucket start)µs) ≤ cnt·(bucket span)µs
+    val agg = cells.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("cnt")).as("n_pts"),
+        sum(col("sum_dtm") +
+          col("cnt") * ((col("mstart") - col("bucket") * lit(w)) * lit(1000000L)))
+          .as("sum_off_us"),
+        sum(col("sum_v").cast("decimal(28,8)")).as("sum_v"),
+        min(col("first_s")).as("bfirst"), max(col("last_s")).as("blast"))
+      .select(col("event_type"), col("bucket"), col("n_pts"),
+        col("bfirst"), col("blast"),
+        ((col("bucket") * lit(w)).cast("double")
+          + col("sum_off_us").cast("double") / col("n_pts").cast("double")
+            / lit(1000000.0)).as("at"),
+        (col("sum_v").cast("double") / col("n_pts").cast("double")).as("av"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bucket"))
+    val anchors = agg
+      .withColumn("ax", lag(col("at"), 1).over(wt))
+      .withColumn("ay", lag(col("av"), 1).over(wt))
+      .withColumn("cx", lead(col("at"), 1).over(wt))
+      .withColumn("cy", lead(col("av"), 1).over(wt))
+      .withColumn("minb", min(col("bucket")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .withColumn("maxb", max(col("bucket")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+    val cand = cells
+      .select(col("event_type"), col("bucket"),
+        graft.operators.Timeseries.m4RolesExploded.as("p"))
+      .select(col("event_type"), col("bucket"),
+        col("p.t").as("t"), col("p.v").as("v"))
+    val joined = cand.join(broadcast(anchors), Seq("event_type", "bucket"))
+    val xs = col("t").cast("double") / lit(1000000.0)
+    val area = abs((col("ax") - col("cx")) * (col("v") - col("ay"))
+      - (col("ax") - xs) * (col("cy") - col("ay")))
+    val key1 = when(col("bucket") === col("minb"), xs)
+      .when(col("bucket") === col("maxb"), -xs)
+      .otherwise(-coalesce(area, lit(0.0)))
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("bucket"))
+      .orderBy(key1.asc, col("t").asc, col("v").asc)
+    joined.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      // edge buckets: serve the EXACT endpoints from the merged structs
+      // (the min-t candidate equals bfirst's point, but selecting the
+      // struct directly states the guarantee instead of implying it)
+      .select(col("event_type"), col("bucket"), col("n_pts"),
+        when(col("bucket") === col("minb"), col("bfirst.t"))
+          .when(col("bucket") === col("maxb"), col("blast.t"))
+          .otherwise(col("t")).as("sel_t_us"),
+        when(col("bucket") === col("minb"), col("bfirst.v"))
+          .when(col("bucket") === col("maxb"), col("blast.v"))
+          .otherwise(col("v")).as("sel_value"))
+      .orderBy(col("event_type"), col("bucket"))
   }
 
   /** The INTEGRITY-bearing sibling of [[upsertHeavyHitterRollup]],

@@ -35,6 +35,74 @@ class M4RollupSpec extends SparkSuite {
       val inc = Ingest.servedM4(spark, incDir, w).collect().toSeq
       val one = Ingest.servedM4(spark, oneDir, w).collect().toSeq
       assert(inc == one, s"width $w: incremental serve must equal one-shot")
+      val incL = Ingest.servedLttb(spark, incDir, w).collect().toSeq
+      val oneL = Ingest.servedLttb(spark, oneDir, w).collect().toSeq
+      assert(incL == oneL, s"width $w: incremental LTTB serve must equal one-shot")
+    }
+  }
+
+  test("served LTTB: endpoints exact, planted spike wins its interior bucket") {
+    val dir = tmpDir("m4-lttb") + "/m"
+    val u = "0123abcd-0000-4000-8000-0123456789ab"
+    def row(offsetSec: Int, lat: Int) =
+      (u, u, u, "SEARCH", new Timestamp(T0 + offsetSec * 1000L), lat,
+        "SUCCESS", Option.empty[Int], Option.empty[Int])
+    // three hour-buckets: flat 100s except a 9999 spike mid-hour-1
+    val rows = Seq(row(120, 100), row(1800, 100),
+      row(3700, 100), row(5400, 9999), row(6900, 100),
+      row(7300, 100), row(10500, 100))
+    val df = Events.withEventMinute(rows.toDF("event_id", "user_id",
+        "session_id", "event_type", "event_timestamp", "request_latency_ms",
+        "status", "error_code", "product_id")
+      .withColumn("error_code", col("error_code").cast("int"))
+      .withColumn("product_id", col("product_id").cast("int")))
+    Ingest.upsertM4Rollup(df, dir)
+    val served = Ingest.servedLttb(spark, dir, 60).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("sel_t_us"), r.getAs[Double]("sel_value")))).toMap
+    def us(off: Int) = (T0 / 1000 + off) * 1000000L
+    assert(served.size == 3, s"one point per bucket: $served")
+    val buckets = served.keys.toSeq.sorted
+    assert(served(buckets.head) == ((us(120), 100.0)), "first endpoint verbatim")
+    assert(served(buckets.last) == ((us(10500), 100.0)), "last endpoint verbatim")
+    assert(served(buckets(1)) == ((us(5400), 9999.0)), "spike wins the interior bucket")
+  }
+
+  test("served LTTB area is >=95% of the best RAW point's in every interior bucket") {
+    val dir = tmpDir("m4-lttb-q") + "/m"
+    val b = batch(3000, T0) // ~50 minutes of events
+    Ingest.upsertM4Rollup(b, dir)
+    val w = 10 // 10-minute buckets -> ~5 buckets, >=3 interior
+    val served = Ingest.servedLttb(spark, dir, w).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("bucket")) ->
+        ((r.getAs[Long]("sel_t_us"), r.getAs[Double]("sel_value")))).toMap
+    val raw = b.filter($"request_latency_ms".isNotNull)
+      .select($"event_type",
+        expr(s"unix_timestamp(event_minute) div ${w * 60}").as("bucket"),
+        unix_micros($"event_timestamp").as("t"),
+        $"request_latency_ms".cast("double").as("v"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .view.mapValues(_.map(r => (r.getLong(2), r.getDouble(3))).toSeq).toMap
+    def mean(k: (String, Long)): (Double, Double) = {
+      val pts = raw(k)
+      (pts.map(_._1.toDouble / 1e6).sum / pts.size,
+        pts.map(_._2).sum / pts.size)
+    }
+    raw.keys.groupBy(_._1).foreach { case (tpe, ks) =>
+      val bs = ks.map(_._2).toSeq.sorted
+      for (bk <- bs.drop(1).dropRight(1)) {
+        val k = (tpe, bk)
+        if (raw.contains((tpe, bk - 1)) && raw.contains((tpe, bk + 1))) {
+          val (ax, ay) = mean((tpe, bk - 1)); val (cx, cy) = mean((tpe, bk + 1))
+          def areaOf(t: Long, v: Double) =
+            math.abs((ax - cx) * (v - ay) - (ax - t.toDouble / 1e6) * (cy - ay))
+          val best = raw(k).map { case (t, v) => areaOf(t, v) }.max
+          val (st, sv) = served(k)
+          assert(areaOf(st, sv) >= 0.95 * best,
+            s"$k: served area ${areaOf(st, sv)} vs best $best")
+        }
+      }
     }
   }
 
