@@ -203,26 +203,48 @@ object Ingest {
     * small (touched minutes × cell keys). `mergeAggs` must be the view's
     * ASSOCIATIVE merge of `delta`'s own cell schema (same column names),
     * or incremental and one-shot builds diverge — every view's spec
-    * proves that equality. */
-  private def mergeMinuteRollup(delta: DataFrame, rollupDir: String,
-      groupCols: Seq[String], mergeAggs: Seq[Column]): Unit = {
-    val s = delta.sparkSession
-    val touched = delta.select("event_minute").distinct().collect().map(_.get(0))
+    * proves that equality.
+    *
+    * Layout physics (MEASURED, SCALE_NOTES Leg 27 — the probe falsified
+    * the naive claim): with minute-grain partitioning the per-batch cost
+    * is NOT flat in state age — `read.parquet` and the dynamic-overwrite
+    * commit both LIST the whole tree, so a 30-minute upsert cost 5.4 s
+    * against 1 day of state but 21.0 s against 14 days (20,160 dirs),
+    * and serving a chart from those cells cost 52-72 s for an 80k-row
+    * scan. `partitionGrain` fixes it: "day" collapses a view-year to
+    * 365 dirs (flat upsert cost, sub-second serves) at the price of a
+    * touched-DAY rewrite slice — still only minutes×keys tiny rows.
+    * Minute grain remains the default for the reference-shaped views
+    * (parity + minimal rewrite, fine for state spanning hours); every
+    * long-lived view should pass "day". Grain is a layout contract:
+    * fixed for the life of the state directory. */
+  private def mergeMinuteRollup(delta0: DataFrame, rollupDir: String,
+      groupCols: Seq[String], mergeAggs: Seq[Column],
+      partitionGrain: String = "minute"): Unit = {
+    val s = delta0.sparkSession
+    val isMinute = partitionGrain == "minute"
+    val pCol = if (isMinute) "event_minute" else "p_grain"
+    val delta =
+      if (isMinute) delta0
+      else delta0.withColumn("p_grain",
+        date_trunc(partitionGrain, col("event_minute")))
+    val touched = delta.select(pCol).distinct().collect().map(_.get(0))
     if (touched.isEmpty) return
     val existing =
       if (rollupExists(s, rollupDir))
         s.read.parquet(rollupDir)
-          .filter(col("event_minute").isin(touched: _*))
+          .filter(col(pCol).isin(touched: _*))
           .localCheckpoint()
       else
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           delta.schema)
+    val mergeKeys = if (isMinute) groupCols else groupCols :+ "p_grain"
     existing.unionByName(delta)
-      .groupBy(groupCols.map(col): _*)
+      .groupBy(mergeKeys.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("event_minute")
+      .partitionBy(pCol)
       .parquet(rollupDir)
   }
 
@@ -381,12 +403,16 @@ object Ingest {
         count(lit(1)).as("cnt"),
         sum(col("dtm")).as("sum_dtm"),
         sum(col("v").cast("decimal(28,8)")).as("sum_v"))
+    // day-grain layout: the chart view is the long-lived one — Leg 27
+    // measured minute-grain upserts/serves degrading with state AGE
+    // (tree listing), while day grain stays flat at 365 dirs/year
     mergeMinuteRollup(delta, rollupDir, Seq("event_minute", "event_type"),
       Seq(min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"),
         min(col("first_s")).as("first_s"), max(col("last_s")).as("last_s"),
         sum(col("cnt")).as("cnt"),
         sum(col("sum_dtm")).as("sum_dtm"),
-        sum(col("sum_v").cast("decimal(28,8)")).as("sum_v")))
+        sum(col("sum_v").cast("decimal(28,8)")).as("sum_v")),
+      partitionGrain = "day")
   }
 
   /** Serve an M4-downsampled latency series per event_type at ANY
