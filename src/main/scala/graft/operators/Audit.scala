@@ -946,6 +946,18 @@ object Audit {
     }
     val (nL, ndvL, sL) = probe(left)
     val (nR, ndvR, sR) = probe(right)
+    sketchPlanOf(nL, ndvL, sL, nR, ndvR, sR, parallelism, broadcastRows)
+  }
+
+  /** The advisor math over already-materialized side summaries — shared
+    * by the one-pass probe above and the cell-served path
+    * ([[graft.streaming.Ingest.servedJoinPlanSketch]]), where the
+    * summaries come from merging a maintained rollup's MG/HLL cells
+    * (the Mergeable-Summaries theorem keeps the n/(k+1) bound through
+    * the merge, so every guarantee below survives serving). */
+  def sketchPlanOf(nL: Long, ndvL: Long, sL: graft.functions.MisraGries.SummaryS,
+      nR: Long, ndvR: Long, sR: graft.functions.MisraGries.SummaryS,
+      parallelism: Int, broadcastRows: Long): JoinPlanSketch = {
     val (errL, errR) = (sL.errorBound, sR.errorBound)
     val keys = (sL.entries.map(_._1) ++ sR.entries.map(_._1)).distinct
     val prodLo = keys.map(x => sL.estimate(x) * sR.estimate(x))

@@ -359,10 +359,52 @@ object Ingest {
       .filter(col("user_id").isNotNull)
       .groupBy(col("event_minute"))
       .agg(mgVal(col("user_id")).as("users_mg"),
+        // HLL beside the MG: together the cells carry everything the
+        // sketch join advisor needs (n exact, NDV, heavy keys), so
+        // [[servedJoinPlanSketch]] answers from state alone
+        hll_sketch_agg(col("user_id")).as("users_hll"),
         count(lit(1)).as("cnt"))
     mergeMinuteRollup(delta, rollupDir, Seq("event_minute"),
       Seq(mgMerge(col("users_mg")).as("users_mg"),
+        hll_union_agg(col("users_hll")).as("users_hll"),
         sum(col("cnt")).as("cnt")))
+  }
+
+  /** The join-strategy advisor served from TWO maintained heavy-hitter
+    * rollups — zero scans of either side: each side's summary is one
+    * tiny aggregate over its cells (Σcnt exact, HLL-union NDV, MG merge
+    * of the per-minute key summaries), then
+    * [[graft.operators.Audit.sketchPlanOf]]'s theorem-sound readout.
+    * The Mergeable-Summaries theorem carries the MG n/(k+1) bound
+    * through the cell merge unweakened, so every
+    * [[graft.operators.Audit.joinPlanSketchFor]] guarantee (max/out
+    * bounds sandwich truth, exact broadcast decision, stragglers above
+    * the noise floor cannot hide) holds when served from state. `k`
+    * MUST equal the k the rollups were built with (the merge of
+    * k-summaries is a k-summary; mixing ks silently weakens the bound).
+    * This is the 100 TB serving mode Leg 25 pointed at: the exact
+    * census costs a pass over both sides; the one-shot probe costs one
+    * scan each; THIS costs O(minutes) cells — the advisor is free once
+    * the ingest maintains the rollup. */
+  def servedJoinPlanSketch(s: SparkSession, leftDir: String, rightDir: String,
+      parallelism: Int = 32, broadcastRows: Long = 10000L,
+      k: Int = graft.functions.MisraGries.DefaultK)
+      : graft.operators.Audit.JoinPlanSketch = {
+    def side(dir: String): (Long, Long, graft.functions.MisraGries.SummaryS) = {
+      val mgMerge = org.apache.spark.sql.functions.udaf(
+        new graft.functions.MisraGries.MgMergeAggS(k),
+        org.apache.spark.sql.Encoders.BINARY)
+      val r = s.read.parquet(dir).agg(
+        sum(col("cnt")).as("n"),
+        hll_sketch_estimate(hll_union_agg(col("users_hll"))).as("ndv"),
+        mgMerge(col("users_mg")).as("mg")).collect().head
+      (r.getLong(0), r.getLong(1),
+        graft.functions.MisraGries.deserializeS(r.getAs[Array[Byte]](2)))
+    }
+    val (nL, ndvL, sL) = side(leftDir)
+    val (nR, ndvR, sR) = side(rightDir)
+    graft.operators.Audit.sketchPlanOf(nL, ndvL, sL, nR, ndvR, sR,
+      parallelism, broadcastRows)
   }
 
   /** The SHAPE-bearing sibling of [[upsertQuantileRollup]], extending the
