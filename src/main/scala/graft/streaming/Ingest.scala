@@ -27,7 +27,12 @@ import graft.reference.Events
   * Scale posture: the parquet warehouse partitioned on event_minute gives
   * the same metadata-only minute pruning ClickHouse's partition key gives
   * the reference (ARCHITECTURE.md:30); shuffle-free ingest (narrow maps
-  * only), aggregation state bounded by the watermark.
+  * only), aggregation state bounded by the watermark. Minute partitioning
+  * shares the Leg 27 listing physics (dir count taxes every full-tree
+  * read): the warehouse's remedy is the existing compaction path
+  * (Warehouse.compact / wh_compact_roundtrip) run on aged partitions —
+  * unlike the cell rollups it cannot coarsen its grain, because the
+  * minutely extract's partition PRUNING is the reference contract.
   */
 object Ingest {
 
