@@ -902,9 +902,12 @@ object Audit {
     * keys is itself a major job, while this probe is a single 1-row
     * aggregate per side (exact count + HLL++ NDV + a Misra–Gries summary
     * of the key column — all map-side combinable, nothing exchanged but
-    * k counters per task). The natural serving mode: if the ingest
-    * already maintains MG cells ([[graft.streaming.Ingest.upsertHeavyHitterRollup]]),
-    * the advisor is free — merge the cells instead of re-scanning.
+    * k counters per task). The serving mode is implemented: if the
+    * ingest maintains the heavy-hitter rollup
+    * ([[graft.streaming.Ingest.upsertHeavyHitterRollup]], whose cells
+    * carry MG + HLL + exact counts), the advisor is free —
+    * [[graft.streaming.Ingest.servedJoinPlanSketch]] merges the two
+    * sides' cells into this same readout with zero raw scans.
     *
     * What survives the sketch, by theorem (Misra–Gries: for every key,
     * est ≤ true ≤ est + n/(k+1); any key with true > n/(k+1) is tracked):
@@ -958,19 +961,25 @@ object Audit {
   def sketchPlanOf(nL: Long, ndvL: Long, sL: graft.functions.MisraGries.SummaryS,
       nR: Long, ndvR: Long, sR: graft.functions.MisraGries.SummaryS,
       parallelism: Int, broadcastRows: Long): JoinPlanSketch = {
-    val (errL, errR) = (sL.errorBound, sR.errorBound)
+    // Driver-side Scala: raw Long products of two ~1e9-row hot keys wrap
+    // SILENTLY (no ANSI here), which would garbage the bounds and
+    // un-flag the most extreme straggler possible — everything derived
+    // from per-key products goes through BigInt and clamps at
+    // Long.MaxValue (a clamped bound is still a bound the consumer
+    // reads as "beyond any executable join").
+    def clamp(b: BigInt): Long = if (b > Long.MaxValue) Long.MaxValue else b.toLong
+    val (errL, errR) = (BigInt(sL.errorBound), BigInt(sR.errorBound))
     val keys = (sL.entries.map(_._1) ++ sR.entries.map(_._1)).distinct
-    val prodLo = keys.map(x => sL.estimate(x) * sR.estimate(x))
-    val maxLo = if (prodLo.isEmpty) 0L else prodLo.max
-    val maxHi = math.max(
-      if (keys.isEmpty) 0L
-      else keys.map(x => (sL.estimate(x) + errL) * (sR.estimate(x) + errR)).max,
-      errL * errR)
+    val prodLo = keys.map(x => BigInt(sL.estimate(x)) * BigInt(sR.estimate(x)))
+    val maxLo = if (prodLo.isEmpty) BigInt(0) else prodLo.max
+    val maxHi = (keys.map(x =>
+      (BigInt(sL.estimate(x)) + errL) * (BigInt(sR.estimate(x)) + errR))
+      :+ errL * errR).max
     val outLo = prodLo.sum
     val restL = math.max(nL - sL.entries.map(_._2).sum, 0L)
     val restR = math.max(nR - sR.entries.map(_._2).sum, 0L)
     val ndvRest = math.max(math.max(ndvL - sL.size, ndvR - sR.size), 1L)
-    val outEst = outLo + (BigInt(restL) * BigInt(restR) / BigInt(ndvRest)).toLong
+    val outEst = outLo + BigInt(restL) * BigInt(restR) / BigInt(ndvRest)
     val strategy =
       if (nR <= broadcastRows) "broadcast_right"
       else if (nL <= broadcastRows) "broadcast_left"
@@ -983,10 +992,11 @@ object Audit {
     // lower bound the flag can over-page (factor is an upper-ish
     // estimate) but cannot miss a tracked straggler.
     val rawF =
-      if (outLo > 0) (maxLo * parallelism + outLo - 1) / outLo else 1L
+      if (outLo > 0) clamp((maxLo * parallelism + outLo - 1) / outLo) else 1L
     val f = if (strategy == "shuffle")
       math.min(math.max(rawF, 1L), parallelism.toLong) else 1L
-    JoinPlanSketch(nL, nR, ndvL, ndvR, outLo, outEst, maxLo, maxHi,
+    JoinPlanSketch(nL, nR, ndvL, ndvR, clamp(outLo), clamp(outEst),
+      clamp(maxLo), clamp(maxHi),
       strategy, strategy == "shuffle" && f > 1L, f)
   }
 

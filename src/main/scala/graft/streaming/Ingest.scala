@@ -236,11 +236,23 @@ object Ingest {
     val touched = delta.select(pCol).distinct().collect().map(_.get(0))
     if (touched.isEmpty) return
     val existing =
-      if (rollupExists(s, rollupDir))
-        s.read.parquet(rollupDir)
-          .filter(col(pCol).isin(touched: _*))
-          .localCheckpoint()
-      else
+      if (rollupExists(s, rollupDir)) {
+        val state = s.read.parquet(rollupDir)
+        // schema + grain are a layout CONTRACT for the life of a state
+        // directory; a drifted state (older engine version, different
+        // grain) must fail with the remedy named, not with an
+        // UNRESOLVED_COLUMN deep inside the merge that wedges the
+        // ingest's foreachBatch
+        if (state.columns.sorted.toSeq != delta.columns.sorted.toSeq)
+          throw new IllegalStateException(
+            s"rollup state at $rollupDir has columns " +
+              s"[${state.columns.sorted.mkString(",")}] but this engine " +
+              s"writes [${delta.columns.sorted.mkString(",")}]: cell schema " +
+              "and partition grain are fixed for the life of a state " +
+              "directory - rebuild the state (delete the directory and " +
+              "re-ingest) or serve it with the version that wrote it")
+        state.filter(col(pCol).isin(touched: _*)).localCheckpoint()
+      } else
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           delta.schema)
     val mergeKeys = if (isMinute) groupCols else groupCols :+ "p_grain"
@@ -512,12 +524,17 @@ object Ingest {
     val cells = s.read.parquet(rollupDir)
       .withColumn("mstart", unix_timestamp(col("event_minute")))
       .withColumn("bucket", expr(s"mstart div $w"))
-    // exact mean point per bucket, all-int64 until the final division:
-    // Σ(sum_dtm + cnt·(minute − bucket start)µs) ≤ cnt·(bucket span)µs
+    // exact mean point per bucket: Σ(sum_dtm + cnt·(minute − bucket
+    // start)µs) is bounded by cnt·(bucket span)µs, which at wide zooms
+    // (a year-span bucket is 3.15e13 µs) exceeds int64 at ~3e5 rows —
+    // widen to decimal(38,0) (exact to 1e38) before summing; only the
+    // final mean division goes through double
     val agg = cells.groupBy(col("event_type"), col("bucket"))
       .agg(sum(col("cnt")).as("n_pts"),
-        sum(col("sum_dtm") +
-          col("cnt") * ((col("mstart") - col("bucket") * lit(w)) * lit(1000000L)))
+        sum(col("sum_dtm").cast("decimal(38,0)") +
+          col("cnt").cast("decimal(38,0)") *
+            ((col("mstart") - col("bucket") * lit(w)) * lit(1000000L))
+              .cast("decimal(38,0)"))
           .as("sum_off_us"),
         sum(col("sum_v").cast("decimal(28,8)")).as("sum_v"),
         min(col("first_s")).as("bfirst"), max(col("last_s")).as("blast"))

@@ -106,6 +106,20 @@ class M4RollupSpec extends SparkSuite {
     }
   }
 
+  test("schema/grain drift in an existing state directory fails with the remedy named") {
+    val dir = tmpDir("m4-drift") + "/m"
+    // simulate state written by an older engine version: same partition
+    // layout idea, different cell schema
+    batch(200, T0).groupBy($"event_minute", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .write.partitionBy("event_minute").parquet(dir)
+    val e = intercept[IllegalStateException] {
+      Ingest.upsertM4Rollup(batch(200, T0), dir)
+    }
+    assert(e.getMessage.contains("rebuild the state"), e.getMessage)
+    assert(e.getMessage.contains(dir), "error must name the directory")
+  }
+
   test("served points are the true extremes of the raw data") {
     val dir = tmpDir("m4-truth") + "/m"
     val b = batch(3000, T0) // ~50 minutes of events

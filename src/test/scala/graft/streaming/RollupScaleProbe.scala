@@ -65,12 +65,15 @@ object RollupScaleProbe {
     val incBig = timed(s"30-min upsert vs $days-day state")(
       Ingest.upsertM4Rollup(incBatch(t0 + (days - 1) * 86400000L), bigDir))
 
-    val serveM4 = timed("servedM4 4h buckets (full range)")(
-      Ingest.servedM4(spark, bigDir, 240).collect().length)
-    val serveLttb = timed("servedLttb 4h buckets (full range)")(
-      Ingest.servedLttb(spark, bigDir, 240).collect().length)
-    println(s"[probe] served points: m4=${Ingest.servedM4(spark, bigDir, 240).count()} " +
-      s"lttb=${Ingest.servedLttb(spark, bigDir, 240).count()}")
+    var m4Pts = 0
+    var lttbPts = 0
+    timed("servedM4 4h buckets (full range)") {
+      m4Pts = Ingest.servedM4(spark, bigDir, 240).collect().length
+    }
+    timed("servedLttb 4h buckets (full range)") {
+      lttbPts = Ingest.servedLttb(spark, bigDir, 240).collect().length
+    }
+    println(s"[probe] served points: m4=$m4Pts lttb=$lttbPts")
 
     val (dSmall, dBig) = (dirsOf(smallDir), dirsOf(bigDir))
     println(s"[probe] minute dirs: 1-day state $dSmall, $days-day state $dBig " +
