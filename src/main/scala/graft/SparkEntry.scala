@@ -19,7 +19,7 @@ object SparkEntry {
       Similarity.defs ++ Rag.defs ++ LateInteraction.defs ++ Kmeans.defs ++
       Classifier.defs ++ LrTrain.defs ++ Pca.defs ++
       Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Kll.defs ++
-      HeavyHitters.defs ++ Multimodal.defs ++
+      HeavyHitters.defs ++ Multimodal.defs ++ Basket.defs ++
       Audio.defs ++
       Audit.defs ++ EntityRes.defs ++ Drift.defs ++ EmbeddingAudit.defs ++ Graph.defs ++
       graft.sources.Bucketed.defs ++ graft.sources.Formats.defs ++

@@ -569,6 +569,57 @@ object Audit {
       |GROUP BY lang, source, n_class, t.n_tot, t.m
       |ORDER BY lang, source""".stripMargin
 
+  /** ε-differentially-private histogram release — the fourth member of
+    * the privacy-export family after [[kAnonymity]]/[[lDiversity]]/
+    * [[tCloseness]]: those three certify that attribute COMBINATIONS are
+    * crowd-sized; the DP release protects the published COUNTS themselves
+    * (Dwork et al. 2006's Laplace mechanism — a count query has L1
+    * sensitivity 1, so noise ~ Laplace(1/ε) makes the histogram
+    * ε-indistinguishable to any single row's presence).
+    *
+    * The noise draw is DETERMINISTIC and engine-portable — the same
+    * md5-as-uniform trick the sampling family uses (Sampling.scala):
+    * u = hex-prefix of md5(key‖seed) scaled into (0,1), then the inverse
+    * Laplace CDF −b·sign(u−½)·ln(1−2|u−½|). Both engines hash the same
+    * bytes, parse the same 15 hex digits (60 bits — correctly-rounded to
+    * the identical double on both sides) and apply the same closed form,
+    * so the oracle genuinely re-derives the noisy release rather than
+    * comparing to a pinned golden. (A production release would draw real
+    * randomness; the MECHANISM — per-cell independent Laplace at the
+    * stated scale — is exactly this expression with the seed swapped.)
+    *
+    * Scale shape: one map-side-combinable count aggregate over the
+    * domain-bounded group key; the noise is a scalar expression on the
+    * |domain|-row result. Nothing here grows with row count. */
+  def dpHistogram(s: SparkSession, d: String, epsilon: Double = 0.5,
+      seed: String = "dp42"): DataFrame = {
+    import s.implicits._
+    val b = 1.0 / epsilon
+    val u = (conv(substring(md5(concat($"event_type", lit(":" + seed))), 1, 15),
+        16, 10).cast("double") + lit(0.5)) / lit(math.pow(16.0, 15))
+    val noise = lit(-b) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type",
+        round($"n" + noise, 3).as("noisy_n"),
+        lit(epsilon).as("epsilon"))
+      .orderBy($"event_type")
+  }
+
+  val dpHistogramOracle: String =
+    """WITH cnt AS (
+      |  SELECT event_type, count(*) AS n,
+      |         (('0x' || substr(md5(event_type || ':dp42'), 1, 15))::BIGINT
+      |            + 0.5) / 1152921504606846976.0 AS u
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type,
+      |       round(n + (-2.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 3)
+      |         AS noisy_n,
+      |       CAST(0.5 AS DOUBLE) AS epsilon
+      |FROM cnt ORDER BY event_type""".stripMargin
+
   /** Exact functional-dependency audit: for each candidate FD `X → Y`,
     * how many LHS groups exist, how many carry more than one distinct
     * RHS value (the FD's violating groups), and the minimal number of
@@ -1449,5 +1500,6 @@ object Audit {
     Q("audit_column_stats", Some(columnStatsOracle), columnStats),
     Q("audit_k_anonymity", Some(kAnonymityOracle), (s, d) => kAnonymity(s, d)),
     Q("audit_l_diversity", Some(lDiversityOracle), (s, d) => lDiversity(s, d)),
-    Q("audit_t_closeness", Some(tClosenessOracle), (s, d) => tCloseness(s, d)))
+    Q("audit_t_closeness", Some(tClosenessOracle), (s, d) => tCloseness(s, d)),
+    Q("audit_dp_histogram", Some(dpHistogramOracle), (s, d) => dpHistogram(s, d)))
 }

@@ -167,8 +167,61 @@ object Hll {
        |FROM ex JOIN g ON g.type_a = ex.type_a AND g.type_b = ex.type_b
        |ORDER BY ex.type_a, ex.type_b""".stripMargin
 
+  /** Trailing 7-day distinct users (WAU) per day, answered ENTIRELY from
+    * the daily sketch rollup — the signature payoff of mergeable
+    * cardinality state: `COUNT(DISTINCT)` over a sliding window re-scans
+    * every raw event 7 times (each event belongs to 7 windows), while the
+    * sketch path touches raw events ONCE (the daily rollup, which a
+    * nightly job already maintains) and then unions days×KB sketch bytes.
+    * Shape: each day cell fans out to the ≤7 window-days it contributes
+    * to (`explode` over the offset range — days×7 rows of bytes, never
+    * row-scale), one hash shuffle on the window day, `hll_union_agg` per
+    * window. The additive event counter rides the same fan-out. Output
+    * days are restricted to days present in the corpus (broadcast
+    * semi-join with the ~days-row day list).
+    *
+    * Oracle: the CMS/HLL invariant-twin pattern — DuckDB recomputes the
+    * EXACT trailing distinct count from raw events and collapses any
+    * estimate off by >4% (≈2.5σ at lgK=12) to −1; the additive
+    * `events_7d` column is recomputed exactly; the golden pins the
+    * deterministic estimates themselves (register-max union is
+    * merge-order-free — HllSpec). */
+  def hllTrailingUsers(s: SparkSession, d: String, days: Int = 7): DataFrame = {
+    import s.implicits._
+    val daily = userSketchRollup(s, d)
+      .groupBy($"day")
+      .agg(hll_union_agg($"user_sketch").as("sk"), sum($"events").as("events"))
+    val present = daily.select($"day".as("wday"))
+    daily
+      .withColumn("off", explode(sequence(lit(0), lit(days - 1))))
+      .withColumn("wday",
+        date_format(date_add(to_date($"day"), $"off"), "yyyy-MM-dd"))
+      .join(broadcast(present), Seq("wday"), "left_semi")
+      .groupBy($"wday")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("wau"),
+        sum($"events").as("events_7d"))
+      .select($"wday".as("day"), $"wau", $"events_7d")
+      .orderBy($"day")
+  }
+
+  val hllTrailingUsersOracle: String =
+    s"""WITH byday AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+       |ex AS (SELECT d.day, count(DISTINCT b.user_id) AS exact_wau,
+       |              CAST(count(*) AS BIGINT) AS events_7d
+       |       FROM (SELECT DISTINCT day FROM byday) d
+       |       JOIN byday b ON b.day BETWEEN d.day - 6 AND d.day
+       |       GROUP BY d.day),
+       |g AS (${Golden.dispatch("ev_hll_trailing_7d")})
+       |SELECT strftime(ex.day, '%Y-%m-%d') AS day,
+       |       CASE WHEN abs(g.wau - ex.exact_wau) <= 0.04 * ex.exact_wau
+       |            THEN g.wau ELSE -1 END AS wau,
+       |       ex.events_7d
+       |FROM ex LEFT JOIN g ON g.day = strftime(ex.day, '%Y-%m-%d')
+       |ORDER BY day""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("ev_hll_daily_users", Some(hllDailyUsersOracle), hllDailyUsers),
+    Q("ev_hll_trailing_7d", Some(hllTrailingUsersOracle), (s, d) => hllTrailingUsers(s, d)),
     Q("ev_hll_union_total", Some(hllTotalUsersOracle), hllTotalUsers),
     Q("ev_hll_intersect", Some(hllTypeOverlapOracle), hllTypeOverlap))
 }

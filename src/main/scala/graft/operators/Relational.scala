@@ -772,8 +772,141 @@ object Relational {
       |GROUP BY s.s_nationkey
       |ORDER BY nationkey""".stripMargin
 
+  /** Runtime Bloom-filter join — Catalyst's `InjectRuntimeFilter`
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`): when a shuffle join's
+    * small side carries a selective filter, the optimizer builds a Bloom
+    * filter over its join keys as a scalar subquery and applies
+    * `might_contain` to the BIG side's scan BEFORE the exchange — the
+    * row-level analogue of dynamic partition pruning. At 100 TB this is
+    * the difference between shuffling the whole fact table and shuffling
+    * only the ~selectivity fraction that can possibly match: the filter
+    * rides the scan, so non-matching rows never reach the exchange.
+    *
+    * The production thresholds (10 MB creation side / 10 GB application
+    * scan) are sized for real clusters and would never trip at test SF,
+    * so the plan is built under a conf window that lifts them (broadcast
+    * disabled so the join actually shuffles — a broadcast join needs no
+    * bloom). Confs must still be live when the plan OPTIMIZES (action
+    * time, after this fn returns), so the grain-bounded result (one row
+    * per priority×nation) is materialized inside the window and returned
+    * as a local relation. JoinBloomSpec asserts `might_contain` is in the
+    * executed plan; the oracle is the plain join — the bloom has no false
+    * negatives, so injection never changes the result. */
+  def joinBloomRuntime(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "500MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val joined = bloomJoinPlan(s, d)
+      // bounded materialization (≤ |nation| rows) inside the conf window
+      s.createDataFrame(
+        s.sparkContext.parallelize(joined.collect().toSeq, 1), joined.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The lazy inner plan of [[joinBloomRuntime]] — factored out so
+    * RuntimeFilterSpec can assert `might_contain` on the SAME plan the
+    * registered query materializes (under the same conf window). */
+  private[operators] def bloomJoinPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_custkey")
+    val cust = Tables.customer(s, d).select($"c_custkey", $"c_nationkey")
+    Tables.lineitem(s, d)
+      .select($"l_orderkey",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .join(urgent, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nationkey"))
+      .agg(round(sum($"rev"), 2).as("urgent_revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"nationkey")
+  }
+
+  val joinBloomOracle: String =
+    """SELECT c.c_nationkey AS nationkey,
+      |       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
+      |         AS urgent_revenue,
+      |       CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY c.c_nationkey ORDER BY nationkey""".stripMargin
+
+  /** Exact WEIGHTED quantiles per group without a single-partition sort —
+    * the weighted twin of the RankStats two-level pattern. The weighted
+    * p-quantile (smallest v with Σ w[value ≤ v] ≥ p·W) needs a global
+    * CUMULATIVE WEIGHT order per group; `percentile`/KLL don't take
+    * weights, and the naive window (`ORDER BY v` over the whole group)
+    * is the SinglePartition scale-killer the hygiene gate rejects. Shape:
+    * range-bucket by value (strict bounds — ties share a bucket), sum
+    * weights per (group, bucket) — a flags×buckets-row driver fold,
+    * broadcast back as exclusive offsets — then a per-bucket ties-
+    * inclusive RANGE window completes each row's exact global cumulative
+    * weight in parallel. All weights are integer-valued, so every sum,
+    * offset and p·W threshold is exact in double on both engines — the
+    * oracle compares picked values bit-for-bit, no tolerance. */
+  def aggWeightedQuantile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d).select($"l_returnflag".as("flag"),
+      $"l_extendedprice".as("v"), $"l_quantity".as("w"))
+    val bounds = RankStats.rangeBounds(li, "v", RankStats.DefaultBuckets)
+    val bucketed = li.withColumn("__bucket", RankStats.bucketOf($"v", bounds))
+    // per-(flag, bucket) weight cells: a bounded driver fold (≤ flags ×
+    // buckets rows), turned into exclusive cumulative offsets per flag
+    val cells = bucketed.groupBy($"flag", $"__bucket").agg(sum($"w").as("bw"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val offs = cells.groupBy(_._1).toSeq.flatMap { case (f, cs) =>
+      val sorted = cs.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.scanLeft(0.0)(_ + _._3).init)
+        .map { case (b, o) => (f, b, o) }
+    }
+    val offDf = s.createDataFrame(offs).toDF("flag", "__bucket", "__off")
+    val totDf = s.createDataFrame(
+      cells.groupBy(_._1).map { case (f, cs) => (f, cs.map(_._3).sum) }.toSeq)
+      .toDF("flag", "__w")
+    val wWin = Window.partitionBy($"flag", $"__bucket").orderBy($"v")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offDf), Seq("flag", "__bucket"))
+      .join(broadcast(totDf), Seq("flag"))
+      .withColumn("cw", $"__off" + sum($"w").over(wWin))
+      .groupBy($"flag")
+      .agg(max($"__w").as("w_total"),
+        min(when($"cw" >= lit(0.25) * $"__w", $"v")).as("p25_w"),
+        min(when($"cw" >= lit(0.50) * $"__w", $"v")).as("p50_w"),
+        min(when($"cw" >= lit(0.75) * $"__w", $"v")).as("p75_w"))
+      .orderBy($"flag")
+  }
+
+  val aggWeightedQuantileOracle: String =
+    """WITH c AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+      |         sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY
+      |           l_extendedprice RANGE BETWEEN UNBOUNDED PRECEDING AND
+      |           CURRENT ROW) AS cw,
+      |         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM lineitem)
+      |SELECT flag, max(tw) AS w_total,
+      |       min(CASE WHEN cw >= 0.25 * tw THEN v END) AS p25_w,
+      |       min(CASE WHEN cw >= 0.50 * tw THEN v END) AS p50_w,
+      |       min(CASE WHEN cw >= 0.75 * tw THEN v END) AS p75_w
+      |FROM c GROUP BY flag ORDER BY flag""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("agg_salted", Some(aggSaltedOracle), aggSalted),
+    Q("join_bloom_runtime", Some(joinBloomOracle), joinBloomRuntime),
+    Q("agg_weighted_quantile", Some(aggWeightedQuantileOracle), aggWeightedQuantile),
     Q("q1_pricing_summary", Some(q1Oracle), q1PricingSummary),
     Q("q3_top_revenue", Some(q3Oracle), q3TopRevenue),
     Q("q5_local_supplier_volume", Some(q5Oracle), q5LocalSupplierVolume),

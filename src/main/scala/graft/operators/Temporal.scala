@@ -349,8 +349,52 @@ object Temporal {
       |       CAST(CAST(sum(ov_us) AS BIGINT) AS DOUBLE) / 1000000.0 AS overlap_sec
       |FROM ov GROUP BY bh ORDER BY burst_hour""".stripMargin
 
+  /** Within-window event dedup — the batch twin of Structured Streaming's
+    * `dropDuplicatesWithinWatermark` (the standard defense against
+    * at-least-once upstream retries: a producer that redelivers the same
+    * logical event minutes later must not double-count it downstream).
+    * Semantics here: within each clock hour, keep only the FIRST event
+    * per (user_id, event_type) — ties on the µs timestamp broken by
+    * event_id, so both engines pick the same survivor deterministically.
+    * StreamingDedupSpec proves the streaming twin (state keyed the same
+    * way, watermark-bounded) elects the same survivors on the same input.
+    *
+    * Scale shape: one hash shuffle on (user, type, hour) + per-group sort
+    * for `row_number` — the window key includes the hour bucket, so state
+    * per group is the group's own rows, never a global sort; in streaming
+    * form the same key bounds the state store, and the watermark expires
+    * it. Output is the survivors' summary per hour (kept/dropped counts),
+    * not the row dump, so the result stays grain-bounded at any SF. */
+  def dedupEventWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window
+      .partitionBy($"user_id", $"event_type", date_trunc("hour", $"ts"))
+      .orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy($"hour")
+  }
+
+  val dedupEventWindowOracle: String =
+    """WITH r AS (
+      |  SELECT date_trunc('hour', ts) AS h,
+      |         row_number() OVER (
+      |           PARTITION BY user_id, event_type, date_trunc('hour', ts)
+      |           ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT strftime(h, '%Y-%m-%d %H:00') AS hour,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      |FROM r GROUP BY h ORDER BY hour""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("asof_click_attribution", Some(asofOracle), asofClickAttribution),
+    Q("dedup_event_window", Some(dedupEventWindowOracle), dedupEventWindow),
     Q("ev_sessionize", Some(sessionizeOracle), sessionize),
     Q("ev_session_window_native", Some(sessionWindowOracle), sessionWindowNative),
     Q("range_join_purchases_1h", Some(rangeJoinOracle), rangeJoinPurchasesAfterView),

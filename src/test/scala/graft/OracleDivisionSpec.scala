@@ -94,6 +94,8 @@ class OracleDivisionSpec extends AnyFunSuite {
     "(CAST(round(sum(value) * N) AS BIGINT) * N + count(*))", // ev_user_stats: events.value in [0.01, 490] by generator
     "(N * (N // n.n))",                     // pagerank teleport: positive literal / node count
     "(N * CAST(c AS BIGINT))",              // kmeans purity: group count
+    "(N * p.n_ab)",                         // mba support/confidence: pair co-occurrence count >= 1
+    "(N * p.n_ab * nb.n)",                  // mba lift: pair count x basket count, both >= 1
     "(N * s.ssum)",                         // seasonal mean: sum of hourly counts
     "(N * sum(abs(cum_c * t.n_tot - cum_g * n_class)))", // t-closeness EMD: abs-sum
     "((p.t - r.mn) * N)",                   // lttb/m4 bucketing: t >= per-series min by construction of rng

@@ -23,6 +23,29 @@ class HllSpec extends SparkSuite {
     }
   }
 
+  test("trailing 7-day WAU from the rollup matches exact in the coupon regime") {
+    val got = Hll.hllTrailingUsers(spark, Sf).collect()
+    val ev = graft.Tables.events(spark, Sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val days = ev.select(col("day")).distinct()
+    val want = days.as("d").join(ev.as("e"),
+        col("e.day").between(date_sub(col("d.day"), 6), col("d.day")))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col("e.user_id")).as("wau"),
+        count(lit(1)).as("events_7d"))
+      .orderBy(col("day")).collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getDate(0).toString)
+      assert(g.getLong(1) == w.getLong(1), s"day ${g.getString(0)} wau")
+      assert(g.getLong(2) == w.getLong(2), s"day ${g.getString(0)} events_7d")
+    }
+    // trailing > daily on interior days (windows only widen coverage)
+    val daily = Hll.hllDailyUsers(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(r.getLong(1) >= daily(r.getString(0))))
+  }
+
   test("sketch bytes survive a parquet round-trip and re-slice to any grain") {
     val dir = tmpDir("graft-hll-rollup")
     Hll.userSketchRollup(spark, Sf).write.mode("overwrite").parquet(dir)

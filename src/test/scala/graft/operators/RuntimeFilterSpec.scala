@@ -44,4 +44,39 @@ class RuntimeFilterSpec extends SparkSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("the registered join_bloom_runtime query injects bloom and matches the plain join") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "500MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // the exact inner plan the registered query materializes, under the
+    // same conf window the query itself opens
+    val inner = try {
+      val p = Relational.bloomJoinPlan(spark, Sf)
+      assert(p.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "registered query's plan carries no runtime bloom filter")
+      p.collect().toSeq
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // the public query returns the same rows (bloom never drops a match)
+    val queryRows = Relational.joinBloomRuntime(spark, Sf).collect().toSeq
+    assert(queryRows == inner)
+    val plain = Tables.lineitem(spark, Sf)
+      .select($"l_orderkey", ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .join(Tables.orders(spark, Sf).filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, Sf).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nationkey"))
+      .agg(round(sum($"rev"), 2).as("urgent_revenue"), count(lit(1)).as("n_lines"))
+      .orderBy($"nationkey").collect().toSeq
+    assert(queryRows == plain)
+  }
 }
