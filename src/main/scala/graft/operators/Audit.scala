@@ -436,6 +436,77 @@ object Audit {
       |WHERE n = 0 OR 1440 * n < total
       |ORDER BY hour""".stripMargin
 
+  /** Referential-integrity census: orphan counts across the star
+    * schema's FK edges — the pre-join data-quality gate (an orphan FK is
+    * a row a later inner join silently DROPS; at 100 TB a 0.1% orphan
+    * rate is a million vanished rows nobody sees fail). One row per
+    * edge: child rows, orphans (child keys with no parent), verdict.
+    *
+    * Scale shape, per edge: one left join keyed on the FK — the same
+    * shuffle the production join would do anyway, so the audit costs one
+    * pass of the joins it certifies; orphan detection is a null-check
+    * aggregate on the join output, map-side combinable. The parent side
+    * deduplicates to its key column first (projection-pruned scan; also
+    * makes the census robust to a corrupted parent with duplicate keys).
+    * No countDistinct, no windows. */
+  def referentialIntegrity(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame =
+      referentialIntegrityEdge(s, name, child, fk, parent, pk)
+    val edges = Seq(
+      edge("customer.c_nationkey -> nation", Tables.customer(s, d),
+        "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+      edge("events.user_id -> customer", Tables.events(s, d),
+        "user_id", Tables.customer(s, d), "c_custkey"),
+      edge("lineitem.l_orderkey -> orders", Tables.lineitem(s, d),
+        "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+      edge("lineitem.l_partkey -> part", Tables.lineitem(s, d),
+        "l_partkey", Tables.part(s, d), "p_partkey"),
+      edge("lineitem.l_suppkey -> supplier", Tables.lineitem(s, d),
+        "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      edge("orders.o_custkey -> customer", Tables.orders(s, d),
+        "o_custkey", Tables.customer(s, d), "c_custkey"),
+      edge("supplier.s_nationkey -> nation", Tables.supplier(s, d),
+        "s_nationkey", Tables.nation(s, d), "n_nationkey"))
+    edges.reduce(_.unionByName(_)).orderBy(col("edge"))
+  }
+
+  /** One FK edge of [[referentialIntegrity]] — exposed so specs can run
+    * a single edge against a planted-orphan corpus. */
+  private[operators] def referentialIntegrityEdge(s: SparkSession,
+      name: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val p = parent.select(col(pk).as("__k")).distinct()
+      .withColumn("__hit", lit(1))
+    child.select(col(fk).as("__k"))
+      .join(p, Seq("__k"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"),
+        (col("n_orphans") === 0L).as("ok"))
+  }
+
+  val referentialIntegrityOracle: String = {
+    def e(name: String, child: String, fk: String,
+        parent: String, pk: String): String =
+      s"""SELECT '$name' AS edge, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_orphans,
+         |       sum(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+         |FROM $child c
+         |LEFT JOIN (SELECT DISTINCT $pk AS __k FROM $parent) p
+         |  ON c.$fk = p.__k""".stripMargin
+    Seq(
+      e("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      e("events.user_id -> customer", "events", "user_id", "customer", "c_custkey"),
+      e("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      e("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+      e("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      e("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+      e("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
+
   /** k-anonymity audit over a quasi-identifier combination — the
     * pre-release privacy gate (Sweeney 2002): any (lang, source) class
     * with fewer than k members re-identifies its documents' provenance
@@ -1501,5 +1572,6 @@ object Audit {
     Q("audit_k_anonymity", Some(kAnonymityOracle), (s, d) => kAnonymity(s, d)),
     Q("audit_l_diversity", Some(lDiversityOracle), (s, d) => lDiversity(s, d)),
     Q("audit_t_closeness", Some(tClosenessOracle), (s, d) => tCloseness(s, d)),
-    Q("audit_dp_histogram", Some(dpHistogramOracle), (s, d) => dpHistogram(s, d)))
+    Q("audit_dp_histogram", Some(dpHistogramOracle), (s, d) => dpHistogram(s, d)),
+    Q("audit_referential_integrity", Some(referentialIntegrityOracle), referentialIntegrity))
 }

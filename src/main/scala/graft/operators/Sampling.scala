@@ -448,7 +448,96 @@ object Sampling {
       |FROM (SELECT * FROM keyed ORDER BY k_raw DESC, doc_id LIMIT 100)
       |ORDER BY es_key DESC, doc_id""".stripMargin
 
+  /** Poisson-bootstrap confidence interval for a pipeline metric (mean
+    * purchase value) — the standard way to put error bars on a statistic
+    * at scale WITHOUT resampling passes (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012): true bootstrap
+    * resampling needs the row count up front and a pass per replicate;
+    * Poisson(1) weights are independent per (row, replicate), so ALL B
+    * replicates ride ONE scan — each row fans out to B weighted copies
+    * (a map-side explode, no extra shuffle) and one keyed aggregation
+    * produces every replicate's statistic. CI = order statistics of the
+    * B replicate means.
+    *
+    * Engine-portability: the Poisson draw inverts the CDF at a
+    * deterministic md5 uniform (same draw family as [[weightedSample]]),
+    * the metric is exact integer cents, and every replicate mean is an
+    * integer-division micro fixed point — both engines agree bit-for-bit
+    * on every intermediate, so even the ORDER STATISTICS match exactly
+    * (no float sum-order risk anywhere). Overflow bound: Σ w·cents ≤
+    * 8·4.9e6·rows — safe through ~1e11 purchase rows in the i64 sum;
+    * past that, pre-aggregate cents per shard first (same plan shape). */
+  def bootstrapCi(s: SparkSession, d: String, reps: Int = 32): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    // cumulative Poisson(1) CDF at k = 0..7 (identical literals in the
+    // oracle SQL); u beyond c7 draws the tail weight 8
+    val cdf = Array(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.9999167588507119, 0.9999897508033253)
+    val u = (conv(substring(md5(concat($"event_id".cast("string"), lit(":"),
+        $"rep".cast("string"), lit(":bs42"))), 1, 15), 16, 10)
+      .cast("double") + lit(0.5)) / lit(math.pow(16.0, 15))
+    val w = cdf.zipWithIndex.reverse.foldLeft(lit(8L): Column) {
+      case (acc, (c, i)) => when($"u" < lit(c), lit(i.toLong)).otherwise(acc)
+    }
+    val means = Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"event_id",
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy($"rep")
+      .agg(sum($"w" * $"cents").as("swx"), sum($"w").as("sw"))
+      .select($"rep", expr("(100 * swx) div sw").as("mean_e4"))
+    val lo = math.ceil(0.05 * reps).toInt
+    val hi = math.ceil(0.95 * reps).toInt
+    means.agg(count(lit(1)).as("n_reps"),
+        expr("sum(mean_e4) div count(1)").as("mean_of_means_e4"),
+        sort_array(collect_list($"mean_e4")).as("a"))
+      .select($"n_reps", $"mean_of_means_e4",
+        element_at($"a", lo).as("ci_lo_e4"),
+        element_at($"a", hi).as("ci_hi_e4"))
+  }
+
+  val bootstrapCiOracle: String =
+    """WITH base AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT event_id, cents, rep
+      |      FROM base CROSS JOIN (SELECT unnest(range(32)) AS rep)),
+      |u AS (SELECT cents, rep,
+      |             (('0x' || substr(md5(event_id::VARCHAR || ':' ||
+      |                rep::VARCHAR || ':bs42'), 1, 15))::BIGINT + 0.5)
+      |               / 1152921504606846976.0 AS u
+      |      FROM r),
+      |w AS (SELECT cents, rep,
+      |             CASE WHEN u < 0.36787944117144233 THEN 0
+      |                  WHEN u < 0.7357588823428847 THEN 1
+      |                  WHEN u < 0.9196986029286058 THEN 2
+      |                  WHEN u < 0.9810118431238462 THEN 3
+      |                  WHEN u < 0.9963401531726563 THEN 4
+      |                  WHEN u < 0.9994058151824183 THEN 5
+      |                  WHEN u < 0.9999167588507119 THEN 6
+      |                  WHEN u < 0.9999897508033253 THEN 7
+      |                  ELSE 8 END AS w
+      |      FROM u),
+      |m AS (SELECT rep, CAST((100 * sum(w * cents)) // sum(w) AS BIGINT)
+      |               AS mean_e4
+      |      FROM w GROUP BY rep),
+      |arr AS (SELECT list_sort(list(mean_e4)) AS a,
+      |               CAST(count(*) AS BIGINT) AS n_reps,
+      |               CAST(sum(mean_e4) // count(*) AS BIGINT)
+      |                 AS mean_of_means_e4
+      |        FROM m)
+      |SELECT n_reps, mean_of_means_e4,
+      |       CAST(a[2] AS BIGINT) AS ci_lo_e4,
+      |       CAST(a[31] AS BIGINT) AS ci_hi_e4
+      |FROM arr""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("agg_bootstrap_ci", Some(bootstrapCiOracle), (s, d) => bootstrapCi(s, d)),
     Q("doc_weighted_sample", Some(weightedSampleOracle), weightedSample(_, _)),
     Q("doc_token_budget_mix", Some(tokenBudgetMixOracle), tokenBudgetMix),
     Q("doc_dsir_select", Some(dsirSelectOracle), dsirSelect),

@@ -349,6 +349,40 @@ object Ingest {
     graft.operators.Audit.hourCoverageOf(s, census, startMs, hours)
   }
 
+  /** Trailing-window distinct users served from the maintained sketch
+    * rollup ([[upsertSketchRollup]]'s HLL cells) — the streaming twin of
+    * the batch `ev_hll_trailing_7d` query
+    * ([[graft.operators.Hll.hllTrailingUsers]]), at minute grain: for
+    * every minute with traffic, the distinct-user count over the trailing
+    * `windowMinutes` window, answered WITHOUT re-touching raw events.
+    * A naive trailing `COUNT(DISTINCT)` re-scans every event W times
+    * (each event is in W windows); here each maintained cell fans out to
+    * the ≤W window-minutes it contributes to (cells × W rows of sketch
+    * BYTES, never event rows), one hash shuffle on the window minute,
+    * `hll_union_agg` per window. The additive counter rides the same
+    * fan-out. Output minutes are restricted to minutes present in the
+    * rollup. RollupSpec proves exactness in the coupon regime against a
+    * trailing recompute from raw batches. */
+  def servedTrailingDistinct(s: SparkSession, rollupDir: String,
+      windowMinutes: Int = 7): DataFrame = {
+    val cells = s.read.parquet(rollupDir)
+      .groupBy(col("event_minute"))
+      .agg(hll_union_agg(col("user_sketch")).as("sk"),
+        sum(col("cnt")).as("cnt"))
+    val present = cells.select(col("event_minute").as("w_minute"))
+    cells
+      .withColumn("off", explode(sequence(lit(0), lit(windowMinutes - 1))))
+      .withColumn("w_minute",
+        expr("timestampadd(MINUTE, off, event_minute)"))
+      .join(broadcast(present), Seq("w_minute"), "left_semi")
+      .groupBy(col("w_minute"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("trailing_users"),
+        sum(col("cnt")).as("trailing_events"))
+      .select(col("w_minute").as("event_minute"),
+        col("trailing_users"), col("trailing_events"))
+      .orderBy(col("event_minute"))
+  }
+
   /** The FREQUENCY-bearing sibling of [[upsertQuantileRollup]],
     * completing the maintained-view sketch family (HLL cells answer
     * "how many distinct", KLL cells answer "what latency percentile",

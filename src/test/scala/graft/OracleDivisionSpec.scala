@@ -95,6 +95,8 @@ class OracleDivisionSpec extends AnyFunSuite {
     "(N * (N // n.n))",                     // pagerank teleport: positive literal / node count
     "(N * CAST(c AS BIGINT))",              // kmeans purity: group count
     "(N * p.n_ab)",                         // mba support/confidence: pair co-occurrence count >= 1
+    "(N * sum(w * cents))",                 // bootstrap replicate mean: Poisson weights >= 0, cents = round(value*100) >= 1 (value in [0.01, 490] by generator)
+    "sum(mean_eN)",                         // bootstrap mean of means: each replicate mean >= 0
     "(N * p.n_ab * nb.n)",                  // mba lift: pair count x basket count, both >= 1
     "(N * s.ssum)",                         // seasonal mean: sum of hourly counts
     "(N * sum(abs(cum_c * t.n_tot - cum_g * n_class)))", // t-closeness EMD: abs-sum

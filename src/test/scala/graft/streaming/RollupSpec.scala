@@ -107,4 +107,30 @@ class RollupSpec extends SparkSuite {
     val exactTotal = all.select(countDistinct($"user_id")).head().getLong(0)
     assert(total === exactTotal)
   }
+
+  test("trailing-window distinct users served from the sketch rollup") {
+    val dir = tmpDir("rollup-trail") + "/r"
+    val t0 = 1704067200000L
+    val b1 = mkEvents(300, t0)                    // minutes 0-4
+    val b2 = mkEvents(300, t0 + 3 * 60 * 1000L)   // minutes 3-7: overlaps 3-4
+    Ingest.upsertSketchRollup(b1, dir)
+    Ingest.upsertSketchRollup(b2, dir)
+    val all = b1.unionByName(b2)
+    val w = 3
+    val got = Ingest.servedTrailingDistinct(spark, dir, windowMinutes = w)
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // exact trailing recompute from the raw batches (coupon regime →
+    // sketch estimates are exact at this cardinality)
+    val minutes = all.select($"event_minute").distinct()
+      .as[java.sql.Timestamp].collect()
+    assert(got.keySet == minutes.toSet)
+    minutes.foreach { m =>
+      val lo = new java.sql.Timestamp(m.getTime - (w - 1) * 60000L)
+      val win = all.filter($"event_minute".between(lo, m))
+      val exactUsers = win.select(countDistinct($"user_id")).head().getLong(0)
+      val exactEvents = win.count()
+      assert(got(m) == (exactUsers, exactEvents), s"minute $m")
+    }
+  }
 }
