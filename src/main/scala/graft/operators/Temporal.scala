@@ -392,8 +392,114 @@ object Temporal {
       |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
       |FROM r GROUP BY h ORDER BY hour""".stripMargin
 
+  /** Watermark-sizing advisor — the fourth readout→remedy audit (after
+    * salt_plan / join_plan / compaction-adjacent census): how LATE does
+    * event time run behind arrival order, and what watermark delay would
+    * a streaming job need to not drop data? Lateness of an event is the
+    * running maximum event time over everything that ARRIVED before it
+    * (arrival order = the ingest sequence `event_id`) minus its own
+    * event time; the report buckets the lateness distribution and maps
+    * its 99% envelope to the smallest candidate `withWatermark` delay
+    * covering it — every count integer-exact on both engines.
+    *
+    * The running max is the classic prefix scan a naive window would
+    * compute in ONE task (`ORDER BY event_id` unpartitioned —
+    * SinglePartition, the scale-killer): here it is the RankStats
+    * two-level shape instead — range-bucket by arrival id, per-bucket
+    * max → ≤buckets-row driver prefix fold broadcast back, per-bucket
+    * running max in parallel, global = greatest(bucket prefix, local).
+    * WatermarkPlanSpec plants out-of-order arrivals and checks the
+    * buckets and the recommendation by hand; on the generated corpus
+    * the producer emits in order (lateness 0 everywhere, recommendation
+    * 0 s) — the spec's planted fixture is where the machinery is
+    * exercised non-vacuously. */
+  def watermarkPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"event_id", unix_micros($"ts").as("us"))
+    val bounds = RankStats.rangeBounds(
+      ev.select($"event_id".cast("double").as("v")), "v",
+      RankStats.DefaultBuckets)
+    val bucketed = ev.withColumn("__bucket",
+      RankStats.bucketOf($"event_id".cast("double"), bounds))
+    // per-bucket max event time → EXCLUSIVE running max over the bucket
+    // order: a ≤buckets-row driver fold, broadcast back
+    val maxes = bucketed.groupBy($"__bucket").agg(max($"us").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefixes = maxes.map(_._1)
+      .zip(maxes.scanLeft(Long.MinValue)((acc, b) => math.max(acc, b._2))
+        .init)
+    val preDf = s.createDataFrame(prefixes.toSeq).toDF("__bucket", "__pre")
+    val w = Window.partitionBy($"__bucket").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = bucketed.join(broadcast(preDf), Seq("__bucket"))
+      .withColumn("runmax", greatest($"__pre", max($"us").over(w)))
+      .withColumn("late_s", expr("(runmax - us) div 1000000"))
+    late.agg(
+        count(lit(1)).as("n_events"),
+        sum(when($"late_s" <= 0, 1L).otherwise(0L)).as("n_on_time"),
+        sum(when($"late_s" > 0 && $"late_s" <= 10, 1L).otherwise(0L)).as("n_late_le_10s"),
+        sum(when($"late_s" > 10 && $"late_s" <= 60, 1L).otherwise(0L)).as("n_late_le_60s"),
+        sum(when($"late_s" > 60, 1L).otherwise(0L)).as("n_late_gt_60s"),
+        max($"late_s").as("max_late_s"),
+        sum(when($"late_s" <= 0, 1L).otherwise(0L)).as("c0"),
+        sum(when($"late_s" <= 1, 1L).otherwise(0L)).as("c1"),
+        sum(when($"late_s" <= 5, 1L).otherwise(0L)).as("c5"),
+        sum(when($"late_s" <= 10, 1L).otherwise(0L)).as("c10"),
+        sum(when($"late_s" <= 30, 1L).otherwise(0L)).as("c30"),
+        sum(when($"late_s" <= 60, 1L).otherwise(0L)).as("c60"),
+        sum(when($"late_s" <= 300, 1L).otherwise(0L)).as("c300"))
+      .select($"n_events", $"n_on_time", $"n_late_le_10s",
+        $"n_late_le_60s", $"n_late_gt_60s", $"max_late_s",
+        // smallest candidate delay covering >= 99% of arrivals — exact
+        // integer comparison (c*100 vs 99*n), no float thresholds
+        when($"c0" * 100 >= $"n_events" * 99, 0L)
+          .when($"c1" * 100 >= $"n_events" * 99, 1L)
+          .when($"c5" * 100 >= $"n_events" * 99, 5L)
+          .when($"c10" * 100 >= $"n_events" * 99, 10L)
+          .when($"c30" * 100 >= $"n_events" * 99, 30L)
+          .when($"c60" * 100 >= $"n_events" * 99, 60L)
+          .when($"c300" * 100 >= $"n_events" * 99, 300L)
+          .otherwise($"max_late_s").as("recommended_watermark_s"))
+  }
+
+  val watermarkPlanOracle: String =
+    """WITH o AS (
+      |  SELECT epoch_us(ts) AS us,
+      |         max(epoch_us(ts)) OVER (ORDER BY event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+      |  FROM events),
+      |l AS (SELECT (runmax - us) // 1000000 AS late_s FROM o),
+      |a AS (SELECT
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN late_s <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+      |  CAST(sum(CASE WHEN late_s > 0 AND late_s <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_le_10s,
+      |  CAST(sum(CASE WHEN late_s > 10 AND late_s <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_le_60s,
+      |  CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_gt_60s,
+      |  CAST(max(late_s) AS BIGINT) AS max_late_s,
+      |  CAST(sum(CASE WHEN late_s <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |  CAST(sum(CASE WHEN late_s <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |  CAST(sum(CASE WHEN late_s <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+      |  CAST(sum(CASE WHEN late_s <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS c10,
+      |  CAST(sum(CASE WHEN late_s <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS c30,
+      |  CAST(sum(CASE WHEN late_s <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS c60,
+      |  CAST(sum(CASE WHEN late_s <= 300 THEN 1 ELSE 0 END) AS BIGINT) AS c300
+      |FROM l)
+      |SELECT n_events, n_on_time, n_late_le_10s, n_late_le_60s,
+      |       n_late_gt_60s, max_late_s,
+      |       CASE WHEN c0 * 100 >= n_events * 99 THEN 0
+      |            WHEN c1 * 100 >= n_events * 99 THEN 1
+      |            WHEN c5 * 100 >= n_events * 99 THEN 5
+      |            WHEN c10 * 100 >= n_events * 99 THEN 10
+      |            WHEN c30 * 100 >= n_events * 99 THEN 30
+      |            WHEN c60 * 100 >= n_events * 99 THEN 60
+      |            WHEN c300 * 100 >= n_events * 99 THEN 300
+      |            ELSE max_late_s END AS recommended_watermark_s
+      |FROM a""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q("asof_click_attribution", Some(asofOracle), asofClickAttribution),
+    Q("ev_watermark_plan", Some(watermarkPlanOracle), watermarkPlan),
     Q("dedup_event_window", Some(dedupEventWindowOracle), dedupEventWindow),
     Q("ev_sessionize", Some(sessionizeOracle), sessionize),
     Q("ev_session_window_native", Some(sessionWindowOracle), sessionWindowNative),

@@ -874,7 +874,109 @@ object TextOps {
       |FROM f CROSS JOIN rt
       |GROUP BY ref_types""".stripMargin
 
+  /** Zipf-law fit over the token frequency spectrum: least-squares slope
+    * of log(freq) vs log(rank) across the top-k tokens — the classic
+    * corpus-health fingerprint (natural language sits near slope −1;
+    * boilerplate/spam corpora flatten or steepen it; a drifting slope
+    * between ingest snapshots flags a source mix change). Companion to
+    * [[heapsLaw]] (vocabulary growth) on the frequency axis.
+    *
+    * Scale shape: one token-count aggregation (the same shuffle every
+    * text stat pays), then `TakeOrdered`(k) — a bounded driver-free
+    * top-k, NOT a global sort — and the regression runs on the k-row
+    * result via one `sort_array(collect_list)` aggregate + `regr_*`
+    * built-ins (no window, no SinglePartition exchange; the hygiene gate
+    * checks). Rank ties at the k boundary are broken by token text on
+    * both engines, so the fitted set is deterministic. */
+  def zipfFit(s: SparkSession, d: String, k: Int = 100): DataFrame = {
+    import s.implicits._
+    val top = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token".asc).limit(k)
+    top
+      // (-cnt, token) sorted ascending == (cnt desc, token asc): global
+      // rank from one bounded k-row aggregate instead of a global window
+      .agg(sort_array(collect_list(struct((-$"cnt").as("nc"), $"token"))).as("l"))
+      .select(posexplode($"l").as(Seq("pos", "e")))
+      .select(log(col("pos") + lit(1.0)).as("lx"),
+        log(-col("e.nc").cast("double")).as("ly"))
+      .agg(count(lit(1)).as("n_top"),
+        round(expr("regr_slope(ly, lx)"), 4).as("slope"),
+        round(expr("regr_intercept(ly, lx)"), 4).as("intercept"),
+        round(expr("regr_r2(ly, lx)"), 4).as("r2"))
+  }
+
+  val zipfFitOracle: String =
+    """WITH cnts AS (
+      |  SELECT token, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  GROUP BY token),
+      |ranked AS (
+      |  SELECT row_number() OVER (ORDER BY cnt DESC, token) AS r, cnt
+      |  FROM cnts ORDER BY cnt DESC, token LIMIT 100)
+      |SELECT CAST(count(*) AS BIGINT) AS n_top,
+      |       round(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4) AS slope,
+      |       round(regr_intercept(ln(CAST(cnt AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4) AS intercept,
+      |       round(regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4) AS r2
+      |FROM ranked""".stripMargin
+
+  /** DEFLATE compression ratio per document — the quality signal modern
+    * curation pipelines run beside the Gopher stats (text that compresses
+    * far below the corpus norm is boilerplate/repetition; far above is
+    * noise/random bytes — both ends get filtered before training). The
+    * codec is the JDK's zlib at a FIXED level/strategy, run through the
+    * same batched `mapPartitions` shape as the image codecs
+    * ([[Multimodal.decodeImagesOf]]): per-task constant memory, one
+    * Deflater reused per batch, no shuffle — a pure narrow map, which is
+    * exactly what a 100 TB scrub pass must be. Ratio is exact integer
+    * micro fixed point; the verdict thresholds are corpus-free constants.
+    *
+    * Oracle: golden-pinned (DuckDB has no zlib) — determinism holds
+    * because DEFLATE output is a pure function of (bytes, level,
+    * strategy) for a fixed zlib build; TextCompressionSpec pins the
+    * first-principles behavior (repetition compresses, entropy doesn't,
+    * round-trip inflates back byte-identical). */
+  def compressionRatio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, false)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          // stored-block worst case: ~5 bytes per 64 KiB block + header
+          val buf = new Array[Byte](bytes.length + bytes.length / 1000 + 64)
+          var n = 0
+          while (!deflater.finished())
+            n += deflater.deflate(buf, n, buf.length - n)
+          val ratio = 10000L * n / math.max(bytes.length, 1)
+          (id, bytes.length.toLong, n.toLong, ratio)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate", "ratio_e4")
+      // thresholds in PRINTABLE-TEXT terms: English prose deflates to
+      // ~0.3-0.6; < 0.25 is heavy repetition; > 0.80 approaches the
+      // ~6.55-bit/char ceiling of uniform printable ASCII (0.84) — noise.
+      // Below ~256 bytes the DEFLATE header/dictionary warmup dominates
+      // (ratios can exceed 1.0) and the signal says "short", not "noise"
+      .withColumn("verdict",
+        when($"n_bytes" < 256, "short")
+          .when($"ratio_e4" < 2500, "repetitive")
+          .when($"ratio_e4" > 8000, "incompressible")
+          .otherwise("ok"))
+      .orderBy($"doc_id")
+  }
+
+  val compressionRatioOracle: String =
+    Golden.parquet("text_compression_ratio")
+
   val defs: Seq[Q] = Seq(
+    Q("text_zipf_fit", Some(zipfFitOracle), (s, d) => zipfFit(s, d)),
+    Q("text_compression_ratio", Some(compressionRatioOracle), compressionRatio),
     Q("text_oov_rate", Some(oovRateOracle), oovRate),
     Q("text_heaps_law", Some(heapsLawOracle), heapsLaw),
     Q("corpus_url_filter", Some(urlBlocklistOracle), urlBlocklistFilter),

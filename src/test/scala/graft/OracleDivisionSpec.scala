@@ -97,6 +97,7 @@ class OracleDivisionSpec extends AnyFunSuite {
     "(N * p.n_ab)",                         // mba support/confidence: pair co-occurrence count >= 1
     "(N * sum(w * cents))",                 // bootstrap replicate mean: Poisson weights >= 0, cents = round(value*100) >= 1 (value in [0.01, 490] by generator)
     "sum(mean_eN)",                         // bootstrap mean of means: each replicate mean >= 0
+    "SELECT (runmax - us)",                 // watermark lateness: running max over arrivals >= own event time by definition
     "(N * p.n_ab * nb.n)",                  // mba lift: pair count x basket count, both >= 1
     "(N * s.ssum)",                         // seasonal mean: sum of hourly counts
     "(N * sum(abs(cum_c * t.n_tot - cum_g * n_class)))", // t-closeness EMD: abs-sum
