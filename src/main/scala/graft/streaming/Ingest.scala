@@ -383,6 +383,88 @@ object Ingest {
       .orderBy(col("event_minute"))
   }
 
+  /** Maintained LATENESS monitor — the streaming side of the
+    * watermark-sizing advisor ([[graft.operators.Temporal.watermarkPlan]]
+    * / `ev_watermark_plan`): every batch, each event's event time is
+    * compared against the HIGH-WATER MARK (max event time over all PRIOR
+    * batches — one bounded read of the cell maxima, never raw history),
+    * and per-minute cells accumulate the cumulative lateness-candidate
+    * counts c0/c1/c5/c10/c30/c60/c300 plus max lateness and max event
+    * time. Intra-batch disorder deliberately does NOT count as lateness —
+    * a micro-batch is an unordered set; what a `withWatermark` delay must
+    * cover is exactly arrivals behind data ALREADY SEEN in earlier
+    * triggers, which is what the pre-batch HWM measures. The first batch
+    * is all on-time by definition.
+    *
+    * Cost per batch: O(batch + touched cells) like every maintained view;
+    * the HWM probe reads cell metadata only. Same batch-id replay caveat
+    * as the counts. LatenessMonitorSpec hand-computes the buckets and the
+    * served recommendation across three batches. */
+  def upsertLatenessMonitor(batch: DataFrame, stateDir: String): Unit = {
+    val s = batch.sparkSession
+    val hwmUs: Option[Long] =
+      if (rollupExists(s, stateDir)) {
+        val r = s.read.parquet(stateDir).agg(max(col("max_event_us"))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      } else None
+    val lateS = hwmUs match {
+      case None => lit(0L)
+      case Some(h) =>
+        greatest(lit(0L),
+          expr(s"(${h}L - unix_micros(event_timestamp)) div 1000000"))
+    }
+    val delta = batch
+      .withColumn("late_s", lateS)
+      .groupBy(col("event_minute"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_s") <= 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("late_s") <= 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("late_s") <= 5, 1L).otherwise(0L)).as("c5"),
+        sum(when(col("late_s") <= 10, 1L).otherwise(0L)).as("c10"),
+        sum(when(col("late_s") <= 30, 1L).otherwise(0L)).as("c30"),
+        sum(when(col("late_s") <= 60, 1L).otherwise(0L)).as("c60"),
+        sum(when(col("late_s") <= 300, 1L).otherwise(0L)).as("c300"),
+        max(col("late_s")).as("max_late_s"),
+        max(unix_micros(col("event_timestamp"))).as("max_event_us"))
+    mergeMinuteRollup(delta, stateDir, Seq("event_minute"),
+      Seq(sum(col("n")).as("n"),
+        sum(col("c0")).as("c0"), sum(col("c1")).as("c1"),
+        sum(col("c5")).as("c5"), sum(col("c10")).as("c10"),
+        sum(col("c30")).as("c30"), sum(col("c60")).as("c60"),
+        sum(col("c300")).as("c300"),
+        max(col("max_late_s")).as("max_late_s"),
+        max(col("max_event_us")).as("max_event_us")))
+  }
+
+  /** The watermark report served from [[upsertLatenessMonitor]]'s cells —
+    * the same seven-column shape and 99%-coverage recommendation rule as
+    * the batch `ev_watermark_plan`, computed from O(minutes) cells with
+    * zero raw-event reads: the number a streaming operator actually
+    * consults when (re)sizing `withWatermark`. */
+  def servedWatermarkPlan(s: SparkSession, stateDir: String): DataFrame = {
+    val a = s.read.parquet(stateDir).agg(
+      sum(col("n")).as("n_events"),
+      sum(col("c0")).as("c0"), sum(col("c1")).as("c1"),
+      sum(col("c5")).as("c5"), sum(col("c10")).as("c10"),
+      sum(col("c30")).as("c30"), sum(col("c60")).as("c60"),
+      sum(col("c300")).as("c300"),
+      max(col("max_late_s")).as("max_late_s"))
+    a.select(col("n_events"),
+      col("c0").as("n_on_time"),
+      (col("c10") - col("c0")).as("n_late_le_10s"),
+      (col("c60") - col("c10")).as("n_late_le_60s"),
+      (col("n_events") - col("c60")).as("n_late_gt_60s"),
+      col("max_late_s"),
+      when(col("c0") * 100 >= col("n_events") * 99, 0L)
+        .when(col("c1") * 100 >= col("n_events") * 99, 1L)
+        .when(col("c5") * 100 >= col("n_events") * 99, 5L)
+        .when(col("c10") * 100 >= col("n_events") * 99, 10L)
+        .when(col("c30") * 100 >= col("n_events") * 99, 30L)
+        .when(col("c60") * 100 >= col("n_events") * 99, 60L)
+        .when(col("c300") * 100 >= col("n_events") * 99, 300L)
+        .otherwise(col("max_late_s")).as("recommended_watermark_s"))
+  }
+
   /** The FREQUENCY-bearing sibling of [[upsertQuantileRollup]],
     * completing the maintained-view sketch family (HLL cells answer
     * "how many distinct", KLL cells answer "what latency percentile",
