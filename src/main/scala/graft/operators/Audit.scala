@@ -507,6 +507,74 @@ object Audit {
       .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
   }
 
+  /** Primary-key uniqueness census — the constraint-side complement of
+    * [[referentialIntegrity]] (that one asks "does every child point at a
+    * parent"; this one asks "is each parent pointed AT unique"): for
+    * every table's declared key, total rows vs distinct keys, how many
+    * rows sit inside duplicated-key groups, and the worst multiplicity.
+    * A duplicated PK silently FANS OUT every downstream join (n·m rows
+    * where the pipeline assumed n) — at 100 TB the cheapest place to
+    * catch that is this census, before any join runs.
+    *
+    * Scale shape, per table: groupBy(key) count — one keyed map-side-
+    * combinable shuffle — then a scalar summary over the already-
+    * aggregated groups; the two-level shape, never a countDistinct
+    * Expand. Composite keys (lineitem) drop into the same plan as a
+    * multi-column groupBy. */
+  def primaryKeys(s: SparkSession, d: String): DataFrame = {
+    def census(name: String, t: DataFrame, keyCols: Seq[String]): DataFrame =
+      primaryKeyCensus(name, t, keyCols)
+    Seq(
+      census("customer(c_custkey)", Tables.customer(s, d), Seq("c_custkey")),
+      census("documents(doc_id)", Tables.documents(s, d), Seq("doc_id")),
+      census("embeddings(vec_id)", Tables.embeddings(s, d), Seq("vec_id")),
+      census("events(event_id)", Tables.events(s, d), Seq("event_id")),
+      census("lineitem(l_orderkey,l_linenumber)", Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber")),
+      census("nation(n_nationkey)", Tables.nation(s, d), Seq("n_nationkey")),
+      census("orders(o_orderkey)", Tables.orders(s, d), Seq("o_orderkey")),
+      census("part(p_partkey)", Tables.part(s, d), Seq("p_partkey")),
+      census("region(r_regionkey)", Tables.region(s, d), Seq("r_regionkey")),
+      census("supplier(s_suppkey)", Tables.supplier(s, d), Seq("s_suppkey")))
+      .reduce(_.unionByName(_)).orderBy(col("tbl"))
+  }
+
+  /** One table's key census — exposed so specs can run it against a
+    * planted duplicate-key fixture. */
+  private[operators] def primaryKeyCensus(name: String, t: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    t.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("n_dup_rows"),
+        max(col("c")).as("max_multiplicity"))
+      .select(lit(name).as("tbl"), col("n_rows"), col("n_keys"),
+        col("n_dup_rows"), col("max_multiplicity"),
+        (col("n_dup_rows") === 0L).as("ok"))
+
+  val primaryKeysOracle: String = {
+    def c(name: String, tbl: String, key: String): String =
+      s"""SELECT '$name' AS tbl, CAST(sum(c) AS BIGINT) AS n_rows,
+         |       CAST(count(*) AS BIGINT) AS n_keys,
+         |       CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+         |         AS n_dup_rows,
+         |       CAST(max(c) AS BIGINT) AS max_multiplicity,
+         |       COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) = 0 AS ok
+         |FROM (SELECT count(*) AS c FROM $tbl GROUP BY $key)""".stripMargin
+    Seq(
+      c("customer(c_custkey)", "customer", "c_custkey"),
+      c("documents(doc_id)", "documents", "doc_id"),
+      c("embeddings(vec_id)", "embeddings", "vec_id"),
+      c("events(event_id)", "events", "event_id"),
+      c("lineitem(l_orderkey,l_linenumber)", "lineitem", "l_orderkey, l_linenumber"),
+      c("nation(n_nationkey)", "nation", "n_nationkey"),
+      c("orders(o_orderkey)", "orders", "o_orderkey"),
+      c("part(p_partkey)", "part", "p_partkey"),
+      c("region(r_regionkey)", "region", "r_regionkey"),
+      c("supplier(s_suppkey)", "supplier", "s_suppkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+  }
+
   /** k-anonymity audit over a quasi-identifier combination — the
     * pre-release privacy gate (Sweeney 2002): any (lang, source) class
     * with fewer than k members re-identifies its documents' provenance
@@ -1573,5 +1641,6 @@ object Audit {
     Q("audit_l_diversity", Some(lDiversityOracle), (s, d) => lDiversity(s, d)),
     Q("audit_t_closeness", Some(tClosenessOracle), (s, d) => tCloseness(s, d)),
     Q("audit_dp_histogram", Some(dpHistogramOracle), (s, d) => dpHistogram(s, d)),
-    Q("audit_referential_integrity", Some(referentialIntegrityOracle), referentialIntegrity))
+    Q("audit_referential_integrity", Some(referentialIntegrityOracle), referentialIntegrity),
+    Q("audit_primary_keys", Some(primaryKeysOracle), primaryKeys))
 }

@@ -580,7 +580,47 @@ object EventOps {
 
   val tdigestCheckOracle: String = QuantileGuard.oracleSql
 
+  /** Clickstream path analysis: the top-k most common event-type
+    * SEQUENCES per (user, day) session — the funnel-discovery readout
+    * (which journeys actually happen) that sits one level above
+    * [[markovTransitions]]' pairwise matrix: a path is an ordered k-gram
+    * of the whole session, not a bigram.
+    *
+    * Scale shape: one shuffle on the session key; per-session state is
+    * that session's own events (bounded by daily per-user activity — the
+    * standard path-mining cost; a pathological always-on key would be
+    * pre-capped upstream), ordered inside the aggregate by
+    * `sort_array(struct(ts, event_id, …))` — event_id makes the order
+    * total, so both engines build identical paths. Paths truncate to the
+    * first `maxLen` steps; the final top-k is `TakeOrdered` with the
+    * path string as tiebreak. */
+  def topPaths(s: SparkSession, d: String,
+      maxLen: Int = 8, k: Int = 20): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day"),
+        $"ts", $"event_id", $"event_type")
+      .groupBy($"user_id", $"day")
+      .agg(sort_array(collect_list(
+        struct($"ts", $"event_id", $"event_type"))).as("seq"))
+      .select(concat_ws(">",
+        slice(expr("transform(seq, x -> x.event_type)"), 1, maxLen)).as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path".asc).limit(k)
+  }
+
+  val topPathsOracle: String =
+    """WITH p AS (
+      |  SELECT array_to_string(
+      |           list_slice(list(event_type ORDER BY ts, event_id), 1, 8),
+      |           '>') AS path
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("ev_top_paths", Some(topPathsOracle), (s, d) => topPaths(s, d)),
     // t-digest: the raw estimate surface (valueTdigestQuantiles) is
     // merge-order-sensitive within the rank-error bound, so it is a
     // spec-only API (TDigestSpec pins accuracy/mergeability/state); the
