@@ -178,7 +178,11 @@ object Hll {
     * row-scale), one hash shuffle on the window day, `hll_union_agg` per
     * window. The additive event counter rides the same fan-out. Output
     * days are restricted to days present in the corpus (broadcast
-    * semi-join with the ~days-row day list).
+    * semi-join with the ~days-row day list). MEASURED (TrailingWauProbe,
+    * SCALE_NOTES Leg 28; 10M events / 2M users / 30 days): serve 0.81 s
+    * from the rollup vs 18.67 s for the naive 7×-rescan — ~23×, worst
+    * window error 1.59% (inside the ~1.6% RSE), and the gap grows with
+    * corpus size since the serve's cost is O(cells), not O(rows).
     *
     * Oracle: the CMS/HLL invariant-twin pattern — DuckDB recomputes the
     * EXACT trailing distinct count from raw events and collapses any
