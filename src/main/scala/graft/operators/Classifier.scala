@@ -253,7 +253,97 @@ object Classifier {
       |            END AS DOUBLE) AS f1
       |FROM c ORDER BY thr_milli""".stripMargin
 
+  /** Split-conformal quality threshold — the distribution-free way to
+    * turn ANY quality score into a filter with a coverage GUARANTEE
+    * (Vovk et al.; Papadopoulos et al. 2002 split form): take a
+    * calibration half (deterministic md5 split, the sampling family's
+    * draw), compute each doc's nonconformity, and set the cutoff at the
+    * ⌈(n+1)(1−α)⌉-th smallest calibration nonconformity — then ANY
+    * exchangeable new doc lands under the cutoff with probability
+    * ≥ 1−α, no model assumptions. This is how a curation pipeline sets
+    * "keep the most natural 90%" with a certificate instead of an
+    * eyeballed threshold.
+    *
+    * Nonconformity here = −(stopword micro ratio): fewer stopwords reads
+    * as less natural English. Everything is exact integer (micro ratio,
+    * ceil via integer arithmetic, ties-inclusive cumulative selection),
+    * so both engines agree bit-for-bit. The order statistic is selected
+    * WITHOUT a global sort: the RankStats bucket shape — range buckets
+    * from approxQuantile, per-bucket counts → ≤buckets-row driver
+    * offsets, per-bucket ties-inclusive cumulative, min(value | cum ≥ k).
+    * The empirical holdout coverage rides along as a micro int (its
+    * EXPECTATION is ≥ 1−α; single-split realizations wobble —
+    * ConformalSpec checks the guarantee statistically on a planted
+    * corpus and the selection exactly). */
+  def conformalThreshold(s: SparkSession, d: String,
+      alphaPct: Int = 10): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the micro ratio divides NONNEGATIVE integers and negates AFTER the
+    // div — a negative numerator would floor/trunc-diverge across engines
+    val pos = Tables.documents(s, d)
+      .select($"doc_id",
+        (substring(md5($"doc_id".cast("string")), 1, 1) < "8").as("is_cal"),
+        (-expr("(10000 * size(filter(split(text, ' '), t -> t IN ('the','a')))) div size(split(text, ' '))"))
+          .as("nonconf"))
+    val cal = pos.filter($"is_cal")
+    val nCal = cal.count()
+    // ceil((1-alpha)(n+1)) in exact integer arithmetic
+    val k = ((100L - alphaPct) * (nCal + 1) + 99L) / 100L
+    val bounds = RankStats.rangeBounds(
+      cal.select($"nonconf".cast("double").as("v")), "v", RankStats.DefaultBuckets)
+    val bucketed = cal.withColumn("__bucket",
+      RankStats.bucketOf($"nonconf".cast("double"), bounds))
+    val offs = bucketed.groupBy($"__bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offDf = s.createDataFrame(
+      offs.map(_._1).zip(offs.scanLeft(0L)(_ + _._2).init).toSeq)
+      .toDF("__bucket", "__off")
+    val w = Window.partitionBy($"__bucket").orderBy($"nonconf")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val thresholdDf = bucketed.join(broadcast(offDf), Seq("__bucket"))
+      .withColumn("cum", $"__off" + count(lit(1)).over(w))
+      .agg(min(when($"cum" >= k, $"nonconf")).as("threshold"))
+    val test = pos.filter(!$"is_cal")
+    test.crossJoin(broadcast(thresholdDf))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"nonconf" <= $"threshold", 1L).otherwise(0L)).as("n_covered"),
+        max($"threshold").as("threshold"))
+      .select(lit(nCal).as("n_cal"), lit(k).as("k"), $"threshold",
+        $"n_test",
+        expr("(10000 * n_covered) div n_test").as("coverage_e4"))
+  }
+
+  val conformalThresholdOracle: String =
+    """WITH scored AS (
+      |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_cal,
+      |         -((10000 * len(list_filter(string_split(text, ' '),
+      |             t -> t IN ('the','a')))) // len(string_split(text, ' ')))
+      |           AS nonconf
+      |  FROM documents),
+      |cal AS (SELECT nonconf FROM scored WHERE is_cal),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+      |             (9 * (count(*) + 1) + 9) // 10 AS k FROM cal),
+      |cum AS (SELECT nonconf,
+      |               count(*) OVER (ORDER BY nonconf
+      |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |        FROM cal),
+      |thr AS (SELECT min(CASE WHEN cum.cum >= n.k THEN cum.nonconf END)
+      |          AS threshold
+      |        FROM cum CROSS JOIN n),
+      |test AS (SELECT nonconf FROM scored WHERE NOT is_cal)
+      |SELECT n.n_cal, CAST(n.k AS BIGINT) AS k,
+      |       CAST(thr.threshold AS BIGINT) AS threshold,
+      |       CAST(count(*) AS BIGINT) AS n_test,
+      |       CAST((10000 * sum(CASE WHEN test.nonconf <= thr.threshold
+      |                         THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+      |         AS coverage_e4
+      |FROM test CROSS JOIN thr CROSS JOIN n
+      |GROUP BY n.n_cal, n.k, thr.threshold""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("quality_conformal_threshold", Some(conformalThresholdOracle),
+      (s, d) => conformalThreshold(s, d)),
     Q("text_quality_classifier", Some(qualityClassifierOracle), qualityClassifier),
     Q("quality_calibration", Some(qualityCalibrationOracle), qualityCalibration),
     Q("quality_auc", Some(qualityAucOracle), qualityAuc),

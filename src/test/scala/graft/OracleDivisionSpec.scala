@@ -98,6 +98,9 @@ class OracleDivisionSpec extends AnyFunSuite {
     "(N * sum(w * cents))",                 // bootstrap replicate mean: Poisson weights >= 0, cents = round(value*100) >= 1 (value in [0.01, 490] by generator)
     "sum(mean_eN)",                         // bootstrap mean of means: each replicate mean >= 0
     "SELECT (runmax - us)",                 // watermark lateness: running max over arrivals >= own event time by definition
+    "(N * len(list_filter(string_split(text, 'S'), t -> t IN ('S','S'))))", // conformal micro ratio: token counts >= 0 (negation happens AFTER the div)
+    "(N * (count(*) + N) + N)",             // conformal k = ceil((1-alpha)(n+1)): counts and positive literals
+    "(N * sum(CASE WHEN test.nonconf <= thr.threshold THEN N ELSE N END))", // conformal coverage: 0/1 indicator sum
     "(N * p.n_ab * nb.n)",                  // mba lift: pair count x basket count, both >= 1
     "(N * s.ssum)",                         // seasonal mean: sum of hourly counts
     "(N * sum(abs(cum_c * t.n_tot - cum_g * n_class)))", // t-closeness EMD: abs-sum
