@@ -24,6 +24,11 @@ import graft.Tables
   * All ratio outputs are exact integer micro fixed point (⌊1e4·num/den⌋,
   * integer `div` truncates toward zero identically on both engines) —
   * no float summation-order or rounding-mode risk in the oracle compare.
+  * Overflow bound: the lift numerator 1e4·n_ab·N stays in i64 through
+  * n_ab·N < 9.2e14 — safe to ~3e7 baskets even with every pair
+  * co-occurring everywhere; past that, compute lift in DECIMAL (both
+  * engines have it) at the same plan shape. ANSI Spark throws rather
+  * than wraps, so an overflow is loud, not wrong.
   */
 object Basket {
 

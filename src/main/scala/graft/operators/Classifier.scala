@@ -299,18 +299,24 @@ object Classifier {
     val offDf = s.createDataFrame(
       offs.map(_._1).zip(offs.scanLeft(0L)(_ + _._2).init).toSeq)
       .toDF("__bucket", "__off")
+    require(k <= nCal, s"conformal index k=$k exceeds the calibration " +
+      s"size $nCal — the corpus is too small for alpha=$alphaPct%: the " +
+      "threshold is +infinity (keep everything); fail loudly rather than " +
+      "return an engine-dependent null")
     val w = Window.partitionBy($"__bucket").orderBy($"nonconf")
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val thresholdDf = bucketed.join(broadcast(offDf), Seq("__bucket"))
+    // one-row driver materialization (bounded by construction) — joining
+    // the scalar back would constant-fold to the BroadcastNestedLoopJoin
+    // shape the hygiene gate rejects
+    val threshold = bucketed.join(broadcast(offDf), Seq("__bucket"))
       .withColumn("cum", $"__off" + count(lit(1)).over(w))
       .agg(min(when($"cum" >= k, $"nonconf")).as("threshold"))
-    val test = pos.filter(!$"is_cal")
-    test.crossJoin(broadcast(thresholdDf))
+      .head().getLong(0)
+    pos.filter(!$"is_cal")
       .agg(count(lit(1)).as("n_test"),
-        sum(when($"nonconf" <= $"threshold", 1L).otherwise(0L)).as("n_covered"),
-        max($"threshold").as("threshold"))
-      .select(lit(nCal).as("n_cal"), lit(k).as("k"), $"threshold",
-        $"n_test",
+        sum(when($"nonconf" <= threshold, 1L).otherwise(0L)).as("n_covered"))
+      .select(lit(nCal).as("n_cal"), lit(k).as("k"),
+        lit(threshold).as("threshold"), $"n_test",
         expr("(10000 * n_covered) div n_test").as("coverage_e4"))
   }
 
