@@ -586,25 +586,31 @@ object EventOps {
     * [[markovTransitions]]' pairwise matrix: a path is an ordered k-gram
     * of the whole session, not a bigram.
     *
-    * Scale shape: one shuffle on the session key; per-session state is
-    * that session's own events (bounded by daily per-user activity — the
-    * standard path-mining cost; a pathological always-on key would be
-    * pre-capped upstream), ordered inside the aggregate by
-    * `sort_array(struct(ts, event_id, …))` — event_id makes the order
-    * total, so both engines build identical paths. Paths truncate to the
-    * first `maxLen` steps; the final top-k is `TakeOrdered` with the
-    * path string as tiebreak. */
+    * Scale shape: one shuffle on the session key. A path only reads the
+    * FIRST `maxLen` events of a session, so the plan truncates BEFORE
+    * aggregating: a per-session `row_number ≤ maxLen` window (same key as
+    * the groupBy — Catalyst reuses the exchange) bounds both the rows
+    * entering the aggregate and the per-group state at `maxLen` structs,
+    * making a pathological always-on key cost the same as any other. The
+    * order is total ((ts, event_id) — event_id breaks timestamp ties),
+    * so both engines build identical paths; the final top-k is
+    * `TakeOrdered` with the path string as tiebreak. */
   def topPaths(s: SparkSession, d: String,
       maxLen: Int = 8, k: Int = 20): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts", $"event_id")
     Tables.events(s, d)
       .select($"user_id", to_date($"ts").as("day"),
         $"ts", $"event_id", $"event_type")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= maxLen)
       .groupBy($"user_id", $"day")
       .agg(sort_array(collect_list(
         struct($"ts", $"event_id", $"event_type"))).as("seq"))
       .select(concat_ws(">",
-        slice(expr("transform(seq, x -> x.event_type)"), 1, maxLen)).as("path"))
+        expr("transform(seq, x -> x.event_type)")).as("path"))
       .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
       .orderBy($"n_sessions".desc, $"path".asc).limit(k)
   }
