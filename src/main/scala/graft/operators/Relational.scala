@@ -822,20 +822,25 @@ object Relational {
       .select($"o_orderkey", $"o_custkey")
     val cust = Tables.customer(s, d).select($"c_custkey", $"c_nationkey")
     Tables.lineitem(s, d)
+      // exact integer e4-cents revenue (the q7 pattern): a float sum of
+      // ~5k doubles at 1e8 magnitude rounds differently across engines'
+      // summation orders — 0.01 divergence observed at sf0.1
       .select($"l_orderkey",
-        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+          expr("cast(round((1.0 - l_discount) * 100) as bigint)")).as("rev_e4"))
       .join(urgent, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .groupBy($"c_nationkey".as("nationkey"))
-      .agg(round(sum($"rev"), 2).as("urgent_revenue"),
+      .agg(sum($"rev_e4").as("urgent_revenue_e4"),
         count(lit(1)).as("n_lines"))
       .orderBy($"nationkey")
   }
 
   val joinBloomOracle: String =
     """SELECT c.c_nationkey AS nationkey,
-      |       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
-      |         AS urgent_revenue,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |                CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+      |            AS BIGINT) AS urgent_revenue_e4,
       |       CAST(count(*) AS BIGINT) AS n_lines
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -69,13 +69,15 @@ class RuntimeFilterSpec extends SparkSuite {
     val queryRows = Relational.joinBloomRuntime(spark, Sf).collect().toSeq
     assert(queryRows == inner)
     val plain = Tables.lineitem(spark, Sf)
-      .select($"l_orderkey", ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .select($"l_orderkey",
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+          expr("cast(round((1.0 - l_discount) * 100) as bigint)")).as("rev_e4"))
       .join(Tables.orders(spark, Sf).filter($"o_orderpriority" === "1-URGENT")
         .select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(spark, Sf).select($"c_custkey", $"c_nationkey"),
         $"o_custkey" === $"c_custkey")
       .groupBy($"c_nationkey".as("nationkey"))
-      .agg(round(sum($"rev"), 2).as("urgent_revenue"), count(lit(1)).as("n_lines"))
+      .agg(sum($"rev_e4").as("urgent_revenue_e4"), count(lit(1)).as("n_lines"))
       .orderBy($"nationkey").collect().toSeq
     assert(queryRows == plain)
   }
