@@ -136,7 +136,62 @@ object Formats {
       |FROM orders WHERE o_totalprice > 100000.0
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Parquet AGGREGATE pushdown — the metadata-only answer path: with
+    * `spark.sql.parquet.aggregatePushdown` on, a bare COUNT/MIN/MAX
+    * (no GROUP BY, no post-scan filter) is served from row-group
+    * STATISTICS in the parquet footers — the scan reads no data pages at
+    * all. At 100 TB this turns "how many rows / what's the value range"
+    * from a full-corpus scan into a footer walk, which is why every
+    * serious lakehouse keeps these stats hot. The conf is off by default
+    * (it changes scan behavior), so the query opens a conf window and
+    * materializes its ONE-row result inside it, same discipline as
+    * [[graft.operators.Relational.joinBloomRuntime]]; AggPushdownSpec
+    * asserts `PushedAggregation` is in the scan and the numbers equal a
+    * plain recompute. Caveat pinned by the spec: add a row-level filter
+    * and the pushdown correctly disables itself (stats can't answer it). */
+  def aggPushdown(s: SparkSession, d: String): DataFrame = {
+    // pushdown lives in the DataSource V2 parquet scan; the default
+    // useV1SourceList routes parquet through V1, which ignores it
+    val confs = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val one = aggPushdownPlan(s, d)
+      s.createDataFrame(
+        s.sparkContext.parallelize(one.collect().toSeq, 1), one.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The lazy inner plan of [[aggPushdown]] — factored out so the spec
+    * asserts `PushedAggregation` on the same plan the query runs. */
+  private[sources] def aggPushdownPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // read WITHOUT the nanos-long conversion layer: pushdown must see the
+    // raw parquet columns (the events table's ts is converted post-scan,
+    // so its min/max would not push; orderkey/price stats do)
+    s.read.parquet(s"$d/lineitem.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"l_orderkey").as("min_orderkey"),
+        max($"l_orderkey").as("max_orderkey"),
+        min($"l_extendedprice").as("min_price"),
+        max($"l_extendedprice").as("max_price"))
+  }
+
+  val aggPushdownOracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       min(l_orderkey) AS min_orderkey,
+      |       max(l_orderkey) AS max_orderkey,
+      |       min(l_extendedprice) AS min_price,
+      |       max(l_extendedprice) AS max_price
+      |FROM lineitem""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("src_agg_pushdown", Some(aggPushdownOracle), aggPushdown),
     Q("src_csv_roundtrip", Some(segmentProfileSql), csvRoundtrip),
     Q("src_json_roundtrip", Some(segmentProfileSql), jsonRoundtrip),
     Q("src_xml_roundtrip", Some(segmentProfileSql), xmlRoundtrip),
