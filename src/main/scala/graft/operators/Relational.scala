@@ -791,25 +791,28 @@ object Relational {
     * per priority×nation) is materialized inside the window and returned
     * as a local relation. JoinBloomSpec asserts `might_contain` is in the
     * executed plan; the oracle is the plain join — the bloom has no false
-    * negatives, so injection never changes the result. */
+    * negatives, so injection never changes the result.
+    *
+    * The window opens on `s.newSession()` — an ISOLATED SQLConf over the
+    * same SparkContext (newSession inherits the builder's
+    * initialSessionOptions: UTC, AQE, shuffle partitions — but not the
+    * caller's runtime conf.set state, and vice versa) — so a query
+    * planned concurrently on the caller's session can never observe the
+    * lifted bloom thresholds or the disabled broadcast. All reads here
+    * are path-based, so the child session resolves the same tables. */
   def joinBloomRuntime(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val confs = Seq(
+    val ns = s.newSession()
+    Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "500MB",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-    confs.foreach { case (k, v) => s.conf.set(k, v) }
-    try {
-      val joined = bloomJoinPlan(s, d)
-      // bounded materialization (≤ |nation| rows) inside the conf window
-      s.createDataFrame(
-        s.sparkContext.parallelize(joined.collect().toSeq, 1), joined.schema)
-    } finally saved.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
-    }
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    ).foreach { case (k, v) => ns.conf.set(k, v) }
+    // bounded materialization (≤ |nation| rows) while the confs are live;
+    // the returned local relation belongs to the CALLER's session
+    val joined = bloomJoinPlan(ns, d)
+    s.createDataFrame(
+      s.sparkContext.parallelize(joined.collect().toSeq, 1), joined.schema)
   }
 
   /** The lazy inner plan of [[joinBloomRuntime]] — factored out so

@@ -467,14 +467,28 @@ object Sampling {
     * (no float sum-order risk anywhere). Overflow bound: Σ w·cents ≤
     * 8·4.9e6·rows — safe through ~1e11 purchase rows in the i64 sum;
     * past that, pre-aggregate cents per shard first (same plan shape). */
-  def bootstrapCi(s: SparkSession, d: String, reps: Int = 32): DataFrame = {
+  /** Default replicate count — the oracle SQL below is STRING-INTERPOLATED
+    * from this value and [[ciIndices]] (round-12 advice: a hardcoded
+    * a[2]/a[31] in the oracle would silently desync if reps changed). */
+  val BootstrapReps: Int = 32
+
+  /** 1-based order-statistic indices of the 5th/95th percentile replicate
+    * means — shared by the Spark plan and the interpolated oracle. */
+  def ciIndices(reps: Int): (Int, Int) =
+    (math.ceil(0.05 * reps).toInt, math.ceil(0.95 * reps).toInt)
+
+  /** Cumulative Poisson(1) CDF at k = 0..7 — the SAME array renders the
+    * Spark `when` chain and the oracle's CASE literals (Double.toString
+    * round-trips exactly, so both engines compare against identical
+    * constants); u beyond the last entry draws the tail weight 8. */
+  private val PoissonCdf = Array(0.36787944117144233, 0.7357588823428847,
+    0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+    0.9994058151824183, 0.9999167588507119, 0.9999897508033253)
+
+  def bootstrapCi(s: SparkSession, d: String, reps: Int = BootstrapReps): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.Column
-    // cumulative Poisson(1) CDF at k = 0..7 (identical literals in the
-    // oracle SQL); u beyond c7 draws the tail weight 8
-    val cdf = Array(0.36787944117144233, 0.7357588823428847,
-      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
-      0.9994058151824183, 0.9999167588507119, 0.9999897508033253)
+    val cdf = PoissonCdf
     val u = (conv(substring(md5(concat($"event_id".cast("string"), lit(":"),
         $"rep".cast("string"), lit(":bs42"))), 1, 15), 16, 10)
       .cast("double") + lit(0.5)) / lit(math.pow(16.0, 15))
@@ -491,8 +505,7 @@ object Sampling {
       .groupBy($"rep")
       .agg(sum($"w" * $"cents").as("swx"), sum($"w").as("sw"))
       .select($"rep", expr("(100 * swx) div sw").as("mean_e4"))
-    val lo = math.ceil(0.05 * reps).toInt
-    val hi = math.ceil(0.95 * reps).toInt
+    val (lo, hi) = ciIndices(reps)
     means.agg(count(lit(1)).as("n_reps"),
         expr("sum(mean_e4) div count(1)").as("mean_of_means_e4"),
         sort_array(collect_list($"mean_e4")).as("a"))
@@ -501,40 +514,40 @@ object Sampling {
         element_at($"a", hi).as("ci_hi_e4"))
   }
 
-  val bootstrapCiOracle: String =
-    """WITH base AS (
-      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
-      |  FROM events WHERE event_type = 'purchase'),
-      |r AS (SELECT event_id, cents, rep
-      |      FROM base CROSS JOIN (SELECT unnest(range(32)) AS rep)),
-      |u AS (SELECT cents, rep,
-      |             (('0x' || substr(md5(event_id::VARCHAR || ':' ||
-      |                rep::VARCHAR || ':bs42'), 1, 15))::BIGINT + 0.5)
-      |               / 1152921504606846976.0 AS u
-      |      FROM r),
-      |w AS (SELECT cents, rep,
-      |             CASE WHEN u < 0.36787944117144233 THEN 0
-      |                  WHEN u < 0.7357588823428847 THEN 1
-      |                  WHEN u < 0.9196986029286058 THEN 2
-      |                  WHEN u < 0.9810118431238462 THEN 3
-      |                  WHEN u < 0.9963401531726563 THEN 4
-      |                  WHEN u < 0.9994058151824183 THEN 5
-      |                  WHEN u < 0.9999167588507119 THEN 6
-      |                  WHEN u < 0.9999897508033253 THEN 7
-      |                  ELSE 8 END AS w
-      |      FROM u),
-      |m AS (SELECT rep, CAST((100 * sum(w * cents)) // sum(w) AS BIGINT)
-      |               AS mean_e4
-      |      FROM w GROUP BY rep),
-      |arr AS (SELECT list_sort(list(mean_e4)) AS a,
-      |               CAST(count(*) AS BIGINT) AS n_reps,
-      |               CAST(sum(mean_e4) // count(*) AS BIGINT)
-      |                 AS mean_of_means_e4
-      |        FROM m)
-      |SELECT n_reps, mean_of_means_e4,
-      |       CAST(a[2] AS BIGINT) AS ci_lo_e4,
-      |       CAST(a[31] AS BIGINT) AS ci_hi_e4
-      |FROM arr""".stripMargin
+  /** Interpolated from [[BootstrapReps]], [[ciIndices]] and [[PoissonCdf]]
+    * — the SAME values the Spark plan uses — so changing any parameter
+    * cannot desync the query from its oracle (the dpHistogram pattern). */
+  val bootstrapCiOracle: String = {
+    val (lo, hi) = ciIndices(BootstrapReps)
+    val cases = PoissonCdf.zipWithIndex
+      .map { case (c, i) => s"WHEN u < $c THEN $i" }
+      .mkString("CASE ", "\n                  ", "\n                  ELSE 8 END")
+    s"""WITH base AS (
+       |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |r AS (SELECT event_id, cents, rep
+       |      FROM base CROSS JOIN (SELECT unnest(range($BootstrapReps)) AS rep)),
+       |u AS (SELECT cents, rep,
+       |             (('0x' || substr(md5(event_id::VARCHAR || ':' ||
+       |                rep::VARCHAR || ':bs42'), 1, 15))::BIGINT + 0.5)
+       |               / 1152921504606846976.0 AS u
+       |      FROM r),
+       |w AS (SELECT cents, rep,
+       |             $cases AS w
+       |      FROM u),
+       |m AS (SELECT rep, CAST((100 * sum(w * cents)) // sum(w) AS BIGINT)
+       |               AS mean_e4
+       |      FROM w GROUP BY rep),
+       |arr AS (SELECT list_sort(list(mean_e4)) AS a,
+       |               CAST(count(*) AS BIGINT) AS n_reps,
+       |               CAST(sum(mean_e4) // count(*) AS BIGINT)
+       |                 AS mean_of_means_e4
+       |        FROM m)
+       |SELECT n_reps, mean_of_means_e4,
+       |       CAST(a[$lo] AS BIGINT) AS ci_lo_e4,
+       |       CAST(a[$hi] AS BIGINT) AS ci_hi_e4
+       |FROM arr""".stripMargin
+  }
 
   val defs: Seq[Q] = Seq(
     Q("agg_bootstrap_ci", Some(bootstrapCiOracle), (s, d) => bootstrapCi(s, d)),

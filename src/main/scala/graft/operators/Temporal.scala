@@ -357,7 +357,13 @@ object Temporal {
     * per (user_id, event_type) — ties on the µs timestamp broken by
     * event_id, so both engines pick the same survivor deterministically.
     * StreamingDedupSpec proves the streaming twin (state keyed the same
-    * way, watermark-bounded) elects the same survivors on the same input.
+    * way, watermark-bounded) elects the same survivors on the same input
+    * — an equivalence that holds when redeliveries ARRIVE after their
+    * originals (the retry case this defends against):
+    * `dropDuplicatesWithinWatermark` keeps the first-ARRIVED row per key,
+    * while this batch formula keeps min(ts, event_id); the two diverge if
+    * a duplicate arrives out of event-time order, where streaming keeps
+    * the earlier-arrived, later-timestamped copy.
     *
     * Scale shape: one hash shuffle on (user, type, hour) + per-group sort
     * for `row_number` — the window key includes the hour bucket, so state

@@ -934,15 +934,25 @@ object TextOps {
     *
     * Oracle: golden-pinned (DuckDB has no zlib) — determinism holds
     * because DEFLATE output is a pure function of (bytes, level,
-    * strategy) for a fixed zlib build; TextCompressionSpec pins the
-    * first-principles behavior (repetition compresses, entropy doesn't,
-    * round-trip inflates back byte-identical). */
+    * strategy) for a FIXED zlib build only; `golden/zlib_canary.json`
+    * records the frozen build's observable behavior (a canary text's
+    * deflate size) and TextCompressionSpec fails with the regeneration
+    * remedy if this runtime's zlib deflates the canary differently, so a
+    * cross-runtime golden mismatch diagnoses itself. The spec also pins
+    * the first-principles behavior (repetition compresses, entropy
+    * doesn't, round-trip inflates back byte-identical). */
   def compressionRatio(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6, false)
+        // release the native zlib state when the task ends (success OR
+        // failure) — without this, per-task native memory is held until
+        // GC finalization, which contradicts the per-task-constant-memory
+        // scale posture this codec shape exists for. end() is idempotent.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         it.map { case (id, text) =>
           val bytes = text.getBytes("UTF-8")
           deflater.reset()

@@ -151,20 +151,19 @@ object Formats {
     * and the pushdown correctly disables itself (stats can't answer it). */
   def aggPushdown(s: SparkSession, d: String): DataFrame = {
     // pushdown lives in the DataSource V2 parquet scan; the default
-    // useV1SourceList routes parquet through V1, which ignores it
-    val confs = Seq(
+    // useV1SourceList routes parquet through V1, which ignores it.
+    // The window opens on s.newSession() (isolated SQLConf, shared
+    // SparkContext; builder initialSessionOptions inherited) so the V1→V2
+    // source rerouting can never leak into a concurrently planned query
+    // on the caller's session — same discipline as joinBloomRuntime.
+    val ns = s.newSession()
+    Seq(
       "spark.sql.parquet.aggregatePushdown" -> "true",
-      "spark.sql.sources.useV1SourceList" -> "")
-    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-    confs.foreach { case (k, v) => s.conf.set(k, v) }
-    try {
-      val one = aggPushdownPlan(s, d)
-      s.createDataFrame(
-        s.sparkContext.parallelize(one.collect().toSeq, 1), one.schema)
-    } finally saved.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
-    }
+      "spark.sql.sources.useV1SourceList" -> ""
+    ).foreach { case (k, v) => ns.conf.set(k, v) }
+    val one = aggPushdownPlan(ns, d)
+    s.createDataFrame(
+      s.sparkContext.parallelize(one.collect().toSeq, 1), one.schema)
   }
 
   /** The lazy inner plan of [[aggPushdown]] — factored out so the spec

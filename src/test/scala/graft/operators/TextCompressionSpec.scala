@@ -42,6 +42,37 @@ class TextCompressionSpec extends SparkSuite {
     assert(m == bytes.length && out.sameElements(bytes))
   }
 
+  test("zlib build matches the one the compression goldens were frozen on") {
+    // The text_compression_ratio goldens pin exact DEFLATE byte counts —
+    // stable only for a fixed zlib build (JDK vendors bundle different
+    // zlib/zlib-ng versions). This canary turns a cross-runtime oracle
+    // mismatch into a NAMED diagnosis with its remedy: if it fails,
+    // regenerate the three text_compression_ratio goldens and
+    // golden/zlib_canary.json on the new runtime (Verify dump + freeze).
+    val recorded = {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(graft.operators.Golden.Root, "zlib_canary.json"))
+      val m = """"canary_deflate_bytes":\s*(\d+)""".r.findFirstMatchIn(txt)
+      m.get.group(1).toInt
+    }
+    val sb = new StringBuilder
+    sb.append("the quick brown fox jumps over the lazy dog. " * 40)
+    val r = new java.util.Random(20260816)
+    (1 to 2000).foreach(_ => sb.append((r.nextInt(94) + 33).toChar))
+    sb.append("spark graft compression canary " * 25)
+    val bytes = sb.toString.getBytes("UTF-8")
+    val d = new java.util.zip.Deflater(6, false)
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](bytes.length + 64)
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+    d.end()
+    assert(n == recorded,
+      s"zlib build drift: canary deflates to $n bytes, goldens were frozen at " +
+        s"$recorded — regenerate golden/*/text_compression_ratio.parquet and " +
+        "golden/zlib_canary.json on this runtime before trusting the oracle gate")
+  }
+
   test("ratios are deterministic across two runs and bounded on real docs") {
     val a = TextOps.compressionRatio(spark, Sf).collect().toSeq
     val b = TextOps.compressionRatio(spark, Sf).collect().toSeq

@@ -10,8 +10,13 @@ import graft.SparkSuite
   * (Temporal.dedupEventWindow): `dropDuplicatesWithinWatermark` keyed on
   * (user, type, hour) elects the same survivors as the batch
   * `row_number = 1` formula when redeliveries arrive inside the
-  * watermark, and the watermark bounds the state (the whole point at
-  * 100 TB: dedup state that expires instead of growing with the corpus). */
+  * watermark AND after their originals — the retry case. The twins are
+  * not equivalent in general: streaming keeps the first-ARRIVED row per
+  * key, batch keeps min(ts, event_id), so an out-of-event-time-order
+  * duplicate would be kept by streaming and dropped by batch (this
+  * fixture's arrival order matches event-time order, as retries do).
+  * The watermark bounds the state (the whole point at 100 TB: dedup
+  * state that expires instead of growing with the corpus). */
 class StreamingDedupSpec extends SparkSuite {
 
   test("streaming dedup elects the batch twin's survivors") {
