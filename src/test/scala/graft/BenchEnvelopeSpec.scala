@@ -60,6 +60,71 @@ class BenchEnvelopeSpec extends AnyFunSuite {
     assert(Bench.hostContended(3.26, 32, r11ish))
   }
 
+  test("legContended: r12's official scale_100m artifact labels itself") {
+    // the exact incident the rule exists for (round-12 verdict #1): the
+    // driver's official r12 artifact carried scale_100m reps spanning
+    // [11.62, 122.53] s (median 55.07) while host_contended stayed false
+    // — the start-load/headline-scatter rules never saw the leg's own
+    // dispersion. Reps reconstructed from the artifact's min/med/max.
+    val r12driver = Seq(
+      Map("scale_100m_join_sec" -> 11.6163),
+      Map("scale_100m_join_sec" -> 55.0728),
+      Map("scale_100m_join_sec" -> 122.5298))
+    assert(Bench.legContended(r12driver, Seq("scale_100m_join_sec"),
+      skipFirst = false))
+    // the builder's committed quiet run the same round: [13.82, 18.09],
+    // ratio 1.31 — must NOT label
+    val r12quiet = Seq(
+      Map("scale_100m_join_sec" -> 13.8232),
+      Map("scale_100m_join_sec" -> 13.9983),
+      Map("scale_100m_join_sec" -> 18.0880))
+    assert(!Bench.legContended(r12quiet, Seq("scale_100m_join_sec"),
+      skipFirst = false))
+  }
+
+  test("legContended: scale_10m's by-design cold first rep is exempt") {
+    // quiet r12 committed values: cold-first write 13.07 s vs warm reps
+    // ~6.2-7.5 s — a >2x spread that is the leg's POINT, not contention
+    val quietCold = Seq(
+      Map("wh_write_10m" -> 13.0703, "wh_pruned_minute_report" -> 5.0793,
+        "wh_full_agg_10m" -> 4.3823),
+      Map("wh_write_10m" -> 7.4544, "wh_pruned_minute_report" -> 2.9932,
+        "wh_full_agg_10m" -> 3.6770),
+      Map("wh_write_10m" -> 6.2130, "wh_pruned_minute_report" -> 2.6423,
+        "wh_full_agg_10m" -> 3.2393))
+    val keys = Seq("wh_write_10m", "wh_pruned_minute_report", "wh_full_agg_10m")
+    assert(!Bench.legContended(quietCold, keys, skipFirst = true))
+    // the same shape WITHOUT the exemption would flag — proving the
+    // exemption is what keeps the quiet run quiet
+    assert(Bench.legContended(quietCold, keys, skipFirst = false))
+    // but reps 2-3 scattering >2x IS host evidence even under skipFirst
+    val degraded = quietCold.init :+
+      Map("wh_write_10m" -> 23.5, "wh_pruned_minute_report" -> 2.7,
+        "wh_full_agg_10m" -> 3.3)
+    assert(Bench.legContended(degraded, keys, skipFirst = true))
+  }
+
+  test("legContended: sub-half-second jitter and failed legs stay quiet") {
+    // freshness-class legs: a 2.3x ratio on a 0.2->0.46 s spread is
+    // micro-batch scheduling jitter, not the host (abs floor 0.5 s)
+    val jitter = Seq(Map("freshness_sec" -> 0.20),
+      Map("freshness_sec" -> 0.33), Map("freshness_sec" -> 0.46))
+    assert(!Bench.legContended(jitter, Seq("freshness_sec"), skipFirst = false))
+    // quiet r12 freshness [1.203, 1.721] — ratio 1.43, must not label
+    val quiet = Seq(Map("freshness_sec" -> 1.203),
+      Map("freshness_sec" -> 1.668), Map("freshness_sec" -> 1.721))
+    assert(!Bench.legContended(quiet, Seq("freshness_sec"), skipFirst = false))
+    // the r9-class incident (19.2 vs 1.3 s) labels
+    val r9ish = Seq(Map("freshness_sec" -> 1.3), Map("freshness_sec" -> 19.2))
+    assert(Bench.legContended(r9ish, Seq("freshness_sec"), skipFirst = false))
+    // -1.0 failure markers and empty/missing reps never divide by zero
+    assert(!Bench.legContended(Seq(Map("freshness_sec" -> -1.0)),
+      Seq("freshness_sec"), skipFirst = false))
+    assert(!Bench.legContended(Nil, Seq("freshness_sec"), skipFirst = false))
+    assert(!Bench.legContended(Seq(Map.empty[String, Double]),
+      Seq("freshness_sec"), skipFirst = true))
+  }
+
   test("hostContended: one jittery sub-100ms query alone -> false") {
     // a single tiny query doubling (50 -> 110 ms) is normal variance,
     // not host evidence; the flag needs >= 2 scattered queries
