@@ -280,6 +280,209 @@ object Rag {
       .orderBy($"query_id")
   }
 
+  // -------------------------------------------------------------------
+  // Two-stage retrieval: bi-encoder recall stage + cross-encoder-style
+  // reranker, evaluated side by side (round-12 verdict "Next round" #7a)
+  // -------------------------------------------------------------------
+
+  /** First-stage candidate depth: the reranker pays O(depth) per query
+    * REGARDLESS of corpus size — the whole point of the two-stage
+    * architecture at 100 TB (first stage: partition-pruned ANN index or
+    * BM25 postings; second stage: an expensive pairwise scorer over ≤N
+    * candidates, never the corpus). */
+  private[operators] val RerankDepth = 50
+
+  /** Late-interaction (maxsim) pairwise score of a candidate document
+    * against a query — the ColBERT-style cross-encoder stand-in: unlike
+    * the bi-encoder (query and document each collapsed to ONE vector
+    * independently, then compared), the reranker scores the PAIR jointly,
+    * matching every query token against its best document token. With the
+    * hashed ±1 sign embeddings, the cosine of two single-token sign
+    * vectors collapses to pure hash-bit arithmetic:
+    * dot(sign_q, sign_d) = 16 − 2·bit_count((h_q XOR h_d) & 0xFFFF), so
+    * maxsim(q, d) = Σ_qt max_dt (16 − 2·popcount16(h_qt ^ h_dt)) / 16 —
+    * no vector materialization at all. A real cross-encoder swaps this
+    * expression for a model call; the plan shape (narrow map over ≤depth
+    * candidate rows per query) is identical. */
+  private[operators] def maxsimOf(terms: Seq[String], textCol: Column): Column = {
+    val docHashes = transform(split(textCol, " "), t => xxhash64(t))
+    terms.map { t =>
+      array_max(transform(docHashes, dh =>
+        (lit(16) - lit(2) * call_function("bit_count",
+          xxhash64(lit(t)).bitwiseXOR(dh).bitwiseAND(lit(65535L))))
+          .cast("double")))
+    }.reduce(_ + _) / lit(16.0)
+  }
+
+  def rerankEval(s: SparkSession, d: String): DataFrame =
+    rerankEvalOf(Tables.documents(s, d))
+
+  /** Reranker-vs-bi-encoder comparison — the offline eval a retrieval
+    * team runs before shipping a reranker: per eval query, nDCG@10 of the
+    * dense first-stage order vs the maxsim-reranked order over the SAME
+    * top-[[RerankDepth]] candidates, with the shared IDCG denominator.
+    *
+    * Scale shape: stage 1 is the existing dense leg (narrow embed +
+    * TakeOrderedAndProject; the IVF/LSH index at real scale); stage 2
+    * touches only |queries|×depth rows — its window is partitioned by
+    * query over ≤depth rows, and the grade/DCG tail is the ndcgEval
+    * machinery. Golden-pinned where hash-derived (candidate sets, DCGs);
+    * IDCG, both nDCGs and the delta are recomputed by the oracle from the
+    * raw documents table and the pinned DCGs, with the dcg ≤ idcg law
+    * enforced (a violating row collapses to -1). RagSpec pins the
+    * structural facts: the reranker's top-10 actually reorders the dense
+    * top-10, and — because maxsim detects exact query-term presence, the
+    * same signal the graded relevance counts — never loses nDCG on this
+    * corpus. */
+  def rerankEvalOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val discCol = typedlit(Discounts)
+    def gradeOf(terms: Seq[String]): Column =
+      terms.map(t => array_contains(split($"text", " "), t).cast("int"))
+        .reduce(_ + _)
+
+    // stage 1: dense bi-encoder top-depth for ALL eval queries in ONE
+    // embed scan — each doc is embedded once, scored against every query
+    // vector, and the per-query top-depth flows through the bounded typed
+    // top-k Aggregator (O(depth) state per task, O(queries×depth) shuffle
+    // bytes; a per-query orderBy+limit would re-embed the corpus once per
+    // query — 4 scans where one suffices). Ranks assigned on the driver
+    // from the ≤queries×depth-row collect (the hybridRrf discipline).
+    import graft.functions.TopKAggregator.{Scored, TopKBy}
+    val qvs = EvalQueries.map { case (qid, terms) =>
+      qid -> s.range(1)
+        .select(embedCol(lit(terms.mkString(" "))).as("e"))
+        .as[Seq[Double]].head()
+    }
+    val cosCols = qvs.map { case (qid, qv) =>
+      struct(lit(qid).as("qid"),
+        round(VectorOps.cosine(col("emb"), typedlit(qv)), 6).as("cos"))
+    }
+    val topPerQuery = docs
+      .withColumn("emb", embedCol(col("text")))
+      .filter(VectorOps.dot(col("emb"), col("emb")) > 0)
+      .select(col("doc_id"), explode(array(cosCols: _*)).as("qc"))
+      .select(col("qc.qid").as("query_id"), col("doc_id"), col("qc.cos").as("cos"))
+      .as[(Int, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKBy[(Int, Long, Double)](RerankDepth,
+        t => Scored(t._2, t._3)).toColumn.name("topk"))
+      .collect()
+    val candidates = topPerQuery.toSeq.flatMap { case (qid, buf) =>
+      // buf.items is already (score desc, id asc)-ordered — rank = index
+      buf.items.zipWithIndex.map { case (it, i) => (qid, it.id, i + 1) }
+    }.toDF("query_id", "doc_id", "r_dense")
+
+    // stage 2: joint (query, doc) rerank of ONLY the candidates
+    val maxsimCol = EvalQueries.foldLeft(lit(0.0)) { case (acc, (qid, terms)) =>
+      when($"query_id" === qid, maxsimOf(terms, $"text")).otherwise(acc)
+    }
+    val gradeCol = EvalQueries.foldLeft(lit(0)) { case (acc, (qid, terms)) =>
+      when($"query_id" === qid, gradeOf(terms)).otherwise(acc)
+    }
+    val scored = candidates
+      .join(docs.select($"doc_id", $"text"), "doc_id")
+      .withColumn("maxsim", maxsimCol)
+      .withColumn("r_rerank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"maxsim".desc, $"doc_id")))
+      .withColumn("gain",
+        when(gradeCol === 2, 3.0).when(gradeCol === 1, 1.0).otherwise(0.0))
+
+    val dcgs = scored.groupBy($"query_id").agg(
+      count(lit(1)).as("n_cand"),
+      sum(when($"r_dense" <= NdcgK,
+        ($"gain" * element_at(discCol, $"r_dense")).cast("decimal(28,8)"))
+        .otherwise(lit(0).cast("decimal(28,8)"))).as("dcg_dense"),
+      sum(when($"r_rerank" <= NdcgK,
+        ($"gain" * element_at(discCol, $"r_rerank")).cast("decimal(28,8)"))
+        .otherwise(lit(0).cast("decimal(28,8)"))).as("dcg_rerank"))
+
+    // IDCG: corpus-wide grade counts, the ndcgEval shape (two integers
+    // per query, one narrow scan, never a global sort)
+    val gradeAggs = EvalQueries.flatMap { case (qid, terms) =>
+      val g = gradeOf(terms)
+      Seq(sum(when(g === 2, 1L).otherwise(0L)).as(s"n2_$qid"),
+        sum(when(g === 1, 1L).otherwise(0L)).as(s"n1_$qid"))
+    }
+    val cRow = docs.agg(gradeAggs.head, gradeAggs.tail: _*).head()
+    val counts = EvalQueries.zipWithIndex.map { case ((qid, _), i) =>
+      (qid, cRow.getLong(2 * i), cRow.getLong(2 * i + 1))
+    }.toDF("query_id", "n2", "n1")
+    val idcg = counts
+      .withColumn("rank", explode(expr(s"sequence(1, $NdcgK)")))
+      .withColumn("gain",
+        when($"rank" <= $"n2", 3.0)
+          .when($"rank" <= $"n2" + $"n1", 1.0).otherwise(0.0))
+      .select($"query_id",
+        ($"gain" * element_at(discCol, $"rank".cast("int")))
+          .cast("decimal(28,8)").as("cb"))
+      .groupBy($"query_id").agg(sum($"cb").as("idcg"))
+
+    val termsCol = EvalQueries.foldLeft(lit("")) { case (acc, (qid, terms)) =>
+      when($"query_id" === qid, lit(terms.mkString(" "))).otherwise(acc)
+    }
+    // nDCGs and delta computed FROM the 6-dp-rounded output columns (not
+    // the raw decimals) so the oracle's recompute from the pinned DCGs is
+    // bit-identical
+    dcgs.join(idcg, "query_id")
+      .select($"query_id", termsCol.as("terms"), $"n_cand",
+        round($"dcg_dense".cast("double"), 6).as("dcg10_dense"),
+        round($"dcg_rerank".cast("double"), 6).as("dcg10_rerank"),
+        round($"idcg".cast("double"), 6).as("idcg10"))
+      .withColumn("ndcg10_dense", round($"dcg10_dense" / $"idcg10", 6))
+      .withColumn("ndcg10_rerank", round($"dcg10_rerank" / $"idcg10", 6))
+      .withColumn("ndcg_delta",
+        round($"ndcg10_rerank" - $"ndcg10_dense", 6))
+      .orderBy($"query_id")
+  }
+
+  /** Invariant twin: candidate sets and both DCGs stay golden-pinned
+    * (hash-derived retrieval order), but IDCG is recomputed from the raw
+    * documents table, both nDCGs and the delta are re-derived from the
+    * pinned DCGs, the dcg ≤ idcg law collapses a violating row to -1,
+    * and n_cand must respect the depth bound. */
+  private def rerankRecomputed: String = {
+    val qtValues = EvalQueries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }.mkString(", ")
+    val discValues = Discounts.zipWithIndex
+      .map { case (x, i) => s"(${i + 1}, ${sqlD(x)})" }.mkString(", ")
+    val termsCase = EvalQueries
+      .map { case (qid, ts) => s"WHEN $qid THEN '${ts.mkString(" ")}'" }
+      .mkString(" ")
+    s"""WITH g AS (${Golden.dispatch("rag_rerank_eval")}),
+       |qt(query_id, term) AS (VALUES $qtValues),
+       |disc(r, d) AS (VALUES $discValues),
+       |gr AS (SELECT qt.query_id, d.doc_id,
+       |              sum(CASE WHEN list_contains(string_split(d.text, ' '), qt.term)
+       |                       THEN 1 ELSE 0 END) AS gd
+       |       FROM documents d CROSS JOIN qt GROUP BY 1, 2),
+       |cnt AS (SELECT query_id,
+       |               sum(CASE WHEN gd = 2 THEN 1 ELSE 0 END) AS n2,
+       |               sum(CASE WHEN gd = 1 THEN 1 ELSE 0 END) AS n1
+       |        FROM gr GROUP BY 1),
+       |idcg AS (SELECT cnt.query_id,
+       |                CAST(round(CAST(sum(CAST((CASE WHEN rr.r <= n2 THEN 3.0
+       |                          WHEN rr.r <= n2 + n1 THEN 1.0 ELSE 0.0 END)
+       |                         * disc.d AS DECIMAL(28,8))) AS DOUBLE), 6) AS DOUBLE) AS idcg10
+       |         FROM cnt CROSS JOIN (SELECT unnest(generate_series(1, $NdcgK)) AS r) rr
+       |              JOIN disc ON disc.r = rr.r
+       |         GROUP BY 1)
+       |SELECT g.query_id,
+       |       CASE g.query_id $termsCase END AS terms,
+       |       CASE WHEN g.n_cand <= $RerankDepth THEN g.n_cand ELSE -1 END AS n_cand,
+       |       CASE WHEN g.dcg10_dense <= i.idcg10 THEN g.dcg10_dense ELSE -1 END AS dcg10_dense,
+       |       CASE WHEN g.dcg10_rerank <= i.idcg10 THEN g.dcg10_rerank ELSE -1 END AS dcg10_rerank,
+       |       i.idcg10,
+       |       round(g.dcg10_dense / i.idcg10, 6) AS ndcg10_dense,
+       |       round(g.dcg10_rerank / i.idcg10, 6) AS ndcg10_rerank,
+       |       round(round(g.dcg10_rerank / i.idcg10, 6)
+       |             - round(g.dcg10_dense / i.idcg10, 6), 6) AS ndcg_delta
+       |FROM g JOIN idcg i ON i.query_id = g.query_id ORDER BY g.__row""".stripMargin
+  }
+
   private def sqlD(x: Double): String = java.lang.Double.toString(x)
 
   /** Fully independent oracle: DuckDB re-runs retrieval (same BM25 formula
@@ -348,5 +551,6 @@ object Rag {
   val defs: Seq[Q] = Seq(
     Q("rag_chunk_retrieve", Some(chunkGeometryRecomputed), chunkRetrieve),
     Q("rag_hybrid_rrf", Some(rrfRecomputed), (s, d) => hybridRrf(s, d)),
-    Q("rag_ndcg_eval", Some(ndcgEvalOracle), (s, d) => ndcgEval(s, d)))
+    Q("rag_ndcg_eval", Some(ndcgEvalOracle), (s, d) => ndcgEval(s, d)),
+    Q("rag_rerank_eval", Some(rerankRecomputed), (s, d) => rerankEval(s, d)))
 }

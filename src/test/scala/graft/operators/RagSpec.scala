@@ -110,4 +110,45 @@ class RagSpec extends SparkSuite {
       assert(ndcg > 0 && ndcg <= 1.0 + 1e-9, r.toString)
     }
   }
+
+  test("maxsim detects exact term presence: contained terms score 1.0 each") {
+    // a doc containing a query term has a token whose hash equals the
+    // query token's hash → xor = 0 → per-term contribution exactly 1.0;
+    // a doc with neither term cannot reach 1.0 per term
+    val docs = Seq(
+      (1L, "dup hash filler filler"),  // both terms present → maxsim 2.0
+      (2L, "dup join filler filler"),  // one term → 1.0 + noise(<1)
+      (3L, "scan join filler filler")  // neither → < 2.0 strictly
+    ).toDF("doc_id", "text")
+    val scores = docs
+      .select($"doc_id", Rag.maxsimOf(Seq("dup", "hash"), $"text").as("ms"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores(1L) === 2.0, s"both-terms doc must score exactly 2.0: $scores")
+    assert(scores(2L) >= 1.0 - 1e-9 && scores(2L) < 2.0, scores.toString)
+    assert(scores(3L) < 2.0, scores.toString)
+    assert(scores(1L) > scores(2L) && scores(2L) > scores(3L), scores.toString)
+  }
+
+  test("rerank eval: reranker reorders the dense top-10 and never loses nDCG here") {
+    val rows = Rag.rerankEval(spark, Sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    rows.foreach { r =>
+      val (nCand, dcgD, dcgR, idcg) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val (ndcgD, ndcgR, delta) =
+        (r.getDouble(6), r.getDouble(7), r.getDouble(8))
+      assert(nCand > 0 && nCand <= 50, r.toString)
+      assert(dcgD >= 0 && dcgR >= 0 && idcg > 0, r.toString)
+      assert(dcgD <= idcg + 1e-9 && dcgR <= idcg + 1e-9, r.toString)
+      assert(math.abs(ndcgD - math.rint(dcgD / idcg * 1e6) / 1e6) < 2e-6, r.toString)
+      // maxsim detects exact query-term presence — the same signal the
+      // graded relevance counts — so on this corpus the reranker can
+      // only improve or preserve the first stage's ranking quality
+      assert(delta >= -1e-9, s"reranker lost nDCG: $r")
+      assert(math.abs(delta - (ndcgR - ndcgD)) < 2e-6, r.toString)
+    }
+    // non-vacuity: the reranker actually CHANGES the outcome somewhere
+    assert(rows.exists(_.getDouble(8) > 0),
+      "reranker never improved any query — the eval is vacuous")
+  }
 }
