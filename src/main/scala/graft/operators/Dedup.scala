@@ -941,7 +941,147 @@ object Dedup {
       |FROM pairs JOIN per pa ON s1 = pa.source JOIN per pb ON s2 = pb.source
       |ORDER BY s1, s2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // End-to-end curation composite (round-12 verdict "Next round" #7c)
+  // -------------------------------------------------------------------
+
+  /** The full dedup pipeline a 100 TB curation run actually executes —
+    * exact → near-dup keep-best → semantic — as ONE query whose output is
+    * the per-stage row-attrition readout (stage, n_in, n_dropped, n_out),
+    * each stage consuming the PREVIOUS stage's survivors:
+    *
+    *  1. exact: one fingerprint shuffle, keep min doc_id per distinct
+    *     text ([[exactDedup]]'s rule);
+    *  2. near_dup: the corpus's MinHash-LSH→Jaccard→CC cluster mapping
+    *     ([[nearDupClusters]] — the SAME shared artifact the standalone
+    *     queries serve), restricted to survivors; within each cluster
+    *     elect the keep-best representative ([[keepBestClusters]]'s
+    *     longest-doc policy, n_chars desc / doc_id asc) and drop the
+    *     rest;
+    *  3. semantic: SemDeDup over the survivors' embeddings
+    *     ([[Similarity.semDedupOf]], cell-confined cosine ≥ 0.95), keep
+    *     the min-id member per semantic cluster. Docs without an
+    *     embedding row pass through untouched (at sf0.1 only 2 000 of
+    *     5 000 docs are embedded — the composite documents, not hides,
+    *     partial embedding coverage).
+    *
+    * Ground truth is PLANTED per the house convention (plantedSemDedup /
+    * sim_embedding_clusters — the raw corpus has no exact and no true
+    * semantic dups, so stages 1 and 3 would be vacuously green):
+    * every 25th doc gets an exact twin at doc_id+1e6 (same text) and
+    * every 50th an embedding-identical semantic twin at doc_id+2e6 with
+    * a unique text ("sem twin <id>") that stages 1-2 cannot drop.
+    *
+    * Scale shape: stage 1 is one hash shuffle; stage 2 reuses the shared
+    * pair-evidence artifact (banded LSH, never all-pairs) plus a
+    * cluster-partitioned window over cluster members only; stage 3 is
+    * cell-confined pairwise cosine over survivors. In production each
+    * stage MATERIALIZES its survivor set (the readout here keeps the
+    * counts; survivor frames are persisted across their two uses and
+    * released). The oracle recomputes every count in DuckDB from the raw
+    * documents/embeddings tables plus the EXISTING dedup_cluster_docs
+    * golden — stage chaining (n_in(k+1) = n_out(k)), the exact-survivor
+    * rule, the keep-best election, and the planted-semantic drop are all
+    * re-derived independently; no new golden. */
+  def dedupPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select($"doc_id", $"text", $"n_chars")
+    val exactTwins = docs.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"n_chars")
+    val semTwinDocs = docs.filter($"doc_id" % 50 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        concat(lit("sem twin "), $"doc_id".cast("string")).as("text"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val corpus0 = docs.unionByName(exactTwins).unionByName(semTwinDocs)
+
+    // stage 1 — exact: fingerprint shuffle, min-id election per text
+    val surv1 = corpus0
+      .select($"doc_id", md5($"text".cast("binary")).as("fp"), $"n_chars")
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("doc_id"), min($"n_chars").as("n_chars"))
+      .persist()
+
+    // stage 2 — near-dup keep-best over the shared cluster artifact,
+    // restricted to stage-1 survivors (planted ids are never members)
+    val members = nearDupClusters(s, d).select($"doc_id", $"cluster_id")
+      .join(surv1.select($"doc_id", $"n_chars"), "doc_id")
+    val w = Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+    val dropped2 = members
+      .withColumn("rn", row_number().over(w)).filter($"rn" > 1)
+      .select($"doc_id")
+    val surv2 = surv1.select($"doc_id")
+      .join(dropped2, Seq("doc_id"), "left_anti").persist()
+
+    // stage 3 — SemDeDup over the survivors that HAVE embeddings; the
+    // planted twin carries its source's exact embedding (same cell, cos 1)
+    val embBase = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val twinEmb = embBase.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 2000000L).as("vec_id"), $"embedding")
+    val embSet = embBase.unionByName(twinEmb)
+      .join(surv2.select($"doc_id".as("vec_id")), "vec_id")
+    val dropped3 = Similarity.semDedupOf(s, d, embSet)
+      .filter($"keep" === 0).select($"vec_id".as("doc_id"))
+    val surv3 = surv2.join(dropped3, Seq("doc_id"), "left_anti")
+
+    val n0 = corpus0.count()
+    val n1 = surv1.count()
+    val n2 = surv2.count()
+    val n3 = surv3.count()
+    surv1.unpersist(blocking = false)
+    surv2.unpersist(blocking = false)
+    Seq(
+      (1, "exact", n0, n0 - n1, n1),
+      (2, "near_dup", n1, n1 - n2, n2),
+      (3, "semantic", n2, n2 - n3, n3))
+      .toDF("stage_idx", "stage", "n_in", "n_dropped", "n_out")
+      .orderBy($"stage_idx")
+  }
+
+  /** Fully-recomputed oracle for [[dedupPipeline]]: DuckDB re-derives the
+    * planted corpus, the exact-survivor rule, the keep-best election over
+    * the committed dedup_cluster_docs golden, and the planted-semantic
+    * drop (a twin falls iff its source survived stage 2 AND is embedded —
+    * the only semantic pairs that exist, pinned by sim_semdedup across
+    * all SFs). Every count and the chaining law are independent. */
+  private def dedupPipelineOracle: String =
+    s"""WITH gc AS (${Golden.dispatch("dedup_cluster_docs")}),
+       |docs AS (SELECT doc_id, text, n_chars FROM documents),
+       |corpus0 AS (
+       |  SELECT doc_id, text FROM docs
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM docs WHERE doc_id % 25 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, 'sem twin ' || CAST(doc_id AS VARCHAR)
+       |  FROM docs WHERE doc_id % 50 = 0),
+       |s1 AS (SELECT min(doc_id) AS doc_id FROM corpus0 GROUP BY text),
+       |m AS (SELECT gc.doc_id, gc.cluster_id, d.n_chars
+       |      FROM gc JOIN s1 USING (doc_id) JOIN docs d USING (doc_id)),
+       |drop2 AS (SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM m) WHERE rn > 1),
+       |s2 AS (SELECT doc_id FROM s1
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+       |drop3 AS (SELECT doc_id + 2000000 AS doc_id FROM docs
+       |          WHERE doc_id % 50 = 0
+       |            AND doc_id IN (SELECT doc_id FROM s2)
+       |            AND doc_id IN (SELECT vec_id FROM embeddings)),
+       |c AS (SELECT (SELECT count(*) FROM corpus0) AS n0,
+       |             (SELECT count(*) FROM s1) AS n1,
+       |             (SELECT count(*) FROM drop2) AS d2,
+       |             (SELECT count(*) FROM drop3) AS d3)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage_idx, 'exact' AS stage,
+       |         n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM c
+       |  UNION ALL
+       |  SELECT 2, 'near_dup', n1, d2, n1 - d2 FROM c
+       |  UNION ALL
+       |  SELECT 3, 'semantic', n1 - d2, d3, n1 - d2 - d3 FROM c
+       |) ORDER BY stage_idx""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("doc_dedup_pipeline", Some(dedupPipelineOracle), dedupPipeline),
     Q("corpus_source_overlap", Some(sourceOverlapOracle), sourceOverlap),
     Q("dedup_exact", Some(exactDedupOracle), exactDedup),
     Q("dedup_incremental_batch", Some(incrementalDedupOracle), incrementalDedup),
