@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSuite
+import graft.reference.Events
+
+/** Failure injection for the checkpointed ingest (round-12 verdict "Next
+  * round" #7b): the T5 exactly-once claim so far rested on GRACEFUL
+  * stop/resume (IngestStreamSpec's AvailableNow reruns). This spec kills
+  * a CONTINUOUS ingest mid-stream — `stop()` cancels the micro-batch
+  * execution thread's job group, abandoning whatever batch is in flight
+  * before its commit — restarts from the same checkpoint, and proves the
+  * warehouse converges to exactly-once (no loss, no duplicates) while
+  * measuring the recovery time. The read path goes through
+  * Warehouse.readEvents (the sink's commit log), so an uncommitted
+  * batch's orphan part-files are invisible by construction — the same
+  * mechanism that makes the kill survivable.
+  */
+class ChaosRecoverySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("mid-stream kill + checkpoint restart converges to exactly-once") {
+    val stage = tmpDir("graft-chaos-stage")
+    val wh = tmpDir("graft-chaos-wh")
+    val ckpt = tmpDir("graft-chaos-ckpt")
+    // 10 staged files -> 10 micro-batches under maxFilesPerTrigger=1, so
+    // the kill lands with most of the work still uncommitted
+    val total = 10 * 1000
+    (0 until 10).foreach { i =>
+      Events.generate(spark, 1000, 1704067200000L + i * 60000L, seed = i + 1L)
+        .write.mode("append").parquet(stage)
+    }
+    def whCount() = graft.sources.Warehouse.readEvents(spark, wh).count()
+
+    // phase 1: continuous ingest, killed as soon as the first batch lands
+    val src1 = spark.readStream.schema(Events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q1: StreamingQuery =
+      Ingest.startIngest(Events.withEventMinute(src1), wh, ckpt,
+        availableNow = false)
+    val deadline = System.currentTimeMillis() + 60000
+    while (whCount() == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    q1.stop() // cancels the in-flight batch's jobs — a mid-stream kill
+    val afterKill = whCount()
+    assert(afterKill > 0, "kill landed before any batch committed")
+    assert(afterKill < total,
+      s"kill landed after everything committed ($afterKill) — no failure injected")
+    // committed state is a prefix of whole batches: no partial batch leaks
+    assert(afterKill % 1000 == 0,
+      s"commit-log read surfaced a PARTIAL batch: $afterKill rows")
+
+    // phase 2: restart from the same checkpoint; measure recovery
+    val t0 = System.nanoTime()
+    val src2 = spark.readStream.schema(Events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    Ingest.startIngest(Events.withEventMinute(src2), wh, ckpt)
+      .awaitTermination(120000)
+    val recoverySec = (System.nanoTime() - t0) / 1e9
+    val all = graft.sources.Warehouse.readEvents(spark, wh)
+    assert(all.count() == total, s"loss or duplication after restart: ${all.count()}")
+    assert(all.select($"event_id").distinct().count() == total,
+      "restart re-ingested an already-committed batch — duplicates")
+    info(f"killed at $afterKill/$total rows; recovery (restart -> all " +
+      f"$total rows committed and visible): $recoverySec%.2f s")
+  }
+}
