@@ -807,7 +807,71 @@ object Similarity {
        |FROM g JOIN e a ON g.id_a = a.vec_id JOIN e b ON g.id_b = b.vec_id
        |ORDER BY g.__row""".stripMargin
 
+  /** Cell-confined k-NN GRAPH — every embedded vector's top-k nearest
+    * neighbors by cosine, the batch artifact behind SemDeDup clustering,
+    * diversity selection and graph-based curation (and the build step of
+    * graph ANN indexes). Pairwise work is confined to k-means cells
+    * exactly like [[writeSemDedup]]: cost Σ|cell|², never n² — at 100 TB
+    * the cell id is a partition key and each cell's pairwise block is one
+    * task. Same boundary semantics as SemDeDup, documented not hidden: a
+    * true neighbor in a different cell is missed (multi-probe or a second
+    * pass over adjacent cells shrinks the miss rate; the planted-truth
+    * spec quantifies recovery).
+    *
+    * Oracle: the golden pins WHICH neighbors the cell-confined graph
+    * selected; DuckDB recomputes every cosine from the embeddings table
+    * and enforces the structural laws (ranks dense 1..k per vector,
+    * cosine non-increasing in rank) — a violating row collapses to -1. */
+  def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = kmeansCentroids(s, d)
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        cellAssign(cents)($"embedding").as("cell"),
+        norm($"embedding").as("nrm"))
+      .filter($"nrm" > 0)
+    val a = emb.select($"cell", $"vec_id",
+      $"embedding".as("ea"), $"nrm".as("na"))
+    val b = emb.select($"cell", $"vec_id".as("nbr_id"),
+      $"embedding".as("eb"), $"nrm".as("nb"))
+    a.join(b, Seq("cell"))
+      .filter($"vec_id" =!= $"nbr_id")
+      .select($"vec_id", $"nbr_id",
+        round(dot($"ea", $"eb") / ($"na" * $"nb"), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr_id")))
+      .filter($"rank" <= k)
+      .select($"vec_id", $"nbr_id", $"rank".cast("int").as("rank"), $"cos")
+      .orderBy($"vec_id", $"rank")
+  }
+
+  /** Invariant twin for [[knnGraph]]: cosines recomputed in DuckDB for
+    * the pinned (vec, nbr) pairs; rank collapses to -1 unless dense and
+    * cosine-monotone within its vector. */
+  private def knnGraphRecomputed: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |g AS (${Golden.dispatch("sim_knn_graph")}),
+       |c AS (SELECT g.__row, g.vec_id, g.nbr_id, g.rank,
+       |             round(list_dot_product(a.v, b.v) /
+       |                   (sqrt(list_dot_product(a.v, a.v))
+       |                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+       |      FROM g JOIN e a ON g.vec_id = a.vec_id
+       |             JOIN e b ON g.nbr_id = b.vec_id),
+       |law AS (SELECT __row, vec_id, nbr_id, cos,
+       |               CASE WHEN rank = row_number() OVER (
+       |                        PARTITION BY vec_id ORDER BY rank)
+       |                     AND (lag(cos) OVER (
+       |                        PARTITION BY vec_id ORDER BY rank) IS NULL
+       |                      OR lag(cos) OVER (
+       |                        PARTITION BY vec_id ORDER BY rank) >= cos)
+       |                    THEN rank ELSE -1 END AS rank
+       |        FROM c)
+       |SELECT vec_id, nbr_id, CAST(rank AS INT) AS rank, cos
+       |FROM law ORDER BY __row""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("sim_knn_graph", Some(knnGraphRecomputed), (s, d) => knnGraph(s, d)),
     Q("sim_kmeans_profile", Some(kmeansProfileGuarded), kmeansProfile),
     // brute force + aggregator: FULLY independent DuckDB top-k (ids and
     // cosines from the embeddings table — no golden involved)
