@@ -1091,6 +1091,17 @@ object Dedup {
     * re-derived independently; no new golden. */
   def dedupPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the readout is itself a build-once artifact: the pipeline's cost is
+    // its stages, so a warm serve must be a FileScan of the 3-row result,
+    // not a re-run (ArtifactServeSpec gates this for the whole family)
+    SessionCaches.parquetArtifact(s, s"doc-dedup-pipeline:$d") { outDir =>
+      dedupPipelineRows(s, d).coalesce(1)
+        .write.mode("overwrite").parquet(outDir)
+    }.orderBy($"stage_idx")
+  }
+
+  private def dedupPipelineRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).select($"doc_id", $"text", $"n_chars")
     val exactTwins = docs.filter($"doc_id" % 25 === 0)

@@ -119,6 +119,8 @@ class OracleDivisionSpec extends AnyFunSuite {
     "i",                                    // audio frame index >= 1
     "max(n) * N",                           // audio: sample count
     "n_chars",                              // char count
+    "(n + N)",                              // set-sim prefix length ceil: n = shingle-set size >= 1
+    "(N * n_inter)",                        // set-sim jaccard_e6: intersection count >= 1 (acceptance requires 3*inter >= n_a+n_b > 0)
     "p.r")                                  // pagerank mass: nonneg invariant
 
   test("every // site in generated oracle SQL is floor/trunc-portable") {
