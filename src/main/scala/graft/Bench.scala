@@ -506,6 +506,14 @@ object Bench {
     val fresh =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH", "1") == "0") Seq.empty
       else {
+        // one UNTIMED discard rep first (the scaleWarm discipline): the
+        // first streaming query of the session pays streaming-path
+        // codegen/JIT plus the sweep's FS-cache residue — r13's first
+        // post-sweep freshness rep ran 3.32 s vs the 1.48-1.65 s steady
+        // state, tripping the leg's own contention label on protocol
+        // cost, not host evidence. The discard makes all 3 timed reps
+        // same-class, which is exactly what legContended assumes.
+        scala.util.Try(freshnessLeg(spark))
         val done = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
         var failed = false
         var rep = 0
@@ -586,7 +594,7 @@ object Bench {
       "\"" + k + "\":\"" + v + "\""
     }.mkString("{", ",", "}")
     val headlineJson =
-      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"headline_spread":$spreadJson,"host_load":$hostLoadJson,"host_contended":$contended,"leg_contended":$legContendedJson,"leg_errors":$legErrorsJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"timing":"headline queries: median of 3 cold runs (graft session caches cleared before every timed run), spread in headline_spread; sweep queries: 1 cold run; artifact-backed queries also report a warm-serve time in bench_detail.json; scale_10m runs FIRST in a cold JVM (single shot by construction), scale_10m_warm is the median of 3 post-sweep repeats after one untimed discard rep; scale_100m is a PRE-sweep 100M-row shuffle-join probe (one untimed discard, then median of 3 with spread, per-stage task medians/max from the median rep, heap snapshot at probe start); every leg rep carries host_load_1min (at rep start) and host_iowait_pct (across the rep); host_load is the bench-wide envelope; host_contended=true labels a run that started at loadavg > cpus/4 or whose headline cold reps scatter >2x on 2+ queries; any failed leg or query lands its exception text in leg_errors — a -1.0 is never silent; leg_contended lists legs whose OWN same-class rep scatter exceeds 2x with >0.5s absolute spread (scale_10m judged on reps 2-3, its first rep is cold by design; per-rep loadavg is not used — back-to-back legs contaminate it with our own work); GATING-ARTIFACT POLICY: the committed BENCH_HEADLINE.json is the LAST full sweep of the session whose envelope self-labels quiet (host_contended=false AND leg_contended empty) — never best-of-N","artifact_backed":$artifactBacked,"detail":"bench_detail.json"}"""
+      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"headline_spread":$spreadJson,"host_load":$hostLoadJson,"host_contended":$contended,"leg_contended":$legContendedJson,"leg_errors":$legErrorsJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"timing":"headline queries: median of 3 cold runs (graft session caches cleared before every timed run), spread in headline_spread; sweep queries: 1 cold run; artifact-backed queries also report a warm-serve time in bench_detail.json; scale_10m runs FIRST in a cold JVM (single shot by construction), scale_10m_warm is the median of 3 post-sweep repeats after one untimed discard rep; freshness is the median of 3 reps after one untimed discard rep (streaming-path JIT + sweep residue are absorbed once); scale_100m is a PRE-sweep 100M-row shuffle-join probe (one untimed discard, then median of 3 with spread, per-stage task medians/max from the median rep, heap snapshot at probe start); every leg rep carries host_load_1min (at rep start) and host_iowait_pct (across the rep); host_load is the bench-wide envelope; host_contended=true labels a run that started at loadavg > cpus/4 or whose headline cold reps scatter >2x on 2+ queries; any failed leg or query lands its exception text in leg_errors — a -1.0 is never silent; leg_contended lists legs whose OWN same-class rep scatter exceeds 2x with >0.5s absolute spread (scale_10m judged on reps 2-3, its first rep is cold by design; per-rep loadavg is not used — back-to-back legs contaminate it with our own work); GATING-ARTIFACT POLICY: the committed BENCH_HEADLINE.json is the LAST full sweep of the session whose envelope self-labels quiet (host_contended=false AND leg_contended empty) — never best-of-N","artifact_backed":$artifactBacked,"detail":"bench_detail.json"}"""
     // Full sweep → file (not stdout: ~100 entries overflow log capture).
     scala.util.Try(Files.writeString(Paths.get("bench_detail.json"),
       s"""{"sf":"$sfDir","total_all_queries_sec":$total,"n_failed":$nFailed,"headline_spread":$spreadJson,"host_load":$hostLoadJson,"host_contended":$contended,"leg_contended":$legContendedJson,"leg_errors":$legErrorsJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"queries":${jmap(results.toSeq.sortBy(_._1))},"warm_serve":${jmap(warmServe.sortBy(_._1))}}"""))
