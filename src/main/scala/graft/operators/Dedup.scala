@@ -989,14 +989,26 @@ object Dedup {
         Window.partitionBy($"doc_id").orderBy($"df", $"sh")))
       // prefix length for t = 1/2: n − ⌈n/2⌉ + 1, exact integers
       .filter($"rn" <= $"n" - (($"n" + 1) / 2).cast("long") + 1)
-      .select($"doc_id", $"sh", $"n")
-    val cand = ranked.select($"doc_id".as("doc_a"), $"sh", $"n".as("n_a"))
-      .join(ranked.select($"doc_id".as("doc_b"), $"sh", $"n".as("n_b")), "sh")
+      .select($"doc_id", $"sh", $"n", $"rn")
+    // POSITIONAL filter (the PPJoin tightening of AllPairs, Xiao et al.
+    // WWW 2008): a shared prefix token at rarity positions (i, j) bounds
+    // the overlap by min(i,j) − 1 (tokens before it) + 1 (itself) +
+    // min(|A|−i, |B|−j) (tokens after it); J ≥ 1/2 needs overlap ≥
+    // ⌈(|A|+|B|)/3⌉, so a pair whose TIGHTEST witness bound falls short
+    // is pruned before any intersection counting. Exact integers.
+    val cand = ranked.select($"doc_id".as("doc_a"), $"sh",
+        $"n".as("n_a"), $"rn".as("ra"))
+      .join(ranked.select($"doc_id".as("doc_b"), $"sh",
+        $"n".as("n_b"), $"rn".as("rb")), "sh")
       .filter($"doc_a" < $"doc_b")
       // length filter: J ≥ 1/2 requires |a|/2 ≤ |b| ≤ 2|a|
       .filter($"n_b" * 2 >= $"n_a" && $"n_a" * 2 >= $"n_b")
+      .withColumn("ub", least($"ra", $"rb") +
+        least($"n_a" - $"ra", $"n_b" - $"rb"))
+      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
+      .agg(min($"ub").as("ub"))
+      .filter($"ub" * 3 >= $"n_a" + $"n_b")
       .select($"doc_a", $"doc_b", $"n_a", $"n_b")
-      .distinct()
     val inter = cand
       .join(tok.select($"doc_id".as("doc_a"), $"sh"), "doc_a")
       .join(tok.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
@@ -1028,12 +1040,17 @@ object Dedup {
       |         row_number() OVER (PARTITION BY t.doc_id
       |                            ORDER BY d.df, t.sh) AS rn
       |  FROM tok t JOIN dfq d USING (sh) JOIN sizes s USING (doc_id)),
-      |pref AS (SELECT doc_id, sh, n FROM ranked
+      |pref AS (SELECT doc_id, sh, n, rn FROM ranked
       |         WHERE rn <= n - ((n + 1) // 2) + 1),
-      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |                a.n AS n_a, b.n AS n_b
-      |         FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |         WHERE b.n * 2 >= a.n AND a.n * 2 >= b.n),
+      |cand AS (SELECT doc_a, doc_b, n_a, n_b FROM (
+      |           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                  a.n AS n_a, b.n AS n_b,
+      |                  min(least(a.rn, b.rn)
+      |                      + least(a.n - a.rn, b.n - b.rn)) AS ub
+      |           FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |           WHERE b.n * 2 >= a.n AND a.n * 2 >= b.n
+      |           GROUP BY 1, 2, 3, 4)
+      |         WHERE ub * 3 >= n_a + n_b),
       |inter AS (
       |  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, count(*) AS n_inter
       |  FROM cand c

@@ -70,6 +70,27 @@ object SetSimScaleProbe {
     val brute = n.toLong * (n - 1) / 2
     println(f"[setsim] pair volumes: brute=$brute%,d  inverted-index=$fullVol%,d  prefix-index=$prefVol%,d (${fullVol.toDouble / prefVol}%.1fx less than inverted, ${brute.toDouble / prefVol}%.1fx less than brute)")
 
+    // distinct candidate PAIRS before vs after the positional filter —
+    // the PPJoin tightening measured on its own
+    val dfq2 = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val pref = {
+      import org.apache.spark.sql.expressions.Window
+      tok.join(dfq2, "sh").join(sizes, "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"df", $"sh")))
+        .filter($"rn" <= $"n" - (($"n" + 1) / 2).cast("long") + 1)
+        .select($"doc_id", $"sh", $"n", $"rn")
+    }
+    val joined = pref.select($"doc_id".as("doc_a"), $"sh", $"n".as("n_a"), $"rn".as("ra"))
+      .join(pref.select($"doc_id".as("doc_b"), $"sh", $"n".as("n_b"), $"rn".as("rb")), "sh")
+      .filter($"doc_a" < $"doc_b")
+      .filter($"n_b" * 2 >= $"n_a" && $"n_a" * 2 >= $"n_b")
+      .withColumn("ub", least($"ra", $"rb") + least($"n_a" - $"ra", $"n_b" - $"rb"))
+      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b").agg(min($"ub").as("ub"))
+    val prePos = joined.count()
+    val postPos = joined.filter($"ub" * 3 >= $"n_a" + $"n_b").count()
+    println(f"[setsim] candidate pairs: pre-positional=$prePos%,d  post-positional=$postPos%,d (${prePos.toDouble / math.max(postPos, 1)}%.1fx)")
+
     val (rows, tExact) = timed(Dedup.setSimilarityJoin(spark, dir).count())
     println(f"[setsim] exact prefix-filtered join: $rows%,d pairs in $tExact%.1f s")
 
