@@ -984,7 +984,61 @@ object TextOps {
   val compressionRatioOracle: String =
     Golden.parquet("text_compression_ratio")
 
+  /** Corpus-internal n-gram NOVELTY — the memorization-risk signal
+    * (Carlini et al.'s "how much of this document exists elsewhere"
+    * question, as a per-doc curation column): the share of a document's
+    * distinct word 8-grams that appear in at least one OTHER document.
+    * Exact duplicates score 0 novelty; boilerplate-heavy docs score low;
+    * unique prose scores 1e6. Complements the pairwise families —
+    * dedup finds WHICH docs overlap, this scores each doc's overall
+    * cross-corpus redundancy even when it is spread across many partners.
+    *
+    * Scale shape: one distinct-(doc, gram) shuffle + one gram-keyed df
+    * count (both map-side combinable); the df relation is
+    * gram-cardinality-sized so the share join is gram-keyed, and the
+    * per-doc shares are one final doc-keyed aggregation.
+    * Novelty is exact integer micro fixed point (distinct-gram counts),
+    * so the oracle re-derives the whole pipeline in DuckDB — no golden.
+    * Docs under 8 words contribute their whole text as one gram (the
+    * shingling edge rule this file already uses). */
+  def gramNovelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, greatest(size(ws) - 8, 0)),
+          |          i -> concat_ws(' ', slice(ws, i + 1, 8)))""".stripMargin))
+        .as("g"))
+      .distinct()
+    val dfq = tok.groupBy($"g").agg(count(lit(1)).as("df"))
+    tok.join(dfq, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select($"doc_id", $"n_grams", $"n_shared",
+        expr("(1000000 * (n_grams - n_shared)) div n_grams").as("novelty_e6"))
+      .orderBy($"doc_id")
+  }
+
+  val gramNoveltyOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |gi AS (SELECT doc_id, ws,
+      |              unnest(generate_series(0, greatest(len(ws) - 8, 0))) AS i
+      |       FROM w),
+      |tok AS (SELECT DISTINCT doc_id,
+      |               array_to_string(ws[i + 1 : i + 8], ' ') AS g
+      |        FROM gi),
+      |dfq AS (SELECT g, count(*) AS df FROM tok GROUP BY 1)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |       CAST((1000000 * (count(*) - sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)))
+      |            // count(*) AS BIGINT) AS novelty_e6
+      |FROM tok JOIN dfq USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
+    Q("text_gram_novelty", Some(gramNoveltyOracle), gramNovelty),
     Q("text_zipf_fit", Some(zipfFitOracle), (s, d) => zipfFit(s, d)),
     Q("text_compression_ratio", Some(compressionRatioOracle), compressionRatio),
     Q("text_oov_rate", Some(oovRateOracle), oovRate),

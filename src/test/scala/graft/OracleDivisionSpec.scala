@@ -120,6 +120,7 @@ class OracleDivisionSpec extends AnyFunSuite {
     "max(n) * N",                           // audio: sample count
     "n_chars",                              // char count
     "(n + N)",                              // set-sim prefix length ceil: n = shingle-set size >= 1
+    "(N * (count(*) - sum(CASE WHEN df >= N THEN N ELSE N END)))", // gram novelty: the 0/1 shared-gram sum can never exceed the gram count it sums over
     "(N * n_inter)",                        // set-sim jaccard_e6: intersection count >= 1 (acceptance requires 3*inter >= n_a+n_b > 0)
     "p.r")                                  // pagerank mass: nonneg invariant
 
