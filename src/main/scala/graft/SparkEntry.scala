@@ -15,7 +15,7 @@ object SparkEntry {
   def allDefs: Seq[Q] =
     Relational.defs ++ EventOps.defs ++ Temporal.defs ++ Timeseries.defs ++
       Functions.defs ++
-      SqlSurface.defs ++ TextOps.defs ++ Bpe.defs ++ NgramLm.defs ++ Search.defs ++ Dedup.defs ++ CorpusDedup.defs ++
+      SqlSurface.defs ++ TextOps.defs ++ Datasheet.defs ++ Bpe.defs ++ NgramLm.defs ++ Search.defs ++ Dedup.defs ++ CorpusDedup.defs ++
       Similarity.defs ++ Rag.defs ++ LateInteraction.defs ++ Kmeans.defs ++
       Classifier.defs ++ LrTrain.defs ++ Pca.defs ++
       Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Kll.defs ++

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus datasheet — the one-page structural summary a dataset release
+  * ships (Gebru et al., "Datasheets for Datasets", 2018/CACM 2021), as
+  * ONE registered query over the documents corpus: volume, composition
+  * concentration, duplication at both granularities, redundancy, and the
+  * length distribution's exact median. The documents-side sibling of the
+  * events-side `audit_health_report`: every number a curation run quotes
+  * in its release notes, from one call.
+  *
+  * Long format (metric, value) with every value an exact BIGINT (counts
+  * or e6 fixed point) so the oracle — which re-derives EVERY row in
+  * DuckDB from the raw documents table plus the committed
+  * dedup_cluster_docs golden — matches bit-for-bit:
+  *
+  *  - n_docs, n_tokens_total, n_chars_total, chars_p50 (exact lower
+  *    median via the RankStats bucketed-cumulative shape — one bounded
+  *    offsets collect, per-bucket windows, NO unpartitioned window);
+  *  - n_langs / n_sources and top_lang/source_share_e6 (composition
+  *    concentration; censuses via groupBy, never a multi-countDistinct
+  *    Expand — the audit_column_stats lesson);
+  *  - n_distinct_texts + exact_dup_rate_e6;
+  *  - near_dup_member_docs / near_dup_clusters / near_dup_rate_e6 from
+  *    the SHARED cluster artifact ([[Dedup.nearDupClusters]]);
+  *  - mean_novelty_e6 over [[TextOps.gramNovelty]]'s per-doc scores.
+  *
+  * Scale shape: two narrow corpus scans (base sums + fingerprints), two
+  * bounded censuses (langs, sources), the shared near-dup artifact, the
+  * gram-novelty pipeline, and a bucketed median — every intermediate is
+  * either grain-bounded or an already-probed operator; the 14-row
+  * readout itself is served as a build-once artifact (FileScan on warm
+  * serve, the ArtifactServeSpec contract). */
+object Datasheet {
+
+  def corpusDatasheet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    SessionCaches.parquetArtifact(s, s"corpus-datasheet:$d") { outDir =>
+      datasheetRows(s, d).coalesce(1).write.mode("overwrite").parquet(outDir)
+    }.orderBy($"metric")
+  }
+
+  private def datasheetRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+
+    val base = docs.agg(
+      count(lit(1)).as("n"),
+      sum(size(split($"text", " ")).cast("long")).as("toks"),
+      sum($"n_chars").as("chars")).head()
+    val (n, toks, chars) = (base.getLong(0), base.getLong(1), base.getLong(2))
+
+    def census(col: String): (Long, Long) = {
+      val counts = docs.groupBy(docs(col)).agg(count(lit(1)).as("c"))
+        .select($"c").as[Long].collect()
+      (counts.length.toLong, counts.max)
+    }
+    val (nLangs, topLang) = census("lang")
+    val (nSources, topSource) = census("source")
+
+    val nDistinct = docs.select(md5($"text".cast("binary"))).distinct().count()
+
+    val clusters = Dedup.nearDupClusters(s, d)
+    val members = clusters.count()
+    val nClusters = clusters.select($"cluster_id").distinct().count()
+
+    val novSum = TextOps.gramNovelty(s, d)
+      .agg(sum($"novelty_e6")).head().getLong(0)
+
+    // exact lower median of n_chars: min v whose cumulative count (ties
+    // included) reaches ceil(n/2) — offsets per range bucket so every
+    // window stays partitioned (the weighted-quantile shape)
+    val v = docs.select($"n_chars".cast("double").as("v"))
+    val bounds = RankStats.rangeBounds(v, "v", RankStats.DefaultBuckets)
+    val bucketed = v.withColumn("__bucket", RankStats.bucketOf($"v", bounds))
+    val offs = RankStats.bucketOffsets(bucketed)
+    val wWin = Window.partitionBy($"__bucket").orderBy($"v")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val target = (n + 1) / 2
+    val charsP50 = bucketed.join(broadcast(offs), "__bucket")
+      .withColumn("cw", $"__off" + sum(lit(1L)).over(wWin))
+      .filter($"cw" >= target)
+      .agg(min($"v")).head().getDouble(0).toLong
+
+    Seq(
+      ("n_docs", n),
+      ("n_tokens_total", toks),
+      ("n_chars_total", chars),
+      ("chars_p50", charsP50),
+      ("n_langs", nLangs),
+      ("n_sources", nSources),
+      ("top_lang_share_e6", 1000000L * topLang / n),
+      ("top_source_share_e6", 1000000L * topSource / n),
+      ("n_distinct_texts", nDistinct),
+      ("exact_dup_rate_e6", 1000000L * (n - nDistinct) / n),
+      ("near_dup_member_docs", members),
+      ("near_dup_clusters", nClusters),
+      ("near_dup_rate_e6", 1000000L * members / n),
+      ("mean_novelty_e6", novSum / n))
+      .toDF("metric", "value")
+  }
+
+  /** Every row re-derived in DuckDB: raw-table recomputes for volume,
+    * composition, exact-dup and novelty; the committed
+    * dedup_cluster_docs golden for the near-dup rows (the
+    * doc_dedup_pipeline pattern). Integer arithmetic throughout. */
+  val corpusDatasheetOracle: String =
+    s"""WITH gc AS (${Golden.dispatch("dedup_cluster_docs")}),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws, n_chars, lang, source, text
+       |      FROM documents),
+       |base AS (SELECT count(*) AS n, sum(len(ws)) AS toks,
+       |                sum(n_chars) AS chars FROM w),
+       |p50 AS (SELECT min(n_chars) AS v FROM (
+       |          SELECT n_chars, count(*) OVER (ORDER BY n_chars
+       |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+       |                 (SELECT (n + 1) // 2 FROM base) AS tgt
+       |          FROM documents) WHERE cw >= tgt),
+       |gi AS (SELECT doc_id, ws,
+       |              unnest(generate_series(0, greatest(len(ws) - 8, 0))) AS i
+       |       FROM w),
+       |tok AS (SELECT DISTINCT doc_id, array_to_string(ws[i + 1 : i + 8], ' ') AS g
+       |        FROM gi),
+       |dfq AS (SELECT g, count(*) AS df FROM tok GROUP BY 1),
+       |nov AS (SELECT sum(nv) AS s FROM (
+       |          SELECT CAST((1000000 * (count(*) -
+       |                   sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END))) // count(*)
+       |                 AS BIGINT) AS nv
+       |          FROM tok JOIN dfq USING (g) GROUP BY doc_id)),
+       |m AS (
+       |  SELECT 'n_docs' AS metric, n AS value FROM base
+       |  UNION ALL SELECT 'n_tokens_total', toks FROM base
+       |  UNION ALL SELECT 'n_chars_total', chars FROM base
+       |  UNION ALL SELECT 'chars_p50', v FROM p50
+       |  UNION ALL SELECT 'n_langs', count(DISTINCT lang) FROM documents
+       |  UNION ALL SELECT 'n_sources', count(DISTINCT source) FROM documents
+       |  UNION ALL SELECT 'top_lang_share_e6',
+       |    (1000000 * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY lang)))
+       |      // (SELECT n FROM base)
+       |  UNION ALL SELECT 'top_source_share_e6',
+       |    (1000000 * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY source)))
+       |      // (SELECT n FROM base)
+       |  UNION ALL SELECT 'n_distinct_texts', count(DISTINCT text) FROM documents
+       |  UNION ALL SELECT 'exact_dup_rate_e6',
+       |    (1000000 * ((SELECT n FROM base) - count(DISTINCT text))) // (SELECT n FROM base)
+       |    FROM documents
+       |  UNION ALL SELECT 'near_dup_member_docs', count(*) FROM gc
+       |  UNION ALL SELECT 'near_dup_clusters', count(DISTINCT cluster_id) FROM gc
+       |  UNION ALL SELECT 'near_dup_rate_e6',
+       |    (1000000 * (SELECT count(*) FROM gc)) // (SELECT n FROM base)
+       |  UNION ALL SELECT 'mean_novelty_e6', s // (SELECT n FROM base) FROM nov)
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM m ORDER BY metric""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("corpus_datasheet", Some(corpusDatasheetOracle), corpusDatasheet))
+}

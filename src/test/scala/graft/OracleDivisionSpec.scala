@@ -120,6 +120,12 @@ class OracleDivisionSpec extends AnyFunSuite {
     "max(n) * N",                           // audio: sample count
     "n_chars",                              // char count
     "(n + N)",                              // set-sim prefix length ceil: n = shingle-set size >= 1
+    "SELECT (n + N)",                       // datasheet median target ceil(n/2): n = doc count >= 1
+    "(N * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY lang)))",   // datasheet top-lang share: a group count
+    "(N * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY source)))", // datasheet top-source share: a group count
+    "(N * ((SELECT n FROM base) - count(DISTINCT text)))", // datasheet exact-dup rate: distinct texts can never exceed the doc count
+    "(N * (SELECT count(*) FROM gc))",      // datasheet near-dup rate: cluster-member count
+    "s",                                    // datasheet mean novelty: sum of per-doc novelty_e6, each in [0, 1e6]
     "(N * (count(*) - sum(CASE WHEN df >= N THEN N ELSE N END)))", // gram novelty: the 0/1 shared-gram sum can never exceed the gram count it sums over
     "(N * n_inter)",                        // set-sim jaccard_e6: intersection count >= 1 (acceptance requires 3*inter >= n_a+n_b > 0)
     "p.r")                                  // pagerank mass: nonneg invariant
