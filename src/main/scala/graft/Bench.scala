@@ -102,6 +102,52 @@ object Bench {
     }
   }
 
+  /** Leg metric → leg label for the cross-ROUND regression check. Only
+    * leg medians (plain keys, not _min/_max/_first) participate. */
+  val RegressionKeys: Seq[(String, String)] = Seq(
+    "scale_100m_join_sec" -> "scale_100m",
+    "wh_write_10m" -> "scale_10m",
+    "wh_pruned_minute_report" -> "scale_10m",
+    "wh_full_agg_10m" -> "scale_10m",
+    "wh_write_10m_warm" -> "scale_10m_warm",
+    "wh_pruned_minute_report_warm" -> "scale_10m_warm",
+    "wh_full_agg_10m_warm" -> "scale_10m_warm",
+    "freshness_sec" -> "freshness")
+
+  /** Cross-round uniform-slowdown label (round-13 verdict "Next round"
+    * #2): [[legContended]] is a WITHIN-run rule — a leg degraded
+    * ~uniformly across its reps (r13 driver scale_100m: 25.3 s median,
+    * rep spread only 1.8×) is invisible to it by construction. This
+    * compares each leg median against the COMMITTED prior-round gating
+    * envelope (the exact comparison tools/bench_trend.py does after the
+    * fact) and labels a leg `regressed` when its median exceeds 1.5× the
+    * prior committed quiet value with > 0.5 s absolute growth. The prior
+    * is trusted only if it self-labels quiet (host_contended=false AND
+    * leg_contended=[]) and swept the SAME sf dir — comparing against a
+    * contended or different-scale prior would manufacture labels. Pure
+    * function of (prior JSON text, current medians) so
+    * BenchEnvelopeSpec pins it on the r13 incident's real numbers.
+    * Informational: leg_regressed does NOT gate the artifact write
+    * (quiet = host_contended=false AND leg_contended empty) — a genuine
+    * code regression must land in the committed artifact, labeled, not
+    * be suppressed by its own label. */
+  def legRegressedFromPrior(priorJson: String, cur: Map[String, Double],
+      sfDir: String): Seq[String] = {
+    val priorQuiet = priorJson.contains("\"host_contended\":false") &&
+      priorJson.contains("\"leg_contended\":[]") &&
+      priorJson.contains("\"sf\":\"" + sfDir + "\"")
+    if (!priorQuiet) Nil
+    else RegressionKeys.flatMap { case (k, leg) =>
+      val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9.Ee+-]+)").r
+      for {
+        m <- re.findFirstMatchIn(priorJson)
+        p <- scala.util.Try(m.group(1).toDouble).toOption
+        c <- cur.get(k)
+        if p > 0 && c > p * 1.5 && c - p > 0.5
+      } yield leg
+    }.distinct
+  }
+
   /** 1-minute loadavg from /proc/loadavg (−1 if unreadable). Captured at
     * bench start/end so a noisy host indicts itself in the envelope
     * (round-9 verdict: 6.7×/15× scale-leg blowups on untouched code could
@@ -307,6 +353,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // the committed prior-round gating envelope, read BEFORE this run can
+    // overwrite it — the baseline for the cross-round leg_regressed label
+    val priorEnvelope = scala.util.Try(
+      Files.readString(Paths.get("BENCH_HEADLINE.json"))).getOrElse("")
     val spark = GraftSession.local(cpus)
     // The 10M-event scale leg runs FIRST, before the sweep: round 5 ran it
     // after 158 queries and shipped a 5× "regression" that was really the
@@ -413,22 +463,39 @@ object Bench {
     // numbers (mm_decode_batched ×2.7 driver-vs-builder) and nobody could
     // say whether that was load or code. A median with spread makes
     // cross-round deltas attributable (round-7 verdict, "Next round" #1).
+    // Model-registry sharing across the sweep (round-13 verdict "Next
+    // round" #4): bounded trained models (SessionCaches.modelMemo — LR
+    // weights, k-means centroids, PQ codebooks, SQ8 bounds, PCA bases,
+    // BPE merges, the capped bigram LM) built by EARLIER sweep queries
+    // survive each query's cold reset — a real session trains once and
+    // every family member serves. The no-phantom-win rule (round 5)
+    // holds: `preModels` is snapshotted BEFORE this query's warmup, so a
+    // model the warmup itself trained is dropped and the timed run pays
+    // it — the FIRST family member in sweep order still carries the full
+    // cold training cost. Dir artifacts and plain memos are dropped
+    // every rep exactly as before.
     val headlineSet = Headline.toSet
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
+        val preModels = graft.operators.SessionCaches.modelKeys(spark)
         fn(spark, sfDir).count()
         val reps = if (headlineSet(name)) 3 else 1
         val samples = (1 to reps).map { _ =>
-          graft.operators.SessionCaches.clear(spark)
+          graft.operators.SessionCaches.clearQueryState(spark, preModels)
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
         val cold = samples.sorted.apply(samples.size / 2) // median (reps odd)
         // the warm run gets its own Try: a warm-serve failure must degrade
-        // to warm=None, not discard the already-measured cold timing
+        // to warm=None, not discard the already-measured cold timing.
+        // Warm-serve reruns only queries whose timed run REGISTERED state
+        // (artifact dirs, memos, or a newly trained model) — with the
+        // model registry now persisting across queries, the old
+        // `size != 0` trigger would warm-rerun every query after the
+        // first trainer and double the sweep.
         val warm =
-          if (graft.operators.SessionCaches.size(spark) == 0) None
+          if (graft.operators.SessionCaches.allKeys(spark) == preModels) None
           else scala.util.Try {
             val t1 = System.nanoTime()
             fn(spark, sfDir).count()
@@ -583,6 +650,14 @@ object Bench {
       loadStart, Runtime.getRuntime.availableProcessors, spread)
     val legContendedJson =
       legsContended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cross-round uniform-slowdown labels, judged against the committed
+    // prior gating envelope; a leg already self-labeled contended is
+    // excluded (its contention explains the slowdown)
+    val legsRegressed = legRegressedFromPrior(priorEnvelope,
+      (scale ++ scaleWarm ++ scale100m ++ fresh).toMap, sfDir)
+      .filterNot(legsContended.contains)
+    val legRegressedJson =
+      legsRegressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // errTxt already flattened to printable ASCII sans quote/backslash,
     // so the values embed into JSON with no further escaping; a systemic
     // failure burst keeps the first 10 diagnoses and COUNTS the rest —
@@ -594,10 +669,10 @@ object Bench {
       "\"" + k + "\":\"" + v + "\""
     }.mkString("{", ",", "}")
     val headlineJson =
-      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"headline_spread":$spreadJson,"host_load":$hostLoadJson,"host_contended":$contended,"leg_contended":$legContendedJson,"leg_errors":$legErrorsJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"timing":"headline queries: median of 3 cold runs (graft session caches cleared before every timed run), spread in headline_spread; sweep queries: 1 cold run; artifact-backed queries also report a warm-serve time in bench_detail.json; scale_10m runs FIRST in a cold JVM (single shot by construction), scale_10m_warm is the median of 3 post-sweep repeats after one untimed discard rep; freshness is the median of 3 reps after one untimed discard rep (streaming-path JIT + sweep residue are absorbed once); scale_100m is a PRE-sweep 100M-row shuffle-join probe (one untimed discard, then median of 3 with spread, per-stage task medians/max from the median rep, heap snapshot at probe start); every leg rep carries host_load_1min (at rep start) and host_iowait_pct (across the rep); host_load is the bench-wide envelope; host_contended=true labels a run that started at loadavg > cpus/4 or whose headline cold reps scatter >2x on 2+ queries; any failed leg or query lands its exception text in leg_errors — a -1.0 is never silent; leg_contended lists legs whose OWN same-class rep scatter exceeds 2x with >0.5s absolute spread (scale_10m judged on reps 2-3, its first rep is cold by design; per-rep loadavg is not used — back-to-back legs contaminate it with our own work); GATING-ARTIFACT POLICY: the committed BENCH_HEADLINE.json is the LAST full sweep of the session whose envelope self-labels quiet (host_contended=false AND leg_contended empty) — never best-of-N","artifact_backed":$artifactBacked,"detail":"bench_detail.json"}"""
+      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"headline_spread":$spreadJson,"host_load":$hostLoadJson,"host_contended":$contended,"leg_contended":$legContendedJson,"leg_regressed":$legRegressedJson,"leg_errors":$legErrorsJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"timing":"headline queries: median of 3 cold runs (per-query state cleared before every timed run), spread in headline_spread; sweep queries: 1 cold run; queries whose timed run registered state also report a warm-serve time in bench_detail.json; MODEL REGISTRY: bounded trained models (LR weights, k-means centroids, PQ codebooks, SQ8 bounds, PCA bases, BPE merges, bigram LM) built by EARLIER sweep queries survive a query's cold reset — the first family member in sweep order pays training cold, the rest serve, as a real session would; a query never serves a model its OWN warmup built; dir artifacts and plain memos are dropped every rep; scale_10m runs FIRST in a cold JVM (single shot by construction), scale_10m_warm is the median of 3 post-sweep repeats after one untimed discard rep; freshness is the median of 3 reps after one untimed discard rep (streaming-path JIT + sweep residue are absorbed once); scale_100m is a PRE-sweep 100M-row shuffle-join probe (one untimed discard, then median of 3 with spread, per-stage task medians/max from the median rep, heap snapshot at probe start); every leg rep carries host_load_1min (at rep start) and host_iowait_pct (across the rep); host_load is the bench-wide envelope; host_contended=true labels a run that started at loadavg > cpus/4 or whose headline cold reps scatter >2x on 2+ queries; any failed leg or query lands its exception text in leg_errors — a -1.0 is never silent; leg_contended lists legs whose OWN same-class rep scatter exceeds 2x with >0.5s absolute spread (scale_10m judged on reps 2-3, its first rep is cold by design; per-rep loadavg is not used — back-to-back legs contaminate it with our own work); leg_regressed lists legs whose median exceeds 1.5x (and +0.5s) the committed prior quiet envelope's median — the uniform-slowdown signal leg_contended cannot see; informational, not a gate; GATING-ARTIFACT POLICY, ENFORCED IN CODE: Bench overwrites BENCH_HEADLINE.json only when this run self-labels quiet (host_contended=false AND leg_contended empty) AND swept sf0.1; any other run writes BENCH_HEADLINE_nongating.json instead, so the committed gating artifact is always the LAST GATING sweep — never best-of-N, and never sweepable-in by git add -A","artifact_backed":$artifactBacked,"detail":"bench_detail.json"}"""
     // Full sweep → file (not stdout: ~100 entries overflow log capture).
     scala.util.Try(Files.writeString(Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"n_failed":$nFailed,"headline_spread":$spreadJson,"host_load":$hostLoadJson,"host_contended":$contended,"leg_contended":$legContendedJson,"leg_errors":$legErrorsJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"queries":${jmap(results.toSeq.sortBy(_._1))},"warm_serve":${jmap(warmServe.sortBy(_._1))}}"""))
+      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"n_failed":$nFailed,"headline_spread":$spreadJson,"host_load":$hostLoadJson,"host_contended":$contended,"leg_contended":$legContendedJson,"leg_regressed":$legRegressedJson,"leg_errors":$legErrorsJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"queries":${jmap(results.toSeq.sortBy(_._1))},"warm_serve":${jmap(warmServe.sortBy(_._1))}}"""))
     // The driver-parseable headline, BOTH ways (BENCH_r01-r03 were all
     // `parsed: null` because sbt's log prefix + warning spam mangled the
     // stdout tail): (1) the exact object as a bare one-line FILE the driver
@@ -605,7 +680,22 @@ object Bench {
     // the FINAL stdout statement, printed after spark.stop() so no
     // shutdown logging can land after it (sbt's `[info] ` prefix is
     // disabled via `run / outputStrategy := StdoutOutput` in build.sbt).
-    scala.util.Try(Files.writeString(Paths.get("BENCH_HEADLINE.json"), headlineJson + "\n"))
+    // GATING-ARTIFACT POLICY, enforced here (round-13 verdict "Next
+    // round" #1): round 13's end-of-round `git add -A` snapshot swept a
+    // self-labeled-contended envelope over the committed quiet gating
+    // artifact, because EVERY run used to write BENCH_HEADLINE.json. Now
+    // only a run that self-labels quiet (host_contended=false AND
+    // leg_contended empty) AND swept the gating SF (sf0.1 — an sf0.01
+    // iteration overwrite was the other known sweep-in hazard) may touch
+    // the gating name; anything else lands in BENCH_HEADLINE_nongating
+    // .json, still with its full self-labeling envelope. A bulk add can
+    // then never commit a policy-violating gating artifact, and
+    // GatingArtifactSpec asserts the committed file's self-labels as the
+    // backstop.
+    val gating = !contended && legsContended.isEmpty && sfDir.endsWith("sf0.1")
+    val headlinePath =
+      if (gating) "BENCH_HEADLINE.json" else "BENCH_HEADLINE_nongating.json"
+    scala.util.Try(Files.writeString(Paths.get(headlinePath), headlineJson + "\n"))
     // The PRINTED line is the minimal envelope ONLY (~650 bytes): round 8
     // grew the full envelope (spread + freshness + scale min/max + the
     // 26-entry artifact_backed list) past the driver's fixed-size tail
@@ -613,7 +703,7 @@ object Bench {
     // Everything beyond metric/value/unit/sf/queries/n_queries_all/
     // n_failed lives in BENCH_HEADLINE.json and bench_detail.json.
     val minimalJson =
-      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"n_queries_all":${results.size},"n_failed":$nFailed,"host_contended":$contended,"leg_contended":$legContendedJson,"n_leg_errors":${legErrors.size},"detail":"BENCH_HEADLINE.json"}"""
+      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"n_queries_all":${results.size},"n_failed":$nFailed,"host_contended":$contended,"leg_contended":$legContendedJson,"leg_regressed":$legRegressedJson,"n_leg_errors":${legErrors.size},"detail":"$headlinePath"}"""
     spark.stop()
     println(minimalJson)
   }

@@ -48,7 +48,7 @@ object Bpe {
 
   /** Learned merge table: (rank, left, right, pairCount). */
   private[operators] def learnMerges(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
-    SessionCaches.memo(s, s"bpe-merges:$d") {
+    SessionCaches.modelMemo(s, s"bpe-merges:$d") {
       learnMergesOf(Tables.documents(s, d))
     }
 

@@ -61,7 +61,7 @@ object Kmeans {
 
   /** Lloyd training; returns final centroids. Memoized per (session, dir). */
   private[operators] def train(s: SparkSession, d: String): Seq[Seq[Long]] =
-    SessionCaches.memo(s, s"kmeans:$d") {
+    SessionCaches.modelMemo(s, s"kmeans:$d") {
       trainOf(Tables.embeddings(s, d))
     }
 

@@ -77,7 +77,7 @@ object LrTrain {
     * dir): the corpus is scanned once to build the cached feature matrix,
     * then each iteration is one D+2-column aggregate over it. */
   private[operators] def train(s: SparkSession, d: String): (Array[Long], Long) =
-    SessionCaches.memo(s, s"lr-train:$d") {
+    SessionCaches.modelMemo(s, s"lr-train:$d") {
       trainOf(Tables.documents(s, d))
     }
 

@@ -139,7 +139,7 @@ object NgramLm {
     * top-V-capped with an OOV bucket, like [[Bpe.VocabCap]]). */
   private[graft] def lmModel(s: SparkSession, d: String)
       : (Map[String, Long], Map[String, Long], Long) =
-    SessionCaches.memo(s, s"bigram-lm:$d") {
+    SessionCaches.modelMemo(s, s"bigram-lm:$d") {
       import s.implicits._
       val big = bigramsOf(Tables.documents(s, d))
       val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))

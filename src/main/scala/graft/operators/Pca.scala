@@ -164,7 +164,7 @@ object Pca {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   private def eig(s: SparkSession, d: String): Eig =
-    SessionCaches.memo(s, s"pca-eig:$d")(eigOf(Tables.embeddings(s, d)))
+    SessionCaches.modelMemo(s, s"pca-eig:$d")(eigOf(Tables.embeddings(s, d)))
 
   /** Incremental moment refresh — the PCA member of the engine's
     * refresh-∝-delta family (refreshIvfIndex / refreshLshIndex /

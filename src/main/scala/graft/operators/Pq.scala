@@ -57,7 +57,7 @@ object Pq {
     * quantizer in Similarity.kmeansCentroids). Memoized per (session,
     * corpus) via [[SessionCaches]] — bounded value (M×K×SubDim doubles). */
   private[operators] def codebooksOf(emb: DataFrame, corpusKey: String): Array[Array[Array[Double]]] =
-    SessionCaches.memo(emb.sparkSession, s"pq-codebooks:$corpusKey") {
+    SessionCaches.modelMemo(emb.sparkSession, s"pq-codebooks:$corpusKey") {
       val sample = emb
         .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(2048)
         .select(col("embedding")).collect()

@@ -47,6 +47,55 @@ object SessionCaches {
   def memo[V](s: SparkSession, key: String)(build: => V): V =
     perSession(s).getOrElseUpdate("val:" + key, build).asInstanceOf[V]
 
+  /** Memoize a BOUNDED trained MODEL per (session, key) — LR weights,
+    * k-means centroids, PQ codebooks, SQ8 bounds, PCA bases, BPE merge
+    * tables, the capped bigram LM: k×dim-sized driver values that hold
+    * NO directory paths (a model tier entry must stay valid after every
+    * artifact dir is deleted — that is the tier's contract and why
+    * [[memo]] values like `clone-rt`'s dir path must NOT move here).
+    *
+    * Same build-once semantics as [[memo]]; the difference is Bench's
+    * per-query cold reset ([[clearQueryState]]): model-tier entries
+    * built by EARLIER queries in the sweep survive the reset, so a
+    * query family that shares one trained model (quality_lr_*,
+    * sim_kmeans_*, sim_knn_pq/sq8/pca_*) pays training exactly once per
+    * sweep — the first family member trains cold, the rest serve, which
+    * is what a real session does (round-13 verdict "Next round" #4). A
+    * query still never serves a model its OWN warmup built: Bench
+    * snapshots the model keys BEFORE the warmup and the reset drops
+    * anything newer, preserving the round-5 no-phantom-win rule. */
+  def modelMemo[V](s: SparkSession, key: String)(build: => V): V =
+    perSession(s).getOrElseUpdate("model:" + key, build).asInstanceOf[V]
+
+  /** Keys of the model tier only — Bench's pre-query snapshot. */
+  def modelKeys(s: SparkSession): Set[String] =
+    perSession(s).keySet.filter(_.startsWith("model:")).toSet
+
+  /** Every live key (all tiers) — Bench diffs this against the pre-query
+    * model snapshot to detect queries that built anything (the
+    * warm-serve rerun trigger). */
+  def allKeys(s: SparkSession): Set[String] = perSession(s).keySet.toSet
+
+  /** Bench's per-query cold reset: drop every artifact directory and
+    * bounded value — INCLUDING model-tier entries this query's own
+    * warmup created — but retain model-tier entries in `keepModels`
+    * (the models earlier sweep queries trained). [[clear]] remains the
+    * full wipe. */
+  def clearQueryState(s: SparkSession, keepModels: Set[String]): Unit = {
+    val m = perSession(s)
+    m.toSeq.foreach {
+      case (k, _) if k.startsWith("model:") && keepModels(k) => ()
+      case (k, h: DirHolder) =>
+        if (!h.durable)
+          h.built.foreach(p => deleteRecursively(new java.io.File(p)))
+        m.remove(k)
+      case (k, v) =>
+        if (k.startsWith("dir:"))
+          deleteRecursively(new java.io.File(v.asInstanceOf[String]))
+        m.remove(k)
+    }
+  }
+
   /** Marker written after a durable build completes; its presence is the
     * only thing that makes a durable dir servable, so a crashed build is
     * never mistaken for an artifact. */

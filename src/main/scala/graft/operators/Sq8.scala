@@ -39,7 +39,7 @@ object Sq8 {
     * Memoized per (session, corpus) via [[SessionCaches]] — bounded value
     * (2×64 doubles). */
   private[operators] def paramsOf(emb: DataFrame, corpusKey: String): Params =
-    SessionCaches.memo(emb.sparkSession, s"sq8-params:$corpusKey") {
+    SessionCaches.modelMemo(emb.sparkSession, s"sq8-params:$corpusKey") {
       val rows = emb
         .select(posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("pos"))

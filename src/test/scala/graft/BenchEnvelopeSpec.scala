@@ -125,6 +125,72 @@ class BenchEnvelopeSpec extends AnyFunSuite {
       Seq("freshness_sec"), skipFirst = true))
   }
 
+  // Fixture: the r13 incident's real numbers. The committed quiet r13
+  // envelope carried scale_100m_join_sec 15.4089 (tight reps, skew
+  // <=1.20); the driver's official r13 artifact ran the same leg at
+  // 25.335 with rep spread only 1.8x — invisible to legContended (needs
+  // >2x), exactly the uniform-slowdown blind spot legRegressedFromPrior
+  // closes (round-13 verdict "Next round" #2).
+  private val r13PriorQuiet =
+    """{"metric":"headline_total","sf":"/root/testdata/sf0.1",""" +
+      """"host_contended":false,"leg_contended":[],""" +
+      """"scale_100m":{"scale_100m_join_sec":15.4089,""" +
+      """"scale_100m_join_sec_min":14.4,"scale_100m_join_sec_max":16.4},""" +
+      """"freshness":{"freshness_sec":1.0540},""" +
+      """"scale_10m":{"wh_write_10m":10.3451}}"""
+
+  test("legRegressedFromPrior: the r13 driver scale_100m labels itself") {
+    val cur = Map("scale_100m_join_sec" -> 25.335,
+      "freshness_sec" -> 1.054, "wh_write_10m" -> 10.5)
+    assert(Bench.legRegressedFromPrior(r13PriorQuiet, cur,
+      "/root/testdata/sf0.1") === Seq("scale_100m"))
+  }
+
+  test("legRegressedFromPrior: sub-1.5x drift stays unlabeled") {
+    // the r12->r13 quiet drift itself (15.4 -> 19.3, ratio 1.25) is
+    // below the rule's line — attribution work, not an auto-label
+    val cur = Map("scale_100m_join_sec" -> 19.3109)
+    assert(Bench.legRegressedFromPrior(r13PriorQuiet, cur,
+      "/root/testdata/sf0.1").isEmpty)
+    // 1.5x ratio but sub-0.5s absolute growth (tiny legs) stays quiet
+    val tiny = r13PriorQuiet.replace("\"freshness_sec\":1.0540",
+      "\"freshness_sec\":0.2000")
+    assert(Bench.legRegressedFromPrior(tiny,
+      Map("freshness_sec" -> 0.55), "/root/testdata/sf0.1").isEmpty)
+  }
+
+  test("legRegressedFromPrior: non-quiet or mismatched prior is no baseline") {
+    val cur = Map("scale_100m_join_sec" -> 25.335)
+    // prior self-labels contended -> no comparison
+    val contendedPrior =
+      r13PriorQuiet.replace("\"host_contended\":false", "\"host_contended\":true")
+    assert(Bench.legRegressedFromPrior(contendedPrior, cur,
+      "/root/testdata/sf0.1").isEmpty)
+    // prior has contended legs -> no comparison (r13 HEAD's swept-in
+    // envelope, leg_contended=["scale_10m","freshness"], must never
+    // serve as a baseline)
+    val legPrior = r13PriorQuiet.replace("\"leg_contended\":[]",
+      "\"leg_contended\":[\"scale_10m\",\"freshness\"]")
+    assert(Bench.legRegressedFromPrior(legPrior, cur,
+      "/root/testdata/sf0.1").isEmpty)
+    // prior swept a different sf -> no comparison
+    assert(Bench.legRegressedFromPrior(r13PriorQuiet, cur,
+      "/root/testdata/sf0.01").isEmpty)
+    // no prior at all (fresh checkout) -> no comparison
+    assert(Bench.legRegressedFromPrior("", cur, "/root/testdata/sf0.1").isEmpty)
+  }
+
+  test("legRegressedFromPrior: multiple metrics of one leg label once") {
+    val cur = Map("wh_write_10m" -> 22.0, "wh_pruned_minute_report" -> 9.0,
+      "wh_full_agg_10m" -> 9.0)
+    val prior = r13PriorQuiet.replace(
+      "\"scale_10m\":{\"wh_write_10m\":10.3451}",
+      "\"scale_10m\":{\"wh_write_10m\":10.3451," +
+        "\"wh_pruned_minute_report\":3.0,\"wh_full_agg_10m\":3.9}")
+    assert(Bench.legRegressedFromPrior(prior, cur,
+      "/root/testdata/sf0.1") === Seq("scale_10m"))
+  }
+
   test("hostContended: one jittery sub-100ms query alone -> false") {
     // a single tiny query doubling (50 -> 110 ms) is normal variance,
     // not host evidence; the flag needs >= 2 scattered queries
