@@ -232,7 +232,7 @@ object Bench {
     * per stage (≥8 tasks), median and max task duration — the judge's
     * "no task >2× median" evidence, written per-stage into
     * BENCH_HEADLINE.json. */
-  private def scale100mLeg(spark: SparkSession): (Seq[(String, Double)], String) = {
+  private[graft] def scale100mLeg(spark: SparkSession): (Seq[(String, Double)], String) = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import org.apache.spark.sql.functions._
     val taskDurs =

@@ -53,10 +53,20 @@ object Datasheet {
       count(lit(1)).as("n"),
       sum(size(split($"text", " ")).cast("long")).as("toks"),
       sum($"n_chars").as("chars")).head()
+    // fail fast on an empty corpus: every share below divides by n, the
+    // censuses would `max` an empty array, and a 0-row datasheet would
+    // read as a release note about nothing (round-13 ADVICE)
+    require(!base.isNullAt(0) && base.getLong(0) > 0,
+      s"corpus_datasheet: documents table at $d is empty")
     val (n, toks, chars) = (base.getLong(0), base.getLong(1), base.getLong(2))
 
+    // NULL-safe census: Spark's groupBy keeps a NULL group while the
+    // oracle's count(DISTINCT) drops NULLs — coalesce to a sentinel in
+    // BOTH engines so a NULL lang/source is one more census bucket, not
+    // a cross-engine desync (round-13 ADVICE)
     def census(col: String): (Long, Long) = {
-      val counts = docs.groupBy(docs(col)).agg(count(lit(1)).as("c"))
+      val counts = docs.groupBy(coalesce(docs(col), lit("(null)")).as(col))
+        .agg(count(lit(1)).as("c"))
         .select($"c").as[Long].collect()
       (counts.length.toLong, counts.max)
     }
@@ -136,13 +146,13 @@ object Datasheet {
        |  UNION ALL SELECT 'n_tokens_total', toks FROM base
        |  UNION ALL SELECT 'n_chars_total', chars FROM base
        |  UNION ALL SELECT 'chars_p50', v FROM p50
-       |  UNION ALL SELECT 'n_langs', count(DISTINCT lang) FROM documents
-       |  UNION ALL SELECT 'n_sources', count(DISTINCT source) FROM documents
+       |  UNION ALL SELECT 'n_langs', count(DISTINCT coalesce(lang, '(null)')) FROM documents
+       |  UNION ALL SELECT 'n_sources', count(DISTINCT coalesce(source, '(null)')) FROM documents
        |  UNION ALL SELECT 'top_lang_share_e6',
-       |    (1000000 * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY lang)))
+       |    (1000000 * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY coalesce(lang, '(null)'))))
        |      // (SELECT n FROM base)
        |  UNION ALL SELECT 'top_source_share_e6',
-       |    (1000000 * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY source)))
+       |    (1000000 * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY coalesce(source, '(null)'))))
        |      // (SELECT n FROM base)
        |  UNION ALL SELECT 'n_distinct_texts', count(DISTINCT text) FROM documents
        |  UNION ALL SELECT 'exact_dup_rate_e6',

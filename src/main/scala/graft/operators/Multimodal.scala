@@ -317,6 +317,83 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // --- image↔text alignment: the CLIP-style cross-modal filter ----------
+
+  /** Per-(image, caption) alignment score — the cross-modal consistency
+    * check multimodal curation pipelines run between decode and dedup
+    * (the CLIP-score filter of LAION/DataComp lineage): score each
+    * candidate caption against its image and drop pairs below threshold.
+    * The "text encoder" here is the GENERATIVE TWIN of the corpus's
+    * image synthesis: render the caption through the same deterministic
+    * text→PNG function a production system would replace with a caption
+    * embedding model, decode BOTH payloads through the real PNG reader,
+    * and score alignment as the 64-bit aHash agreement
+    * `64 − hamming(aHash(image), aHash(render(caption)))` — an exact
+    * integer in 0..64, no float seam. With an exact generative twin the
+    * aligned threshold degenerates to full agreement (64): the true
+    * caption reproduces the image bit-for-bit, any other caption's
+    * render is unrelated noise (~32 expected agreement). A 64-bit aHash
+    * collision across different texts would score a mismatch as aligned
+    * — same stance as [[ahashGroupsOracle]]: that would be a real
+    * finding, and the oracle below would catch it.
+    *
+    * Scale shape: one co-partitioned self-join on doc_id to fetch the
+    * planted caption (at scale the captions relation arrives as its own
+    * table keyed by doc_id — same join), then a narrow per-row
+    * decode+score map; no other shuffle. */
+  private[operators] def captionAlignOf(pairs: Dataset[(Long, String, String)]): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.map { case (id, text, caption) =>
+      val imgHash = decodePng(renderPng(text))._6
+      val capHash = decodePng(renderPng(caption))._6
+      val score = 64 - java.lang.Long.bitCount(imgHash ^ capHash)
+      (id, score, score == 64)
+    }.toDF("doc_id", "align_score", "aligned")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registered query: every 25th document's caption is swapped with its
+    * successor's text (deterministic planted misalignment — the sf
+    * corpora ship no caption column, so the fixture plants its own, like
+    * [[plantedDocs]]); all other documents keep their true caption. A
+    * swapped caption whose successor happens to carry IDENTICAL text is
+    * aligned by construction on both engines (caption = text). */
+  def captionAlign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val next = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("next_text"))
+    val pairs = docs.join(next, Seq("doc_id"), "left")
+      .select($"doc_id", $"text",
+        when($"doc_id" % 25 === 0 && $"next_text".isNotNull, $"next_text")
+          .otherwise($"text").as("caption"))
+      .as[(Long, String, String)]
+    captionAlignOf(pairs)
+  }
+
+  /** Oracle: the alignment TRUTH is fully DuckDB-recomputable — the image
+    * is a pure function of the text, so aligned ⟺ caption = text as a
+    * string comparison over the documents table (the same planted-caption
+    * rule replayed in SQL). The exact mismatch score needs the codec, so
+    * it stays golden-pinned under an invariant guard: an aligned row must
+    * score exactly 64, a misaligned row must land in 0..63, completeness
+    * is anchored by the LEFT JOIN from the caption relation — any
+    * violation collapses to -1/NULL and hash-fails. */
+  private def captionAlignOracle: String =
+    s"""WITH cap AS (
+       |  SELECT d.doc_id, d.text,
+       |         CASE WHEN d.doc_id % 25 = 0 AND p.text IS NOT NULL
+       |              THEN p.text ELSE d.text END AS caption
+       |  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id + 1),
+       |g AS (${Golden.dispatch("mm_caption_align")})
+       |SELECT c.doc_id,
+       |       CASE WHEN (c.caption = c.text AND g.align_score = 64)
+       |              OR (c.caption <> c.text AND g.align_score BETWEEN 0 AND 63)
+       |            THEN g.align_score ELSE -1 END AS align_score,
+       |       CASE WHEN g.aligned = (c.caption = c.text)
+       |            THEN g.aligned END AS aligned
+       |FROM cap c LEFT JOIN g USING (doc_id) ORDER BY c.doc_id""".stripMargin
+
   // --- binaryFile source: the object-store landing zone -----------------
 
   /** One-time materialization of the PNG corpus as individual files — the
@@ -425,5 +502,6 @@ object Multimodal {
     Q("mm_binaryfile_scan", Some(decodeFamilyOracle("mm_binaryfile_scan", withBytes = true)), binaryFileScan),
     Q("mm_decode_batched", Some(decodeFamilyOracle("mm_decode_batched", withBytes = false)), (s, d) => decodeImages(s, d)),
     Q("mm_ahash_dup_groups", Some(ahashGroupsOracle), ahashDupGroups),
+    Q("mm_caption_align", Some(captionAlignOracle), captionAlign),
     Q("mm_frame_sample", Some(frameSampleOracle), (s, d) => frameSample(s, d)))
 }

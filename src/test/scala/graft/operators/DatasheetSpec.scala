@@ -42,6 +42,34 @@ class DatasheetSpec extends SparkSuite {
     assert(got("near_dup_member_docs") >= got("near_dup_clusters"))
   }
 
+  test("NULL lang/source counts as one census bucket; empty corpus fails fast") {
+    // round-13 ADVICE: Spark's groupBy keeps a NULL group, DuckDB's
+    // count(DISTINCT) drops NULLs — both engines now coalesce to a
+    // '(null)' sentinel, so a NULL lang is one more bucket, not a desync
+    val dir = tmpDir("datasheet-null")
+    Seq(
+      (1L, "a b c", Option("en"), Option("web"), 5L),
+      (2L, "d e f", None: Option[String], Option("web"), 5L),
+      (3L, "g h i", Option("en"), None: Option[String], 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Datasheet.corpusDatasheet(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got("n_langs") === 2L, "en + (null) = 2 language buckets")
+    assert(got("n_sources") === 2L, "web + (null) = 2 source buckets")
+    assert(got("top_lang_share_e6") === 1000000L * 2 / 3)
+    assert(got("top_source_share_e6") === 1000000L * 2 / 3)
+
+    val empty = tmpDir("datasheet-empty")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$empty/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Datasheet.corpusDatasheet(spark, empty).collect()
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("real corpus: cross-metric identities hold") {
     val got = Datasheet.corpusDatasheet(spark, Sf)
       .as[(String, Long)].collect().toMap

@@ -28,12 +28,17 @@ class KnnGraphSpec extends SparkSuite {
       .write.parquet(s"$dir/embeddings.parquet")
     val got = Similarity.knnGraph(spark, dir, k = 4)
       .as[(Long, Long, Int, Double)].collect()
-    // PURITY is absolute: inside a cell nothing is approximate, so every
-    // edge the graph returns must link true siblings at cosine ~1.
-    // COVERAGE is the documented cell-boundary approximation (a 16-cell
-    // quantizer over 8 tight groups of 5 CAN split a group — two initial
-    // centroids may even be replicas of the same group), so recovery of
-    // the 160 possible sibling edges is quantified, not assumed total.
+    // PURITY is absolute: inside a probed cell nothing is approximate, so
+    // every edge the graph returns must link true siblings at cosine ~1.
+    // COVERAGE: the 16-cell quantizer over 8 tight groups of 5
+    // over-segments (a group CAN split across cells — two initial
+    // centroids may even be replicas of the same group); single-probe
+    // measured 56% recovery of the 160 sibling edges on exactly this
+    // fixture, 88% at 2 probes (a group split THREE ways still leaks).
+    // Multi-probe at 3 cells (round-13 verdict "Next round" #5) must
+    // lift recovery to >= 90%: a split group's cells all sit on the
+    // group center, so each member's nearest centroids are the split
+    // parts.
     assert(got.nonEmpty)
     got.foreach { case (v, nbr, _, cos) =>
       assert(v / 5 == nbr / 5,
@@ -41,12 +46,16 @@ class KnnGraphSpec extends SparkSuite {
       assert(cos > 0.99, s"sibling cosine must be ~1: ($v, $nbr, $cos)")
     }
     val recovery = got.length.toDouble / (40 * 4)
-    assert(recovery >= 0.5, f"sibling-edge recovery $recovery%.2f below floor")
-    info(f"sibling-edge recovery under cell confinement: ${got.length}/160 " +
-      f"(${recovery * 100}%.0f%%), purity 100%%")
+    assert(recovery >= 0.9, f"sibling-edge recovery $recovery%.2f below the " +
+      "multi-probe floor")
+    info(f"sibling-edge recovery under 3-probe cell confinement: " +
+      f"${got.length}/160 (${recovery * 100}%.0f%%), purity 100%%")
   }
 
-  test("equals the brute-force within-cell recompute on the real corpus") {
+  test("equals the brute-force multi-probe recompute on the real corpus") {
+    // candidates(v) = every vector whose PRIMARY cell is one of v's 3
+    // nearest centroids — the exact multi-probe contract; inside that
+    // candidate set nothing may be approximate
     val cents = Similarity.kmeansCentroids(spark, Sf)
     val emb = graft.Tables.embeddings(spark, Sf)
       .select($"vec_id", $"embedding")
@@ -54,21 +63,23 @@ class KnnGraphSpec extends SparkSuite {
       .map { case (id, v) => id -> v.map(_.toDouble).toArray }
     def dot(a: Array[Double], b: Seq[Double]): Double =
       a.zip(b).map { case (x, y) => x * y }.sum
-    def cell(v: Array[Double]): Int =
-      cents.maxBy { case (i, c) => (dot(v, c), i) }._1
-    val byCell = emb.groupBy { case (_, v) => cell(v) }
-    val want = byCell.values.toSeq.flatMap { members =>
-      members.toSeq.flatMap { case (id, v) =>
-        val na = math.sqrt(v.map(x => x * x).sum)
-        members.filter(_._1 != id)
-          .map { case (nid, nv) =>
-            val c = dot(v, nv) / (na * math.sqrt(nv.map(x => x * x).sum))
-            (nid, math.rint(c * 1e6) / 1e6)
-          }
-          .sortBy { case (nid, c) => (-c, nid) }.take(3).zipWithIndex
-          .map { case ((nid, c), i) => (id, nid, i + 1, c) }
-      }
-    }.toSeq.sortBy(r => (r._1, r._3))
+    // descending (dot, cell) — probeCellsCol's exact tie-break
+    def probes(v: Array[Double]): Seq[Int] =
+      cents.map { case (i, c) => (dot(v, c), i) }
+        .sortBy { case (d, i) => (-d, -i) }.take(3).map(_._2)
+    val primary = emb.map { case (id, v) => id -> probes(v).head }.toMap
+    val byPrimary = emb.groupBy { case (id, _) => primary(id) }
+    val want = emb.toSeq.flatMap { case (id, v) =>
+      val na = math.sqrt(v.map(x => x * x).sum)
+      val cand = probes(v).flatMap(c => byPrimary.getOrElse(c, Array.empty).toSeq)
+      cand.filter(_._1 != id)
+        .map { case (nid, nv) =>
+          val c = dot(v, nv) / (na * math.sqrt(nv.map(x => x * x).sum))
+          (nid, math.rint(c * 1e6) / 1e6)
+        }
+        .sortBy { case (nid, c) => (-c, nid) }.take(3).zipWithIndex
+        .map { case ((nid, c), i) => (id, nid, i + 1, c) }
+    }.sortBy(r => (r._1, r._3))
     val got = Similarity.knnGraph(spark, Sf)
       .as[(Long, Long, Int, Double)].collect().toSeq
     assert(got === want, s"got ${got.size} rows, want ${want.size}")

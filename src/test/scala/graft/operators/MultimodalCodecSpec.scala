@@ -98,4 +98,53 @@ class MultimodalCodecSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == truth, s"got=${got.size} truth=${truth.size}")
   }
+
+  test("caption alignment: a planted mismatched caption scores strictly lower") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3 true (image, caption) pairs + ONE planted mismatch: doc 2 captioned
+    // with doc 1's text — the CLIP-filter shape on a corpus whose images
+    // are a pure function of text
+    val pairs = Seq(
+      (1L, "the quick brown fox", "the quick brown fox"),
+      (2L, "jumps over the lazy dog", "the quick brown fox"), // mismatch
+      (3L, "pack my box with jugs", "pack my box with jugs"),
+      (4L, "how vexingly quick daft", "how vexingly quick daft"))
+      .toDS()
+    val gotRows = Multimodal.captionAlignOf(pairs)
+      .as[(Long, Int, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    Seq(1L, 3L, 4L).foreach { id =>
+      assert(gotRows(id) === ((64, true)),
+        s"true caption of doc $id must reproduce the image exactly")
+    }
+    val (mScore, mAligned) = gotRows(2L)
+    assert(mScore < 64 && !mAligned,
+      s"planted mismatch must score strictly lower, got $mScore")
+    assert(mScore >= 0 && mScore <= 63)
+    info(s"mismatched caption scored $mScore/64 vs 64/64 for true captions")
+  }
+
+  test("registered caption-align query: swap rule and truth agree on the corpus") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // independent truth from the documents table alone: aligned iff the
+    // planted caption (successor text for doc_id%25==0) equals own text
+    val docs = Tables.documents(spark, Sf).select($"doc_id", $"text")
+    val next = docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("nt"))
+    val truth = docs.join(next, Seq("doc_id"), "left")
+      .select($"doc_id",
+        (!($"doc_id" % 25 === 0 && $"nt".isNotNull && $"nt" =!= $"text")).as("aligned"))
+      .as[(Long, Boolean)].collect().toMap
+    val got = Multimodal.captionAlign(spark, Sf)
+      .as[(Long, Int, Boolean)].collect()
+    assert(got.length === truth.size)
+    got.foreach { case (id, score, aligned) =>
+      assert(aligned === truth(id), s"doc $id alignment disagrees with truth")
+      assert(if (aligned) score == 64 else score < 64)
+    }
+    val misaligned = got.count(!_._3)
+    assert(misaligned > 0, "the corpus fixture must plant some misalignments")
+    info(s"$misaligned/${got.length} planted misalignments, all detected")
+  }
 }

@@ -31,7 +31,8 @@ DEFAULT_QUERIES = [
     "dedup_simhash_docs", "dedup_simhash_pairs",
     "ev_hll_daily_users", "ev_hll_union_total", "ev_user_cms_topk",
     "graph_harmonic_hll", "graph_effective_diameter",
-    "mm_ahash_dup_groups", "mm_binaryfile_scan", "mm_decode_batched",
+    "mm_ahash_dup_groups", "mm_binaryfile_scan", "mm_caption_align",
+    "mm_decode_batched",
     "mm_frame_sample", "rag_chunk_retrieve", "rag_hybrid_rrf",
     "sim_embedding_clusters",
     "sim_kmeans_profile", "sim_knn_aggregator", "sim_knn_brute",
