@@ -121,8 +121,8 @@ class OracleDivisionSpec extends AnyFunSuite {
     "n_chars",                              // char count
     "(n + N)",                              // set-sim prefix length ceil: n = shingle-set size >= 1
     "SELECT (n + N)",                       // datasheet median target ceil(n/2): n = doc count >= 1
-    "(N * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY lang)))",   // datasheet top-lang share: a group count
-    "(N * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY source)))", // datasheet top-source share: a group count
+    "(N * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY coalesce(lang, 'S'))))",   // datasheet top-lang share: a group count (NULL-coalesced census bucket, still a count >= 1)
+    "(N * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY coalesce(source, 'S'))))", // datasheet top-source share: a group count (NULL-coalesced census bucket, still a count >= 1)
     "(N * ((SELECT n FROM base) - count(DISTINCT text)))", // datasheet exact-dup rate: distinct texts can never exceed the doc count
     "(N * (SELECT count(*) FROM gc))",      // datasheet near-dup rate: cluster-member count
     "s",                                    // datasheet mean novelty: sum of per-doc novelty_e6, each in [0, 1e6]
