@@ -410,6 +410,12 @@ object Bench {
     val (scale100m, scale100mStages) =
       if (!scaleOn) (Seq.empty[(String, Double)], "[]")
       else try {
+        // flush the scale_10m legs' dirty-page backlog OUTSIDE the timed
+        // region (SCALE_NOTES Leg 31: the isolated probe runs 14.5-15.1 s
+        // while the in-bench leg paid 15.4-19.3 s — the delta is the three
+        // cold 10M-event warehouse writes immediately before this probe,
+        // the same backlog class the warm 10M leg already syncs away)
+        scala.util.Try(new ProcessBuilder("sync").start().waitFor())
         graft.operators.SessionCaches.clear(spark)
         spark.catalog.clearCache()
         System.gc()
