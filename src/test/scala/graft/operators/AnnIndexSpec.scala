@@ -93,4 +93,39 @@ class AnnIndexSpec extends SparkSuite {
     assert(got.find(_._2 == 2L).get._1 > 2, "near-dup must be demoted below rank 2")
     assert(got.map(_._2).distinct.size == got.size)
   }
+
+  test("ANN recall report equals an independent per-method recompute") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val exact = Similarity.knnBrute(spark, Sf)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(exact.size === 10)
+    val want = Similarity.RecallMethods.map { case (name, fn) =>
+      val ids = fn(spark, Sf).select(col("vec_id")).as[Long].collect()
+      assert(ids.length <= 10 && ids.distinct.length == ids.length,
+        s"$name returned ${ids.length} rows (dups?)")
+      val hits = ids.count(exact).toLong
+      (name, ids.length.toLong, hits, 100000L * hits)
+    }
+    val got = Similarity.annRecallReport(spark, Sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === want.sortBy(_._1))
+    assert(got.map(_._1).toSet === Similarity.RecallMethods.map(_._1).toSet,
+      "every shipped ANN variant must appear in the report")
+    got.foreach { case (name, ret, hit, rec) =>
+      assert(hit <= ret && rec == 100000L * hit, s"$name arithmetic")
+    }
+    // structural recall laws (the isotropic corpus is HARD for coarse
+    // quantizers — pq honestly sits at 1/10 here, which is exactly the
+    // readout this report exists to surface — so no absolute floor):
+    // an exact-cosine rerank can only improve on its quantized base,
+    // and the indexed variants must equal their scan twins bit-for-bit
+    val byName = got.map(r => r._1 -> r._3).toMap
+    assert(byName("sim_knn_pq_rerank") >= byName("sim_knn_pq"),
+      "reranking candidates with exact cosines must not lose recall")
+    assert(byName("sim_knn_ivf_indexed") == byName("sim_knn_ivf"))
+    assert(byName("sim_knn_lsh_indexed") == byName("sim_knn_lsh"))
+    info(got.map { case (n, _, h, _) => s"$n=$h/10" }.mkString(", "))
+  }
 }
