@@ -133,9 +133,23 @@ object Bench {
     * be suppressed by its own label. */
   def legRegressedFromPrior(priorJson: String, cur: Map[String, Double],
       sfDir: String): Seq[String] = {
+    // PARSING STANCE (round-14 ADVICE): the prior envelope is matched
+    // with substring/regex, not a JSON parser — deliberately minimal,
+    // since the label is informational and the envelope is machine-
+    // written by this same file. The known fragilities are bounded:
+    // every RegressionKeys metric name is unique across the envelope
+    // (leg maps only — no headline query shares a leg-metric name, and
+    // the free-text "timing" field never contains `"<key>":` with the
+    // exact quote-colon frame), so findFirstMatchIn cannot land on a
+    // wrong object today. If a future query were named like a leg
+    // metric, THIS is the comment to revisit.
     val priorQuiet = priorJson.contains("\"host_contended\":false") &&
       priorJson.contains("\"leg_contended\":[]") &&
-      priorJson.contains("\"sf\":\"" + sfDir + "\"")
+      // sf compared by BASENAME, not raw string: a trailing slash or a
+      // differently-spelled path to the same sf dir must not silently
+      // disable the cross-round compare (round-14 ADVICE)
+      "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(priorJson)
+        .exists(m => sfBasename(m.group(1)) == sfBasename(sfDir))
     if (!priorQuiet) Nil
     else RegressionKeys.flatMap { case (k, leg) =>
       val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9.Ee+-]+)").r
@@ -147,6 +161,54 @@ object Bench {
       } yield leg
     }.distinct
   }
+
+  /** Best-ever-floor regression label (round-14 verdict "Next round" #3):
+    * [[legRegressedFromPrior]] compares one round back, so a 1.4×/round
+    * creep NEVER labels — each round is within 1.5× of its predecessor
+    * while the leg quietly doubles every two rounds. The committed
+    * BENCH_FLOOR.json carries the best-ever quiet gating median per leg
+    * metric (updated only when a gating run improves it, so a contended
+    * sweep can never poison the floor), and a leg labels `regressed`
+    * when its median exceeds 1.5× the floor with > 0.5 s absolute
+    * growth — the same thresholds as the prior-round rule, anchored to
+    * the leg's proven-attainable class instead of last round's number. */
+  def legRegressedFromFloor(floorJson: String, cur: Map[String, Double]): Seq[String] =
+    RegressionKeys.flatMap { case (k, leg) =>
+      val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9.Ee+-]+)").r
+      for {
+        m <- re.findFirstMatchIn(floorJson)
+        f <- scala.util.Try(m.group(1).toDouble).toOption
+        c <- cur.get(k)
+        if f > 0 && c > f * 1.5 && c - f > 0.5
+      } yield leg
+    }.distinct
+
+  /** The updated floor file content: every RegressionKeys metric present
+    * in `cur` keeps the smaller of (existing floor, current median).
+    * Pure function of (floor JSON, medians) so BenchEnvelopeSpec pins
+    * improve-only semantics. */
+  def updatedFloorJson(floorJson: String, cur: Map[String, Double]): String = {
+    val entries = RegressionKeys.map(_._1).distinct.flatMap { k =>
+      val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9.Ee+-]+)").r
+      val old = re.findFirstMatchIn(floorJson)
+        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+        .filter(_ > 0)
+      (old, cur.get(k).filter(_ > 0)) match {
+        case (Some(o), Some(c)) => Some(k -> math.min(o, c))
+        case (Some(o), None)    => Some(k -> o)
+        case (None, Some(c))    => Some(k -> c)
+        case (None, None)       => None
+      }
+    }
+    entries.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    }.mkString("{", ",", "}")
+  }
+
+  /** Gating-SF check by basename: `.../sf0.1` and `.../sf0.1/` gate,
+    * `.../mysf0.1` does not (round-14 ADVICE — `endsWith("sf0.1")`
+    * misclassified both). java.io.File strips trailing separators. */
+  def sfBasename(sfDir: String): String = new java.io.File(sfDir).getName
 
   /** 1-minute loadavg from /proc/loadavg (−1 if unreadable). Captured at
     * bench start/end so a noisy host indicts itself in the envelope
@@ -357,6 +419,10 @@ object Bench {
     // overwrite it — the baseline for the cross-round leg_regressed label
     val priorEnvelope = scala.util.Try(
       Files.readString(Paths.get("BENCH_HEADLINE.json"))).getOrElse("")
+    // best-ever quiet gating medians per leg metric — the creep-proof
+    // baseline for leg_regressed (round-14 verdict "Next round" #3)
+    val floorJson = scala.util.Try(
+      Files.readString(Paths.get("BENCH_FLOOR.json"))).getOrElse("")
     val spark = GraftSession.local(cpus)
     // The 10M-event scale leg runs FIRST, before the sweep: round 5 ran it
     // after 158 queries and shipped a 5× "regression" that was really the
@@ -481,6 +547,14 @@ object Bench {
     // cold training cost. Dir artifacts and plain memos are dropped
     // every rep exactly as before.
     val headlineSet = Headline.toSet
+    // per-query model-training attribution (round-14 verdict "Next
+    // round" #6): with the model registry, the first family member in
+    // sweep order pays training — when sweep membership shifts, that
+    // cost MOVES between queries and a cross-round compare misreads it
+    // as a regression. Record which model keys each query's timed run
+    // trained so bench_trend can separate "paid training" from "got
+    // slower".
+    val trainedBy = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val preModels = graft.operators.SessionCaches.modelKeys(spark)
@@ -492,6 +566,12 @@ object Bench {
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
+        // model keys that exist now but not before this query: the timed
+        // run trained them (warmup-trained models were dropped by the
+        // reset, so they re-trained inside the timed region)
+        val trained = (graft.operators.SessionCaches.modelKeys(spark) -- preModels)
+          .toSeq.sorted.map(_.stripPrefix("model:"))
+        if (trained.nonEmpty) trainedBy(name) = trained
         val cold = samples.sorted.apply(samples.size / 2) // median (reps odd)
         // the warm run gets its own Try: a warm-serve failure must degrade
         // to warm=None, not discard the already-measured cold timing.
@@ -657,11 +737,15 @@ object Bench {
     val legContendedJson =
       legsContended.map("\"" + _ + "\"").mkString("[", ",", "]")
     // cross-round uniform-slowdown labels, judged against the committed
-    // prior gating envelope; a leg already self-labeled contended is
-    // excluded (its contention explains the slowdown)
-    val legsRegressed = legRegressedFromPrior(priorEnvelope,
-      (scale ++ scaleWarm ++ scale100m ++ fresh).toMap, sfDir)
-      .filterNot(legsContended.contains)
+    // prior gating envelope AND the best-ever committed floor (the
+    // prior-round rule alone never sees a 1.4×/round creep — round-14
+    // verdict #3); a leg already self-labeled contended is excluded
+    // (its contention explains the slowdown)
+    val legMedians = (scale ++ scaleWarm ++ scale100m ++ fresh).toMap
+    val legsRegressed =
+      (legRegressedFromPrior(priorEnvelope, legMedians, sfDir) ++
+        legRegressedFromFloor(floorJson, legMedians))
+        .distinct.filterNot(legsContended.contains)
     val legRegressedJson =
       legsRegressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // errTxt already flattened to printable ASCII sans quote/backslash,
@@ -675,10 +759,16 @@ object Bench {
       "\"" + k + "\":\"" + v + "\""
     }.mkString("{", ",", "}")
     val headlineJson =
-      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"headline_spread":$spreadJson,"host_load":$hostLoadJson,"host_contended":$contended,"leg_contended":$legContendedJson,"leg_regressed":$legRegressedJson,"leg_errors":$legErrorsJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"timing":"headline queries: median of 3 cold runs (per-query state cleared before every timed run), spread in headline_spread; sweep queries: 1 cold run; queries whose timed run registered state also report a warm-serve time in bench_detail.json; MODEL REGISTRY: bounded trained models (LR weights, k-means centroids, PQ codebooks, SQ8 bounds, PCA bases, BPE merges, bigram LM) built by EARLIER sweep queries survive a query's cold reset — the first family member in sweep order pays training cold, the rest serve, as a real session would; a query never serves a model its OWN warmup built; dir artifacts and plain memos are dropped every rep; scale_10m runs FIRST in a cold JVM (single shot by construction), scale_10m_warm is the median of 3 post-sweep repeats after one untimed discard rep; freshness is the median of 3 reps after one untimed discard rep (streaming-path JIT + sweep residue are absorbed once); scale_100m is a PRE-sweep 100M-row shuffle-join probe (one untimed discard, then median of 3 with spread, per-stage task medians/max from the median rep, heap snapshot at probe start); every leg rep carries host_load_1min (at rep start) and host_iowait_pct (across the rep); host_load is the bench-wide envelope; host_contended=true labels a run that started at loadavg > cpus/4 or whose headline cold reps scatter >2x on 2+ queries; any failed leg or query lands its exception text in leg_errors — a -1.0 is never silent; leg_contended lists legs whose OWN same-class rep scatter exceeds 2x with >0.5s absolute spread (scale_10m judged on reps 2-3, its first rep is cold by design; per-rep loadavg is not used — back-to-back legs contaminate it with our own work); leg_regressed lists legs whose median exceeds 1.5x (and +0.5s) the committed prior quiet envelope's median — the uniform-slowdown signal leg_contended cannot see; informational, not a gate; GATING-ARTIFACT POLICY, ENFORCED IN CODE: Bench overwrites BENCH_HEADLINE.json only when this run self-labels quiet (host_contended=false AND leg_contended empty) AND swept sf0.1; any other run writes BENCH_HEADLINE_nongating.json instead, so the committed gating artifact is always the LAST GATING sweep — never best-of-N, and never sweepable-in by git add -A","artifact_backed":$artifactBacked,"detail":"bench_detail.json"}"""
+      s"""{"metric":"headline_total","value":$headlineTotal,"unit":"sec","sf":"$sfDir","queries":${jmap(headline)},"headline_spread":$spreadJson,"host_load":$hostLoadJson,"host_contended":$contended,"leg_contended":$legContendedJson,"leg_regressed":$legRegressedJson,"leg_errors":$legErrorsJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"n_queries_all":${results.size},"n_failed":$nFailed,"total_all_queries_sec":$total,"baseline_ref_minute_report_sec":22.16,"timing":"headline queries: median of 3 cold runs (per-query state cleared before every timed run), spread in headline_spread; sweep queries: 1 cold run; queries whose timed run registered state also report a warm-serve time in bench_detail.json; MODEL REGISTRY: bounded trained models (LR weights, k-means centroids, PQ codebooks, SQ8 bounds, PCA bases, BPE merges, bigram LM) built by EARLIER sweep queries survive a query's cold reset — the first family member in sweep order pays training cold, the rest serve, as a real session would; a query never serves a model its OWN warmup built; dir artifacts and plain memos are dropped every rep; scale_10m runs FIRST in a cold JVM (single shot by construction), scale_10m_warm is the median of 3 post-sweep repeats after one untimed discard rep; freshness is the median of 3 reps after one untimed discard rep (streaming-path JIT + sweep residue are absorbed once); scale_100m is a PRE-sweep 100M-row shuffle-join probe (one untimed discard, then median of 3 with spread, per-stage task medians/max from the median rep, heap snapshot at probe start); every leg rep carries host_load_1min (at rep start) and host_iowait_pct (across the rep); host_load is the bench-wide envelope; host_contended=true labels a run that started at loadavg > cpus/4 or whose headline cold reps scatter >2x on 2+ queries; any failed leg or query lands its exception text in leg_errors — a -1.0 is never silent; leg_contended lists legs whose OWN same-class rep scatter exceeds 2x with >0.5s absolute spread (scale_10m judged on reps 2-3, its first rep is cold by design; per-rep loadavg is not used — back-to-back legs contaminate it with our own work); leg_regressed lists legs whose median exceeds 1.5x (and +0.5s) EITHER the committed prior quiet envelope's median OR the committed best-ever quiet gating median in BENCH_FLOOR.json (the floor catches a slow multi-round creep the one-round-back compare never sees; only gating runs may improve the floor) — the uniform-slowdown signal leg_contended cannot see; informational, not a gate; GATING-ARTIFACT POLICY, ENFORCED IN CODE: Bench overwrites BENCH_HEADLINE.json only when this run self-labels quiet (host_contended=false AND leg_contended empty) AND swept sf0.1; any other run writes BENCH_HEADLINE_nongating.json instead, so the committed gating artifact is always the LAST GATING sweep — never best-of-N, and never sweepable-in by git add -A","artifact_backed":$artifactBacked,"detail":"bench_detail.json"}"""
     // Full sweep → file (not stdout: ~100 entries overflow log capture).
+    // trained_models: query -> the model-registry keys its TIMED run
+    // trained (model keys are builder-authored, alphanumeric/:/.- only —
+    // safe to embed unescaped)
+    val trainedJson = trainedBy.map { case (q, ks) =>
+      "\"" + q + "\":" + ks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     scala.util.Try(Files.writeString(Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"n_failed":$nFailed,"headline_spread":$spreadJson,"host_load":$hostLoadJson,"host_contended":$contended,"leg_contended":$legContendedJson,"leg_regressed":$legRegressedJson,"leg_errors":$legErrorsJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"queries":${jmap(results.toSeq.sortBy(_._1))},"warm_serve":${jmap(warmServe.sortBy(_._1))}}"""))
+      s"""{"sf":"$sfDir","total_all_queries_sec":$total,"n_failed":$nFailed,"headline_spread":$spreadJson,"host_load":$hostLoadJson,"host_contended":$contended,"leg_contended":$legContendedJson,"leg_regressed":$legRegressedJson,"leg_errors":$legErrorsJson,"freshness":${jmap(fresh)},"scale_10m":${jmap(scale)},"scale_10m_warm":${jmap(scaleWarm)},"scale_100m":${jmap(scale100m)},"scale_100m_stages":$scale100mStages,"queries":${jmap(results.toSeq.sortBy(_._1))},"warm_serve":${jmap(warmServe.sortBy(_._1))},"trained_models":$trainedJson}"""))
     // The driver-parseable headline, BOTH ways (BENCH_r01-r03 were all
     // `parsed: null` because sbt's log prefix + warning spam mangled the
     // stdout tail): (1) the exact object as a bare one-line FILE the driver
@@ -698,10 +788,17 @@ object Bench {
     // then never commit a policy-violating gating artifact, and
     // GatingArtifactSpec asserts the committed file's self-labels as the
     // backstop.
-    val gating = !contended && legsContended.isEmpty && sfDir.endsWith("sf0.1")
+    // basename compare, not endsWith: ".../sf0.1/" must still gate and
+    // ".../mysf0.1" must not (round-14 ADVICE)
+    val gating = !contended && legsContended.isEmpty && sfBasename(sfDir) == "sf0.1"
     val headlinePath =
       if (gating) "BENCH_HEADLINE.json" else "BENCH_HEADLINE_nongating.json"
     scala.util.Try(Files.writeString(Paths.get(headlinePath), headlineJson + "\n"))
+    // floor maintenance: ONLY a gating (quiet, sf0.1) run may improve the
+    // committed best-ever medians — and improve is the only move (a
+    // slower gating run leaves the floor untouched)
+    if (gating) scala.util.Try(Files.writeString(Paths.get("BENCH_FLOOR.json"),
+      updatedFloorJson(floorJson, legMedians) + "\n"))
     // The PRINTED line is the minimal envelope ONLY (~650 bytes): round 8
     // grew the full envelope (spread + freshness + scale min/max + the
     // 26-entry artifact_backed list) past the driver's fixed-size tail

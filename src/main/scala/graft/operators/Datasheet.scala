@@ -58,14 +58,22 @@ object Datasheet {
     // read as a release note about nothing (round-13 ADVICE)
     require(!base.isNullAt(0) && base.getLong(0) > 0,
       s"corpus_datasheet: documents table at $d is empty")
+    // n > 0 does not imply the sums are non-NULL: a corpus whose every
+    // text/n_chars is NULL sums to NULL and getLong would NPE past the
+    // empty-corpus message above (round-14 ADVICE)
+    require(!base.isNullAt(1) && !base.isNullAt(2),
+      s"corpus_datasheet: every document text/n_chars is NULL at $d")
     val (n, toks, chars) = (base.getLong(0), base.getLong(1), base.getLong(2))
 
     // NULL-safe census: Spark's groupBy keeps a NULL group while the
     // oracle's count(DISTINCT) drops NULLs — coalesce to a sentinel in
     // BOTH engines so a NULL lang/source is one more census bucket, not
-    // a cross-engine desync (round-13 ADVICE)
+    // a cross-engine desync (round-13 ADVICE). The sentinel is U+0001 —
+    // a control character outside any real lang/source value domain, so
+    // a document whose lang is literally the STRING "(null)" can no
+    // longer collide into the NULL bucket (round-14 ADVICE)
     def census(col: String): (Long, Long) = {
-      val counts = docs.groupBy(coalesce(docs(col), lit("(null)")).as(col))
+      val counts = docs.groupBy(coalesce(docs(col), lit("\u0001")).as(col))
         .agg(count(lit(1)).as("c"))
         .select($"c").as[Long].collect()
       (counts.length.toLong, counts.max)
@@ -146,13 +154,13 @@ object Datasheet {
        |  UNION ALL SELECT 'n_tokens_total', toks FROM base
        |  UNION ALL SELECT 'n_chars_total', chars FROM base
        |  UNION ALL SELECT 'chars_p50', v FROM p50
-       |  UNION ALL SELECT 'n_langs', count(DISTINCT coalesce(lang, '(null)')) FROM documents
-       |  UNION ALL SELECT 'n_sources', count(DISTINCT coalesce(source, '(null)')) FROM documents
+       |  UNION ALL SELECT 'n_langs', count(DISTINCT coalesce(lang, chr(1))) FROM documents
+       |  UNION ALL SELECT 'n_sources', count(DISTINCT coalesce(source, chr(1))) FROM documents
        |  UNION ALL SELECT 'top_lang_share_e6',
-       |    (1000000 * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY coalesce(lang, '(null)'))))
+       |    (1000000 * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY coalesce(lang, chr(1)))))
        |      // (SELECT n FROM base)
        |  UNION ALL SELECT 'top_source_share_e6',
-       |    (1000000 * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY coalesce(source, '(null)'))))
+       |    (1000000 * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY coalesce(source, chr(1)))))
        |      // (SELECT n FROM base)
        |  UNION ALL SELECT 'n_distinct_texts', count(DISTINCT text) FROM documents
        |  UNION ALL SELECT 'exact_dup_rate_e6',

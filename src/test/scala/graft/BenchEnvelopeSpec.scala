@@ -191,6 +191,57 @@ class BenchEnvelopeSpec extends AnyFunSuite {
       "/root/testdata/sf0.1") === Seq("scale_10m"))
   }
 
+  test("legRegressedFromFloor: a 1.4x/round creep labels against the floor") {
+    // round-14 verdict "Next round" #3: each round is within 1.5x of its
+    // PREDECESSOR (so legRegressedFromPrior never fires), but after two
+    // 1.4x rounds the leg sits at 1.96x the best-ever floor
+    val floor = """{"scale_100m_join_sec":14.9000}"""
+    val r1 = 14.9 * 1.4          // 20.86 — vs floor: 1.4x, under the line
+    val r2 = r1 * 1.4            // 29.20 — vs prior: 1.4x, vs floor: 1.96x
+    val priorR1 = r13PriorQuiet.replace("\"scale_100m_join_sec\":15.4089",
+      "\"scale_100m_join_sec\":" + r1)
+    assert(Bench.legRegressedFromPrior(priorR1,
+      Map("scale_100m_join_sec" -> r2), "/root/testdata/sf0.1").isEmpty,
+      "the one-round-back rule is blind to the creep by construction")
+    assert(Bench.legRegressedFromFloor(floor,
+      Map("scale_100m_join_sec" -> r2)) === Seq("scale_100m"))
+    // the first creep round itself stays under the floor line too
+    assert(Bench.legRegressedFromFloor(floor,
+      Map("scale_100m_join_sec" -> r1)).isEmpty)
+    // no floor file (fresh checkout) -> no labels
+    assert(Bench.legRegressedFromFloor("",
+      Map("scale_100m_join_sec" -> r2)).isEmpty)
+  }
+
+  test("updatedFloorJson: improve-only — a slower gating run never raises it") {
+    val floor = """{"scale_100m_join_sec":14.9000,"wh_write_10m":11.8000}"""
+    val slower = Bench.updatedFloorJson(floor,
+      Map("scale_100m_join_sec" -> 20.0, "wh_write_10m" -> 15.0))
+    assert(slower.contains("\"scale_100m_join_sec\":14.9000"), slower)
+    assert(slower.contains("\"wh_write_10m\":11.8000"), slower)
+    val faster = Bench.updatedFloorJson(floor,
+      Map("scale_100m_join_sec" -> 12.5, "freshness_sec" -> 1.2))
+    assert(faster.contains("\"scale_100m_join_sec\":12.5000"), faster)
+    // a metric absent from this run keeps its floor
+    assert(faster.contains("\"wh_write_10m\":11.8000"), faster)
+    // a metric with no floor yet adopts the current median
+    assert(faster.contains("\"freshness_sec\":1.2000"), faster)
+    // failed legs (-1 markers) never become floors
+    val failed = Bench.updatedFloorJson("{}", Map("freshness_sec" -> -1.0))
+    assert(!failed.contains("freshness_sec"), failed)
+  }
+
+  test("sfBasename gates exactly the sf0.1 directory (round-14 ADVICE)") {
+    assert(Bench.sfBasename("/root/testdata/sf0.1") === "sf0.1")
+    assert(Bench.sfBasename("/root/testdata/sf0.1/") === "sf0.1")
+    assert(Bench.sfBasename("/root/testdata/mysf0.1") === "mysf0.1")
+    // the prior-envelope sf check normalizes the same way: a trailing
+    // slash on EITHER side no longer disables the cross-round compare
+    val cur = Map("scale_100m_join_sec" -> 25.335)
+    assert(Bench.legRegressedFromPrior(r13PriorQuiet, cur,
+      "/root/testdata/sf0.1/") === Seq("scale_100m"))
+  }
+
   test("hostContended: one jittery sub-100ms query alone -> false") {
     // a single tiny query doubling (50 -> 110 ms) is normal variance,
     // not host evidence; the flag needs >= 2 scattered queries

@@ -45,20 +45,37 @@ class DatasheetSpec extends SparkSuite {
   test("NULL lang/source counts as one census bucket; empty corpus fails fast") {
     // round-13 ADVICE: Spark's groupBy keeps a NULL group, DuckDB's
     // count(DISTINCT) drops NULLs — both engines now coalesce to a
-    // '(null)' sentinel, so a NULL lang is one more bucket, not a desync
+    // U+0001 sentinel, so a NULL lang is one more bucket, not a desync.
+    // Round-14 ADVICE: the sentinel sits OUTSIDE the value domain — a
+    // document whose lang is literally the string "(null)" is its own
+    // bucket, distinct from genuinely-NULL langs.
     val dir = tmpDir("datasheet-null")
     Seq(
       (1L, "a b c", Option("en"), Option("web"), 5L),
       (2L, "d e f", None: Option[String], Option("web"), 5L),
-      (3L, "g h i", Option("en"), None: Option[String], 5L))
+      (3L, "g h i", Option("en"), None: Option[String], 5L),
+      (4L, "j k l", Option("(null)"), Option("web"), 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val got = Datasheet.corpusDatasheet(spark, dir)
       .as[(String, Long)].collect().toMap
-    assert(got("n_langs") === 2L, "en + (null) = 2 language buckets")
-    assert(got("n_sources") === 2L, "web + (null) = 2 source buckets")
-    assert(got("top_lang_share_e6") === 1000000L * 2 / 3)
-    assert(got("top_source_share_e6") === 1000000L * 2 / 3)
+    assert(got("n_langs") === 3L,
+      "en + NULL + the literal string \"(null)\" = 3 distinct language buckets")
+    assert(got("n_sources") === 2L, "web + NULL = 2 source buckets")
+    assert(got("top_lang_share_e6") === 1000000L * 2 / 4)
+    assert(got("top_source_share_e6") === 1000000L * 3 / 4)
+
+    // n > 0 but every text/n_chars NULL: the sums are NULL — must fail
+    // with the all-NULL message, not NPE past the empty-corpus guard
+    val nulls = tmpDir("datasheet-allnull")
+    Seq((1L, None: Option[String], Option("en"), Option("web"),
+        None: Option[Long]))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$nulls/documents.parquet")
+    val en = intercept[IllegalArgumentException] {
+      Datasheet.corpusDatasheet(spark, nulls).collect()
+    }
+    assert(en.getMessage.contains("NULL"))
 
     val empty = tmpDir("datasheet-empty")
     Seq.empty[(Long, String, String, String, Long)]

@@ -41,27 +41,41 @@ class ChaosRecoverySpec extends SparkSuite {
     // committed — failing the test for host speed, not a product bug
     // (round-13 ADVICE).
     val firstCommit = new java.util.concurrent.CountDownLatch(1)
+    // the listener is session-global — filter on OUR query's id so other
+    // streaming progress in the shared session can't trip the latch early
+    // (round-14 ADVICE). The id is assigned after start(); an event that
+    // races the assignment is ignored, and a later batch (there are 10)
+    // trips the latch instead.
+    @volatile var watchId: java.util.UUID = null
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.numInputRows > 0) firstCommit.countDown()
+        if (e.progress.id == watchId && e.progress.numInputRows > 0)
+          firstCommit.countDown()
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
-    val afterKill =
+    val (afterKill, latchLanded) =
       try {
         val src1 = spark.readStream.schema(Events.schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
         val q1: StreamingQuery =
           Ingest.startIngest(Events.withEventMinute(src1), wh, ckpt,
             availableNow = false)
-        firstCommit.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        watchId = q1.id
+        val landed = firstCommit.await(60, java.util.concurrent.TimeUnit.SECONDS)
         q1.stop() // cancels the in-flight batch's jobs — a mid-stream kill
-        whCount()
+        (whCount(), landed)
       } finally spark.streams.removeListener(listener)
+    // a latch timeout is its own failure mode — report it as such, not as
+    // the misleading "kill landed before any batch committed" (round-14
+    // ADVICE); a timeout with everything committed means the listener
+    // missed a too-fast drain, which the assume below already cancels on
+    assert(latchLanded || afterKill == total,
+      s"no batch committed within 60 s (warehouse has $afterKill/$total rows) — ingest stalled")
     assert(afterKill > 0, "kill landed before any batch committed")
     // a kill that still lands after everything committed is a host-speed
     // artifact, not a product failure: cancel (skip) instead of failing,

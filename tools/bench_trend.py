@@ -39,7 +39,15 @@ def load(path):
     return d
 
 
-def diff_map(name, new, old, out):
+def diff_map(name, new, old, out, tm_new=None, tm_old=None):
+    """tm_new/tm_old: the details' trained_models maps (query -> model
+    keys the timed run trained). With the model registry, a family's
+    first query in sweep order pays training — when sweep membership
+    shifts, the cost MOVES between queries. A query that newly pays
+    training is flagged TRAINING-MOVED (informational), not REGRESSED;
+    one that stopped paying is TRAINING-LEFT, not improved (round-14
+    verdict "Next round" #6)."""
+    tm_new, tm_old = tm_new or {}, tm_old or {}
     keys = sorted(set(new) & set(old))
     for k in keys:
         # medians only: _min/_max/_first/host_*/heap_* are dispersion
@@ -58,8 +66,12 @@ def diff_map(name, new, old, out):
         if abs(nv - ov) > ABS_FLOOR:
             if ratio > FLAG_RATIO:
                 flag = "REGRESSED"
+                if set(tm_new.get(k, [])) - set(tm_old.get(k, [])):
+                    flag = "TRAINING-MOVED"
             elif ratio < 1.0 / FLAG_RATIO:
                 flag = "improved"
+                if set(tm_old.get(k, [])) - set(tm_new.get(k, [])):
+                    flag = "TRAINING-LEFT"
         out.append((name, k, ov, nv, ratio, flag))
 
 
@@ -87,13 +99,15 @@ def main():
 
     if detail_paths:
         dn, do = load(detail_paths[0]), load(detail_paths[1])
-        diff_map("sweep", dn.get("queries", {}), do.get("queries", {}), rows)
+        diff_map("sweep", dn.get("queries", {}), do.get("queries", {}), rows,
+                 dn.get("trained_models", {}), do.get("trained_models", {}))
 
     flags = [r for r in rows if r[5]]
     print(f"bench_trend: {len(rows)} comparable metrics, "
           f"{sum(1 for r in flags if r[5] == 'REGRESSED')} regressed >2x, "
           f"{sum(1 for r in flags if r[5] == 'improved')} improved >2x, "
-          f"{sum(1 for r in flags if r[5] == 'FAILED')} newly failed")
+          f"{sum(1 for r in flags if r[5] == 'FAILED')} newly failed, "
+          f"{sum(1 for r in flags if r[5].startswith('TRAINING'))} training-moved")
     env_bits = []
     for side, d in (("new", new), ("old", old)):
         hc = d.get("host_contended")
