@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.defs ++ EventOps.defs ++ Temporal.defs ++ Timeseries.defs ++
       Functions.defs ++
       SqlSurface.defs ++ TextOps.defs ++ Datasheet.defs ++ Bpe.defs ++ NgramLm.defs ++ Search.defs ++ Dedup.defs ++ CorpusDedup.defs ++
-      Similarity.defs ++ Rag.defs ++ LateInteraction.defs ++ Kmeans.defs ++
+      Similarity.defs ++ AnnPanel.defs ++ Rag.defs ++ LateInteraction.defs ++ Kmeans.defs ++
       Classifier.defs ++ LrTrain.defs ++ Pca.defs ++
       Pq.defs ++ Sq8.defs ++ Sampling.defs ++ Hll.defs ++ Kll.defs ++
       HeavyHitters.defs ++ Multimodal.defs ++ Basket.defs ++

@@ -163,7 +163,7 @@ object Pca {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  private def eig(s: SparkSession, d: String): Eig =
+  private[operators] def eig(s: SparkSession, d: String): Eig =
     SessionCaches.modelMemo(s, s"pca-eig:$d")(eigOf(Tables.embeddings(s, d)))
 
   /** Incremental moment refresh — the PCA member of the engine's

@@ -29,14 +29,40 @@ object Similarity {
   }
 
   /** Signature column: bit j = sign(embedding · plane_j). */
-  private def sigCol(emb: org.apache.spark.sql.Column) =
+  private[operators] def sigCol(emb: org.apache.spark.sql.Column) =
     (0 until NumPlanes).map { j =>
       when(dot(emb, typedlit(planes(j))) > 0d, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  private def queryVector(s: SparkSession, d: String, id: Long): Seq[Float] =
+  private[operators] def queryVector(s: SparkSession, d: String, id: Long): Seq[Float] =
     Tables.embeddings(s, d).filter(col("vec_id") === id)
       .select("embedding").head().getSeq[Float](0)
+
+  /** Driver-side hyperplane signature of a query vector — the same bit
+    * layout [[sigCol]] computes per row (shared by the single-query and
+    * panel LSH variants so the two cannot drift). */
+  private[operators] def sigOf(qv: Seq[Float]): Int =
+    planes.zipWithIndex.map { case (p, j) =>
+      val dp = p.zip(qv).map { case (a, b) => a * b.toDouble }.sum
+      if (dp > 0) 1 << j else 0
+    }.sum
+
+  /** All signatures within Hamming distance `radius` of `qv`'s own —
+    * the LSH probe set (radius 2 → ≤37 of the 256 buckets). */
+  private[operators] def lshProbesOf(qv: Seq[Float], radius: Int): Seq[Int] = {
+    val qSig = sigOf(qv)
+    (0 until (1 << NumPlanes)).filter(s => Integer.bitCount(s ^ qSig) <= radius)
+  }
+
+  /** The `nProbe` nearest centroid cells of `qv`, driver-side — ties
+    * broken toward the larger cell id, matching [[cellAssign]] /
+    * [[probeCellsCol]] exactly, so probes(0) IS the assigned cell. */
+  private[operators] def ivfProbesOf(centroids: Seq[(Int, Seq[Double])],
+      qv: Seq[Float], nProbe: Int): Seq[Int] =
+    centroids
+      .map { case (i, c) => i -> c.zip(qv).map { case (a, b) => a * b.toDouble }.sum }
+      .sortBy { case (i, dp) => (-dp, -i) }
+      .take(nProbe).map(_._1)
 
   /** Brute-force cosine top-k for query vector vec_id=0. One scan, per-
     * partition heap (orderBy+limit → TakeOrderedAndProject), no shuffle. */
@@ -899,93 +925,11 @@ object Similarity {
        |SELECT vec_id, nbr_id, CAST(rank AS INT) AS rank, cos
        |FROM law ORDER BY __row""".stripMargin
 
-  /** Every approximate kNN variant the engine ships, as (name, entry) —
-    * the audit surface of [[annRecallReport]]. Names match the
-    * registered query names so the oracle can read each method's
-    * committed golden. */
-  private[operators] val RecallMethods: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "sim_knn_ivf" -> ((s, d) => knnIvf(s, d)),
-    "sim_knn_ivf_indexed" -> ((s, d) => knnIvfIndexed(s, d)),
-    "sim_knn_lsh" -> (knnLsh _),
-    "sim_knn_lsh_indexed" -> (knnLshIndexed _),
-    "sim_knn_pca_rerank" -> (Pca.knnPcaRerank _),
-    "sim_knn_pq" -> (Pq.knnPq _),
-    "sim_knn_pq_rerank" -> (Pq.knnPqRerank _),
-    "sim_knn_sq8" -> (Sq8.knnSq8 _))
-
-  /** ANN recall audit — recall@10 of EVERY approximate kNN variant
-    * against the exact brute-force top-10, in one call: the
-    * index-quality regression gate a pipeline runs after (re)building
-    * an index or retuning nProbe/codebooks, before trusting the
-    * approximate path for dedup or retrieval. One row per method:
-    * n_returned (≤10), n_hit (∩ with the exact top-10), and
-    * recall_e6 = 10⁶·n_hit/10 — exact integers, no float seam.
-    *
-    * Scale shape: each method is its own already-probed operator (the
-    * indexed variants serve partition-pruned FileScans; the rest are
-    * narrow scans); every result is ≤10 rows, so the intersection and
-    * the report are driver-bounded by construction. In the bench sweep
-    * this query alphabetically precedes the rest of the sim_* family
-    * and therefore honestly PAYS the shared centroid/codebook training
-    * the others then serve from the model registry.
-    *
-    * Oracle: fully independent for the truth side — DuckDB recomputes
-    * the exact top-10 from the embeddings table (the knnExactTopK
-    * shape); each method's id set comes from its committed golden (the
-    * same rows the method's own oracle hash-pins), and the
-    * intersection/counts/recall are recomputed in SQL over a method
-    * spine so a method that returned nothing still yields its zero
-    * row instead of silently vanishing. */
-  def annRecallReport(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // served as a build-once FileScan artifact (the corpus_datasheet
-    // pattern, and what ArtifactServeSpec demands of any query whose
-    // construction registers artifacts — the indexed variants do)
-    SessionCaches.parquetArtifact(s, s"ann-recall:$d") { outDir =>
-      val exact = knnBrute(s, d).select($"vec_id").as[Long].collect().toSet
-      val rows = RecallMethods.map { case (name, fn) =>
-        val ids = fn(s, d).select(col("vec_id")).as[Long].collect()
-        val hits = ids.count(exact).toLong
-        (name, ids.length.toLong, hits, 100000L * hits)
-      }
-      rows.toDF("method", "n_returned", "n_hit", "recall_e6")
-        .coalesce(1).write.mode("overwrite").parquet(outDir)
-    }.orderBy($"method")
-  }
-
-  private def annRecallOracle: String = {
-    val exactIds =
-      """SELECT e.vec_id
-        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
-        |CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
-        |WHERE e.vec_id != 0
-        |ORDER BY list_dot_product(e.v, q.qv) /
-        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
-        |         e.vec_id
-        |LIMIT 10""".stripMargin
-    val union = RecallMethods.map { case (name, _) =>
-      s"SELECT '$name' AS method, vec_id FROM (${Golden.dispatch(name)})"
-    }.mkString("\nUNION ALL\n")
-    val spine = RecallMethods.map { case (name, _) => s"'$name'" }.mkString(", ")
-    s"""WITH exact AS ($exactIds),
-       |m AS (
-       |$union),
-       |c AS (
-       |  SELECT method, CAST(count(*) AS BIGINT) AS n_returned,
-       |         CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
-       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-       |  FROM m GROUP BY method)
-       |SELECT s.method,
-       |       COALESCE(c.n_returned, 0) AS n_returned,
-       |       COALESCE(c.n_hit, 0) AS n_hit,
-       |       COALESCE(100000 * c.n_hit, 0) AS recall_e6
-       |FROM (SELECT unnest([$spine]) AS method) s
-       |LEFT JOIN c USING (method)
-       |ORDER BY s.method""".stripMargin
-  }
+  // The per-variant recall audit lives in [[AnnPanel]] (round-14 verdict
+  // "Next round" #1): the single-query RecallMethods registry grew into
+  // the 32-query panel in AnnPanel.panelMethods.
 
   val defs: Seq[Q] = Seq(
-    Q("sim_ann_recall_report", Some(annRecallOracle), annRecallReport),
     Q("sim_knn_graph", Some(knnGraphRecomputed), (s, d) => knnGraph(s, d)),
     Q("sim_kmeans_profile", Some(kmeansProfileGuarded), kmeansProfile),
     // brute force + aggregator: FULLY independent DuckDB top-k (ids and

@@ -94,38 +94,130 @@ class AnnIndexSpec extends SparkSuite {
     assert(got.map(_._2).distinct.size == got.size)
   }
 
-  test("ANN recall report equals an independent per-method recompute") {
-    import org.apache.spark.sql.functions.col
+  test("panel recall report equals an independent per-(method,query) recompute") {
+    // round-14 verdict "Next round" #1: the report is now a 32-query
+    // PANEL — recompute every per-query exact top-10 and every method's
+    // per-query hits independently, then check the report's integers
     val spark2 = spark
     import spark2.implicits._
-    val exact = Similarity.knnBrute(spark, Sf)
-      .select($"vec_id").as[Long].collect().toSet
-    assert(exact.size === 10)
-    val want = Similarity.RecallMethods.map { case (name, fn) =>
-      val ids = fn(spark, Sf).select(col("vec_id")).as[Long].collect()
-      assert(ids.length <= 10 && ids.distinct.length == ids.length,
-        s"$name returned ${ids.length} rows (dups?)")
-      val hits = ids.count(exact).toLong
-      (name, ids.length.toLong, hits, 100000L * hits)
+    import org.apache.spark.sql.functions.col
+    val qs = AnnPanel.panelQueries(spark, Sf)
+    assert(qs.size === 32 && qs.map(_._1).distinct.size === 32,
+      "the panel must be 32 distinct query vectors")
+    val panel = AnnPanel.annPanel(spark, Sf)
+      .select($"method", $"qid", $"vec_id")
+      .as[(String, Long, Long)].collect()
+    val exact: Map[Long, Set[Long]] = panel
+      .filter(_._1 == "sim_knn_brute")
+      .groupBy(_._2).map { case (q, rows) => q -> rows.map(_._3).toSet }
+    assert(exact.keySet === qs.map(_._1).toSet)
+    exact.values.foreach(ids => assert(ids.size === 10))
+    val want = AnnPanel.PanelMethodNames.map { m =>
+      val mine = panel.filter(_._1 == m)
+      val perQ = qs.map { case (q, _) =>
+        val ids = mine.filter(_._2 == q).map(_._3)
+        assert(ids.distinct.length == ids.length, s"$m qid=$q duplicate ids")
+        ids.count(exact(q)).toLong
+      }
+      (m, 32L, mine.length.toLong, perQ.sum,
+        perQ.map(_ * 100000L).sum, perQ.map(_ * 100000L).min,
+        perQ.map(_ * 100000L).sum / 32L)
     }
-    val got = Similarity.annRecallReport(spark, Sf)
-      .as[(String, Long, Long, Long)].collect().toSeq
+    val got = AnnPanel.annRecallReport(spark, Sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got === want.sortBy(_._1))
-    assert(got.map(_._1).toSet === Similarity.RecallMethods.map(_._1).toSet,
-      "every shipped ANN variant must appear in the report")
-    got.foreach { case (name, ret, hit, rec) =>
-      assert(hit <= ret && rec == 100000L * hit, s"$name arithmetic")
-    }
-    // structural recall laws (the isotropic corpus is HARD for coarse
-    // quantizers — pq honestly sits at 1/10 here, which is exactly the
-    // readout this report exists to surface — so no absolute floor):
-    // an exact-cosine rerank can only improve on its quantized base,
-    // and the indexed variants must equal their scan twins bit-for-bit
-    val byName = got.map(r => r._1 -> r._3).toMap
-    assert(byName("sim_knn_pq_rerank") >= byName("sim_knn_pq"),
+    // the exact row is the self-check: 10/10 on EVERY panel query — it
+    // fails if the engine's brute tie-break drifts from the oracle's
+    val brute = got.find(_._1 == "sim_knn_brute").get
+    assert(brute._4 === 320L && brute._6 === 1000000L)
+    // structural laws on the panel: rerank can only improve on its
+    // quantized base, indexed variants equal their scan twins
+    val sums = got.map(r => r._1 -> r._5).toMap
+    assert(sums("sim_knn_pq_rerank") >= sums("sim_knn_pq"),
       "reranking candidates with exact cosines must not lose recall")
-    assert(byName("sim_knn_ivf_indexed") == byName("sim_knn_ivf"))
-    assert(byName("sim_knn_lsh_indexed") == byName("sim_knn_lsh"))
-    info(got.map { case (n, _, h, _) => s"$n=$h/10" }.mkString(", "))
+    assert(sums("sim_knn_ivf_indexed") == sums("sim_knn_ivf"))
+    assert(sums("sim_knn_lsh_indexed") == sums("sim_knn_lsh"))
+    info(got.map { case (n, _, _, h, _, _, _) => s"$n=$h/320" }.mkString(", "))
+  }
+
+  test("panel: indexed variants equal their scan twins row-for-row") {
+    val qs = AnnPanel.panelQueries(spark, Sf)
+    val ivf = AnnPanel.panelIvf(spark, Sf, qs).collect().toSeq
+    val ivfIdx = AnnPanel.panelIvfIndexed(spark, Sf, qs).collect().toSeq
+    assert(ivfIdx === ivf)
+    val lsh = AnnPanel.panelLsh(spark, Sf, qs).collect().toSeq
+    val lshIdx = AnnPanel.panelLshIndexed(spark, Sf, qs).collect().toSeq
+    assert(lshIdx === lsh)
+  }
+
+  test("panel brute reproduces the single-query brute for vec_id 0") {
+    // qid 0 is always on the panel (stride grid starts at 0): its panel
+    // rows must be exactly knnBrute's ids in rank order
+    val spark2 = spark
+    import spark2.implicits._
+    val single = Similarity.knnBrute(spark, Sf)
+      .select($"vec_id").as[Long].collect().toSeq
+    val qs = AnnPanel.panelQueries(spark, Sf)
+    val panel0 = AnnPanel.panelBrute(spark, Sf, qs)
+      .filter($"qid" === 0L).orderBy($"rank")
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(panel0 === single)
+  }
+
+  test("tune advisor: recall monotone in probes/radius; one recommendation per family") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tune = AnnPanel.annTune(spark, Sf)
+      .as[(String, Int, Long, Long, Long, Long, Int)].collect().toSeq
+    assert(tune.map(t => (t._1, t._2)).toSet ===
+      (AnnPanel.IvfProbes.map(("ivf", _)) ++ AnnPanel.LshRadii.map(("lsh", _))).toSet)
+    tune.groupBy(_._1).foreach { case (fam, rows) =>
+      val byParam = rows.sortBy(_._2)
+      // probe/radius sets are nested -> candidates and recall both
+      // non-decreasing in the param
+      assert(byParam.map(_._3) === byParam.map(_._3).sorted, s"$fam candidates not monotone")
+      assert(byParam.map(_._5) === byParam.map(_._5).sorted, s"$fam recall not monotone")
+      val rec = rows.filter(_._7 == 1)
+      assert(rec.size === 1, s"$fam must recommend exactly one operating point")
+      val qualifying = rows.filter(r => r._5 >= AnnPanel.TuneFloorE6PerQuery * r._4)
+      if (qualifying.nonEmpty)
+        assert(rec.head._3 === qualifying.map(_._3).min,
+          s"$fam must recommend the cheapest qualifying point")
+      else
+        assert(rec.head._5 === rows.map(_._5).max,
+          s"$fam with no qualifying point must recommend max recall")
+    }
+  }
+
+  test("filtered kNN: every pre-filter row qualifies; post-filter loses recall, never gains") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    val lang = graft.Tables.documents(spark, Sf)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val truth = AnnPanel.knnFilteredExact(spark, Sf)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(truth.size === 10)
+    truth.foreach(id => assert(lang(id) == "en"))
+    val pre = AnnPanel.knnFilteredPre(spark, Sf)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(pre.size === 10 && pre.forall(lang(_) == "en"),
+      "pre-filter returns a full k of qualifying rows")
+    val post = AnnPanel.knnFilteredPost(spark, Sf)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(post.forall(lang(_) == "en"))
+    // equal candidate budget (same probed cells, same shortlist depth):
+    // post-filter can only surface qualifying ids the unfiltered top-10
+    // happened to contain -> its recall vs the filtered truth is <= pre's
+    val preRecall = pre.count(truth)
+    val postRecall = post.count(truth)
+    assert(postRecall <= preRecall,
+      s"post-filter recall $postRecall must not beat pre-filter $preRecall at equal budget")
+    assert(post.size <= pre.size, "post-filter cannot return more than the shortlist")
+    // post is exactly the unfiltered top-10 intersected with the predicate
+    val unfiltered = Similarity.knnIvfIndexed(spark, Sf)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    assert(post === unfiltered.filter(lang(_) == "en"))
+    info(s"recall@10 vs filtered truth: pre=$preRecall/10 post=$postRecall/10")
   }
 }

@@ -35,7 +35,9 @@ DEFAULT_QUERIES = [
     "mm_decode_batched",
     "mm_frame_sample", "rag_chunk_retrieve", "rag_hybrid_rrf",
     "sim_embedding_clusters",
+    "sim_ann_panel", "sim_ann_tune", "sim_ann_tune_panel",
     "sim_kmeans_profile", "sim_knn_aggregator", "sim_knn_brute",
+    "sim_knn_filtered_pre",
     "sim_knn_ivf", "sim_knn_ivf_indexed", "sim_knn_lsh",
     "sim_knn_lsh_indexed", "sim_knn_pq", "sim_knn_pq_rerank", "sim_knn_sq8",
     "sim_neardup_pairs", "sim_semdedup", "sim_semdedup_incremental",
