@@ -488,6 +488,33 @@ object AnnPanel {
     }.orderBy($"method", $"param")
   }
 
+  /** `sim_knn_ivf_tuned` — the EXECUTION stage of the advisor loop
+    * (readout → remedy → execution, the audit family's
+    * audit_salt_plan → planAwareJoin pattern): serve the single-query
+    * IVF lookup at the operating point [[annTune]] recommended instead
+    * of the hardcoded default. A serving layer calls this and inherits
+    * every future retune automatically; the probe stays a partition
+    * filter on the materialized index whatever the param. */
+  def knnIvfTuned(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rec = annTune(s, d)
+      .filter($"method" === "ivf" && $"recommended" === 1)
+      .select($"param").head().getInt(0)
+    Similarity.knnIvfIndexed(s, d, nProbe = rec)
+  }
+
+  /** `sim_knn_lsh_tuned` — the LSH twin of [[knnIvfTuned]]: serve the
+    * single-query LSH lookup at the Hamming radius the advisor
+    * recommended. The probe set stays a `sig IN (...)` partition filter
+    * on the materialized index whatever the radius. */
+  def knnLshTuned(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rec = annTune(s, d)
+      .filter($"method" === "lsh" && $"recommended" === 1)
+      .select($"param").head().getInt(0)
+    Similarity.knnLshIndexed(s, d, radius = rec)
+  }
+
   // -----------------------------------------------------------------
   // Metadata-constrained kNN (round-14 verdict "Next round" #5): top-k
   // under a documents-join predicate (lang = 'en'), the shape every
@@ -707,6 +734,11 @@ object AnnPanel {
     Q("sim_ann_tune_panel", Some(panelRecomputed("sim_ann_tune_panel")),
       (s, d) => tunePanel(s, d)),
     Q("sim_ann_tune", Some(annTuneOracle), (s, d) => annTune(s, d)),
+    // ids pinned by its golden, cosines recomputed — the standard kNN twin
+    Q("sim_knn_ivf_tuned", Some(Golden.knnCosRecomputed("sim_knn_ivf_tuned")),
+      (s, d) => knnIvfTuned(s, d)),
+    Q("sim_knn_lsh_tuned", Some(Golden.knnCosRecomputed("sim_knn_lsh_tuned")),
+      (s, d) => knnLshTuned(s, d)),
     Q("sim_knn_filtered", Some(knnFilteredOracle),
       (s, d) => knnFilteredExact(s, d)),
     Q("sim_knn_filtered_pre", Some(knnFilteredPreRecomputed),

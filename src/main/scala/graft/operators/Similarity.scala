@@ -542,6 +542,93 @@ object Similarity {
     SessionCaches.rehomeDurable(s, s"sim-lsh-index:$d", dir)
   }
 
+  /** Deterministic "tonight's batch" drift fixture for the staleness
+    * readout: the %10==3 corpus slice re-keyed to +2e9 with coordinate 0
+    * clamped to +10 — concentrated drift (one feature suddenly dominant:
+    * the schema-change / instrumentation-bug shape) that a frozen
+    * quantizer funnels into whichever cells' centroids point most along
+    * that coordinate. */
+  private[operators] def staleDelta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .filter($"vec_id" % 10 === 3)
+      .select(($"vec_id" + 2000000000L).as("vec_id"), $"label",
+        concat(array(lit(10f)), slice($"embedding", 2, Dim - 1)).as("embedding"))
+  }
+
+  /** `sim_index_staleness` — the admission-control readout BEFORE an
+    * incremental append ([[refreshIvfIndex]]): assign the incoming batch
+    * against the index's FROZEN quantizer (never a retrain) and report,
+    * per cell, how the append would land — build-time occupancy vs delta
+    * occupancy, and assignment quality (cos to the owning centroid) on
+    * both sides. `stale=1` marks cells the batch overloads (>4× the
+    * uniform share): the retrain trigger. Readout→remedy: the remedy for
+    * a stale cell is the full [[ivfIndexDir]] rebuild (centroid retrain),
+    * a rare deliberate operation — this report is what makes it
+    * deliberate, the same closed loop audit_salt_plan gives joins and
+    * [[AnnPanel.annTune]] gives probe counts.
+    *
+    * Scale: one narrow pass over the index scan and one over the delta
+    * (k broadcast-centroid comparisons per row), two k-row aggregates —
+    * no shuffle wider than the cell key; the delta side is ∝ |batch|,
+    * never ∝ |corpus|. */
+  def indexStaleness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = ivfIndexDir(s, d)
+    val cents = indexCentroids(s, dir)
+    val k = cents.size
+    // cos(v, centroid_assigned): a k-branch chain — at production k the
+    // same contract is a broadcast join against the centroids relation
+    def cosTo(cell: org.apache.spark.sql.Column,
+        emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      cents.map { case (i, c) =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        when(cell === i, dot(emb, typedlit(c)) / (norm(emb) * cn))
+          .otherwise(lit(0d))
+      }.reduce(_ + _)
+    val build = s.read.parquet(dir)
+      .select($"cell", cosTo($"cell", $"embedding").as("cos"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_build"), round(avg($"cos"), 4).as("avg_cos_build"))
+    val delta0 = staleDelta(s, d)
+    val deltaTotal = delta0.count()
+    val delta = delta0
+      .withColumn("cell", cellAssign(cents)($"embedding"))
+      .select($"cell", cosTo($"cell", $"embedding").as("cos"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_delta"), round(avg($"cos"), 4).as("avg_cos_delta"))
+    build.join(delta, Seq("cell"), "full_outer")
+      .select($"cell",
+        coalesce($"n_build", lit(0L)).as("n_build"),
+        coalesce($"n_delta", lit(0L)).as("n_delta"),
+        $"avg_cos_build", $"avg_cos_delta",
+        (coalesce($"n_delta", lit(0L)) * k > deltaTotal * 4).cast("int").as("stale"))
+      .orderBy($"cell")
+  }
+
+  /** Invariant twin for the staleness report: cell membership depends on
+    * the trained quantizer (not SQL-expressible), but the censuses must
+    * PARTITION both populations — Σn_build and Σn_delta are recomputed
+    * against the embeddings table, the stale flag is recomputed from the
+    * golden's own n_delta with the DuckDB-recomputed delta total (k=16,
+    * the build default), and the cos stats are range-guarded. */
+  private def indexStalenessGuarded: String =
+    s"""WITH g AS (${Golden.dispatch("sim_index_staleness")}),
+       |tot AS (SELECT count(*) FILTER (WHERE vec_id % 10 = 3) AS d_tot,
+       |               count(*) AS n_tot FROM embeddings)
+       |SELECT cell,
+       |  CASE WHEN sum(n_build) OVER () = (SELECT n_tot FROM tot)
+       |       THEN n_build ELSE -1 END AS n_build,
+       |  CASE WHEN sum(n_delta) OVER () = (SELECT d_tot FROM tot)
+       |       THEN n_delta ELSE -1 END AS n_delta,
+       |  CASE WHEN avg_cos_build IS NULL OR avg_cos_build BETWEEN -1 AND 1
+       |       THEN avg_cos_build ELSE -2 END AS avg_cos_build,
+       |  CASE WHEN avg_cos_delta IS NULL OR avg_cos_delta BETWEEN -1 AND 1
+       |       THEN avg_cos_delta ELSE -2 END AS avg_cos_delta,
+       |  CAST(CASE WHEN n_delta * 16 > (SELECT d_tot FROM tot) * 4
+       |       THEN 1 ELSE 0 END AS INT) AS stale
+       |FROM g ORDER BY __row""".stripMargin
+
   /** IVF kNN against the materialized index: the `cell IN (probes)` filter
     * is a PARTITION filter — the scan never lists, let alone reads, the
     * other 12/16 cells. Same probe selection and scoring as [[knnIvf]], so
@@ -567,11 +654,12 @@ object Similarity {
       .limit(10)
   }
 
-  /** LSH kNN against the materialized index: Hamming ≤ 2 of the query's
-    * signature enumerates to ≤37 of the 256 sig-partitions (1+8+28), read
-    * with partition pruning — ~14% of the corpus listed instead of 100%
-    * scanned-and-filtered. Results identical to [[knnLsh]]. */
-  def knnLshIndexed(s: SparkSession, d: String): DataFrame = {
+  /** LSH kNN against the materialized index: Hamming ≤ `radius` of the
+    * query's signature enumerates to a fixed bucket set (radius 2 → ≤37
+    * of the 256 sig-partitions: 1+8+28), read with partition pruning —
+    * ~14% of the corpus listed instead of 100% scanned-and-filtered.
+    * Results identical to [[knnLsh]] at the default radius. */
+  def knnLshIndexed(s: SparkSession, d: String, radius: Int = 2): DataFrame = {
     import s.implicits._
     val qv = queryVector(s, d, 0L)
     val qSig = planes.zipWithIndex.map { case (p, j) =>
@@ -579,7 +667,7 @@ object Similarity {
       if (dp > 0) 1 << j else 0
     }.sum
     val probes = (0 until (1 << NumPlanes))
-      .filter(sig => Integer.bitCount(sig ^ qSig) <= 2)
+      .filter(sig => Integer.bitCount(sig ^ qSig) <= radius)
     val q = typedlit(qv)
     s.read.parquet(lshIndexDir(s, d))
       .filter($"sig".isin(probes: _*))
@@ -939,9 +1027,10 @@ object Similarity {
     // their cosines are recomputed from the base table in DuckDB
     Q("sim_knn_lsh", Some(Golden.knnCosRecomputed("sim_knn_lsh")), knnLsh),
     Q("sim_knn_ivf", Some(Golden.knnCosRecomputed("sim_knn_ivf")), (s, d) => knnIvf(s, d)),
-    Q("sim_knn_lsh_indexed", Some(Golden.knnCosRecomputed("sim_knn_lsh_indexed")), knnLshIndexed),
+    Q("sim_knn_lsh_indexed", Some(Golden.knnCosRecomputed("sim_knn_lsh_indexed")), (s, d) => knnLshIndexed(s, d)),
     Q("sim_knn_ivf_indexed", Some(Golden.knnCosRecomputed("sim_knn_ivf_indexed")), (s, d) => knnIvfIndexed(s, d)),
     Q("sim_knn_aggregator", Some(Golden.knnExactTopK(withLabel = false)), knnAggregator),
+    Q("sim_index_staleness", Some(indexStalenessGuarded), (s, d) => indexStaleness(s, d)),
     Q("sim_neardup_pairs", Some(nearDupCosRecomputed), nearDupPairs),
     // planted-fixture queries: the expected output is FULLY derivable
     // from the embeddings table (the corpora are isotropic — zero natural

@@ -189,6 +189,41 @@ class AnnIndexSpec extends SparkSuite {
     }
   }
 
+  test("tuned IVF serve runs at the advisor's recommended operating point") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rec = AnnPanel.annTune(spark, Sf)
+      .filter($"method" === "ivf" && $"recommended" === 1)
+      .select($"param").as[Int].collect().toSeq
+    assert(rec.size === 1)
+    val tuned = AnnPanel.knnIvfTuned(spark, Sf).collect().toSeq
+    val direct = Similarity.knnIvfIndexed(spark, Sf, nProbe = rec.head).collect().toSeq
+    assert(tuned === direct,
+      "the execution stage must serve exactly the recommended operating point")
+    // and it stays a partition-pruned index read whatever the param
+    val plan = AnnPanel.knnIvfTuned(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("cell")), plan)
+  }
+
+  test("tuned LSH serve runs at the advisor's recommended Hamming radius") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rec = AnnPanel.annTune(spark, Sf)
+      .filter($"method" === "lsh" && $"recommended" === 1)
+      .select($"param").as[Int].collect().toSeq
+    assert(rec.size === 1)
+    val tuned = AnnPanel.knnLshTuned(spark, Sf).collect().toSeq
+    val direct = Similarity.knnLshIndexed(spark, Sf, radius = rec.head).collect().toSeq
+    assert(tuned === direct,
+      "the execution stage must serve exactly the recommended operating point")
+    val plan = AnnPanel.knnLshTuned(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("sig")), plan)
+  }
+
   test("filtered kNN: every pre-filter row qualifies; post-filter loses recall, never gains") {
     val spark2 = spark
     import spark2.implicits._

@@ -113,6 +113,37 @@ class IndexRefreshSpec extends SparkSuite {
       "refreshed-index BM25 must equal the full-corpus scan recompute")
   }
 
+  test("staleness readout: censuses partition both populations; planted drift flags") {
+    import spark.implicits._
+    val rep = Similarity.indexStaleness(spark, SfSmall).collect().toSeq
+    val nCorpus = Tables.embeddings(spark, SfSmall).count()
+    val nDelta = Tables.embeddings(spark, SfSmall)
+      .filter($"vec_id" % 10 === 3).count()
+    assert(rep.map(_.getLong(1)).sum == nCorpus,
+      "n_build must census the whole corpus")
+    assert(rep.map(_.getLong(2)).sum == nDelta,
+      "n_delta must census the whole batch")
+    // the planted concentrated drift (coordinate 0 forced dominant) must
+    // flag at least one cell, and the flag must be exactly the >4x-uniform
+    // integer rule on the report's own counts
+    val k = rep.size
+    rep.foreach { r =>
+      val expect = if (r.getLong(2) * k > nDelta * 4) 1 else 0
+      assert(r.getInt(5) == expect, s"stale flag must follow the rule: $r")
+    }
+    assert(rep.exists(_.getInt(5) == 1),
+      "concentrated drift must trip the retrain trigger")
+    // and the flagged cells' assignment quality degrades vs build time
+    rep.filter(_.getInt(5) == 1).foreach { r =>
+      assert(r.getDouble(4) < r.getDouble(3),
+        s"drifted batch should quantize worse than the build population: $r")
+    }
+    // readout is a pure preview: the served index is NOT mutated
+    val idx = Similarity.ivfIndexDir(spark, SfSmall)
+    assert(spark.read.parquet(idx).count() == nCorpus,
+      "staleness preview must not append to the index")
+  }
+
   test("durable IVF index: refresh re-homes to the grown corpus's address") {
     import spark.implicits._
     val (corpus, deltaVecs, _) = splitCorpus()
