@@ -480,7 +480,7 @@ object Similarity {
     * incremental refresh after the corpus grew — serves and extends the
     * SAME cells instead of re-running k-means on a changed corpus and
     * silently disagreeing with the stored assignments. */
-  private[operators] def ivfIndexDir(s: SparkSession, d: String): String =
+  private[graft] def ivfIndexDir(s: SparkSession, d: String): String =
     SessionCaches.dirMemo(s, s"sim-ivf-index:$d") { path =>
       import s.implicits._
       val cents = kmeansCentroids(s, d)
@@ -491,7 +491,7 @@ object Similarity {
 
   /** The quantizer stored in an index dir (bounded: k rows of k×dim
     * doubles), memoized per (session, index dir). */
-  private[operators] def indexCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+  private[graft] def indexCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
     SessionCaches.memo(s, s"sim-ivf-index-centroids:$dir") {
       import s.implicits._
       s.read.parquet(s"$dir/_centroids")
@@ -572,29 +572,45 @@ object Similarity {
     * (k broadcast-centroid comparisons per row), two k-row aggregates —
     * no shuffle wider than the cell key; the delta side is ∝ |batch|,
     * never ∝ |corpus|. */
+  /** cos(v, centroid_assigned) for a frame that already carries `cell`:
+    * a k-branch chain — at production k the same contract is a broadcast
+    * join against the centroids relation. */
+  private def cosToCentroid(cents: Seq[(Int, Seq[Double])])(
+      cell: org.apache.spark.sql.Column,
+      emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    cents.map { case (i, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      when(cell === i, dot(emb, typedlit(c)) / (norm(emb) * cn))
+        .otherwise(lit(0d))
+    }.reduce(_ + _)
+
+  /** Quantize `vecs` against the quantizer STORED in `indexDir`: appends
+    * `cell` (owning centroid, the index's partition key) and `cos`
+    * (assignment quality). The public quantize-against-served-index
+    * surface shared by [[indexStaleness]] and the streaming index
+    * maintenance ([[graft.streaming.IndexStream]]) — one narrow map, no
+    * shuffle. */
+  def assignCells(s: SparkSession, indexDir: String, vecs: DataFrame): DataFrame = {
+    val cents = indexCentroids(s, indexDir)
+    vecs
+      .withColumn("cell", cellAssign(cents)(col("embedding")))
+      .withColumn("cos", cosToCentroid(cents)(col("cell"), col("embedding")))
+  }
+
   def indexStaleness(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dir = ivfIndexDir(s, d)
     val cents = indexCentroids(s, dir)
     val k = cents.size
-    // cos(v, centroid_assigned): a k-branch chain — at production k the
-    // same contract is a broadcast join against the centroids relation
-    def cosTo(cell: org.apache.spark.sql.Column,
-        emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      cents.map { case (i, c) =>
-        val cn = math.sqrt(c.map(x => x * x).sum)
-        when(cell === i, dot(emb, typedlit(c)) / (norm(emb) * cn))
-          .otherwise(lit(0d))
-      }.reduce(_ + _)
+    val cosTo = cosToCentroid(cents) _
     val build = s.read.parquet(dir)
       .select($"cell", cosTo($"cell", $"embedding").as("cos"))
       .groupBy($"cell")
       .agg(count(lit(1)).as("n_build"), round(avg($"cos"), 4).as("avg_cos_build"))
     val delta0 = staleDelta(s, d)
     val deltaTotal = delta0.count()
-    val delta = delta0
-      .withColumn("cell", cellAssign(cents)($"embedding"))
-      .select($"cell", cosTo($"cell", $"embedding").as("cos"))
+    val delta = assignCells(s, dir, delta0)
+      .select($"cell", $"cos")
       .groupBy($"cell")
       .agg(count(lit(1)).as("n_delta"), round(avg($"cos"), 4).as("avg_cos_delta"))
     build.join(delta, Seq("cell"), "full_outer")

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.{SparkSuite, Tables}
+import graft.operators.Similarity
+
+/** Streaming ANN index maintenance: the served index must follow the
+  * arrival stream (serve ≡ full recompute over the grown corpus between
+  * any two micro-batches, each arrival appended exactly once), and the
+  * maintained health census must census every arrival and raise the
+  * retrain flag when a drifted batch concentrates into few cells. */
+class StreamingIndexSpec extends SparkSuite {
+
+  private val SfSmall = "/root/testdata/sf0.001"
+
+  test("served index follows the stream; health census flags drifted arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a corpus dir the test owns (the sf fixture is a read-only single file)
+    val corpus = tmpDir("stream-index-corpus")
+    val emb = Tables.embeddings(spark, SfSmall)
+      .select($"vec_id", $"embedding", $"label")
+    emb.filter($"vec_id" < 400).write.parquet(s"$corpus/embeddings.parquet")
+    val idx = Similarity.ivfIndexDir(spark, corpus)
+    // a not-yet-existing subpath: rollupExists keys the first-batch branch
+    val healthDir = tmpDir("stream-index-health") + "/census"
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val q = IndexStream.maintainIvf(spark, corpus,
+      in.toDS().toDF("vec_id", "embedding", "label"),
+      healthDir, tmpDir("stream-index-ckpt"))
+    try {
+      // micro-batch 1: organic growth — the held-out corpus tail
+      val b1 = emb.filter($"vec_id" >= 400)
+        .as[(Long, Seq[Float], Int)].collect().toSeq
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      // the ground-truth corpus grows the same way...
+      emb.filter($"vec_id" >= 400).write.mode("append")
+        .parquet(s"$corpus/embeddings.parquet")
+      // ...and the maintained index serves the union: exhaustive probing
+      // must equal brute force over the grown corpus
+      def serveEqualsBrute(): Unit = {
+        val viaIndex = Similarity.knnIvfIndexed(spark, corpus, nProbe = 16)
+          .collect().map(_.toSeq).toSeq
+        val brute = Similarity.knnBrute(spark, corpus)
+          .collect().map(_.toSeq).toSeq
+        assert(viaIndex == brute,
+          "served index must equal full recompute over the grown corpus")
+      }
+      serveEqualsBrute()
+
+      // micro-batch 2: drifted arrivals (coordinate 0 forced dominant —
+      // the staleness fixture's shape) concentrating into few cells
+      val drift = b1.take(40).map { case (id, v, l) =>
+        (id + 5000L, Seq(10f) ++ v.drop(1), l) }
+      in.addData(drift: _*)
+      q.processAllAvailable()
+      drift.toDF("vec_id", "embedding", "label").write.mode("append")
+        .parquet(s"$corpus/embeddings.parquet")
+      serveEqualsBrute()
+
+      // exactly one index row per corpus row — nothing double-appended
+      assert(spark.read.parquet(idx).count() == 400 + b1.size + drift.size)
+
+      // the census saw every arrival, and the drifted batch trips the
+      // same >4x-uniform retrain flag the batch staleness report uses
+      val health = IndexStream.servedIndexHealth(spark, corpus, healthDir)
+        .collect().toSeq
+      assert(health.map(_.getLong(1)).sum == b1.size + drift.size,
+        "health census must cover every streamed arrival")
+      val flagged = health.filter(_.getInt(3) == 1)
+      assert(flagged.nonEmpty, "concentrated drift must raise the retrain flag")
+      // concentration, not totality: an occasional drifted vector can
+      // land in a neighboring cell (the batch fixture sees 49/50)
+      assert(flagged.map(_.getLong(1)).sum >= 30,
+        "the flagged cells should hold the bulk of the drifted batch")
+    } finally q.stop()
+  }
+}
