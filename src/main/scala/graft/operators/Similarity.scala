@@ -542,6 +542,80 @@ object Similarity {
     SessionCaches.rehomeDurable(s, s"sim-lsh-index:$d", dir)
   }
 
+  /** Targeted delete from the served IVF index — the
+    * right-to-be-forgotten operation a training-data pipeline owes its
+    * sources: remove `ids` (a one-column `vec_id` relation) by
+    * rewriting ONLY the cell partitions that contain them. Cost is
+    * ∝ Σ|touched cell|, never ∝ |index|: the touched-cell set comes
+    * from one semi-join (at 100 TB, a broadcast of the tombstone ids),
+    * untouched cell files stay byte-identical (dynamic partition
+    * overwrite), and a cell whose rows are ALL deleted is removed
+    * explicitly — dynamic overwrite alone would silently leave it
+    * behind, resurrecting deleted rows. Serve paths need no change:
+    * they scan whatever the cells hold. */
+  def deleteFromIvfIndex(s: SparkSession, d: String, ids: DataFrame): String = {
+    val dir = ivfIndexDir(s, d)
+    val tomb = ids.select(col("vec_id"))
+    val touched = s.read.parquet(dir)
+      .join(broadcast(tomb), Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.get(0))
+    if (touched.nonEmpty) {
+      // materialize the survivors BEFORE overwriting the files they came
+      // from (the maintained-view upsert's read-then-rewrite discipline)
+      val kept = s.read.parquet(dir)
+        .filter(col("cell").isin(touched: _*))
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      val keptCells = kept.select("cell").distinct().collect().map(_.get(0)).toSet
+      kept.repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      touched.filterNot(keptCells).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"cell=$c"), true)
+      }
+      SessionCaches.remarkComplete(dir)
+      s.catalog.refreshByPath(dir)
+    }
+    dir
+  }
+
+  /** Compact fragmented index cells — the maintenance a long-lived
+    * streamed index needs: every [[refreshIvfIndex]] micro-batch
+    * appends one file per touched cell, so a year of 5-minute batches
+    * is ~100k files per hot cell and the serve-time scan pays file-open
+    * and footer-read per fragment. Rewrites ONLY cells whose data-file
+    * count exceeds `maxFilesPerCell`, each into a single file; content
+    * is untouched, cold cells are untouched, and the cost is
+    * ∝ Σ|fragmented cell| — schedulable cell-by-cell at 100 TB. */
+  def compactIvfIndex(s: SparkSession, d: String,
+      maxFilesPerCell: Int = 4): String = {
+    val dir = ivfIndexDir(s, d)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val frag = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(f => f.getPath.getName.startsWith("part-")) > maxFilesPerCell)
+      .map(_.getPath.getName.stripPrefix("cell=").toInt)
+    if (frag.nonEmpty) {
+      val rows = s.read.parquet(dir)
+        .filter(col("cell").isin(frag: _*))
+        .localCheckpoint()
+      rows.repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(dir)
+      SessionCaches.remarkComplete(dir)
+      s.catalog.refreshByPath(dir)
+    }
+    dir
+  }
+
   /** Deterministic "tonight's batch" drift fixture for the staleness
     * readout: the %10==3 corpus slice re-keyed to +2e9 with coordinate 0
     * clamped to +10 — concentrated drift (one feature suddenly dominant:

@@ -63,7 +63,7 @@ object IndexStream {
     * dynamic partition overwrite — only the cells the batch touched are
     * rewritten, and the rollup stays bounded by k whatever the stream's
     * history. */
-  private[streaming] def upsertHealthCensus(assigned: DataFrame,
+  private[graft] def upsertHealthCensus(assigned: DataFrame,
       rollupDir: String): Unit = {
     val s = assigned.sparkSession
     val delta = assigned

@@ -144,6 +144,78 @@ class IndexRefreshSpec extends SparkSuite {
       "staleness preview must not append to the index")
   }
 
+  test("targeted delete rewrites only touched cells; emptied cells do not resurrect") {
+    import spark.implicits._
+    val (corpus, _, _) = splitCorpus()
+    val idx = Similarity.ivfIndexDir(spark, corpus)
+    val all = spark.read.parquet(idx)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+    // tombstones: a scattered slice PLUS the entirety of one cell (the
+    // emptied-cell edge where dynamic overwrite alone would resurrect)
+    val victimCell = all.groupBy(_._2).minBy(_._2.length)._1
+    val tomb = (all.filter(_._1 % 7 == 0).map(_._1) ++
+      all.filter(_._2 == victimCell).map(_._1)).distinct.toSeq
+    val untouchedCells = all.map(_._2).toSet --
+      all.filter(t => tomb.contains(t._1)).map(_._2).toSet
+    val before = dataFiles(idx)
+    Similarity.deleteFromIvfIndex(spark, corpus, tomb.toDF("vec_id"))
+    // exact survivor set, nothing else
+    val after = spark.read.parquet(idx)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(after == all.map(_._1).toSet -- tomb,
+      "index must hold exactly the survivors")
+    // the fully-emptied cell is gone from disk, not just from the scan
+    assert(!new java.io.File(s"$idx/cell=$victimCell").exists(),
+      "an emptied cell directory must be removed")
+    // untouched cells' files are byte-identical
+    val afterFiles = dataFiles(idx)
+    val untouchedPrefixes = untouchedCells.map(c => s"/cell=$c/")
+    before.filter { case (p, _) => untouchedPrefixes.exists(p.contains) }
+      .foreach { case (p, n) =>
+        assert(afterFiles.get(p).contains(n),
+          s"untouched cell file must stay byte-identical: $p")
+      }
+  }
+
+  test("compaction merges fragmented cells only; content identical") {
+    import spark.implicits._
+    val (corpus, deltaVecs, _) = splitCorpus()
+    val idx = Similarity.ivfIndexDir(spark, corpus)
+    // fragment: several small appends, one file per touched cell each
+    val deltas = deltaVecs.collect()
+    deltas.grouped(15).zipWithIndex.foreach { case (g, i) =>
+      Similarity.refreshIvfIndex(spark, corpus,
+        spark.createDataFrame(java.util.Arrays.asList(g: _*), deltaVecs.schema))
+    }
+    def filesPerCell(): Map[String, Int] = dataFiles(idx).keys.toSeq
+      .filter(_.split('/').last.startsWith("part-")) // not the .crc twins
+      .flatMap(p => "cell=\\d+".r.findFirstIn(p))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val fragBefore = filesPerCell()
+    assert(fragBefore.values.exists(_ > 4), "fixture must fragment some cell")
+    val contentBefore = spark.read.parquet(idx)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    val before = dataFiles(idx)
+    Similarity.compactIvfIndex(spark, corpus, maxFilesPerCell = 4)
+    val fragAfter = filesPerCell()
+    // every fragmented cell collapsed to one file; no cell above the cap
+    fragBefore.filter(_._2 > 4).keys.foreach { c =>
+      assert(fragAfter(c) == 1, s"fragmented $c must compact to one file")
+    }
+    // cold cells were not rewritten
+    val afterFiles = dataFiles(idx)
+    val coldCells = fragBefore.filter(_._2 <= 4).keySet
+    before.filter { case (p, _) => coldCells.exists(c => p.contains(s"/$c/")) }
+      .foreach { case (p, n) =>
+        assert(afterFiles.get(p).contains(n),
+          s"cold cell file must stay byte-identical: $p")
+      }
+    // content is untouched
+    val contentAfter = spark.read.parquet(idx)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(contentAfter == contentBefore, "compaction must not change content")
+  }
+
   test("durable IVF index: refresh re-homes to the grown corpus's address") {
     import spark.implicits._
     val (corpus, deltaVecs, _) = splitCorpus()
