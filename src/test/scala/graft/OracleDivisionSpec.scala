@@ -128,7 +128,11 @@ class OracleDivisionSpec extends AnyFunSuite {
     "s",                                    // datasheet mean novelty: sum of per-doc novelty_e6, each in [0, 1e6]
     "(N * (count(*) - sum(CASE WHEN df >= N THEN N ELSE N END)))", // gram novelty: the 0/1 shared-gram sum can never exceed the gram count it sums over
     "(N * n_inter)",                        // set-sim jaccard_e6: intersection count >= 1 (acceptance requires 3*inter >= n_a+n_b > 0)
-    "p.r")                                  // pagerank mass: nonneg invariant
+    "p.r",                                  // pagerank mass: nonneg invariant
+    "SELECT n",                             // ann panel stride n//32: n = count(*) of embeddings >= 0 (tune + recall_report)
+    "(N * sum(hits))",                      // recall mean: hits = per-query hit counts in [0, 10]
+    "(N * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY coalesce(lang, chr(N)))))",   // datasheet top-lang share after the U+0001 sentinel move: still a group count >= 1
+    "(N * (SELECT max(c) FROM (SELECT count(*) AS c FROM documents GROUP BY coalesce(source, chr(N)))))") // datasheet top-source share: same
 
   test("every // site in generated oracle SQL is floor/trunc-portable") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
