@@ -67,13 +67,21 @@ object AnnPanel {
     SessionCaches.memo(s, s"ann-panel-queries:$d") {
       import s.implicits._
       val n = Tables.embeddings(s, d).count()
+      // the SQL twin derives the same ids from count(*) alone (qid =
+      // i · n//32), which is only well-defined on a dense-id corpus of
+      // at least panel size — fail fast rather than desync the oracle
+      require(n >= PanelSize,
+        s"ANN panel needs >= $PanelSize vectors, corpus has $n")
       val stride = math.max(1L, n / PanelSize)
       val ids = (0 until PanelSize).map(_ * stride).distinct.filter(_ < n)
       val byId = Tables.embeddings(s, d)
         .filter($"vec_id".isin(ids: _*))
         .select($"vec_id", $"embedding")
         .as[(Long, Seq[Float])].collect().toMap
-      ids.map(i => i -> byId(i))
+      ids.map { i =>
+        i -> byId.getOrElse(i, sys.error(
+          s"panel vec_id $i missing: the panel requires dense ids 0..${n - 1}"))
+      }
     }
 
   private def queriesDF(s: SparkSession, qs: Seq[(Long, Seq[Float])]): DataFrame = {
@@ -365,8 +373,15 @@ object AnnPanel {
     import s.implicits._
     SessionCaches.parquetArtifact(s, s"ann-tune-panel:$d") { outDir =>
       val qs = panelQueries(s, d)
+      // the INDEXED variant, deliberately: the advisor's recommendation
+      // is executed by knnIvfTuned → knnIvfIndexed, which probes the
+      // index's FROZEN stored centroids — so the operating points must
+      // be measured against that same quantizer, or after an
+      // incremental refresh the advisor would score cells the serve
+      // path does not probe (identical to the scan variant until a
+      // refresh diverges them)
       val tagged =
-        IvfProbes.map(p => s"ivf_p$p" -> panelIvf(s, d, qs, p)) ++
+        IvfProbes.map(p => s"ivf_p$p" -> panelIvfIndexed(s, d, qs, p)) ++
           LshRadii.map(r => s"lsh_r$r" -> panelLsh(s, d, qs, r))
       decorated(s, d, qs, tagged)
         .coalesce(1).write.mode("overwrite").parquet(outDir)
@@ -447,10 +462,13 @@ object AnnPanel {
       // candidate volumes from one bucket histogram per family: the
       // query's own bucket is always probed (probes ≥ 1 include the
       // assigned cell; radius ≥ 0 includes the own sig), so each query
-      // contributes (Σ probed-bucket sizes) − 1 scored candidates
-      val cents = Similarity.kmeansCentroids(s, d)
-      val cellHist = Tables.embeddings(s, d)
-        .select(Similarity.cellAssign(cents)($"embedding").as("cell"))
+      // contributes (Σ probed-bucket sizes) − 1 scored candidates.
+      // Probes and occupancy both come from the SERVED index (stored
+      // centroids + stored cell assignments) — the quantizer the
+      // recommendation will actually be executed against
+      val ivfDir = Similarity.ivfIndexDir(s, d)
+      val cents = Similarity.indexCentroids(s, ivfDir)
+      val cellHist = s.read.parquet(ivfDir)
         .groupBy($"cell").count()
         .as[(Int, Long)].collect().toMap
       val sigHist = Tables.embeddings(s, d)

@@ -83,10 +83,7 @@ object Similarity {
   def knnLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val qv = queryVector(s, d, 0L)
-    val qSig = planes.zipWithIndex.map { case (p, j) =>
-      val dp = p.zip(qv).map { case (a, b) => a * b.toDouble }.sum
-      if (dp > 0) 1 << j else 0
-    }.sum
+    val qSig = sigOf(qv)
     val q = typedlit(qv)
     Tables.embeddings(s, d)
       .filter($"vec_id" =!= 0L)
@@ -423,9 +420,7 @@ object Similarity {
       greatest(centroids.map { case (i, c) =>
         struct(dot(emb, typedlit(c)).as("d"), lit(i).as("cell")) }: _*)("cell")
     val qv = queryVector(s, d, 0L)
-    val probeCells = centroids
-      .map { case (i, c) => i -> c.zip(qv).map { case (a, b) => a.toDouble * b }.sum }
-      .sortBy(-_._2).take(nProbe).map(_._1)
+    val probeCells = ivfProbesOf(centroids, qv, nProbe)
     val q = typedlit(qv)
     Tables.embeddings(s, d)
       .filter($"vec_id" =!= 0L)
@@ -540,6 +535,24 @@ object Similarity {
     SessionCaches.remarkComplete(dir)
     s.catalog.refreshByPath(dir)
     SessionCaches.rehomeDurable(s, s"sim-lsh-index:$d", dir)
+  }
+
+  /** Append rows that ALREADY carry their cell assignment (from
+    * [[assignCells]]) to the served index — the streaming maintenance
+    * fast path: the batch is quantized ONCE and the assignment feeds
+    * both the health census and this append, instead of paying the
+    * k×dim centroid dots twice per arrival. Same lifecycle as
+    * [[refreshIvfIndex]]. */
+  def appendAssignedToIvfIndex(s: SparkSession, d: String,
+      assigned: DataFrame): String = {
+    val dir = ivfIndexDir(s, d)
+    assigned
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    SessionCaches.remarkComplete(dir)
+    s.catalog.refreshByPath(dir)
+    SessionCaches.rehomeDurable(s, s"sim-ivf-index:$d", dir)
   }
 
   /** Targeted delete from the served IVF index — the
@@ -732,9 +745,7 @@ object Similarity {
     val dir = ivfIndexDir(s, d)
     val centroids = indexCentroids(s, dir)
     val qv = queryVector(s, d, 0L)
-    val probeCells = centroids
-      .map { case (i, c) => i -> c.zip(qv).map { case (a, b) => a.toDouble * b }.sum }
-      .sortBy(-_._2).take(nProbe).map(_._1)
+    val probeCells = ivfProbesOf(centroids, qv, nProbe)
     val q = typedlit(qv)
     s.read.parquet(dir)
       .filter($"cell".isin(probeCells: _*))
@@ -752,12 +763,7 @@ object Similarity {
   def knnLshIndexed(s: SparkSession, d: String, radius: Int = 2): DataFrame = {
     import s.implicits._
     val qv = queryVector(s, d, 0L)
-    val qSig = planes.zipWithIndex.map { case (p, j) =>
-      val dp = p.zip(qv).map { case (a, b) => a * b.toDouble }.sum
-      if (dp > 0) 1 << j else 0
-    }.sum
-    val probes = (0 until (1 << NumPlanes))
-      .filter(sig => Integer.bitCount(sig ^ qSig) <= radius)
+    val probes = lshProbesOf(qv, radius)
     val q = typedlit(qv)
     s.read.parquet(lshIndexDir(s, d))
       .filter($"sig".isin(probes: _*))

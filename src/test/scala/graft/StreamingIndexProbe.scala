@@ -60,9 +60,12 @@ object StreamingIndexProbe {
     val tBatches = (1 to 10).map { b =>
       val batch = synth(nBatch, 1000000L * b)
       val (_, t) = timed {
-        graft.streaming.IndexStream.upsertHealthCensus(
-          graft.operators.Similarity.assignCells(spark, idx, batch), healthDir)
-        graft.operators.Similarity.refreshIvfIndex(spark, corpus, batch)
+        // exactly the stream's processBatch shape: quantize once,
+        // census + append share the materialized assignment
+        val assigned = graft.operators.Similarity
+          .assignCells(spark, idx, batch).localCheckpoint()
+        graft.streaming.IndexStream.upsertHealthCensus(assigned, healthDir)
+        graft.operators.Similarity.appendAssignedToIvfIndex(spark, corpus, assigned)
       }
       t
     }.sorted

@@ -7,14 +7,15 @@ import graft.operators.Similarity
 
 /** Streaming ANN index maintenance: the served index must follow the
   * arrival stream (serve ≡ full recompute over the grown corpus between
-  * any two micro-batches, each arrival appended exactly once), and the
-  * maintained health census must census every arrival and raise the
-  * retrain flag when a drifted batch concentrates into few cells. */
+  * any two micro-batches, each arrival appended exactly once — including
+  * under batch replay), and the maintained health census must census
+  * every arrival and raise the retrain flag when a drifted batch
+  * concentrates into few cells, then clear it when arrivals normalize. */
 class StreamingIndexSpec extends SparkSuite {
 
   private val SfSmall = "/root/testdata/sf0.001"
 
-  test("served index follows the stream; health census flags drifted arrivals") {
+  test("served index follows the stream; health flag tracks drift recency; replay is idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // a corpus dir the test owns (the sf fixture is a read-only single file)
@@ -29,6 +30,8 @@ class StreamingIndexSpec extends SparkSuite {
     val q = IndexStream.maintainIvf(spark, corpus,
       in.toDS().toDF("vec_id", "embedding", "label"),
       healthDir, tmpDir("stream-index-ckpt"))
+    def health() =
+      IndexStream.servedIndexHealth(spark, corpus, healthDir).collect().toSeq
     try {
       // micro-batch 1: organic growth — the held-out corpus tail
       val b1 = emb.filter($"vec_id" >= 400)
@@ -63,18 +66,41 @@ class StreamingIndexSpec extends SparkSuite {
       // exactly one index row per corpus row — nothing double-appended
       assert(spark.read.parquet(idx).count() == 400 + b1.size + drift.size)
 
-      // the census saw every arrival, and the drifted batch trips the
-      // same >4x-uniform retrain flag the batch staleness report uses
-      val health = IndexStream.servedIndexHealth(spark, corpus, healthDir)
-        .collect().toSeq
-      assert(health.map(_.getLong(1)).sum == b1.size + drift.size,
+      // the census saw every arrival, and the drifted LAST batch trips
+      // the same >4x-uniform retrain rule the batch staleness report uses
+      val h2 = health()
+      assert(h2.map(_.getLong(1)).sum == b1.size + drift.size,
         "health census must cover every streamed arrival")
-      val flagged = health.filter(_.getInt(3) == 1)
+      val flagged = h2.filter(_.getInt(4) == 1)
       assert(flagged.nonEmpty, "concentrated drift must raise the retrain flag")
       // concentration, not totality: an occasional drifted vector can
       // land in a neighboring cell (the batch fixture sees 49/50)
-      assert(flagged.map(_.getLong(1)).sum >= 30,
+      assert(flagged.map(_.getLong(3)).sum >= 30,
         "the flagged cells should hold the bulk of the drifted batch")
+
+      // micro-batch 3: arrivals normalize — the flag must CLEAR (the
+      // rule watches the last batch, not the diluted cumulative shares)
+      val b3 = b1.take(48).map { case (id, v, l) => (id + 9000L, v, l) }
+      in.addData(b3: _*)
+      q.processAllAvailable()
+      b3.toDF("vec_id", "embedding", "label").write.mode("append")
+        .parquet(s"$corpus/embeddings.parquet")
+      serveEqualsBrute()
+      val h3 = health()
+      assert(h3.map(_.getLong(1)).sum == b1.size + drift.size + b3.size)
+      assert(h3.forall(_.getInt(4) == 0),
+        "a normalized batch must clear the retrain flag")
+
+      // replayed micro-batch (restart redelivery): batch ids at or below
+      // the committed marker must fold in exactly zero rows
+      val before = spark.read.parquet(idx).count()
+      IndexStream.processBatch(spark, corpus,
+        b3.toDF("vec_id", "embedding", "label"), batchId = 0L, healthDir)
+      assert(spark.read.parquet(idx).count() == before,
+        "a replayed batch id must not double-append")
+      assert(health().map(_.getLong(1)).sum ==
+        b1.size + drift.size + b3.size,
+        "a replayed batch id must not double-count the census")
     } finally q.stop()
   }
 }

@@ -38,8 +38,10 @@ DEFAULT_QUERIES = [
     "sim_ann_panel", "sim_ann_tune", "sim_ann_tune_panel",
     "sim_kmeans_profile", "sim_knn_aggregator", "sim_knn_brute",
     "sim_knn_filtered_pre",
-    "sim_knn_ivf", "sim_knn_ivf_indexed", "sim_knn_lsh",
-    "sim_knn_lsh_indexed", "sim_knn_pq", "sim_knn_pq_rerank", "sim_knn_sq8",
+    "sim_index_staleness",
+    "sim_knn_ivf", "sim_knn_ivf_indexed", "sim_knn_ivf_tuned", "sim_knn_lsh",
+    "sim_knn_lsh_indexed", "sim_knn_lsh_tuned",
+    "sim_knn_pq", "sim_knn_pq_rerank", "sim_knn_sq8",
     "sim_neardup_pairs", "sim_semdedup", "sim_semdedup_incremental",
     "text_winnow_fingerprint",
 ]
