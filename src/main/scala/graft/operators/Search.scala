@@ -182,6 +182,49 @@ object Search {
     SessionCaches.rehomeDurable(s, s"bm25-postings:$d", root)
   }
 
+  /** Targeted delete from the postings index — the retrieval side of
+    * the tombstone contract ([[Similarity.deleteFromIvfIndex]]'s
+    * scaladoc: a deleted document must leave EVERY served artifact). A
+    * doc's postings are scattered across the term-hash buckets of its
+    * distinct terms, so the touched-bucket discovery is a column-pruned
+    * semi-join over the postings (doc_id + bucket columns only — the
+    * rewrite, not the discovery, is the expensive part and it stays
+    * ∝ touched buckets); the one-row corpus stats decrement in the same
+    * exact integer arithmetic the refresh accumulates in, so a
+    * delete-then-serve BM25 equals the from-scratch scan over the
+    * surviving docs exactly (IndexRefreshSpec asserts). */
+  def deleteFromPostingsIndex(s: SparkSession, d: String,
+      docIds: DataFrame): String = {
+    val root = postingsIndexDir(s, d)
+    val doomed = IndexMaintenance.deleteKeys(
+      s, s"$root/postings", "bucket", "doc_id", docIds, carry = Seq("dl"))
+    if (!doomed.isEmpty) {
+      // one dl per deleted doc (dl repeats on each of its term rows)
+      val del = doomed.select(col("doc_id"), col("dl")).distinct()
+        .agg(sum(col("dl")).cast("long"), count(lit(1))).head()
+      val st = s.read.parquet(s"$root/stats").head()
+      writeStats(s, root, st.getLong(0) - del.getLong(0),
+        st.getLong(1) - del.getLong(1))
+      SessionCaches.remarkComplete(root)
+      s.catalog.refreshByPath(s"$root/postings")
+      s.catalog.refreshByPath(s"$root/stats")
+    }
+    root
+  }
+
+  /** Postings twin of [[Similarity.compactIvfIndex]]: term-hash buckets
+    * fragment one file per [[refreshPostingsIndex]] append. */
+  def compactPostingsIndex(s: SparkSession, d: String,
+      maxFilesPerBucket: Int = 4): String = {
+    val root = postingsIndexDir(s, d)
+    if (IndexMaintenance.compactPartitions(
+        s, s"$root/postings", "bucket", maxFilesPerBucket).nonEmpty) {
+      SessionCaches.remarkComplete(root)
+      s.catalog.refreshByPath(s"$root/postings")
+    }
+    root
+  }
+
   /** CRC32 of the UTF-8 term bytes mod [[TermBuckets]] — the driver-side
     * twin of the `pmod(crc32(term), 32)` partition key above. */
   private def termBucket(t: String): Int = {

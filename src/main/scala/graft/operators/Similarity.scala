@@ -568,28 +568,22 @@ object Similarity {
     * they scan whatever the cells hold. */
   def deleteFromIvfIndex(s: SparkSession, d: String, ids: DataFrame): String = {
     val dir = ivfIndexDir(s, d)
-    val tomb = ids.select(col("vec_id"))
-    val touched = s.read.parquet(dir)
-      .join(broadcast(tomb), Seq("vec_id"), "left_semi")
-      .select("cell").distinct().collect().map(_.get(0))
-    if (touched.nonEmpty) {
-      // materialize the survivors BEFORE overwriting the files they came
-      // from (the maintained-view upsert's read-then-rewrite discipline)
-      val kept = s.read.parquet(dir)
-        .filter(col("cell").isin(touched: _*))
-        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-        .localCheckpoint()
-      val keptCells = kept.select("cell").distinct().collect().map(_.get(0)).toSet
-      kept.repartition(col("cell"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
-        .parquet(dir)
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      touched.filterNot(keptCells).foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(dir, s"cell=$c"), true)
-      }
+    val doomed = IndexMaintenance.deleteKeys(s, dir, "cell", "vec_id", ids)
+    if (!doomed.isEmpty) {
+      SessionCaches.remarkComplete(dir)
+      s.catalog.refreshByPath(dir)
+    }
+    dir
+  }
+
+  /** LSH twin of [[deleteFromIvfIndex]] — a tombstone must leave EVERY
+    * served artifact, or the deleted vector resurrects in whichever kNN
+    * variant the caller picks next. Same bounded rewrite, `sig` as the
+    * partition key. */
+  def deleteFromLshIndex(s: SparkSession, d: String, ids: DataFrame): String = {
+    val dir = lshIndexDir(s, d)
+    val doomed = IndexMaintenance.deleteKeys(s, dir, "sig", "vec_id", ids)
+    if (!doomed.isEmpty) {
       SessionCaches.remarkComplete(dir)
       s.catalog.refreshByPath(dir)
     }
@@ -607,22 +601,21 @@ object Similarity {
   def compactIvfIndex(s: SparkSession, d: String,
       maxFilesPerCell: Int = 4): String = {
     val dir = ivfIndexDir(s, d)
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val frag = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .filter(st => fs.listStatus(st.getPath)
-        .count(f => f.getPath.getName.startsWith("part-")) > maxFilesPerCell)
-      .map(_.getPath.getName.stripPrefix("cell=").toInt)
-    if (frag.nonEmpty) {
-      val rows = s.read.parquet(dir)
-        .filter(col("cell").isin(frag: _*))
-        .localCheckpoint()
-      rows.repartition(col("cell"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
-        .parquet(dir)
+    if (IndexMaintenance.compactPartitions(s, dir, "cell", maxFilesPerCell)
+        .nonEmpty) {
+      SessionCaches.remarkComplete(dir)
+      s.catalog.refreshByPath(dir)
+    }
+    dir
+  }
+
+  /** LSH twin of [[compactIvfIndex]]: the sig-partitioned index
+    * fragments exactly the same way under [[refreshLshIndex]] appends. */
+  def compactLshIndex(s: SparkSession, d: String,
+      maxFilesPerSig: Int = 4): String = {
+    val dir = lshIndexDir(s, d)
+    if (IndexMaintenance.compactPartitions(s, dir, "sig", maxFilesPerSig)
+        .nonEmpty) {
       SessionCaches.remarkComplete(dir)
       s.catalog.refreshByPath(dir)
     }

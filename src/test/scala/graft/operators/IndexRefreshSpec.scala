@@ -216,6 +216,65 @@ class IndexRefreshSpec extends SparkSuite {
     assert(contentAfter == contentBefore, "compaction must not change content")
   }
 
+  test("LSH delete + compaction: survivors only; cold sigs untouched") {
+    import spark.implicits._
+    val (corpus, deltaVecs, _) = splitCorpus()
+    val idx = Similarity.lshIndexDir(spark, corpus)
+    // fragment: three small appends, one file per touched sig each
+    val deltas = deltaVecs.collect()
+    deltas.grouped(34).foreach { g =>
+      Similarity.refreshLshIndex(spark, corpus,
+        spark.createDataFrame(java.util.Arrays.asList(g: _*), deltaVecs.schema))
+    }
+    val all = spark.read.parquet(idx)
+      .select($"vec_id", $"sig").as[(Long, Int)].collect()
+    // tombstones: a scattered slice plus ALL of the emptiest sig (the
+    // resurrect edge, same as the IVF case — shared deleteKeys path)
+    val victimSig = all.groupBy(_._2).minBy(_._2.length)._1
+    val tomb = (all.filter(_._1 % 9 == 0).map(_._1) ++
+      all.filter(_._2 == victimSig).map(_._1)).distinct.toSeq
+    Similarity.deleteFromLshIndex(spark, corpus, tomb.toDF("vec_id"))
+    val after = spark.read.parquet(idx)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(after == all.map(_._1).toSet -- tomb,
+      "LSH index must hold exactly the survivors")
+    assert(!new java.io.File(s"$idx/sig=$victimSig").exists(),
+      "an emptied sig directory must be removed")
+    // compaction: fragmented sigs collapse, content identical
+    val contentBefore = spark.read.parquet(idx)
+      .select($"vec_id", $"sig").as[(Long, Int)].collect().toSet
+    Similarity.compactLshIndex(spark, corpus, maxFilesPerSig = 1)
+    val contentAfter = spark.read.parquet(idx)
+      .select($"vec_id", $"sig").as[(Long, Int)].collect().toSet
+    assert(contentAfter == contentBefore,
+      "LSH compaction must not change content")
+  }
+
+  test("postings delete: stats exact; serve equals from-scratch over survivors") {
+    import spark.implicits._
+    val (corpus, _, _) = splitCorpus()
+    val root = Search.postingsIndexDir(spark, corpus)
+    val docs = Tables.documents(spark, corpus)
+    val tomb = docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id").as[Long].collect().toSeq
+    Search.deleteFromPostingsIndex(spark, corpus, tomb.toDF("doc_id"))
+    // stats must equal the exact recompute over the surviving docs
+    val st = spark.read.parquet(s"$root/stats").head()
+    val survivors = docs.filter($"doc_id" % 5 =!= 0)
+    val full = survivors
+      .agg(sum(size(split(col("text"), " "))).cast("long"), count(lit(1))).head()
+    assert(st.getLong(0) == full.getLong(0) && st.getLong(1) == full.getLong(1),
+      "stats must decrement in the same exact arithmetic the refresh adds in")
+    // serve: the deleted index must score exactly like a from-scratch
+    // scan over a corpus that never contained the deleted docs
+    val corpusB = tmpDir("postings-delete-truth")
+    survivors.write.parquet(s"$corpusB/documents.parquet")
+    val viaIndex = Search.bm25TopKIndexed(spark, corpus).collect().map(_.toSeq).toSeq
+    val scan = Search.bm25TopK(spark, corpusB).collect().map(_.toSeq).toSeq
+    assert(viaIndex == scan,
+      "post-delete BM25 must equal the from-scratch scan over survivors")
+  }
+
   test("durable IVF index: refresh re-homes to the grown corpus's address") {
     import spark.implicits._
     val (corpus, deltaVecs, _) = splitCorpus()
