@@ -576,6 +576,38 @@ object Similarity {
     dir
   }
 
+  /** Recovery tool for the streaming replay window
+    * ([[graft.streaming.IndexStream]]'s scaladoc: a crash BETWEEN the
+    * cell append and the batch-marker commit can fold one batch in
+    * twice). Replay duplicates are exact row copies sharing a vec_id and
+    * a cell (same frozen quantizer), so the repair keeps one row per
+    * vec_id and rewrites ONLY the cells that contain duplicates — cost
+    * ∝ the duplicated batch's cells, never ∝ |index|. Returns the number
+    * of rows removed (0 → nothing touched). The health census's matching
+    * overcount is monitoring-grade by the module's stance and is left to
+    * age out; the INDEX is what serves results and must be exact. */
+  def repairIvfIndexDuplicates(s: SparkSession, d: String): Long = {
+    val dir = ivfIndexDir(s, d)
+    val touched = s.read.parquet(dir)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n"), first(col("cell")).as("cell"))
+      .filter(col("n") > 1)
+      .select("cell").distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return 0L
+    val scoped = s.read.parquet(dir).filter(col("cell").isin(touched: _*))
+    val before = scoped.count()
+    val kept = scoped.dropDuplicates("vec_id").localCheckpoint()
+    val removed = before - kept.count()
+    kept.repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
+      .parquet(dir)
+    SessionCaches.remarkComplete(dir)
+    s.catalog.refreshByPath(dir)
+    removed
+  }
+
   /** LSH twin of [[deleteFromIvfIndex]] — a tombstone must leave EVERY
     * served artifact, or the deleted vector resurrects in whichever kNN
     * variant the caller picks next. Same bounded rewrite, `sig` as the

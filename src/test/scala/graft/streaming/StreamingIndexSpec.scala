@@ -101,6 +101,20 @@ class StreamingIndexSpec extends SparkSuite {
       assert(health().map(_.getLong(1)).sum ==
         b1.size + drift.size + b3.size,
         "a replayed batch id must not double-count the census")
+
+      // the residual crash window (append landed, marker did not):
+      // simulate by appending the same assigned batch twice directly,
+      // then prove the documented repair tool restores exactness
+      val assigned = Similarity.assignCells(spark, idx,
+        b3.toDF("vec_id", "embedding", "label")).localCheckpoint()
+      Similarity.appendAssignedToIvfIndex(spark, corpus, assigned)
+      assert(spark.read.parquet(idx).count() == before + b3.size,
+        "window fixture: one duplicate copy of the batch is in")
+      val removed = Similarity.repairIvfIndexDuplicates(spark, corpus)
+      assert(removed == b3.size,
+        s"repair must remove exactly the duplicated batch, got $removed")
+      assert(spark.read.parquet(idx).count() == before)
+      serveEqualsBrute()
     } finally q.stop()
   }
 }
