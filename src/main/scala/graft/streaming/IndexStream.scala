@@ -37,8 +37,17 @@ import graft.operators.Similarity
   * a transactional file commit log (the FileStreamSink design), which
   * this maintained view deliberately does not re-implement — the
   * checkpointed-sink ingest path ([[Ingest]]) is the exactly-once
-  * story, and [[Similarity.compactIvfIndex]] + a batch dedup on vec_id
-  * are the recovery tools if that window is ever hit.
+  * story, and [[Similarity.repairIvfIndexDuplicates]] (keep one row per
+  * vec_id, rewrite only the duplicated cells) +
+  * [[Similarity.compactIvfIndex]] are the recovery tools if that window
+  * is ever hit — StreamingIndexSpec drives the window and the repair.
+  *
+  * IVF is the maintained index here because it is the one with
+  * quantizer STATE to watch (frozen centroids → staleness). An LSH
+  * stream twin is [[Similarity.refreshLshIndex]] per batch verbatim —
+  * the hyperplanes are seed-pinned, so there is no staleness concept to
+  * monitor, only the same fragmentation [[Similarity.compactLshIndex]]
+  * already handles.
   */
 object IndexStream {
 
