@@ -81,6 +81,23 @@ object StreamingIndexProbe {
       graft.operators.Similarity.compactIvfIndex(spark, corpus))
     val sCompacted = serve()
     println(f"[probe] compact t=$tCompact%.2fs serve_after_compact=$sCompacted%.2fs")
+
+    // tombstone leg: delete a 1%-of-corpus id slice — cost must sit in
+    // the per-batch class (touched-cells rewrite), not the build class
+    val tombs = (0 until nBatch).map(i => 1000000L + i).toDF("vec_id")
+    val (_, tDelete) = timed(
+      graft.operators.Similarity.deleteFromIvfIndex(spark, corpus, tombs))
+    val nAfterDelete = spark.read.parquet(idx).count()
+    println(f"[probe] delete t=$tDelete%.2fs rows_after=$nAfterDelete")
+
+    // replay-repair leg: double-append one batch, then repair — both
+    // the damage and the cure are bounded by the batch's cells
+    val dupBatch = graft.operators.Similarity
+      .assignCells(spark, idx, synth(nBatch, 1000000L * 3)).localCheckpoint()
+    graft.operators.Similarity.appendAssignedToIvfIndex(spark, corpus, dupBatch)
+    val (removed, tRepair) = timed(
+      graft.operators.Similarity.repairIvfIndexDuplicates(spark, corpus))
+    println(f"[probe] repair t=$tRepair%.2fs removed=$removed")
     spark.stop()
   }
 }
