@@ -151,6 +151,11 @@ object AvroWire {
       val readerSch = parser.parse(SchemaJson)
       val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
       it.map { bytes =>
+        // a null value is a legal Kafka record (tombstone / null-value
+        // producer) — name it instead of NPE-ing on bytes.length
+        require(bytes != null,
+          "bad Confluent frame: null record value (tombstone?) — filter " +
+            "null values upstream or route tombstones to a delete path")
         require(bytes.length > HeaderLen && bytes(0) == 0,
           "bad Confluent frame: missing magic byte")
         val id = ByteBuffer.wrap(bytes, 1, 4).getInt

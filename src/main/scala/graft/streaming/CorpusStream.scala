@@ -144,11 +144,19 @@ object CorpusStream {
     val touched = delta.select("source").distinct().collect().map(_.get(0))
     if (touched.isEmpty) return
     val existing =
-      if (Ingest.rollupExists(s, rollupDir))
-        s.read.parquet(rollupDir)
-          .filter(col("source").isin(touched: _*))
-          .localCheckpoint()
-      else
+      if (Ingest.rollupExists(s, rollupDir)) {
+        val state = s.read.parquet(rollupDir)
+        // the mergeMinuteRollup layout contract: fail with the remedy
+        // named instead of an UNRESOLVED_COLUMN inside unionByName
+        if (state.columns.sorted.toSeq != delta.columns.sorted.toSeq)
+          throw new IllegalStateException(
+            s"contingency census at $rollupDir has columns " +
+              s"[${state.columns.sorted.mkString(",")}] but this engine " +
+              s"writes [${delta.columns.sorted.mkString(",")}]: rebuild " +
+              "the census (delete the directory) or serve it with the " +
+              "version that wrote it")
+        state.filter(col("source").isin(touched: _*)).localCheckpoint()
+      } else
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           delta.schema)
     existing.unionByName(delta)

@@ -77,10 +77,15 @@ object HealthReport {
       latencyRatio: Double = 1.5,
       shareDelta: Double = 0.05,
       jaccardMin: Double = 0.5,
-      countRollupDir: Option[String] = None): DataFrame = {
+      countRollupDir: Option[String] = None,
+      mgK: Int = 64): DataFrame = {
     import s.implicits._
+    // mgK MUST equal the k the heavy-hitter rollup was built with
+    // (Ingest.upsertHeavyHitterRollup's contract): merging k=256
+    // summaries through a k=64 merge would silently coarsen the error
+    // bound from n/257 to n/65
     val kllMerge = udaf(new KllSketch.KllMergeAgg(), org.apache.spark.sql.Encoders.BINARY)
-    val mgMerge = udaf(new MisraGries.MgMergeAggS(), org.apache.spark.sql.Encoders.BINARY)
+    val mgMerge = udaf(new MisraGries.MgMergeAggS(mgK), org.apache.spark.sql.Encoders.BINARY)
     def winOf = when(col("event_minute") < lit(splitMinute), "ref").otherwise("cur")
 
     // per-(window, type): merged latency sketch + exact count — ≤ 2·|types| rows

@@ -76,9 +76,15 @@ object IndexStream {
       if (!fs.exists(marker)) -1L
       else {
         val in = fs.open(marker)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
+        val text =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+        text.toLongOption.getOrElse(throw new IllegalStateException(
+          s"unreadable stream-batch marker '$text' at $marker — a crash " +
+            "mid-commit should be impossible (temp+rename write); delete " +
+            "the marker and run Similarity.repairIvfIndexDuplicates to " +
+            "recover, then restart the stream"))
       }
     if (batchId <= committed) return // replayed batch: already folded in
     // quantize once; the materialized assignment feeds census AND append
@@ -87,10 +93,17 @@ object IndexStream {
       .localCheckpoint()
     upsertHealthCensus(assigned, healthDir)
     Similarity.appendAssignedToIvfIndex(s, corpus, assigned)
-    val out = fs.create(marker, true)
+    // temp + atomic rename: a truncate-in-place write could be caught
+    // mid-stream by a crash, leaving an empty marker that wedges every
+    // subsequent batch on parse
+    val tmp = new Path(dir, "_stream_batch.tmp")
+    val out = fs.create(tmp, true)
     try out.write(batchId.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(marker, false)
+    if (!fs.rename(tmp, marker)) throw new IllegalStateException(
+      s"could not commit stream-batch marker $marker")
   }
 
   /** Fold one assigned micro-batch into the health census: the
@@ -109,11 +122,20 @@ object IndexStream {
     if (touched.isEmpty) return
     delta.coalesce(1).write.mode("overwrite").parquet(lastDir(rollupDir))
     val existing =
-      if (Ingest.rollupExists(s, rollupDir))
-        s.read.parquet(rollupDir)
-          .filter(col("cell").isin(touched: _*))
-          .localCheckpoint()
-      else
+      if (Ingest.rollupExists(s, rollupDir)) {
+        val state = s.read.parquet(rollupDir)
+        // the mergeMinuteRollup layout contract: a drifted state dir
+        // must fail with the remedy named, not wedge the stream with an
+        // UNRESOLVED_COLUMN inside unionByName
+        if (state.columns.sorted.toSeq != delta.columns.sorted.toSeq)
+          throw new IllegalStateException(
+            s"health census at $rollupDir has columns " +
+              s"[${state.columns.sorted.mkString(",")}] but this engine " +
+              s"writes [${delta.columns.sorted.mkString(",")}]: rebuild " +
+              "the census (delete the directory) or serve it with the " +
+              "version that wrote it")
+        state.filter(col("cell").isin(touched: _*)).localCheckpoint()
+      } else
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           delta.schema)
     existing.unionByName(delta)

@@ -47,8 +47,14 @@ object Ingest {
       .option("rowsPerSecond", rowsPerSecond)
       .load()
       .select(col("value").as("id"))
+    // event time must track wall clock at ANY rate: id k arrives at
+    // ~k/rowsPerSecond wall seconds, so its event time advances
+    // 1000/rowsPerSecond ms per id (=10ms at the 100/s default — the
+    // historical constant, now derived instead of silently diverging
+    // when a caller raises the rate)
     Events.withEventMinute(
-      Events.fromIds(rate, startEpochMillis, intervalMs = 10L,
+      Events.fromIds(rate, startEpochMillis,
+        intervalMs = math.max(1L, (1000.0 / rowsPerSecond).round),
         errorProb = errorProb, seed = seed))
   }
 
@@ -171,7 +177,10 @@ object Ingest {
         graft.sources.Warehouse.writeReportJson(
           batch.sparkSession,
           graft.reference.MinuteReport.toJson(report),
-          s"$reportDir/batch-$batchId")
+          // the SAME name Dashboard.jsonPathFor derives from the
+          // analysis path — a report this leg writes must be fetchable
+          // by Dashboard.send without knowing which leg wrote it
+          Dashboard.jsonPathFor(s"$reportDir/batch-$batchId.parquet"))
       }
       .start()
 
@@ -937,11 +946,16 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val marker = new java.io.File(s"$rollupDir/_applied/$batchId")
-        if (!marker.exists()) {
+        // Hadoop FS, not java.io.File: the rollup dir is a warehouse
+        // path — against s3a/hdfs a local-disk marker would always read
+        // absent, silently double-counting every replayed batch (the
+        // exact trap rollupExists avoids)
+        val s = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(s"$rollupDir/_applied/$batchId")
+        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
           upsertRollup(batch.toDF(), rollupDir)
-          marker.getParentFile.mkdirs()
-          marker.createNewFile()
+          fs.create(marker, true).close()
           ()
         }
       }

@@ -49,7 +49,37 @@ object Sessionize {
             val sorted = rows.map(_._2.getTime).toArray.sorted
             var open = state.getOption.orNull
             val closed = Seq.newBuilder[Session]
-            sorted.foreach { t =>
+            // cross-batch late PREFIX: events separated from the open
+            // session by more than the gap. Batch semantics would attach
+            // them to an earlier (already-emitted, immutable in append
+            // mode) session — the bounded-state approximation closes
+            // them as their own chain, gap-merged AMONG THEMSELVES: a
+            // device flushing an offline buffer delivers one coherent
+            // session, not n single-event sessions. (Sorted ascending +
+            // a start that can only move earlier ⇒ the late events are
+            // exactly a prefix.)
+            var i = 0
+            if (open != null) {
+              var late: Open = null
+              while (i < sorted.length && sorted(i) < open.startMs - gapMs) {
+                val t = sorted(i)
+                late match {
+                  case null => late = Open(t, t, 1)
+                  case l if t - l.endMs > gapMs =>
+                    closed += Session(uid,
+                      new java.sql.Timestamp(l.startMs),
+                      new java.sql.Timestamp(l.endMs), l.n)
+                    late = Open(t, t, 1)
+                  case l => late = Open(l.startMs, math.max(l.endMs, t), l.n + 1)
+                }
+                i += 1
+              }
+              if (late != null) closed += Session(uid,
+                new java.sql.Timestamp(late.startMs),
+                new java.sql.Timestamp(late.endMs), late.n)
+            }
+            while (i < sorted.length) {
+              val t = sorted(i)
               open match {
                 case null => open = Open(t, t, 1)
                 case o if t - o.endMs > gapMs =>
@@ -57,19 +87,12 @@ object Sessionize {
                     new java.sql.Timestamp(o.startMs),
                     new java.sql.Timestamp(o.endMs), o.n)
                   open = Open(t, t, 1)
-                case o if t < o.startMs - gapMs =>
-                  // cross-batch late event separated from the open session
-                  // by more than the gap: batch semantics would attach it to
-                  // an earlier (already-emitted, immutable in append mode)
-                  // session — the bounded-state approximation emits it as
-                  // its own session rather than wrongly merging it forward
-                  closed += Session(uid,
-                    new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
                 case o =>
                   // late-but-adjacent event: extend with min/max, never
                   // move session_end backwards
                   open = Open(math.min(o.startMs, t), math.max(o.endMs, t), o.n + 1)
               }
+              i += 1
             }
             state.update(open)
             state.setTimeoutTimestamp(open.endMs + gapMs)
@@ -87,7 +110,31 @@ object Sessionize {
       gapMs: Long): (Seq[Session], Open) = {
     var open = prev
     val closed = Seq.newBuilder[Session]
-    sorted.foreach { t =>
+    // same late-prefix chain-merge as the inline fold in [[sessions]] —
+    // the two stay separate implementations so the equality spec means
+    // something, but they must agree on the late-data approximation
+    var i = 0
+    if (open != null) {
+      var late: Open = null
+      while (i < sorted.length && sorted(i) < open.startMs - gapMs) {
+        val t = sorted(i)
+        late match {
+          case null => late = Open(t, t, 1)
+          case l if t - l.endMs > gapMs =>
+            closed += Session(uid,
+              new java.sql.Timestamp(l.startMs),
+              new java.sql.Timestamp(l.endMs), l.n)
+            late = Open(t, t, 1)
+          case l => late = Open(l.startMs, math.max(l.endMs, t), l.n + 1)
+        }
+        i += 1
+      }
+      if (late != null) closed += Session(uid,
+        new java.sql.Timestamp(late.startMs),
+        new java.sql.Timestamp(late.endMs), late.n)
+    }
+    while (i < sorted.length) {
+      val t = sorted(i)
       open match {
         case null => open = Open(t, t, 1)
         case o if t - o.endMs > gapMs =>
@@ -95,12 +142,10 @@ object Sessionize {
             new java.sql.Timestamp(o.startMs),
             new java.sql.Timestamp(o.endMs), o.n)
           open = Open(t, t, 1)
-        case o if t < o.startMs - gapMs =>
-          closed += Session(uid,
-            new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
         case o =>
           open = Open(math.min(o.startMs, t), math.max(o.endMs, t), o.n + 1)
       }
+      i += 1
     }
     (closed.result(), open)
   }

@@ -52,6 +52,44 @@ class SessionizeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("an offline buffer flush merges into ONE late session, not n singles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    // a real allowed-lateness window: with 0s the engine's watermark
+    // filter would drop the buffered events before they reach the fold
+    val sessions = Sessionize.sessions(
+      in.toDS().toDF("user_id", "ts")
+        .withWatermark("ts", "3 hours")
+        .as[(Long, java.sql.Timestamp)])
+    val q = sessions.writeStream
+      .format("memory").queryName("late_sessions_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1 opens a session at t=120min
+      in.addData((1L, ts(120)))
+      q.processAllAvailable()
+      // batch 2: a device flushes three buffered offline events from
+      // t=0..10 — all separated from the open session by > the gap,
+      // but within the gap of each other: ONE late session [0, 10] n=3.
+      // A fourth buffered event at t=60 is > gap from both the chain
+      // and the open session: its own single.
+      in.addData((1L, ts(0)), (1L, ts(5)), (1L, ts(10)), (1L, ts(60)))
+      q.processAllAvailable()
+      val got = spark.table("late_sessions_out")
+        .as[Sessionize.Session].collect()
+        .map(s => (s.session_start.getTime, s.session_end.getTime, s.n_events))
+        .toSet
+      assert(got.contains((ts(0).getTime, ts(10).getTime, 3L)),
+        s"buffered chain must merge: $got")
+      assert(got.contains((ts(60).getTime, ts(60).getTime, 1L)),
+        s"chain-breaking late event stays its own session: $got")
+      assert(got.size == 2, s"open session must stay open: $got")
+    } finally q.stop()
+  }
+
   test("streaming sessions agree with the batch (oracle-checked) sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
