@@ -82,11 +82,20 @@ object Dedup {
     import s.implicits._
     docs
       .filter(size(split($"text", " ")) >= 3)
-      .select($"doc_id", expr(
-        """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
-          |                         i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"""
-          .stripMargin).as("sh"))
+      .select($"doc_id", expr(ShingleExpr).as("sh"))
   }
+
+  /** The 3-gram shingle ARRAY expression over `text` — THE shingle
+    * definition, shared by the per-doc dedup path ([[shingleSetsOf]])
+    * and the per-source overlap census ([[sourceOverlap]]) so a width or
+    * tokenization change cannot silently drift them apart.
+    * ([[setSimilarityJoin]] deliberately keeps its own
+    * short-doc-inclusive variant: its SQL oracle re-derives that exact
+    * pipeline shingle-for-shingle.) */
+  private[operators] val ShingleExpr: String =
+    """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+      |                         i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"""
+      .stripMargin
 
   /** k=32 MinHash signature per doc: sig[k] = min over shingles of a
     * k-salted hash. Each shingle STRING is hashed exactly once; the k
@@ -132,6 +141,28 @@ object Dedup {
     out.sparkSession.createDataFrame(rows, out.schema)
   }
 
+  /** The (doc_id, band, key) relation of a (doc_id, sig, …) frame — THE
+    * banding definition, shared by the batch candidate join and the
+    * incremental triage so a band-shape change cannot drift them apart
+    * (the k=16→32 migration had to touch six literal sites in lockstep;
+    * this collapses the two banding ones into one). */
+  private[operators] def bandKeysOf(sigs: DataFrame): DataFrame = {
+    val s = sigs.sparkSession
+    import s.implicits._
+    sigs.select($"doc_id", explode(expr(
+        s"""transform(sequence(0, ${LshBands - 1}),
+           |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * $LshRows + 1, $LshRows))))"""
+          .stripMargin)).as("bk"))
+      .select($"doc_id", $"bk.band", $"bk.key")
+  }
+
+  /** Exact shingle-set Jaccard rounded to 4 dp — the one scoring column
+    * both the batch pair pipeline and the incremental triage report. */
+  private[operators] def exactJaccardCol(shA: org.apache.spark.sql.Column,
+      shB: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(size(array_intersect(shA, shB)).cast("double") /
+      size(array_union(shA, shB)), 4)
+
   /** Returns (candidate pairs, the persisted signature relation backing
     * them — caller must release it, see materializeAndRelease). */
   private[operators] def lshCandidates(s: SparkSession, d: String): (DataFrame, DataFrame) = {
@@ -142,12 +173,7 @@ object Dedup {
     // 32 longs + the shingle array per doc. Callers release it via
     // materializeAndRelease.
     val sigs = withMinhashSig(shingleSets(s, d)).persist()
-    val banded = sigs.select($"doc_id",
-        explode(expr(
-          s"""transform(sequence(0, ${LshBands - 1}),
-             |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * $LshRows + 1, $LshRows))))"""
-            .stripMargin)).as("bk"))
-      .select($"doc_id", $"bk.band", $"bk.key")
+    val banded = bandKeysOf(sigs)
     val small = banded.groupBy($"band", $"key")
       .agg(count(lit(1)).as("bucket_n"))
       .filter($"bucket_n" <= 500)
@@ -193,8 +219,7 @@ object Dedup {
       .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .select($"doc_a", $"doc_b",
-        round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b")), 4).as("jaccard")),
+        exactJaccardCol($"sh_a", $"sh_b").as("jaccard")),
       sigs)
   }
 
@@ -227,7 +252,7 @@ object Dedup {
     val (cands, sigs) = lshCandidates(s, d)
     materializeAndRelease(
       cands
-        // double, not decimal: the estimate is an exact multiple of 1/16,
+        // double, not decimal: the estimate is an exact multiple of 1/32 (k=32),
         // and the golden oracle round-trips through DuckDB, which widens
         // decimals to float64 (a decimal column would hash-mismatch on
         // dtype alone)
@@ -262,13 +287,38 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** SimHash near-dup edge set: banded candidate generation (2 × 32-bit
-    * bands), then exact Hamming check via bit_count(xor). Same two scale
-    * guards as lshCandidates: narrow join payload (ids + one long) and a
-    * degenerate-bucket cap — correlated bits on boilerplate-heavy corpora
-    * otherwise make one band key quadratic. Returns the UNLIMITED
-    * (doc_a, doc_b, hamming) relation + the persisted hash relation the
-    * caller must release. */
+  /** SimHash near-dup edge set: banded candidate generation (4 × 16-bit
+    * blocks), then exact Hamming check via bit_count(xor). The block
+    * count is the recall dial (pigeonhole): a Hamming-h pair collides on
+    * ≥1 untouched block whenever h < 4, so recall is GUARANTEED for
+    * h ≤ 3 and probabilistic above (an h-bit difference is missed only
+    * when the h bits cover all 4 blocks — impossible for h ≤ 3,
+    * increasingly unlikely per-pair to matter as h grows because such
+    * pairs are barely near-dups). The previous 2 × 32 shape guaranteed
+    * only h ≤ 1 while the cluster contract advertises ≤ 6 — a pair
+    * differing by one bit in EACH half was silently never a candidate.
+    * Same two scale guards as lshCandidates: narrow join payload (ids +
+    * one long) and a degenerate-bucket cap — correlated bits on
+    * boilerplate-heavy corpora otherwise make one band key quadratic.
+    * Returns the UNLIMITED (doc_a, doc_b, hamming) relation + the
+    * persisted hash relation the caller must release. */
+  private[operators] val SimhashBands = 4
+
+  /** The (doc_id, simhash, band, key) block-key relation of a
+    * (doc_id, simhash) frame — extracted so the pigeonhole recall
+    * property is testable on planted hashes (SimhashBandingSpec). */
+  private[operators] def simhashBandKeys(hashed: DataFrame): DataFrame = {
+    val s = hashed.sparkSession
+    import s.implicits._
+    hashed.select($"doc_id", $"simhash",
+      explode(expr(
+        s"""transform(sequence(0, ${SimhashBands - 1}),
+           |          b -> named_struct('band', b,
+           |                            'key', shiftright(simhash, b * ${64 / SimhashBands}) & ${(1L << (64 / SimhashBands)) - 1}))"""
+          .stripMargin)).as("bk"))
+      .select($"doc_id", $"simhash", $"bk.band", $"bk.key")
+  }
+
   private[operators] def simhashEdges(s: SparkSession, d: String,
       maxHamming: Int): (DataFrame, DataFrame) = {
     import s.implicits._
@@ -276,13 +326,7 @@ object Dedup {
     // one long per doc) so the per-document hashing runs once.
     val hashed = withSimhash(Tables.documents(s, d))
       .select($"doc_id", $"simhash").persist()
-    val banded = hashed.select($"doc_id", $"simhash",
-      explode(expr(
-        """transform(sequence(0, 1),
-          |          b -> named_struct('band', b,
-          |                            'key', shiftright(simhash, b * 32) & 4294967295))"""
-          .stripMargin)).as("bk"))
-      .select($"doc_id", $"simhash", $"bk.band", $"bk.key")
+    val banded = simhashBandKeys(hashed)
     val small = banded.groupBy($"band", $"key")
       .agg(count(lit(1)).as("bucket_n"))
       .filter($"bucket_n" <= 500)
@@ -322,7 +366,7 @@ object Dedup {
       val clusters = connectedComponents(edges.select($"doc_a", $"doc_b"))
       clusterMapping(clusters).write.mode("overwrite").parquet(dir)
       hashed.unpersist(blocking = false)
-      clusters.unpersist(blocking = false)
+      SessionCaches.freeLocalCheckpoint(clusters)
     }.orderBy($"doc_id")
   }
 
@@ -477,13 +521,16 @@ object Dedup {
         .select($"v", coalesce($"c2", $"cluster_id").as("cluster_id"), $"prev")
         .localCheckpoint()
       val changed = next.filter($"cluster_id" =!= $"prev").limit(1).count()
-      checkpointed.unpersist(blocking = false)
+      // NOT Dataset.unpersist — that is a no-op for checkpoint blocks
+      // (they live outside the CacheManager); free the prior round's
+      // partitions explicitly or they pile up until a driver GC
+      SessionCaches.freeLocalCheckpoint(checkpointed)
       checkpointed = next
       labels = next.select($"v", $"cluster_id")
       converged = changed == 0
       i += 1
     }
-    adj.unpersist(blocking = false)
+    SessionCaches.freeLocalCheckpoint(adj)
     if (!converged && strict)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters iterations — " +
@@ -511,7 +558,7 @@ object Dedup {
         .filter($"jaccard" >= jThreshold).select($"doc_a", $"doc_b")
       val clusters = connectedComponents(edges)
       clusterMapping(clusters).write.mode("overwrite").parquet(dir)
-      clusters.unpersist(blocking = false)
+      SessionCaches.freeLocalCheckpoint(clusters)
     }.orderBy($"doc_id")
   }
 
@@ -595,7 +642,7 @@ object Dedup {
       val refreshed = refreshClusterLabels(frozenLabels,
         pairs.filter(batchTouch).select($"doc_a", $"doc_b"))
       clusterMapping(refreshed).write.mode("overwrite").parquet(dir)
-      frozenLabels.unpersist(blocking = false)
+      SessionCaches.freeLocalCheckpoint(frozenLabels)
     }.orderBy($"doc_id")
   }
 
@@ -719,18 +766,12 @@ object Dedup {
     {
       val corpusSigs = withMinhashSig(shingleSetsOf(corpus)).persist()
       val batchSigs = withMinhashSig(shingleSetsOf(batch)).persist()
-      def bandKeys(sigs: DataFrame) = sigs.select($"doc_id",
-          explode(expr(
-            s"""transform(sequence(0, ${LshBands - 1}),
-               |          b -> named_struct('band', b, 'key', xxhash64(slice(sig, b * $LshRows + 1, $LshRows))))"""
-              .stripMargin)).as("bk"))
-        .select($"doc_id", $"bk.band", $"bk.key")
-      val cb = bandKeys(corpusSigs)
+      val cb = bandKeysOf(corpusSigs)
       val smallC = cb.groupBy($"band", $"key")
         .agg(count(lit(1)).as("bucket_n"))
         .filter($"bucket_n" <= 500)
         .select($"band", $"key")
-      val cand = bandKeys(batchSigs)
+      val cand = bandKeysOf(batchSigs)
         .join(cb.join(smallC, Seq("band", "key"))
           .select($"band", $"key", $"doc_id".as("src")), Seq("band", "key"))
         .select($"doc_id", $"src")
@@ -742,8 +783,7 @@ object Dedup {
         .join(batchSigs.select($"doc_id", $"sh".as("sh_a")), "doc_id")
         .join(corpusSigs.select($"doc_id".as("src"), $"sh".as("sh_b")), "src")
         .select($"doc_id", $"src",
-          round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-            size(array_union($"sh_a", $"sh_b")), 4).as("jaccard"))
+          exactJaccardCol($"sh_a", $"sh_b").as("jaccard"))
         .filter($"jaccard" >= minJaccard)
       val elected = verified
         .groupBy($"doc_id")
@@ -904,10 +944,7 @@ object Dedup {
     import s.implicits._
     val sh = Tables.documents(s, d)
       .filter(size(split($"text", " ")) >= 3)
-      .select($"source", explode(expr(
-        """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
-          |                         i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"""
-          .stripMargin)).as("sh"))
+      .select($"source", explode(expr(ShingleExpr)).as("sh"))
       .distinct()
     val per = sh.groupBy($"source").agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),

@@ -43,6 +43,22 @@ object SessionCaches {
       _ => scala.collection.concurrent.TrieMap.empty[String, Any])
   }
 
+  /** Free the BlockManager partitions behind `localCheckpoint()`-backed
+    * frames reachable from `df`'s plan. `Dataset.unpersist` is a NO-OP
+    * for these: it only uncaches CacheManager entries, and checkpoint
+    * blocks live outside it (otherwise reclaimed only when the
+    * ContextCleaner eventually GCs the RDD — which in a 298-query
+    * Verify/Bench session means iterative-CC blocks pile up between
+    * GCs). Walks to the plan's LogicalRDD leaves so a `select` over a
+    * checkpoint releases too. Only call once the frame's contents are
+    * no longer needed by ANY live derivation. */
+  def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Memoize a BOUNDED driver-side value per (session, key). */
   def memo[V](s: SparkSession, key: String)(build: => V): V =
     perSession(s).getOrElseUpdate("val:" + key, build).asInstanceOf[V]

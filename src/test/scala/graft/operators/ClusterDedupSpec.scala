@@ -85,6 +85,29 @@ class ClusterDedupSpec extends SparkSuite {
     }
   }
 
+  test("simhash banding: any Hamming<=3 pair shares a block key (pigeonhole)") {
+    import spark.implicits._
+    // the regression the 2x32-band shape missed: one differing bit in
+    // EACH half (Hamming 2, well under the cluster threshold) matched
+    // neither 32-bit band key and the pair was silently never a candidate
+    val base = 0x1234_5678_9ABC_DEF0L
+    val crossHalf = base ^ (1L << 5) ^ (1L << 40)
+    val threeBits = base ^ (1L << 3) ^ (1L << 21) ^ (1L << 55) // 3 blocks hit
+    val fourBits = base ^ (1L << 3) ^ (1L << 21) ^ (1L << 37) ^ (1L << 55)
+    val hashed = Seq((1L, base), (2L, crossHalf), (3L, threeBits), (4L, fourBits))
+      .toDF("doc_id", "simhash")
+    val keys = Dedup.simhashBandKeys(hashed)
+      .select($"doc_id", $"band", $"key").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    def collides(a: Long, b: Long) = (keys(a) & keys(b)).nonEmpty
+    assert(collides(1L, 2L), "cross-half Hamming-2 pair must be a candidate")
+    assert(collides(1L, 3L), "Hamming-3 pair must be a candidate (pigeonhole)")
+    // 4 bits covering all 4 blocks is the first shape banding CAN miss —
+    // pin the boundary so a future block-count change is a conscious one
+    assert(!collides(1L, 4L),
+      "all-blocks-hit Hamming-4 is outside the banding guarantee")
+  }
+
   test("minhash and simhash evidence overlap but measure different similarity") {
     // The signals are intentionally different: minhash works on ORDERED
     // 3-gram shingles, simhash on the token SET — a reordered document is
