@@ -47,6 +47,29 @@ object Graph {
   private[operators] val Scale = 1000000000000L
   private[operators] val Iters = 10
   private[operators] val NDomains = 97
+  /** The unrolled min-plus BFS chain d2..dRadius every distance oracle
+    * shares (3 verbatim copies before this): d_k holds min-distance ≤ k
+    * pairs; iterating to [[Radius]] bounds the certified diameter. */
+  private def minPlusCtes: String = (2 to Radius).map { k =>
+    val prev = s"d${k - 1}"
+    s""",
+       |d$k AS (SELECT src, dst, min(d) AS d FROM (
+       |          SELECT src, dst, d FROM $prev
+       |          UNION ALL
+       |          SELECT p.src, e.dst, p.d + 1 AS d
+       |          FROM $prev p JOIN edges e ON p.dst = e.src
+       |        ) GROUP BY src, dst)""".stripMargin
+  }.mkString
+
+  /** The derived-edge UNION ALL body every Graph oracle shares — ONE
+    * definition so the engine/oracle twin pairs cannot desynchronize on
+    * a LinkDerivations change (8 verbatim copies before this). */
+  private lazy val EdgeUnionSql: String = LinkDerivations
+    .map { case (m, c) =>
+      s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
+    }
+    .mkString(" UNION ALL ")
+
 
   /** (multiplier, offset) pairs deriving the three out-links of each
     * document; distinct residue maps so a doc's links spread over the
@@ -121,11 +144,7 @@ object Graph {
     * construction — prototyped and verified against an independent
     * Python implementation at sf0.001/0.01/0.1 before adoption. */
   val domainRankOracle: String = {
-    val edgeUnion = LinkDerivations
-      .map { case (m, c) =>
-        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
-      }
-      .mkString(" UNION ALL ")
+    val edgeUnion = EdgeUnionSql
     val head =
       s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
          |nodes AS (SELECT DISTINCT src AS node FROM edges
@@ -218,11 +237,7 @@ object Graph {
     * consecutive rank CTEs, cut at the first converged iteration exactly
     * like the engine's early stop. */
   val pagerankCertificateOracle: String = {
-    val edgeUnion = LinkDerivations
-      .map { case (m, c) =>
-        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
-      }
-      .mkString(" UNION ALL ")
+    val edgeUnion = EdgeUnionSql
     val head =
       s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
          |nodes AS (SELECT DISTINCT src AS node FROM edges
@@ -316,24 +331,11 @@ object Graph {
     * min-plus unrolled as chained CTEs, 1/d as the identical integer
     * division. */
   val harmonicCentralityOracle: String = {
-    val edgeUnion = LinkDerivations
-      .map { case (m, c) =>
-        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
-      }
-      .mkString(" UNION ALL ")
+    val edgeUnion = EdgeUnionSql
     val head =
       s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
          |d1 AS (SELECT src, dst, 1 AS d FROM edges)""".stripMargin
-    val iters = (2 to Radius).map { k =>
-      val prev = s"d${k - 1}"
-      s""",
-         |d$k AS (SELECT src, dst, min(d) AS d FROM (
-         |          SELECT src, dst, d FROM $prev
-         |          UNION ALL
-         |          SELECT p.src, e.dst, p.d + 1 AS d
-         |          FROM $prev p JOIN edges e ON p.dst = e.src
-         |        ) GROUP BY src, dst)""".stripMargin
-    }.mkString
+    val iters = minPlusCtes
     val tail =
       s"""
          |SELECT 'd' || CAST(dst AS VARCHAR) || '.example.com' AS domain,
@@ -474,7 +476,10 @@ object Graph {
     val effT = totals.find { case (_, n) => 10L * n >= 9L * nMax }.get._1
     totals.toSeq.toDF("t", "pairs_est")
       .select($"t", $"pairs_est",
-        round($"pairs_est".cast("double") / lit(nMax.toDouble), 4).as("frac"),
+        // decimal-quantize before the 4-dp round (the gapfill idiom:
+        // raw-double rounds are engine-dependent at half-boundaries)
+        round(($"pairs_est".cast("double") / lit(nMax.toDouble))
+          .cast("decimal(28,8)"), 4).cast("double").as("frac"),
         ($"t" === effT).cast("int").as("is_effective_diameter"))
       .orderBy($"t")
   }
@@ -486,26 +491,13 @@ object Graph {
     * column being checked, so a wrong flag fails even when every estimate
     * passes its envelope). */
   val effectiveDiameterOracle: String = {
-    val edgeUnion = LinkDerivations
-      .map { case (m, c) =>
-        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
-      }
-      .mkString(" UNION ALL ")
+    val edgeUnion = EdgeUnionSql
     val head =
       s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
          |nv AS (SELECT count(*) AS n FROM (SELECT DISTINCT src AS v FROM edges
          |        UNION SELECT DISTINCT dst FROM edges)),
          |d1 AS (SELECT src, dst, 1 AS d FROM edges)""".stripMargin
-    val iters = (2 to Radius).map { k =>
-      val prev = s"d${k - 1}"
-      s""",
-         |d$k AS (SELECT src, dst, min(d) AS d FROM (
-         |          SELECT src, dst, d FROM $prev
-         |          UNION ALL
-         |          SELECT p.src, e.dst, p.d + 1 AS d
-         |          FROM $prev p JOIN edges e ON p.dst = e.src
-         |        ) GROUP BY src, dst)""".stripMargin
-    }.mkString
+    val iters = minPlusCtes
     val exacts = (0 to Radius).map { t =>
       if (t == 0) s"SELECT 0 AS t, n AS exact_pairs FROM nv"
       else
@@ -524,7 +516,7 @@ object Graph {
          |SELECT g.t,
          |  CASE WHEN abs(g.pairs_est - ex.exact_pairs) <= 0.04 * ex.exact_pairs
          |       THEN g.pairs_est ELSE -1 END AS pairs_est,
-         |  CASE WHEN g.frac = round(CAST(g.pairs_est AS DOUBLE) / gm.pmax, 4)
+         |  CASE WHEN g.frac = CAST(round(CAST(CAST(g.pairs_est AS DOUBLE) / gm.pmax AS DECIMAL(28,8)), 4) AS DOUBLE)
          |       THEN g.frac ELSE -1 END AS frac,
          |  CASE WHEN g.is_effective_diameter = CAST(g.t = gm.eff_t AS INT)
          |       THEN g.is_effective_diameter ELSE -1 END AS is_effective_diameter
@@ -542,24 +534,11 @@ object Graph {
     * both the values and the headline ordering are checked against
     * ground truth, not against the engine's own frozen output. */
   val harmonicHyperBallOracle: String = {
-    val edgeUnion = LinkDerivations
-      .map { case (m, c) =>
-        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
-      }
-      .mkString(" UNION ALL ")
+    val edgeUnion = EdgeUnionSql
     val head =
       s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
          |d1 AS (SELECT src, dst, 1 AS d FROM edges)""".stripMargin
-    val iters = (2 to Radius).map { k =>
-      val prev = s"d${k - 1}"
-      s""",
-         |d$k AS (SELECT src, dst, min(d) AS d FROM (
-         |          SELECT src, dst, d FROM $prev
-         |          UNION ALL
-         |          SELECT p.src, e.dst, p.d + 1 AS d
-         |          FROM $prev p JOIN edges e ON p.dst = e.src
-         |        ) GROUP BY src, dst)""".stripMargin
-    }.mkString
+    val iters = minPlusCtes
     val tail =
       s""",
          |ex AS (SELECT 'd' || CAST(dst AS VARCHAR) || '.example.com' AS domain,
@@ -569,14 +548,20 @@ object Graph {
          |       FROM d$Radius WHERE src <> dst
          |       GROUP BY dst),
          |g AS (${Golden.dispatch("graph_harmonic_hll")})
-         |SELECT CASE WHEN g.__row < 10 AND ex.re <> g.__row + 1
+         |-- LEFT join + zero-coalesce: a node with NO in-edges never
+         |-- enters ex (it groups by dst) but the engine rightly emits its
+         |-- h_units=0 state row — an inner join would silently shrink the
+         |-- oracle side and fail on row count (unreachable on the current
+         |-- bijective derivations, load-bearing the day they change)
+         |SELECT CASE WHEN g.__row < 10 AND coalesce(ex.re, 0) <> g.__row + 1
          |            THEN 'ORDER_MISMATCH' ELSE g.domain END AS domain,
-         |       CASE WHEN abs(g.h_units - ex.h_exact) <= 0.04 * ex.h_exact
+         |       CASE WHEN abs(g.h_units - coalesce(ex.h_exact, 0))
+         |                 <= 0.04 * coalesce(ex.h_exact, 0)
          |            THEN g.h_units ELSE -1 END AS h_units,
-         |       CASE WHEN abs(g.harmonic - ex.h_exact / 1e6)
-         |                 <= 0.04 * (ex.h_exact / 1e6)
+         |       CASE WHEN abs(g.harmonic - coalesce(ex.h_exact, 0) / 1e6)
+         |                 <= 0.04 * (coalesce(ex.h_exact, 0) / 1e6)
          |            THEN g.harmonic ELSE -1 END AS harmonic
-         |FROM g JOIN ex ON ex.domain = g.domain
+         |FROM g LEFT JOIN ex ON ex.domain = g.domain
          |ORDER BY g.__row""".stripMargin
     head + iters + tail
   }
@@ -645,6 +630,16 @@ object Graph {
     val und = edgesIn
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
       .distinct().persist()
+    triangleCountsOfUnd(und)
+  }
+
+  /** The counting core over an ALREADY-canonical (a, b) relation —
+    * callers holding the canonical set materialized (the incremental
+    * refresh shares it with three other references) pass it straight in
+    * instead of paying the derive+distinct again. */
+  private[operators] def triangleCountsOfUnd(und: DataFrame): DataFrame = {
+    val s = und.sparkSession
+    import s.implicits._
     // localCheckpoint is EAGER: deg and oriented are materialized here,
     // once — the self-join below would otherwise recompute the whole
     // orientation chain per reference (persist alone doesn't help: the
@@ -686,11 +681,7 @@ object Graph {
     * exactly). The quotient's operands are identical integers on both
     * sides, so the 4-dp round of the IEEE double agrees bit-for-bit. */
   val triangleCountsOracle: String = {
-    val edgeUnion = LinkDerivations
-      .map { case (m, c) =>
-        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
-      }
-      .mkString(" UNION ALL ")
+    val edgeUnion = EdgeUnionSql
     s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
        |deg AS (SELECT node, count(*) AS degree FROM
@@ -747,10 +738,12 @@ object Graph {
     // so the "append" contributes genuinely new edges, not duplicates
     val base = docs.where($"doc_id" % NDomains >= 20)
     val delta = docs.where($"doc_id" % NDomains < 20)
+    // ONE derive+distinct of the base edge set, eagerly materialized —
+    // it feeds the base counts AND the refresh's three references
     val undOld = domainEdgesOf(base)
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      .distinct()
-    val baseCounts = triangleCountsOf(domainEdgesOf(base))
+      .distinct().localCheckpoint()
+    val baseCounts = triangleCountsOfUnd(undOld)
     refreshTriangles(baseCounts, undOld, domainEdgesOf(delta))
   }
 
@@ -891,11 +884,7 @@ object Graph {
     * bit-identical by construction, converged or not, because both
     * engines run the identical round count. */
   val kCoreOracle: String = {
-    val edgeUnion = LinkDerivations
-      .map { case (m, c) =>
-        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
-      }
-      .mkString(" UNION ALL ")
+    val edgeUnion = EdgeUnionSql
     val head =
       s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
          |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
@@ -1026,9 +1015,16 @@ object Graph {
       edgesIn: DataFrame, driverLimit: Long = 2000000L): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
-    val nEdges = edgesIn.count()
-    if (nEdges <= driverLimit) sccTarjan(edgesIn)
-    else stronglyConnectedDistributed(edgesIn)
+    // persist across the path decision AND the chosen path's read —
+    // without it the sizing count and the Tarjan collect (or the
+    // distributed loop's first iteration) each re-run the derived
+    // edge pipeline from scratch
+    val edges = edgesIn.persist()
+    try {
+      val nEdges = edges.count()
+      if (nEdges <= driverLimit) sccTarjan(edges)
+      else stronglyConnectedDistributed(edges)
+    } finally edges.unpersist(blocking = false)
   }
 
   /** Iterative (explicit-stack) Tarjan over a driver-collected edge list —
@@ -1213,11 +1209,7 @@ object Graph {
   /** Fully independent oracle: same unrolled-CTE replay as
     * [[domainRankOracle]] with the seed-restricted teleport term. */
   val pprSeededOracle: String = {
-    val edgeUnion = LinkDerivations
-      .map { case (m, c) =>
-        s"SELECT doc_id % $NDomains AS src, (doc_id * $m + $c) % $NDomains AS dst FROM documents"
-      }
-      .mkString(" UNION ALL ")
+    val edgeUnion = EdgeUnionSql
     val head =
       s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgeUnion) WHERE src <> dst),
          |nodes AS (SELECT DISTINCT src AS node FROM edges

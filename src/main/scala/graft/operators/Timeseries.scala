@@ -174,10 +174,12 @@ object Timeseries {
           .otherwise(expr("xi / cast(shiftleft(cast(1 as bigint), e) as double)"))
           .cast("decimal(28,8)").as("term"))
       .groupBy($"event_type", $"hour", $"t", $"xt")
-      .agg(round(sum($"term").cast("double"), 4).as("ewma"))
+      // round the DECIMAL sum (exact HALF_UP), then widen — rounding
+      // after the double cast is the half-boundary hazard
+      .agg(round(sum($"term"), 4).cast("double").as("ewma"))
       .select($"event_type",
         date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
-        $"t", $"xt".as("x"), $"ewma")
+        $"t".cast("long").as("t"), $"xt".as("x"), $"ewma")
       .orderBy($"event_type", $"t")
   }
 
@@ -204,7 +206,7 @@ object Timeseries {
       |SELECT event_type,
       |       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
       |       CAST(t AS BIGINT) AS t, xt AS x,
-      |       CAST(round(CAST(sum(term) AS DOUBLE), 4) AS DOUBLE) AS ewma
+      |       CAST(round(sum(term), 4) AS DOUBLE) AS ewma
       |FROM terms
       |GROUP BY event_type, hour, t, xt
       |ORDER BY event_type, t""".stripMargin
@@ -271,7 +273,10 @@ object Timeseries {
       }
       .toDF("event_type", "t", "x", "cusum_raw", "alarm")
       .select($"event_type", $"t".cast("long").as("t"), $"x",
-        round($"cusum_raw", 4).as("cusum_pos"), $"alarm")
+        // the gapfill decimal-quantize idiom: rounding a raw double at
+        // 4 dp is engine-dependent exactly at half-boundaries
+        round($"cusum_raw".cast("decimal(28,8)"), 4).cast("double").as("cusum_pos"),
+        $"alarm")
       .orderBy($"event_type", $"t")
   }
 
@@ -305,7 +310,7 @@ object Timeseries {
       |         greatest(0.0, c.s + b.x - (b.mu + b.sigma / 2))
       |  FROM c JOIN b ON b.event_type = c.event_type AND b.t = c.t + 1)
       |SELECT event_type, CAST(t AS BIGINT) AS t, x,
-      |       CAST(round(s, 4) AS DOUBLE) AS cusum_pos,
+      |       CAST(round(CAST(s AS DECIMAL(28,8)), 4) AS DOUBLE) AS cusum_pos,
       |       CAST(CASE WHEN s > 4 * sigma THEN 1 ELSE 0 END AS INT) AS alarm
       |FROM c
       |ORDER BY event_type, t""".stripMargin
@@ -365,8 +370,10 @@ object Timeseries {
       }
       .toDF("event_type", "t", "x", "l", "b", "f")
       .select($"event_type", $"t".cast("long").as("t"), $"x",
-        round($"l", 4).as("level"), round($"b", 4).as("trend"),
-        round($"f", 4).as("forecast"))
+        // decimal-quantize before the 4-dp round (the gapfill idiom)
+        round($"l".cast("decimal(28,8)"), 4).cast("double").as("level"),
+        round($"b".cast("decimal(28,8)"), 4).cast("double").as("trend"),
+        round($"f".cast("decimal(28,8)"), 4).cast("double").as("forecast"))
       .orderBy($"event_type", $"t")
   }
 
@@ -388,9 +395,9 @@ object Timeseries {
       |         (((i.x + (c.l + c.b)) / 2 - c.l) + c.b) / 2
       |  FROM c JOIN idx i ON i.event_type = c.event_type AND i.t = c.t + 1)
       |SELECT event_type, CAST(t AS BIGINT) AS t, x,
-      |       CAST(round(l, 4) AS DOUBLE) AS level,
-      |       CAST(round(b, 4) AS DOUBLE) AS trend,
-      |       CAST(round(l + b, 4) AS DOUBLE) AS forecast
+      |       CAST(round(CAST(l AS DECIMAL(28,8)), 4) AS DOUBLE) AS level,
+      |       CAST(round(CAST(b AS DECIMAL(28,8)), 4) AS DOUBLE) AS trend,
+      |       CAST(round(CAST(l + b AS DECIMAL(28,8)), 4) AS DOUBLE) AS forecast
       |FROM c ORDER BY event_type, t""".stripMargin
       .replace("hourly_src", "events")
 
