@@ -107,8 +107,8 @@ class BatchOpsSpec extends SparkSuite {
       ("a", java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 6.0))
       .toDF("event_type", "hour", "x")
     val got = Timeseries.ewmaHourlyOf(hourly)
-      .select($"t", $"ewma").as[(Int, Double)].collect().toMap
-    assert(got === Map(1 -> 1.0, 2 -> 2.0, 3 -> 2.0, 4 -> 4.0))
+      .select($"t", $"ewma").as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 1.0, 2L -> 2.0, 3L -> 2.0, 4L -> 4.0))
     // and against an independent recursion on a longer pseudo-random series
     val xs = (1 to 80).map(i => (i * 37 % 11).toDouble)
     val longSeries = xs.zipWithIndex.map { case (x, i) =>
