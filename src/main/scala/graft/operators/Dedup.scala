@@ -81,20 +81,30 @@ object Dedup {
     val s = docs.sparkSession
     import s.implicits._
     docs
-      .filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id", split($"text", " ").as("__w"))
+      .filter(size($"__w") >= 3)
       .select($"doc_id", expr(ShingleExpr).as("sh"))
   }
 
-  /** The 3-gram shingle ARRAY expression over `text` — THE shingle
-    * definition, shared by the per-doc dedup path ([[shingleSetsOf]])
-    * and the per-source overlap census ([[sourceOverlap]]) so a width or
-    * tokenization change cannot silently drift them apart.
-    * ([[setSimilarityJoin]] deliberately keeps its own
-    * short-doc-inclusive variant: its SQL oracle re-derives that exact
-    * pipeline shingle-for-shingle.) */
+  /** The 3-gram shingle ARRAY expression over a pre-split token column
+    * `__w` — THE shingle definition, shared by the per-doc dedup path
+    * ([[shingleSetsOf]]) and the per-source overlap census
+    * ([[sourceOverlap]]) so a width or tokenization change cannot
+    * silently drift them apart. ([[setSimilarityJoin]] deliberately
+    * keeps its own short-doc-inclusive variant: its SQL oracle
+    * re-derives that exact pipeline shingle-for-shingle.)
+    *
+    * Callers MUST project `split(text, ' ') AS __w` first: the earlier
+    * form inlined `split(text, ' ')` inside the transform lambda, where
+    * it is re-evaluated for EVERY shingle position — O(tokens²) string
+    * work per document (measured 1.7 s of dedup_ngram_jaccard's 2.9 s at
+    * sf0.1; the split itself is the dominant cost and lambda-bound
+    * subtrees are outside codegen subexpression elimination). Splitting
+    * once in a prior projection is pure common-subexpression hoisting:
+    * byte-identical shingle sets. */
   private[operators] val ShingleExpr: String =
-    """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
-      |                         i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"""
+    """array_distinct(transform(sequence(0, size(__w) - 3),
+      |                         i -> concat_ws(' ', slice(__w, i + 1, 3))))"""
       .stripMargin
 
   /** k=32 MinHash signature per doc: sig[k] = min over shingles of a
@@ -125,12 +135,13 @@ object Dedup {
     * Returns doc_a < doc_b with both shingle sets and signatures attached.
     *
     * Two scale guards, both essential at 100 TB:
-    *  - the self-join carries ONLY (band, key, doc_id) — shingle sets and
-    *    signatures are re-attached after pair dedup, so the shuffle rows
-    *    are a few dozen bytes, not documents;
+    *  - the pair-generation shuffle carries ONLY (band, key, doc_id) —
+    *    shingle sets and signatures are re-attached after pair dedup, so
+    *    the shuffle rows are a few dozen bytes, not documents;
     *  - degenerate buckets (band keys shared by >500 docs — boilerplate/
-    *    template content) are dropped before the join: one hot key would
-    *    otherwise create a quadratic pair explosion. */
+    *    template content) are dropped before pairs form: one hot key
+    *    would otherwise create a quadratic pair explosion (and bounds
+    *    the per-bucket member list at ≤500 ids ≈ 4 KB). */
   /** Collect a small (≤ limit-bounded) result and release the persisted
     * relations backing it: without this, every pair query run in a
     * long-lived session (Verify/Bench run all of them) pins its caches in
@@ -174,16 +185,20 @@ object Dedup {
     // materializeAndRelease.
     val sigs = withMinhashSig(shingleSets(s, d)).persist()
     val banded = bandKeysOf(sigs)
-    val small = banded.groupBy($"band", $"key")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter($"bucket_n" <= 500)
-      .select($"band", $"key")
-    val pruned = banded.join(small, Seq("band", "key"))
-    val a = pruned.select($"band", $"key", $"doc_id".as("doc_a"))
-    val b = pruned.select($"band", $"key", $"doc_id".as("doc_b"))
-    val pairs = a.join(b, Seq("band", "key"))
+    // One shuffle generates all bucket pairs: group the (band, key)
+    // bucket's members (bounded ≤500 by the same degenerate-bucket cap
+    // as before, so a group is ≤4 KB — no skew exposure), then emit the
+    // ordered pairs map-side with a double explode. The earlier shape —
+    // census aggregate, join back, self-join, dedup — shuffled the
+    // banded relation four times to produce the identical pair set
+    // (guide §2.4: two operations keyed the same way share one
+    // exchange; here all four collapse into the groupBy's).
+    val pairs = banded.groupBy($"band", $"key")
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids").between(2, 500))
+      .select(explode($"ids").as("doc_a"), $"ids")
+      .select($"doc_a", explode($"ids").as("doc_b"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b")
       .dropDuplicates("doc_a", "doc_b")
     (pairs
       .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
@@ -327,17 +342,20 @@ object Dedup {
     val hashed = withSimhash(Tables.documents(s, d))
       .select($"doc_id", $"simhash").persist()
     val banded = simhashBandKeys(hashed)
-    val small = banded.groupBy($"band", $"key")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter($"bucket_n" <= 500)
-      .select($"band", $"key")
-    val pruned = banded.join(small, Seq("band", "key"))
-    val l = pruned.select($"band", $"key", $"doc_id".as("doc_a"), $"simhash".as("sh_a"))
-    val r = pruned.select($"band", $"key", $"doc_id".as("doc_b"), $"simhash".as("sh_b"))
-    (l.join(r, Seq("band", "key"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b",
-        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+    // One shuffle generates the bucket pairs (the lshCandidates shape):
+    // the (doc_id, simhash) members of a block-key bucket — bounded
+    // ≤500 by the degenerate-bucket cap, ≤8 KB per group — are
+    // collected once, ordered pairs + exact Hamming emitted map-side.
+    // The earlier census/join-back/self-join spelling shuffled the
+    // banded relation four times for the identical edge set.
+    (banded.groupBy($"band", $"key")
+      .agg(collect_list(struct($"doc_id", $"simhash")).as("ms"))
+      .filter(size($"ms").between(2, 500))
+      .select(explode($"ms").as("a"), $"ms")
+      .select($"a", explode($"ms").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
       .filter($"hamming" <= maxHamming)
       .dropDuplicates("doc_a", "doc_b"),
       hashed)
@@ -943,7 +961,8 @@ object Dedup {
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, d)
-      .filter(size(split($"text", " ")) >= 3)
+      .select($"source", split($"text", " ").as("__w"))
+      .filter(size($"__w") >= 3)
       .select($"source", explode(expr(ShingleExpr)).as("sh"))
       .distinct()
     val per = sh.groupBy($"source").agg(count(lit(1)).as("n"))
