@@ -99,50 +99,86 @@ object AnnPanel {
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("rank").cast("int").as("rank"))
 
+  /** ONE ranking pass for a whole tagged method set: union the scored
+    * frames and rank over (method, qid) in a single window — per-method
+    * row_number over qid is identical rank-for-rank, but the one-window
+    * form pays ONE exchange for the whole panel instead of one per
+    * method (9 exchanges + their AQE stages dominated the panel build
+    * at sf0.1: the data is 2k rows, the cost was stage count). */
+  private def rankTagged(union: DataFrame, k: Int = TopK): DataFrame =
+    union
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("method"), col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("method"), col("qid"), col("vec_id"),
+        col("rank").cast("int").as("rank"))
+
+  private def rankAllMethods(tagged: Seq[(String, DataFrame)],
+      k: Int = TopK): DataFrame =
+    rankTagged(tagged.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("qid"), col("vec_id"), col("score"))
+    }.reduce(_ unionAll _), k)
+
   // -----------------------------------------------------------------
-  // Per-method panel variants. Each: one corpus/index scan, the panel
-  // broadcast, a window rank — the batched twin of the single-query
-  // operator it is named after (same probe selection, same scoring,
-  // same tie-breaks), with the query's own vector excluded per query.
+  // Per-method panel variants. Each `scoredX`: one corpus/index scan,
+  // the panel broadcast, (qid, vec_id, score) rows — the batched twin
+  // of the single-query operator it is named after (same probe
+  // selection, same scoring, same tie-breaks), with the query's own
+  // vector excluded per query. The ranked `panelX` forms survive for
+  // callers that need one method alone (specs, annTune's exact set);
+  // the artifact builders rank the union once via [[rankAllMethods]].
   // -----------------------------------------------------------------
 
-  /** Exact panel top-10: every candidate scores all 32 queries in one
+  /** Exact panel scores: every candidate scores all 32 queries in one
     * scan (32× row amplification on a narrow projection — at 100 TB
     * still the right brute shape: embarrassingly parallel, no shuffle
-    * beyond the bounded 32-partition rank). */
-  private[operators] def panelBrute(s: SparkSession, d: String,
+    * beyond the bounded rank). */
+  private def scoredBrute(s: SparkSession, d: String,
       qs: Seq[(Long, Seq[Float])]): DataFrame = {
     import s.implicits._
-    val scored = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .crossJoin(broadcast(queriesDF(s, qs)))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id", round(cosine($"embedding", $"qv"), 6).as("score"))
-    rankPerQuery(scored)
   }
 
-  /** LSH panel: the (query, probe-sig) pairs (≤37 sigs per query at
-    * radius 2) broadcast-join the sig-assigned candidates — each
-    * candidate has ONE sig, so no (query, candidate) pair forms twice. */
-  private[operators] def panelLsh(s: SparkSession, d: String,
-      qs: Seq[(Long, Seq[Float])], radius: Int = 2): DataFrame = {
+  private[operators] def panelBrute(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])]): DataFrame =
+    rankPerQuery(scoredBrute(s, d, qs))
+
+  /** LSH panel scores at Hamming radius `maxRadius`, the per-pair
+    * probe Hamming distance attached as `h` — so every radius r ≤
+    * maxRadius is derivable by `h <= r` (the probe set of radius r IS
+    * the radius-maxRadius set filtered to h ≤ r; [[tunePanel]] derives
+    * its whole radius sweep from this one scan). Each candidate has
+    * ONE sig, so no (query, candidate) pair forms twice. */
+  private def scoredLshWithH(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])], maxRadius: Int): DataFrame = {
     import s.implicits._
     val probes = for {
       (qid, qv) <- qs
-      sig <- Similarity.lshProbesOf(qv, radius)
-    } yield (qid, sig, qv)
-    val qdf = broadcast(probes.toDF("qid", "sig", "qv"))
-    val scored = Tables.embeddings(s, d)
+      qSig = Similarity.sigOf(qv)
+      sig <- Similarity.lshProbesOf(qv, maxRadius)
+    } yield (qid, sig, Integer.bitCount(sig ^ qSig), qv)
+    val qdf = broadcast(probes.toDF("qid", "sig", "h", "qv"))
+    Tables.embeddings(s, d)
       .withColumn("sig", Similarity.sigCol($"embedding"))
       .join(qdf, "sig")
       .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id", round(cosine($"embedding", $"qv"), 6).as("score"))
-    rankPerQuery(scored)
+      .select($"qid", $"vec_id", $"h",
+        round(cosine($"embedding", $"qv"), 6).as("score"))
   }
 
-  /** LSH panel against the materialized index: the union of all probed
-    * sigs is a PARTITION filter (the scan lists only those directories),
-    * then the same per-query sig join assigns candidates to queries. */
-  private[operators] def panelLshIndexed(s: SparkSession, d: String,
+  private[operators] def panelLsh(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])], radius: Int = 2): DataFrame =
+    rankPerQuery(scoredLshWithH(s, d, qs, radius).drop("h"))
+
+  /** LSH panel scores against the materialized index: the union of all
+    * probed sigs is a PARTITION filter (the scan lists only those
+    * directories), then the same per-query sig join assigns candidates
+    * to queries. */
+  private def scoredLshIndexed(s: SparkSession, d: String,
       qs: Seq[(Long, Seq[Float])], radius: Int = 2): DataFrame = {
     import s.implicits._
     val probes = for {
@@ -151,18 +187,21 @@ object AnnPanel {
     } yield (qid, sig, qv)
     val allSigs = probes.map(_._2).distinct
     val qdf = broadcast(probes.toDF("qid", "sig", "qv"))
-    val scored = s.read.parquet(Similarity.lshIndexDir(s, d))
+    s.read.parquet(Similarity.lshIndexDir(s, d))
       .filter($"sig".isin(allSigs: _*))
       .join(qdf, "sig")
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id", round(cosine($"embedding", $"qv"), 6).as("score"))
-    rankPerQuery(scored)
   }
 
-  /** IVF panel: (query, probe-cell) pairs join the cell-assigned
+  private[operators] def panelLshIndexed(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])], radius: Int = 2): DataFrame =
+    rankPerQuery(scoredLshIndexed(s, d, qs, radius))
+
+  /** IVF panel scores: (query, probe-cell) pairs join the cell-assigned
     * candidates; probe selection per query matches [[Similarity
     * .ivfProbesOf]] (ties toward the larger cell, the cellAssign rule). */
-  private[operators] def panelIvf(s: SparkSession, d: String,
+  private def scoredIvf(s: SparkSession, d: String,
       qs: Seq[(Long, Seq[Float])], nProbe: Int = 4): DataFrame = {
     import s.implicits._
     val cents = Similarity.kmeansCentroids(s, d)
@@ -171,35 +210,46 @@ object AnnPanel {
       cell <- Similarity.ivfProbesOf(cents, qv, nProbe)
     } yield (qid, cell, qv)
     val qdf = broadcast(probes.toDF("qid", "cell", "qv"))
-    val scored = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .withColumn("cell", Similarity.cellAssign(cents)($"embedding"))
       .join(qdf, "cell")
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id", round(cosine($"embedding", $"qv"), 6).as("score"))
-    rankPerQuery(scored)
   }
 
-  /** IVF panel against the materialized index — probe selection against
-    * the centroids STORED in the index (the refresh contract), union of
-    * probed cells as the partition filter. */
-  private[operators] def panelIvfIndexed(s: SparkSession, d: String,
-      qs: Seq[(Long, Seq[Float])], nProbe: Int = 4): DataFrame = {
+  private[operators] def panelIvf(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])], nProbe: Int = 4): DataFrame =
+    rankPerQuery(scoredIvf(s, d, qs, nProbe))
+
+  /** IVF panel scores against the materialized index — probe selection
+    * against the centroids STORED in the index (the refresh contract),
+    * union of probed cells as the partition filter. The per-(query,
+    * cell) probe RANK rides along as `prank` (1 = nearest): probes at
+    * nProbe p are BY CONSTRUCTION the first p of the ranked probe list,
+    * so every p ≤ maxProbe is derivable by `prank <= p` —
+    * [[tunePanel]] derives its whole probe sweep from this one scan. */
+  private def scoredIvfIndexedWithRank(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])], maxProbe: Int): DataFrame = {
     import s.implicits._
     val dir = Similarity.ivfIndexDir(s, d)
     val cents = Similarity.indexCentroids(s, dir)
     val probes = for {
       (qid, qv) <- qs
-      cell <- Similarity.ivfProbesOf(cents, qv, nProbe)
-    } yield (qid, cell, qv)
+      (cell, idx) <- Similarity.ivfProbesOf(cents, qv, maxProbe).zipWithIndex
+    } yield (qid, cell, idx + 1, qv)
     val allCells = probes.map(_._2).distinct
-    val qdf = broadcast(probes.toDF("qid", "cell", "qv"))
-    val scored = s.read.parquet(dir)
+    val qdf = broadcast(probes.toDF("qid", "cell", "prank", "qv"))
+    s.read.parquet(dir)
       .filter($"cell".isin(allCells: _*))
       .join(qdf, "cell")
       .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id", round(cosine($"embedding", $"qv"), 6).as("score"))
-    rankPerQuery(scored)
+      .select($"qid", $"vec_id", $"prank",
+        round(cosine($"embedding", $"qv"), 6).as("score"))
   }
+
+  private[operators] def panelIvfIndexed(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])], nProbe: Int = 4): DataFrame =
+    rankPerQuery(scoredIvfIndexedWithRank(s, d, qs, nProbe).drop("prank"))
 
   private def ldp(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0; var i = 0
@@ -207,12 +257,12 @@ object AnnPanel {
     acc
   }
 
-  /** PQ-ADC panel at shortlist depth `k`: one 128-double LUT per query
-    * (M=8 subspaces × K=16 codewords) rides the broadcast query table;
-    * the scan reads only the 8-byte codes. Same rint-1e-6 score
-    * rounding as the single-query knnPq. */
-  private def panelPqShort(s: SparkSession, d: String,
-      qs: Seq[(Long, Seq[Float])], k: Int): DataFrame = {
+  /** PQ-ADC panel scores: one 128-double LUT per query (M=8 subspaces ×
+    * K=16 codewords) rides the broadcast query table; the scan reads
+    * only the 8-byte codes. Same rint-1e-6 score rounding as the
+    * single-query knnPq. */
+  private def scoredPq(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])]): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val cb = Pq.codebooksOf(emb, d)
@@ -230,34 +280,41 @@ object AnnPanel {
       while (m < Pq.M) { sc += lut(m * Pq.K + (code(m) & 0xff)); m += 1 }
       math.rint(sc * 1e6) / 1e6
     }
-    val scored = Pq.encodedOf(emb, d)
+    Pq.encodedOf(emb, d)
       .crossJoin(qdf)
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id", score($"pq_code", $"lut").as("score"))
-    rankPerQuery(scored, k)
   }
+
+  private def panelPqShort(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])], k: Int): DataFrame =
+    rankPerQuery(scoredPq(s, d, qs), k)
 
   private[operators] def panelPq(s: SparkSession, d: String,
       qs: Seq[(Long, Seq[Float])]): DataFrame = panelPqShort(s, d, qs, TopK)
 
-  /** Two-stage PQ panel: ADC shortlist (40 per query, the knnPqRerank
-    * depth), exact re-score of ONLY the shortlisted (query, id) pairs —
-    * the shortlist is ≤ 1280 rows, broadcast back against one narrow
-    * full-vector scan. */
-  private[operators] def panelPqRerank(s: SparkSession, d: String,
+  /** Two-stage PQ panel scores: ADC shortlist (40 per query, the
+    * knnPqRerank depth), exact re-score of ONLY the shortlisted
+    * (query, id) pairs — the shortlist is ≤ 1280 rows, broadcast back
+    * against one narrow full-vector scan. */
+  private def scoredPqRerank(s: SparkSession, d: String,
       qs: Seq[(Long, Seq[Float])], shortlist: Int = 40): DataFrame = {
     import s.implicits._
     val short = panelPqShort(s, d, qs, shortlist).select($"qid", $"vec_id")
     val qdf = broadcast(queriesDF(s, qs))
-    val scored = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .join(broadcast(short.join(qdf, "qid")), "vec_id")
       .select($"qid", $"vec_id", round(cosine($"embedding", $"qv"), 6).as("score"))
-    rankPerQuery(scored)
   }
 
-  /** SQ8-ADC panel: per-query (bias, reweighted steps, norm) ride the
-    * broadcast table; the scan reads the 64-byte codes + stored norms. */
-  private[operators] def panelSq8(s: SparkSession, d: String,
+  private[operators] def panelPqRerank(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])], shortlist: Int = 40): DataFrame =
+    rankPerQuery(scoredPqRerank(s, d, qs, shortlist))
+
+  /** SQ8-ADC panel scores: per-query (bias, reweighted steps, norm)
+    * ride the broadcast table; the scan reads the 64-byte codes +
+    * stored norms. */
+  private def scoredSq8(s: SparkSession, d: String,
       qs: Seq[(Long, Seq[Float])]): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
@@ -270,19 +327,22 @@ object AnnPanel {
       (qid, bias, w, qn)
     }
     val qdf = broadcast(rows.toDF("qid", "bias", "w", "qn"))
-    val scored = Sq8.encodedOf(emb, d)
+    Sq8.encodedOf(emb, d)
       .crossJoin(qdf)
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id",
         round((($"bias" + byteDot($"sq8_code", $"w")) / ($"sq8_norm" * $"qn")), 6).as("score"))
-    rankPerQuery(scored)
   }
 
-  /** PCA-rerank panel: candidate reduced coordinates computed ONCE (K=8
-    * projections per row), per-query reduced distance via zip_with over
-    * the broadcast reduced queries, shortlist 200 per query, exact
-    * re-score of the shortlist. */
-  private[operators] def panelPcaRerank(s: SparkSession, d: String,
+  private[operators] def panelSq8(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])]): DataFrame =
+    rankPerQuery(scoredSq8(s, d, qs))
+
+  /** PCA-rerank panel scores: candidate reduced coordinates computed
+    * ONCE (K=8 projections per row), per-query reduced distance via
+    * zip_with over the broadcast reduced queries, shortlist 200 per
+    * query, exact re-score of the shortlist. */
+  private def scoredPcaRerank(s: SparkSession, d: String,
       qs: Seq[(Long, Seq[Float])], shortlist: Int = 200): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     import s.implicits._
@@ -311,43 +371,48 @@ object AnnPanel {
       .filter($"rk" <= shortlist)
       .select($"qid", $"vec_id")
     val qdf2 = broadcast(queriesDF(s, qs))
-    val scored = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .join(broadcast(short.join(qdf2, "qid")), "vec_id")
       .select($"qid", $"vec_id", round(cosine($"embedding", $"qv"), 6).as("score"))
-    rankPerQuery(scored)
   }
 
-  /** Every panel method by its registered single-query name — the audit
-    * surface. `sim_knn_brute` is the exact truth row (self-check: its
-    * recall must be 10/10 on every panel query). */
-  private[operators] def panelMethods(s: SparkSession, d: String,
+  private[operators] def panelPcaRerank(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])], shortlist: Int = 200): DataFrame =
+    rankPerQuery(scoredPcaRerank(s, d, qs, shortlist))
+
+  /** Every panel method's SCORED frame by its registered single-query
+    * name — the audit surface. `sim_knn_brute` is the exact truth row
+    * (self-check: its recall must be 10/10 on every panel query). */
+  private def scoredMethods(s: SparkSession, d: String,
       qs: Seq[(Long, Seq[Float])]): Seq[(String, DataFrame)] = Seq(
-    "sim_knn_brute" -> panelBrute(s, d, qs),
-    "sim_knn_ivf" -> panelIvf(s, d, qs),
-    "sim_knn_ivf_indexed" -> panelIvfIndexed(s, d, qs),
-    "sim_knn_lsh" -> panelLsh(s, d, qs),
-    "sim_knn_lsh_indexed" -> panelLshIndexed(s, d, qs),
-    "sim_knn_pca_rerank" -> panelPcaRerank(s, d, qs),
-    "sim_knn_pq" -> panelPq(s, d, qs),
-    "sim_knn_pq_rerank" -> panelPqRerank(s, d, qs),
-    "sim_knn_sq8" -> panelSq8(s, d, qs))
+    "sim_knn_brute" -> scoredBrute(s, d, qs),
+    "sim_knn_ivf" -> scoredIvf(s, d, qs),
+    "sim_knn_ivf_indexed" -> scoredIvfIndexedWithRank(s, d, qs, 4).drop("prank"),
+    "sim_knn_lsh" -> scoredLshWithH(s, d, qs, 2).drop("h"),
+    "sim_knn_lsh_indexed" -> scoredLshIndexed(s, d, qs),
+    "sim_knn_pca_rerank" -> scoredPcaRerank(s, d, qs),
+    "sim_knn_pq" -> scoredPq(s, d, qs),
+    "sim_knn_pq_rerank" -> scoredPqRerank(s, d, qs),
+    "sim_knn_sq8" -> scoredSq8(s, d, qs))
+
+  /** Ranked per-method forms (specs and single-method callers). */
+  private[operators] def panelMethods(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])]): Seq[(String, DataFrame)] =
+    scoredMethods(s, d, qs).map { case (m, df) => m -> rankPerQuery(df) }
 
   private[operators] val PanelMethodNames: Seq[String] =
     Seq("sim_knn_brute", "sim_knn_ivf", "sim_knn_ivf_indexed", "sim_knn_lsh",
       "sim_knn_lsh_indexed", "sim_knn_pca_rerank", "sim_knn_pq",
       "sim_knn_pq_rerank", "sim_knn_sq8")
 
-  /** Tag each method's ranked rows, union, and decorate every row with
-    * the EXACT cosine recomputed from the base table (one narrow
-    * embeddings scan against the broadcast ≤2.9k-row union) — the value
-    * column the DuckDB twin re-derives independently. */
+  /** Decorate a tagged-and-ranked union with the EXACT cosine
+    * recomputed from the base table (one narrow embeddings scan against
+    * the broadcast ≤2.9k-row union) — the value column the DuckDB twin
+    * re-derives independently. */
   private def decorated(s: SparkSession, d: String,
-      qs: Seq[(Long, Seq[Float])], tagged: Seq[(String, DataFrame)]): DataFrame = {
+      qs: Seq[(Long, Seq[Float])], ranked: DataFrame): DataFrame = {
     import s.implicits._
-    val union = tagged.map { case (m, df) =>
-      df.select(lit(m).as("method"), $"qid", $"vec_id", $"rank")
-    }.reduce(_ unionAll _)
-    val withQ = union.join(broadcast(queriesDF(s, qs)), "qid")
+    val withQ = ranked.join(broadcast(queriesDF(s, qs)), "qid")
     Tables.embeddings(s, d)
       .join(broadcast(withQ), "vec_id")
       .select($"method", $"qid", $"vec_id", $"rank",
@@ -356,19 +421,28 @@ object AnnPanel {
 
   /** `sim_ann_panel`: the full audit evidence — every method × every
     * panel query × top-10, served as a build-once artifact (the
-    * downstream report reads it as a FileScan). */
+    * downstream report reads it as a FileScan). All nine methods rank
+    * in ONE window over (method, qid) — see [[rankAllMethods]]. */
   def annPanel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     SessionCaches.parquetArtifact(s, s"ann-panel:$d") { outDir =>
       val qs = panelQueries(s, d)
-      decorated(s, d, qs, panelMethods(s, d, qs))
+      decorated(s, d, qs, rankAllMethods(scoredMethods(s, d, qs)))
         .coalesce(1).write.mode("overwrite").parquet(outDir)
     }.orderBy($"method", $"qid", $"rank")
   }
 
   /** `sim_ann_tune_panel`: the operating-point sweep's audit evidence —
     * IVF at probes ∈ {1,2,4,8} (`ivf_p*`) and LSH at Hamming radius ∈
-    * {0,1,2,3} (`lsh_r*`), same row shape as [[annPanel]]. */
+    * {0,1,2,3} (`lsh_r*`), same row shape as [[annPanel]].
+    *
+    * The whole sweep comes from TWO scans, not eight: probe sets are
+    * nested by construction (probes at p = first p of the ranked list;
+    * radius-r sigs = radius-3 sigs with Hamming ≤ r), so one
+    * max-operating-point scan per family carries `prank`/`h` and each
+    * point is a filter over it — identical candidates, scores and
+    * tie-breaks to the per-point pipelines, at a quarter of the
+    * scan+join+stage cost. */
   def tunePanel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     SessionCaches.parquetArtifact(s, s"ann-tune-panel:$d") { outDir =>
@@ -380,10 +454,21 @@ object AnnPanel {
       // incremental refresh the advisor would score cells the serve
       // path does not probe (identical to the scan variant until a
       // refresh diverges them)
-      val tagged =
-        IvfProbes.map(p => s"ivf_p$p" -> panelIvfIndexed(s, d, qs, p)) ++
-          LshRadii.map(r => s"lsh_r$r" -> panelLsh(s, d, qs, r))
-      decorated(s, d, qs, tagged)
+      // Each scored row explodes into exactly the operating points it
+      // qualifies for (p ≥ prank / r ≥ h) — per-point filters over a
+      // shared frame would re-plan the scan per point, the explode
+      // keeps it to one physical scan per family.
+      val ivfUnion = scoredIvfIndexedWithRank(s, d, qs, IvfProbes.max)
+        .select($"qid", $"vec_id", $"score",
+          explode(filter(typedlit(IvfProbes), p => p >= $"prank")).as("p"))
+        .select(concat(lit("ivf_p"), $"p".cast("string")).as("method"),
+          $"qid", $"vec_id", $"score")
+      val lshUnion = scoredLshWithH(s, d, qs, LshRadii.max)
+        .select($"qid", $"vec_id", $"score",
+          explode(filter(typedlit(LshRadii), r => r >= $"h")).as("r"))
+        .select(concat(lit("lsh_r"), $"r".cast("string")).as("method"),
+          $"qid", $"vec_id", $"score")
+      decorated(s, d, qs, rankTagged(ivfUnion.unionAll(lshUnion)))
         .coalesce(1).write.mode("overwrite").parquet(outDir)
     }.orderBy($"method", $"qid", $"rank")
   }

@@ -477,7 +477,13 @@ object Similarity {
       centroids: Seq[(Int, Seq[Double])], path: String, mode: String): Unit =
     emb
       .withColumn("cell", cellAssign(centroids)(col("embedding")))
-      .repartition(col("cell"))
+      // EXPLICIT partition count (= cell count): a bare repartition(col)
+      // participates in AQE partition coalescing, which collapses a
+      // small shuffle to ONE task that then writes every cell directory
+      // sequentially (measured: the 256-bucket LSH twin spent ~6 s in
+      // one writer task at sf0.1). One task per cell is the right write
+      // shape at every scale — the cell is the partition dir.
+      .repartition(centroids.size, col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(path)
 
   /** One-time IVF index build: one narrow assignment pass + one
@@ -530,8 +536,11 @@ object Similarity {
       .withColumn("sig", sigCol(col("embedding")))
       // 256 sig buckets from one writer task = 256 sequential file
       // opens (~4 of the 5 build seconds at sf0.1); repartitioning on
-      // the key spreads the writes across the executor threads
-      .repartition(col("sig"))
+      // the key spreads the writes across the executor threads. The
+      // count must be EXPLICIT: a bare repartition(col) is subject to
+      // AQE partition coalescing, which merged this tiny shuffle back
+      // to one writer task and re-serialized the 256 file opens.
+      .repartition(1 << NumPlanes, col("sig"))
       .write.mode(mode).partitionBy("sig").parquet(path)
 
   /** One-time LSH index build: embeddings partitioned by their 8-bit

@@ -23,11 +23,21 @@ object Warehouse {
 
   /** Write events into the minute-partitioned warehouse. One shuffle on the
     * partition key (repartition before partitionBy keeps it to one file per
-    * minute instead of files × tasks — at 100 TB adjust to
-    * `repartition(n, col)` for multiple writers per hot minute). */
+    * minute instead of files × tasks — at 100 TB adjust the explicit count
+    * upward for multiple writers per hot minute).
+    *
+    * The count is EXPLICIT (the session's configured shuffle parallelism,
+    * driven by SPARK_GRAFT_CPUS locally and by the operator's
+    * data-proportional setting on a cluster): a bare `repartition(col)`
+    * participates in AQE partition coalescing, which merged the 10M-event
+    * scale leg's write into ~8 tasks that each opened ~200 minute
+    * directories sequentially — writer parallelism, not data size, bounds
+    * this write. Hashing on the minute still lands each minute in exactly
+    * one task, so the one-file-per-minute layout is unchanged. */
   def writeEvents(events: DataFrame, path: String, mode: String = "overwrite"): Unit =
     Events.withEventMinute(events)
-      .repartition(col("event_minute"))
+      .repartition(events.sparkSession.sessionState.conf.numShufflePartitions,
+        col("event_minute"))
       // The sort must LEAD with the partition column: the dynamic-partition
       // writer requires ordering by partition columns and would otherwise
       // insert its own (non-stable) sort on event_minute, destroying the
