@@ -115,6 +115,37 @@ object Tables {
     spark.read.schema(schemas(table)).parquet(s"$sfDir/$table.parquet")
   }
 
+  /** Widen an under-parallel scan before HEAVY per-row work (guide §2.5:
+    * "one huge unsplittable file … repartition immediately after the
+    * read"). The sf parquet inputs are single-row-group files, so a scan
+    * yields ONE task however many cores the session has — every
+    * expensive narrow pipeline (shingling, per-token hashing, codec
+    * decode) was single-threaded until its first exchange (measured:
+    * featuresOf spent 3.0 s in one task at sf0.1 on 32 cores).
+    *
+    * Conditional, so the scale posture is unchanged: when the scan
+    * already carries at least the session's default parallelism (any
+    * real multi-file/multi-row-group table — a 100 TB table has
+    * thousands of splits), this is the identity and no shuffle is
+    * added. Round-robin repartition keeps Spark's sort-before-
+    * repartition retry determinism; callers must only use it where
+    * downstream math is partition-order-insensitive (exact integer /
+    * per-row / hash work — NOT float means like kmeansCentroids). */
+  def widened(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batches parallelize per trigger
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // Size-estimate gate, NOT df.rdd.getNumPartitions: the .rdd probe
+    // physically plans the frame a second time per call (measurable on
+    // sub-second queries). The optimizer's sizeInBytes for a file scan
+    // is the listed file size — a tiny input (< 4 MB/core: the regime
+    // where a one-row-group file starves the session) widens; any real
+    // table skips the extra shuffle entirely.
+    val tiny = scala.util.Try(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(target) * 4L * 1024 * 1024).getOrElse(false)
+    if (tiny) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -140,7 +140,9 @@ object Bpe {
     import s.implicits._
     val merges = learnMerges(s, d)
     val re = TokenRe.r
-    Tables.documents(s, d)
+    // widened: per-doc BPE encoding is the heaviest per-row closure in
+    // the text family (guide §2.5); output is one exact row per doc
+    Tables.widened(Tables.documents(s, d))
       .select($"doc_id", lower($"text").as("t"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>

@@ -35,7 +35,10 @@ object Classifier {
   def qualityClassifierOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val tok = docs
+    // widened: the per-token md5 runs in the scan task otherwise
+    // (one-row-group input, guide §2.5); downstream integer sums are
+    // order-independent
+    val tok = graft.Tables.widened(docs)
       .select($"doc_id", explode(split($"text", " ")).as("t"))
     val h = conv(substring(md5($"t"), 1, 8), 16, 10).cast("long")
     tok

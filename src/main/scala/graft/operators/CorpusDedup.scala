@@ -51,7 +51,10 @@ object CorpusDedup {
     * the space-joined window text, pos = 0-based start token index.
     * Narrow explode, no shuffle; output is ~n_tokens rows per doc. */
   private[operators] def tokenWindows(docs: DataFrame, k: Int = GramK): DataFrame =
-    docs
+    // widened: one md5 per overlapping k-token window — the substring
+    // family's dominant per-row cost (guide §2.5); downstream is
+    // hash-keyed elections and counts, all exact
+    graft.Tables.widened(docs)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(expr(
@@ -92,7 +95,9 @@ object CorpusDedup {
     * first-occurrence dedup (streaming/CorpusStream). Narrow, no shuffle;
     * works identically on a streaming DataFrame. */
   def withSegments(docs: DataFrame, segLen: Int = SegLen): DataFrame =
-    docs
+    // widened (identity on a streaming frame): per-segment md5 off a
+    // one-row-group batch scan is single-task otherwise (guide §2.5)
+    graft.Tables.widened(docs)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sg", explode(expr(
         s"""transform(sequence(0, cast(ceil(size(toks) / $segLen.0) as int) - 1),

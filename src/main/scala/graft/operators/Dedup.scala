@@ -80,7 +80,10 @@ object Dedup {
   private[operators] def shingleSetsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs
+    // widened: the shingle+minhash map is the pipeline's dominant
+    // per-row cost and must not run in the scan's single task on a
+    // one-row-group input (guide §2.5; downstream is hash/exact math)
+    graft.Tables.widened(docs)
       .select($"doc_id", split($"text", " ").as("__w"))
       .filter(size($"__w") >= 3)
       .select($"doc_id", expr(ShingleExpr).as("sh"))
@@ -287,7 +290,8 @@ object Dedup {
     // string-hash cost).
     {
       graft.functions.GraftFunctions.register(df.sparkSession)
-      df.withColumn("hs", expr(
+      // widened: per-row hashing, single-task on a one-row-group scan
+      graft.Tables.widened(df).withColumn("hs", expr(
           "transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
         .withColumn("simhash",
           call_function(graft.functions.GraftFunctions.SimHashName, col("hs")))
@@ -960,7 +964,9 @@ object Dedup {
     * construction (their Jaccard is 0). */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, d)
+    // widened: shingling cost, single-task on a one-row-group scan
+    // (guide §2.5); downstream distinct/counts are exact
+    val sh = Tables.widened(Tables.documents(s, d))
       .select($"source", split($"text", " ").as("__w"))
       .filter(size($"__w") >= 3)
       .select($"source", explode(expr(ShingleExpr)).as("sh"))
@@ -1031,7 +1037,9 @@ object Dedup {
   def setSimilarityJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(s, d)
+    // widened: shingling cost, single-task on a one-row-group scan
+    // (guide §2.5); the PPJoin pipeline downstream is exact integers
+    val tok = Tables.widened(Tables.documents(s, d))
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", explode(expr(
         """transform(sequence(0, greatest(size(ws) - 3, 0)),

@@ -64,13 +64,23 @@ object LrTrain {
   private[operators] def featuresOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val toks = split($"text", " ")
-    val bks = transform(toks, t => bucketCol(t))
-    docs.select(
-      $"doc_id",
-      transform(sequence(lit(0), lit(D - 1)),
-        j => size(filter(bks, b => b === j)).cast("long")).as("c"),
-      when(length($"text") >= 200, 1L).otherwise(0L).as("y"))
+    // The token→bucket hash array is PROJECTED first: inlining `bks`
+    // inside the per-bucket lambda re-evaluated the md5-per-token
+    // subtree for every one of the D buckets (lambda-bound subtrees sit
+    // outside codegen subexpression elimination) — 16× the string-hash
+    // work per document, the dominant cost of every lr-family query.
+    // Pure hoisting: identical counts. widened: the hashing must not run
+    // in the scan's single task on a one-row-group input (guide §2.5);
+    // every downstream training sum is exact int64, order-independent.
+    graft.Tables.widened(docs)
+      .select($"doc_id",
+        transform(split($"text", " "), t => bucketCol(t)).as("__bks"),
+        when(length($"text") >= 200, 1L).otherwise(0L).as("y"))
+      .select(
+        $"doc_id",
+        transform(sequence(lit(0), lit(D - 1)),
+          j => size(filter($"__bks", b => b === j)).cast("long")).as("c"),
+        $"y")
   }
 
   /** Full training loop; returns (weights[D], bias). Memoized per (session,
@@ -90,7 +100,20 @@ object LrTrain {
       for (_ <- 0 until Iters) {
         // raw = Σ w_j c_j + b in w-units (2^-20); pre = 2S + raw in
         // sigmoid units (2^-22); err4 = clamp(pre,0,4S) − 4S·y.
-        val raw = (0 until D).map(j => col("c")(j) * lit(w(j))).reduce(_ + _) + lit(b)
+        // The weights ride ONE array literal (w :+ b): the earlier
+        // per-weight lit(w(j)) inlined 17 primitive literals into the
+        // generated code, so every iteration's source differed and
+        // janino recompiled the aggregate 8 times (the
+        // Similarity.kmeansCentroids lesson — the array literal is a
+        // codegen reference object, so the source is value-independent
+        // and the compile cache holds). Exact int64 sums in the same
+        // order — bit-identical weights.
+        val wb = typedlit((w :+ b).toSeq)
+        // zip over the first D entries only (zip_with null-pads the
+        // shorter side — zipping c(16) against wb(17) would poison the
+        // sum with a null product); wb(D) is the bias (0-based apply)
+        val raw = aggregate(zip_with(col("c"), slice(wb, 1, D), (ci, wi) => ci * wi),
+          lit(0L), (acc, x) => acc + x) + wb(D)
         val pre = lit(2L * S) + raw
         val p4 = least(greatest(pre, lit(0L)), lit(4L * S))
         val err4 = p4 - lit(4L * S) * col("y")

@@ -45,6 +45,10 @@ object NgramLm {
     import s.implicits._
     val toks = split($"text", " ")
     val prev = concat(array(lit("<s>")), slice(toks, lit(1), size(toks) - 1))
+    // NOT widened: the zip-explode is cheap per row (no hashing), and a
+    // measured A/B showed the extra repartition costs more than the
+    // single-task scan here (0.68 s → 2.2 s with the widen) — the
+    // family's real cost is the count/join aggregates downstream
     docs
       .select($"doc_id", explode(arrays_zip(prev.as("w1"), toks.as("w2"))).as("p"))
       .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))

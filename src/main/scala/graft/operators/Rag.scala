@@ -39,7 +39,10 @@ object Rag {
   private[operators] def chunksWithText(docs: DataFrame,
                                         chunk: Int = 40, overlap: Int = 10): DataFrame = {
     val stride = chunk - overlap
-    docs
+    // widened: chunking + downstream per-chunk embedding is the RAG
+    // family's per-row cost (guide §2.5); consumers aggregate exact
+    // integers or per-doc max — partition-order-insensitive
+    graft.Tables.widened(docs)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, int(greatest(ceil((size(toks) - $overlap) / $stride.0) - 1, 0))),

@@ -310,7 +310,9 @@ object TextOps {
   def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = WinnowK; val w = WinnowW; val step = WinnowChunk
-    Tables.documents(s, d)
+    // widened: per-chunk k-gram hashing is the query's whole cost
+    // (guide §2.5); downstream distinct/xor/min are order-free
+    Tables.widened(Tables.documents(s, d))
       .filter(length($"text") >= k + w - 1)
       // chunk starts: 0, step, 2*step, … each chunk carries k+w-2 chars of
       // overlap so no window straddles a boundary un-seen
@@ -443,7 +445,9 @@ object TextOps {
     val mass = $"c" * length($"g")
     def frac(m: org.apache.spark.sql.Column) =
       round(coalesce(m, lit(0L)).cast("double") / $"nc", 4)
-    docs
+    // widened: the five-gram-size explode is heavy per-row string work
+    // (guide §2.5); downstream counts/mass are exact integers
+    graft.Tables.widened(docs)
       .select($"doc_id", length($"text").as("nc"), split($"text", " ").as("t"))
       .select($"doc_id", $"nc", explode(flatten(array(grams: _*))).as("gr"))
       .groupBy($"doc_id", $"nc", $"gr.n", $"gr.g").agg(count(lit(1)).as("c"))
@@ -1003,7 +1007,10 @@ object TextOps {
     * shingling edge rule this file already uses). */
   def gramNovelty(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tok = Tables.documents(s, d)
+    // widened: 8-gram shingling is heavy per-row string work and must
+    // not run in the scan's single task (guide §2.5); downstream is
+    // distinct/count — exact
+    val tok = Tables.widened(Tables.documents(s, d))
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", explode(expr(
         """transform(sequence(0, greatest(size(ws) - 8, 0)),
