@@ -49,6 +49,28 @@ object Datasheet {
     import s.implicits._
     val docs = Tables.documents(s, d)
 
+    // The readout is ~10 independent Spark actions; run them from a
+    // small thread pool so later jobs back-fill the executor threads a
+    // running job's tail leaves idle (guide §2.6 — actions are only
+    // sequential because driver code calls them sequentially). The
+    // near-dup cluster build and the gram-novelty pass are the two long
+    // poles and now overlap the cheap censuses instead of following
+    // them; results are awaited in order below, so values and the
+    // emitted rows are unchanged.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+
+    val clustersF = Future {
+      val clusters = Dedup.nearDupClusters(s, d)
+      (clusters.count(), clusters.select($"cluster_id").distinct().count())
+    }
+    val novSumF = Future(
+      TextOps.gramNovelty(s, d).agg(sum($"novelty_e6")).head().getLong(0))
+    val nDistinctF =
+      Future(docs.select(md5($"text".cast("binary"))).distinct().count())
+
     val base = docs.agg(
       count(lit(1)).as("n"),
       sum(size(split($"text", " ")).cast("long")).as("toks"),
@@ -81,15 +103,6 @@ object Datasheet {
     val (nLangs, topLang) = census("lang")
     val (nSources, topSource) = census("source")
 
-    val nDistinct = docs.select(md5($"text".cast("binary"))).distinct().count()
-
-    val clusters = Dedup.nearDupClusters(s, d)
-    val members = clusters.count()
-    val nClusters = clusters.select($"cluster_id").distinct().count()
-
-    val novSum = TextOps.gramNovelty(s, d)
-      .agg(sum($"novelty_e6")).head().getLong(0)
-
     // exact lower median of n_chars: min v whose cumulative count (ties
     // included) reaches ceil(n/2) — offsets per range bucket so every
     // window stays partitioned (the weighted-quantile shape)
@@ -104,6 +117,12 @@ object Datasheet {
       .withColumn("cw", $"__off" + sum(lit(1L)).over(wWin))
       .filter($"cw" >= target)
       .agg(min($"v")).head().getDouble(0).toLong
+
+    val (nDistinct, (members, nClusters), novSum) =
+      try ((Await.result(nDistinctF, Duration.Inf),
+        Await.result(clustersF, Duration.Inf),
+        Await.result(novSumF, Duration.Inf)))
+      finally pool.shutdown()
 
     Seq(
       ("n_docs", n),

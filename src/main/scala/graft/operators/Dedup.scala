@@ -1184,6 +1184,19 @@ object Dedup {
   private def dedupPipelineRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // Warm the two stage-independent long poles concurrently (guide
+    // §2.6): the near-dup cluster artifact (stage 2's input) and the
+    // semantic quantizer (stage 3's model) depend only on the base
+    // tables, not on stage 1 — building them while stage 1's
+    // fingerprint election runs overlaps most of the pipeline's cost.
+    // Both land in SessionCaches (dirMemo/modelMemo serialize per key),
+    // so the sequential calls below serve what the futures built.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val warmF = Future(nearDupClusters(s, d).count())
+      .zip(Future(Similarity.kmeansCentroids(s, d)))
     val docs = Tables.documents(s, d).select($"doc_id", $"text", $"n_chars")
     val exactTwins = docs.filter($"doc_id" % 25 === 0)
       .select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"n_chars")
@@ -1202,6 +1215,7 @@ object Dedup {
 
     // stage 2 — near-dup keep-best over the shared cluster artifact,
     // restricted to stage-1 survivors (planted ids are never members)
+    try Await.result(warmF, Duration.Inf) finally pool.shutdown()
     val members = nearDupClusters(s, d).select($"doc_id", $"cluster_id")
       .join(surv1.select($"doc_id", $"n_chars"), "doc_id")
     val w = Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")

@@ -104,10 +104,16 @@ object Graph {
     * highest rank first. */
   def domainRank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = domainEdges(s, d).persist()
+    // Out-degrees are attached to the edge relation ONCE, outside the
+    // loop (checkpointed, so iterations neither replan nor re-run the
+    // degree aggregate): the previous shape re-joined outdeg every
+    // iteration — one extra join stage × Iters on a metadata-scale
+    // relation whose cost is pure orchestration.
+    val edges = domainEdges(s, d)
+      .join(domainEdges(s, d).groupBy($"src").agg(count(lit(1)).as("odeg")), "src")
+      .localCheckpoint()
     val nodes = edges.select($"src".as("node"))
-      .union(edges.select($"dst".as("node"))).distinct().persist()
-    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("odeg"))
+      .union(edges.select($"dst".as("node"))).distinct().localCheckpoint()
     // Node count is a metadata-scale scalar (domain cardinality, not row
     // count) — the one driver value the iteration is seeded from.
     val n = nodes.count()
@@ -118,17 +124,18 @@ object Graph {
     for (_ <- 1 to Iters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
         .select($"dst", expr("r div odeg").as("share"))
         .groupBy($"dst").agg(sum($"share").as("contrib"))
+      val prev = ranks
       ranks = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select($"node",
           (lit(base) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"))
         .localCheckpoint()
+      SessionCaches.freeLocalCheckpoint(prev)
     }
-    edges.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    SessionCaches.freeLocalCheckpoint(edges)
+    SessionCaches.freeLocalCheckpoint(nodes)
     ranks
       .select(
         concat(lit("d"), $"node", lit(".example.com")).as("domain"),
@@ -192,10 +199,16 @@ object Graph {
     * metadata-scale collect pattern. */
   def pagerankCertificate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = domainEdges(s, d).persist()
+    // Same two structural cuts as [[domainRank]] (degree pre-join,
+    // checkpoint reclamation), plus the residual is FUSED into the
+    // iteration's checkpointed relation: `next` carries prev_r alongside
+    // r, so the per-iteration L1 delta is one narrow agg over the
+    // checkpoint instead of a separate next⋈prev join job.
+    val edges = domainEdges(s, d)
+      .join(domainEdges(s, d).groupBy($"src").agg(count(lit(1)).as("odeg")), "src")
+      .localCheckpoint()
     val nodes = edges.select($"src".as("node"))
-      .union(edges.select($"dst".as("node"))).distinct().persist()
-    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("odeg"))
+      .union(edges.select($"dst".as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
     val init = Scale / n
     val base = (15L * init) / 100L
@@ -207,23 +220,22 @@ object Graph {
       i += 1
       val contrib = edges
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
         .select($"dst", expr("r div odeg").as("share"))
         .groupBy($"dst").agg(sum($"share").as("contrib"))
-      val next = nodes
+      val prev = ranks
+      val next = prev.withColumnRenamed("r", "prev_r")
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select($"node",
+        .select($"node", $"prev_r",
           (lit(base) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"))
         .localCheckpoint()
-      val d1 = next.as("a")
-        .join(ranks.as("b"), $"a.node" === $"b.node")
-        .agg(sum(abs($"a.r" - $"b.r")).as("d")).head().getLong(0)
+      val d1 = next.agg(sum(abs($"r" - $"prev_r")).as("d")).head().getLong(0)
       deltas += ((i, d1))
       converged = d1 <= CertThreshold
-      ranks = next
+      ranks = next.select($"node", $"r")
+      SessionCaches.freeLocalCheckpoint(prev)
     }
-    edges.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    SessionCaches.freeLocalCheckpoint(edges)
+    SessionCaches.freeLocalCheckpoint(nodes)
     deltas.toSeq
       .toDF("iter", "l1_delta_scaled")
       .select($"iter", $"l1_delta_scaled",
@@ -1173,10 +1185,12 @@ object Graph {
     * [[domainRank]]; the only new state is the seed membership flag. */
   def pprSeeded(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = domainEdges(s, d).persist()
+    // degree pre-join + checkpoint reclamation — the domainRank shape
+    val edges = domainEdges(s, d)
+      .join(domainEdges(s, d).groupBy($"src").agg(count(lit(1)).as("odeg")), "src")
+      .localCheckpoint()
     val nodes = edges.select($"src".as("node"))
-      .union(edges.select($"dst".as("node"))).distinct().persist()
-    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("odeg"))
+      .union(edges.select($"dst".as("node"))).distinct().localCheckpoint()
     val isSeed = ($"node" % 10 === 0)
     val nSeeds = nodes.where(isSeed).count()
     val seedBase = (15L * Scale) / (100L * nSeeds)
@@ -1186,18 +1200,19 @@ object Graph {
     for (_ <- 1 to Iters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
         .select($"dst", expr("r div odeg").as("share"))
         .groupBy($"dst").agg(sum($"share").as("contrib"))
+      val prev = ranks
       ranks = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select($"node",
           (when(isSeed, lit(seedBase)).otherwise(lit(0L)) +
             expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"))
         .localCheckpoint()
+      SessionCaches.freeLocalCheckpoint(prev)
     }
-    edges.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    SessionCaches.freeLocalCheckpoint(edges)
+    SessionCaches.freeLocalCheckpoint(nodes)
     ranks
       .select(
         concat(lit("d"), $"node", lit(".example.com")).as("domain"),
