@@ -59,6 +59,85 @@ object AnnPanel {
   val IvfProbes: Seq[Int] = Seq(1, 2, 4, 8)
   val LshRadii: Seq[Int] = Seq(0, 1, 2, 3)
 
+  /** Run independent driver-side build chains concurrently (guide §2.6
+    * — the Datasheet pattern): Spark actions are only sequential because
+    * driver code calls them sequentially, and each panel prerequisite
+    * (k-means iterations, PQ Lloyd rounds, the Jacobi eig, SQ8 bounds,
+    * the two partitioned index writes, the panel-query collect) is an
+    * independent multi-job chain over a 2k-row corpus whose cost is
+    * stage/driver latency, not data. SessionCaches holders serialize
+    * per key, so concurrent warmers never double-build; results are
+    * driver-side values/dirs, so awaiting them all changes no bytes.
+    * Pool creation through await is one try/finally: a failed build
+    * can't leak non-daemon threads (the round-15 ADVICE seam). */
+  private def inParallelValues[T](tasks: Seq[() => T], width: Int = 4): Seq[T] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(width, tasks.size)))
+    try {
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      tasks.map(t => Future(t())).map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
+  private def inParallel(tasks: Seq[() => Unit]): Unit = {
+    inParallelValues(tasks); ()
+  }
+
+  /** Warm every trained model and index artifact the 9-method panel
+    * reads, concurrently. ivfIndexDir trains the k-means quantizer
+    * inside its own build; PQ/SQ8/PCA are model-tier; the LSH index
+    * write is fully independent. */
+  private def warmPanelState(s: SparkSession, d: String): Unit =
+    inParallel(Seq(
+      () => { panelQueries(s, d); () },
+      () => { Similarity.ivfIndexDir(s, d); () },
+      () => { Similarity.lshIndexDir(s, d); () },
+      () => { Pq.codebooksOf(Tables.embeddings(s, d), d); () },
+      () => { Sq8.paramsOf(Tables.embeddings(s, d), d); () },
+      () => { Pca.eig(s, d); () }))
+
+  /** Probe hooks (test scope callers — AnnWarmProbe A/Bs the pool). */
+  private[graft] def probeWarm(s: SparkSession, d: String): Unit =
+    warmPanelState(s, d)
+  private[graft] def probeWarmPhases(s: SparkSession, d: String): Seq[(String, Double)] = {
+    def t(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      "panelQueries" -> t { panelQueries(s, d); () },
+      "ivfIndexDir" -> t { Similarity.ivfIndexDir(s, d); () },
+      "lshIndexDir" -> t { Similarity.lshIndexDir(s, d); () },
+      "pqCodebooks" -> t { Pq.codebooksOf(Tables.embeddings(s, d), d); () },
+      "sq8Params" -> t { Sq8.paramsOf(Tables.embeddings(s, d), d); () },
+      "pcaEig" -> t { Pca.eig(s, d); () })
+  }
+
+  /** Panel-build phase timings (guide §1.4 noop sink for the decorate
+    * job): the pooled 9-method collect, then the decoration join over
+    * the bounded union. Test-scope caller (AnnWarmProbe). */
+  private[graft] def probePanelPhases(s: SparkSession, d: String): Seq[(String, Double)] = {
+    import s.implicits._
+    def t(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val qs = panelQueries(s, d)
+    var rankedRows: Seq[(String, Long, Long, Int)] = Nil
+    val mj = t {
+      rankedRows = inParallelValues(scoredThunks(s, d, qs).map {
+        case (m, th) => () =>
+          rankPerQuery(th())
+            .collect().toSeq.map(r => (m, r.getLong(0), r.getLong(1), r.getInt(2)))
+      }).flatten
+    }
+    val ranked = rankedRows.toDF("method", "qid", "vec_id", "rank")
+    val dec = t(decorated(s, d, qs, ranked)
+      .write.format("noop").mode("overwrite").save())
+    Seq("methodJobs(pooled)" -> mj, "decorate" -> dec)
+  }
+
   /** The deterministic query panel: vec_ids i·⌊n/32⌋ for i ∈ 0..31 — a
     * fixed stride over the corpus, reproducible in SQL from count(*)
     * alone (no sampling state to ship to the oracle). Bounded driver
@@ -114,12 +193,6 @@ object AnnPanel {
       .select(col("method"), col("qid"), col("vec_id"),
         col("rank").cast("int").as("rank"))
 
-  private def rankAllMethods(tagged: Seq[(String, DataFrame)],
-      k: Int = TopK): DataFrame =
-    rankTagged(tagged.map { case (m, df) =>
-      df.select(lit(m).as("method"), col("qid"), col("vec_id"), col("score"))
-    }.reduce(_ unionAll _), k)
-
   // -----------------------------------------------------------------
   // Per-method panel variants. Each `scoredX`: one corpus/index scan,
   // the panel broadcast, (qid, vec_id, score) rows — the batched twin
@@ -127,7 +200,7 @@ object AnnPanel {
   // selection, same scoring, same tie-breaks), with the query's own
   // vector excluded per query. The ranked `panelX` forms survive for
   // callers that need one method alone (specs, annTune's exact set);
-  // the artifact builders rank the union once via [[rankAllMethods]].
+  // the panel artifact builder ranks each method in its own pooled job.
   // -----------------------------------------------------------------
 
   /** Exact panel scores: every candidate scores all 32 queries in one
@@ -382,18 +455,28 @@ object AnnPanel {
 
   /** Every panel method's SCORED frame by its registered single-query
     * name — the audit surface. `sim_knn_brute` is the exact truth row
-    * (self-check: its recall must be 10/10 on every panel query). */
+    * (self-check: its recall must be 10/10 on every panel query).
+    * THUNKS, not frames: constructing a frame eagerly runs its
+    * prerequisite builders (index writes, quantizer trainings), and the
+    * panel build wants those triggered from ITS pool, not sequentially
+    * at Seq-construction time. Launch order puts the four methods with
+    * expensive prerequisites (the two index writes, the PQ and PCA
+    * trainings) first so their builds start immediately. */
+  private def scoredThunks(s: SparkSession, d: String,
+      qs: Seq[(Long, Seq[Float])]): Seq[(String, () => DataFrame)] = Seq(
+    "sim_knn_lsh_indexed" -> (() => scoredLshIndexed(s, d, qs)),
+    "sim_knn_ivf_indexed" -> (() => scoredIvfIndexedWithRank(s, d, qs, 4).drop("prank")),
+    "sim_knn_pq_rerank" -> (() => scoredPqRerank(s, d, qs)),
+    "sim_knn_pca_rerank" -> (() => scoredPcaRerank(s, d, qs)),
+    "sim_knn_brute" -> (() => scoredBrute(s, d, qs)),
+    "sim_knn_ivf" -> (() => scoredIvf(s, d, qs)),
+    "sim_knn_lsh" -> (() => scoredLshWithH(s, d, qs, 2).drop("h")),
+    "sim_knn_pq" -> (() => scoredPq(s, d, qs)),
+    "sim_knn_sq8" -> (() => scoredSq8(s, d, qs)))
+
   private def scoredMethods(s: SparkSession, d: String,
-      qs: Seq[(Long, Seq[Float])]): Seq[(String, DataFrame)] = Seq(
-    "sim_knn_brute" -> scoredBrute(s, d, qs),
-    "sim_knn_ivf" -> scoredIvf(s, d, qs),
-    "sim_knn_ivf_indexed" -> scoredIvfIndexedWithRank(s, d, qs, 4).drop("prank"),
-    "sim_knn_lsh" -> scoredLshWithH(s, d, qs, 2).drop("h"),
-    "sim_knn_lsh_indexed" -> scoredLshIndexed(s, d, qs),
-    "sim_knn_pca_rerank" -> scoredPcaRerank(s, d, qs),
-    "sim_knn_pq" -> scoredPq(s, d, qs),
-    "sim_knn_pq_rerank" -> scoredPqRerank(s, d, qs),
-    "sim_knn_sq8" -> scoredSq8(s, d, qs))
+      qs: Seq[(Long, Seq[Float])]): Seq[(String, DataFrame)] =
+    scoredThunks(s, d, qs).map { case (m, th) => m -> th() }
 
   /** Ranked per-method forms (specs and single-method callers). */
   private[operators] def panelMethods(s: SparkSession, d: String,
@@ -421,13 +504,32 @@ object AnnPanel {
 
   /** `sim_ann_panel`: the full audit evidence — every method × every
     * panel query × top-10, served as a build-once artifact (the
-    * downstream report reads it as a FileScan). All nine methods rank
-    * in ONE window over (method, qid) — see [[rankAllMethods]]. */
+    * downstream report reads it as a FileScan). The nine methods run
+    * as independent pooled jobs, each collecting its bounded ranked
+    * rows — see the build comment below. */
   def annPanel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     SessionCaches.parquetArtifact(s, s"ann-panel:$d") { outDir =>
       val qs = panelQueries(s, d)
-      decorated(s, d, qs, rankAllMethods(scoredMethods(s, d, qs)))
+      // Nine independent method jobs, ≤4 in flight (guide §2.6): the
+      // round-15 one-window union was ONE job, but its ~25 AQE stage
+      // materializations ran on the critical path back-to-back and the
+      // prerequisite builders (two index writes, three quantizer
+      // trainings) still ran sequentially at plan-construction time —
+      // measured 2.3–3.5 s of builds + ~4 s of union job at sf0.1 on
+      // 2k rows (pure stage/driver latency, not data). Here each
+      // method's thunk triggers its own builders from the pool
+      // (SessionCaches holders serialize per key — no double builds),
+      // ranks per query, and collects its ≤ PanelSize·TopK BOUNDED rows;
+      // per-method row_number over qid is rank-for-rank identical to
+      // the one-window (method, qid) form. The bounded union then
+      // decorates against one embeddings scan.
+      val ranked = inParallelValues(scoredThunks(s, d, qs).map {
+        case (m, th) => () =>
+          rankPerQuery(th())
+            .collect().toSeq.map(r => (m, r.getLong(0), r.getLong(1), r.getInt(2)))
+      }).flatten.toDF("method", "qid", "vec_id", "rank")
+      decorated(s, d, qs, ranked)
         .coalesce(1).write.mode("overwrite").parquet(outDir)
     }.orderBy($"method", $"qid", $"rank")
   }
@@ -446,6 +548,10 @@ object AnnPanel {
   def tunePanel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     SessionCaches.parquetArtifact(s, s"ann-tune-panel:$d") { outDir =>
+      // (measured: overlapping the panel collect with the IVF index
+      // write here cost ~0.4 s rather than saving — the collect is
+      // ~0.15 s, under the pool+job-interleave overhead — so this build
+      // stays sequential; the ≥1 s chains are pooled in annPanel/annTune)
       val qs = panelQueries(s, d)
       // the INDEXED variant, deliberately: the advisor's recommendation
       // is executed by knnIvfTuned → knnIvfIndexed, which probes the
@@ -522,16 +628,48 @@ object AnnPanel {
     import s.implicits._
     SessionCaches.parquetArtifact(s, s"ann-tune:$d") { outDir =>
       val qs = panelQueries(s, d)
-      val panel = tunePanel(s, d)
-      // exact sets recomputed fresh (cheap, and keeps this artifact
-      // independent of the ann-panel artifact's lifecycle)
-      val exact = panelBrute(s, d, qs)
-        .select($"qid".as("eqid"), $"vec_id".as("evid"))
+      // Four independent phases — the tune-panel artifact build, the
+      // exact brute top-10 sets, and the two bucket histograms — ran
+      // back-to-back; overlap them from a small pool (§2.6). The exact
+      // sets are a BOUNDED driver value (32 queries × 10 ids) collected
+      // once and re-joined as a local relation: identical (qid, vec_id)
+      // pairs, identical hit counts, and the brute cross-join job now
+      // back-fills the executor threads the panel build's stage tails
+      // leave idle. Dir-memo holders serialize, so the histogram
+      // future's ivfIndexDir call waits on (never duplicates) the one
+      // the panel build warms.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val (panel, exactRows, (cents, cellHist, sigHist)) =
+        try {
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          val panelF = Future(tunePanel(s, d))
+          val exactF = Future(panelBrute(s, d, qs)
+            .select($"qid", $"vec_id").as[(Long, Long)].collect().toSeq)
+          val histF = Future {
+            val ivfDir = Similarity.ivfIndexDir(s, d)
+            val cents = Similarity.indexCentroids(s, ivfDir)
+            val cellHist = s.read.parquet(ivfDir)
+              .groupBy($"cell").count()
+              .as[(Int, Long)].collect().toMap
+            val sigHist = Tables.embeddings(s, d)
+              .select(Similarity.sigCol($"embedding").as("sig"))
+              .groupBy($"sig").count()
+              .as[(Int, Long)].collect().toMap
+            (cents, cellHist, sigHist)
+          }
+          (Await.result(panelF, Duration.Inf),
+            Await.result(exactF, Duration.Inf),
+            Await.result(histF, Duration.Inf))
+        } finally pool.shutdown()
+      val exact = exactRows.toDF("eqid", "evid")
       val opKeys =
         IvfProbes.map(p => (s"ivf_p$p", "ivf", p)) ++
           LshRadii.map(r => (s"lsh_r$r", "lsh", r))
       val hits = panel
-        .join(exact, $"qid" === $"eqid" && $"vec_id" === $"evid", "left_outer")
+        .join(broadcast(exact), $"qid" === $"eqid" && $"vec_id" === $"evid", "left_outer")
         .groupBy($"method", $"qid")
         .agg(sum(when($"evid".isNotNull, 1L).otherwise(0L)).as("hits"))
       val spine = (for { (mk, _, _) <- opKeys; (qid, _) <- qs } yield (mk, qid))
@@ -551,15 +689,6 @@ object AnnPanel {
       // Probes and occupancy both come from the SERVED index (stored
       // centroids + stored cell assignments) — the quantizer the
       // recommendation will actually be executed against
-      val ivfDir = Similarity.ivfIndexDir(s, d)
-      val cents = Similarity.indexCentroids(s, ivfDir)
-      val cellHist = s.read.parquet(ivfDir)
-        .groupBy($"cell").count()
-        .as[(Int, Long)].collect().toMap
-      val sigHist = Tables.embeddings(s, d)
-        .select(Similarity.sigCol($"embedding").as("sig"))
-        .groupBy($"sig").count()
-        .as[(Int, Long)].collect().toMap
       def candidatesOf(family: String, param: Int): Long = qs.map { case (_, qv) =>
         val buckets = family match {
           case "ivf" => Similarity.ivfProbesOf(cents, qv, param)
@@ -582,6 +711,15 @@ object AnnPanel {
         }.head
         Seq((best._1, best._2))
       }.toSet
+      // The recommendation IS this advisor's trained product — register
+      // each family's operating point in the model tier here, so the
+      // tune-family member that builds the advisor (sim_ann_tune in
+      // sweep order) is the one that pays it and the tuned serves
+      // ([[knnIvfTuned]]/[[knnLshTuned]]) serve the stored scalar
+      // instead of rebuilding the tune panel per query.
+      recommendedKeys.foreach { case (family, param) =>
+        SessionCaches.modelMemo(s, s"ann-tune-advisor:$d:$family")(param)
+      }
       rows.map { case (family, param, cand, nq, rsum, rmin) =>
         (family, param, cand, nq, rsum, rmin,
           if (recommendedKeys((family, param))) 1 else 0)
@@ -598,25 +736,38 @@ object AnnPanel {
     * of the hardcoded default. A serving layer calls this and inherits
     * every future retune automatically; the probe stays a partition
     * filter on the materialized index whatever the param. */
-  def knnIvfTuned(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val rec = annTune(s, d)
-      .filter($"method" === "ivf" && $"recommended" === 1)
-      .select($"param").head().getInt(0)
-    Similarity.knnIvfIndexed(s, d, nProbe = rec)
-  }
+  /** The advisor's recommended operating point for one family — a
+    * bounded trained SCALAR (one int, no dir paths), registered in the
+    * model tier exactly like the LR weights / k-means centroids: the
+    * first family member in a session pays the tune-panel + advisor
+    * build; every later tuned serve executes at the stored point
+    * instead of rebuilding the whole sweep per query (the round-15
+    * verdict's "tuned serves rebuild the tune panel every cold rep"
+    * tax — ~3.5 s of the 6.1/3.9 s cold serves was advisor rebuild). */
+  private[operators] def advisorParam(s: SparkSession, d: String,
+      family: String): Int =
+    // peek-then-build, NOT modelMemo(key){annTune…}: annTune's own build
+    // registers this exact key, and a memo build that re-enters its own
+    // holder would self-deadlock. The fallback also covers a session
+    // serving a DURABLE tune artifact whose build (and hence model
+    // registration) ran in an earlier session: read the stored
+    // recommendation back off the artifact, then register it.
+    SessionCaches.peekModel[Int](s, s"ann-tune-advisor:$d:$family").getOrElse {
+      val p = annTune(s, d)
+        .filter(col("method") === family && col("recommended") === 1)
+        .select(col("param")).head().getInt(0)
+      SessionCaches.modelMemo(s, s"ann-tune-advisor:$d:$family")(p)
+    }
+
+  def knnIvfTuned(s: SparkSession, d: String): DataFrame =
+    Similarity.knnIvfIndexed(s, d, nProbe = advisorParam(s, d, "ivf"))
 
   /** `sim_knn_lsh_tuned` — the LSH twin of [[knnIvfTuned]]: serve the
     * single-query LSH lookup at the Hamming radius the advisor
     * recommended. The probe set stays a `sig IN (...)` partition filter
     * on the materialized index whatever the radius. */
-  def knnLshTuned(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val rec = annTune(s, d)
-      .filter($"method" === "lsh" && $"recommended" === 1)
-      .select($"param").head().getInt(0)
-    Similarity.knnLshIndexed(s, d, radius = rec)
-  }
+  def knnLshTuned(s: SparkSession, d: String): DataFrame =
+    Similarity.knnLshIndexed(s, d, radius = advisorParam(s, d, "lsh"))
 
   // -----------------------------------------------------------------
   // Metadata-constrained kNN (round-14 verdict "Next round" #5): top-k

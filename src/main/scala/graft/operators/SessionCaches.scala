@@ -59,9 +59,34 @@ object SessionCaches {
       case _ => ()
     }
 
+  /** One bounded value, built at most once per session: `lazy val` gives
+    * per-holder synchronization exactly like [[DirHolder]] — TrieMap's
+    * bare `getOrElseUpdate` can evaluate `build` in EVERY concurrently
+    * missing thread (discarding all but one result), which turned into
+    * double k-means trainings once the ANN panel started building its
+    * prerequisites from a pool (round 16). Values are deterministic so
+    * that race was waste, not wrongness. */
+  private final class ValHolder(build: () => Any) {
+    lazy val v: Any = build()
+  }
+
+  private def valMemo[V](s: SparkSession, k: String, build: () => V): V = {
+    val m = perSession(s)
+    val holder = m.get(k) match {
+      case Some(h: ValHolder) => h
+      case _ =>
+        val fresh = new ValHolder(() => build())
+        m.putIfAbsent(k, fresh) match {
+          case Some(existing: ValHolder) => existing
+          case _ => fresh
+        }
+    }
+    holder.v.asInstanceOf[V]
+  }
+
   /** Memoize a BOUNDED driver-side value per (session, key). */
   def memo[V](s: SparkSession, key: String)(build: => V): V =
-    perSession(s).getOrElseUpdate("val:" + key, build).asInstanceOf[V]
+    valMemo(s, "val:" + key, () => build)
 
   /** Memoize a BOUNDED trained MODEL per (session, key) — LR weights,
     * k-means centroids, PQ codebooks, SQ8 bounds, PCA bases, BPE merge
@@ -81,7 +106,16 @@ object SessionCaches {
     * snapshots the model keys BEFORE the warmup and the reset drops
     * anything newer, preserving the round-5 no-phantom-win rule. */
   def modelMemo[V](s: SparkSession, key: String)(build: => V): V =
-    perSession(s).getOrElseUpdate("model:" + key, build).asInstanceOf[V]
+    valMemo(s, "model:" + key, () => build)
+
+  /** The model-tier value for `key` if some earlier build registered it —
+    * never builds. A holder mid-build blocks until its value exists
+    * (desired: the caller wants that value). */
+  def peekModel[V](s: SparkSession, key: String): Option[V] =
+    perSession(s).get("model:" + key).map {
+      case h: ValHolder => h.v.asInstanceOf[V]
+      case v => v.asInstanceOf[V]
+    }
 
   /** Keys of the model tier only — Bench's pre-query snapshot. */
   def modelKeys(s: SparkSession): Set[String] =
