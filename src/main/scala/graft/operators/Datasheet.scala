@@ -60,6 +60,12 @@ object Datasheet {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // everything from pool creation through the awaits sits in ONE try:
+    // ~10 main-thread Spark actions run between spawning the futures and
+    // awaiting them, and an exception there would otherwise leak the
+    // non-daemon pool (and its running jobs) past this call (round-15
+    // ADVICE)
+    try {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
 
     val clustersF = Future {
@@ -119,10 +125,9 @@ object Datasheet {
       .agg(min($"v")).head().getDouble(0).toLong
 
     val (nDistinct, (members, nClusters), novSum) =
-      try ((Await.result(nDistinctF, Duration.Inf),
+      (Await.result(nDistinctF, Duration.Inf),
         Await.result(clustersF, Duration.Inf),
-        Await.result(novSumF, Duration.Inf)))
-      finally pool.shutdown()
+        Await.result(novSumF, Duration.Inf))
 
     Seq(
       ("n_docs", n),
@@ -140,6 +145,7 @@ object Datasheet {
       ("near_dup_rate_e6", 1000000L * members / n),
       ("mean_novelty_e6", novSum / n))
       .toDF("metric", "value")
+    } finally pool.shutdown()
   }
 
   /** Every row re-derived in DuckDB: raw-table recomputes for volume,

@@ -188,17 +188,25 @@ object Dedup {
     // materializeAndRelease.
     val sigs = withMinhashSig(shingleSets(s, d)).persist()
     val banded = bandKeysOf(sigs)
-    // One shuffle generates all bucket pairs: group the (band, key)
-    // bucket's members (bounded ≤500 by the same degenerate-bucket cap
-    // as before, so a group is ≤4 KB — no skew exposure), then emit the
-    // ordered pairs map-side with a double explode. The earlier shape —
-    // census aggregate, join back, self-join, dedup — shuffled the
-    // banded relation four times to produce the identical pair set
-    // (guide §2.4: two operations keyed the same way share one
-    // exchange; here all four collapse into the groupBy's).
-    val pairs = banded.groupBy($"band", $"key")
+    // Bucket pairs in TWO shuffles of the banded relation: a bucket
+    // census first, then collect_list ONLY on buckets the census admits
+    // (2..500 members) and emit the ordered pairs map-side with a double
+    // explode. The round-15 one-shuffle form filtered AFTER collect_list
+    // — a hot band key (boilerplate shared by millions of docs at the
+    // 100 TB posture) materialized its full membership in one
+    // aggregation buffer before being discarded (round-15 ADVICE); the
+    // census semi-join drops hot buckets before any member list exists,
+    // so the collected group is bounded ≤500 (≤4 KB) BY CONSTRUCTION.
+    // Still two shuffles fewer than the original census/join-back/
+    // self-join/dedup shape (guide §2.4); the semi-join's shuffle of
+    // banded by (band, key) is reused by the groupBy that follows it.
+    val okBuckets = banded.groupBy($"band", $"key")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n".between(2, 500))
+      .select($"band", $"key")
+    val pairs = banded.join(okBuckets, Seq("band", "key"), "left_semi")
+      .groupBy($"band", $"key")
       .agg(collect_list($"doc_id").as("ids"))
-      .filter(size($"ids").between(2, 500))
       .select(explode($"ids").as("doc_a"), $"ids")
       .select($"doc_a", explode($"ids").as("doc_b"))
       .filter($"doc_a" < $"doc_b")
@@ -346,15 +354,21 @@ object Dedup {
     val hashed = withSimhash(Tables.documents(s, d))
       .select($"doc_id", $"simhash").persist()
     val banded = simhashBandKeys(hashed)
-    // One shuffle generates the bucket pairs (the lshCandidates shape):
-    // the (doc_id, simhash) members of a block-key bucket — bounded
-    // ≤500 by the degenerate-bucket cap, ≤8 KB per group — are
-    // collected once, ordered pairs + exact Hamming emitted map-side.
-    // The earlier census/join-back/self-join spelling shuffled the
-    // banded relation four times for the identical edge set.
-    (banded.groupBy($"band", $"key")
+    // Bucket pairs in two shuffles (the lshCandidates shape): census
+    // first, collect_list only on buckets the census admits (2..500
+    // members), ordered pairs + exact Hamming emitted map-side. The
+    // round-15 one-shuffle form collected a hot bucket's FULL membership
+    // before discarding it (round-15 ADVICE — unbounded buffer on
+    // boilerplate-heavy corpora); the census semi-join bounds the
+    // collected group ≤500 (≤8 KB) by construction, still two shuffles
+    // fewer than the original census/join-back/self-join spelling.
+    val okBuckets = banded.groupBy($"band", $"key")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n".between(2, 500))
+      .select($"band", $"key")
+    (banded.join(okBuckets, Seq("band", "key"), "left_semi")
+      .groupBy($"band", $"key")
       .agg(collect_list(struct($"doc_id", $"simhash")).as("ms"))
-      .filter(size($"ms").between(2, 500))
       .select(explode($"ms").as("a"), $"ms")
       .select($"a", explode($"ms").as("b"))
       .filter($"a.doc_id" < $"b.doc_id")
@@ -965,16 +979,35 @@ object Dedup {
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // widened: shingling cost, single-task on a one-row-group scan
-    // (guide §2.5); downstream distinct/counts are exact
-    val sh = Tables.widened(Tables.documents(s, d))
+    // (guide §2.5); downstream counts are exact.
+    //
+    // ONE shuffle of the shingle relation instead of three (§2.3/§2.4):
+    // the round-15 shape ran distinct over (source, shingle) STRINGS and
+    // then self-joined that relation on the shingle string (the distinct
+    // exchange + BOTH self-join exchanges carried full shingle text).
+    // The per-shingle SOURCE SET is bounded by the source catalog (|S|
+    // sources, dozens — never corpus-sized), so one groupBy(sh) with
+    // collect_set(source) replaces distinct + self-join: map-side
+    // partial sets, each shingle crosses the wire once, pairs explode
+    // map-side from the ≤|S| set. `common` counts and per-source
+    // distinct-shingle counts are identical by construction (a shingle
+    // contributes one pair per source pair in its set, one count per
+    // member source).
+    val sets = Tables.widened(Tables.documents(s, d))
       .select($"source", split($"text", " ").as("__w"))
       .filter(size($"__w") >= 3)
       .select($"source", explode(expr(ShingleExpr)).as("sh"))
-      .distinct()
-    val per = sh.groupBy($"source").agg(count(lit(1)).as("n"))
-    sh.as("a").join(sh.as("b"),
-        $"a.sh" === $"b.sh" && $"a.source" < $"b.source")
-      .groupBy($"a.source".as("s1"), $"b.source".as("s2"))
+      .groupBy($"sh").agg(collect_set($"source").as("ss"))
+      .select($"ss")
+      .persist()
+    val per = sets.select(explode($"ss").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val result = sets
+      .filter(size($"ss") >= 2)
+      .select(explode($"ss").as("s1"), $"ss")
+      .select($"s1", explode($"ss").as("s2"))
+      .filter($"s1" < $"s2")
+      .groupBy($"s1", $"s2")
       .agg(count(lit(1)).as("common"))
       .join(broadcast(per.select($"source".as("s1"), $"n".as("n1"))), Seq("s1"))
       .join(broadcast(per.select($"source".as("s2"), $"n".as("n2"))), Seq("s2"))
@@ -982,6 +1015,7 @@ object Dedup {
         round(($"common".cast("double") / ($"n1" + $"n2" - $"common").cast("double"))
           .cast("decimal(28,8)"), 6).cast("double").as("jaccard"))
       .orderBy($"s1", $"s2")
+    materializeAndRelease(result, sets)
   }
 
   val sourceOverlapOracle: String =
@@ -1039,6 +1073,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // widened: shingling cost, single-task on a one-row-group scan
     // (guide §2.5); the PPJoin pipeline downstream is exact integers
+    // persist(): this relation is consumed FIVE times downstream (sizes,
+    // dfq, ranked, and both intersection re-attachments) — unpersisted,
+    // the scan+shingle+distinct subtree re-ran for every consumer (16
+    // parquet scans / 16 Generates in the round-15 plan, ~4.8 s cold);
+    // cached it runs once (4 scans, 1 Generate). Released via
+    // materializeAndRelease below, the lshCandidates discipline.
     val tok = Tables.widened(Tables.documents(s, d))
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", explode(expr(
@@ -1046,6 +1086,7 @@ object Dedup {
           |          i -> concat_ws(' ', slice(ws, i + 1, 3)))""".stripMargin))
         .as("sh"))
       .distinct()
+      .persist()
     val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val dfq = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
     val ranked = tok.join(dfq, "sh").join(sizes, "doc_id")
@@ -1078,11 +1119,13 @@ object Dedup {
       .join(tok.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
       .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .filter($"n_inter" * 3 >= $"n_a" + $"n_b") // J ≥ 1/2, exact
-      .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"n_inter",
-        expr("(1000000 * n_inter) div (n_a + n_b - n_inter)").as("jaccard_e6"))
-      .orderBy($"doc_a", $"doc_b")
+    materializeAndRelease(
+      inter
+        .filter($"n_inter" * 3 >= $"n_a" + $"n_b") // J ≥ 1/2, exact
+        .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"n_inter",
+          expr("(1000000 * n_inter) div (n_a + n_b - n_inter)").as("jaccard_e6"))
+        .orderBy($"doc_a", $"doc_b"),
+      tok)
   }
 
   /** Fully-recomputed oracle: DuckDB re-runs the same prefix-filtered
@@ -1184,19 +1227,6 @@ object Dedup {
   private def dedupPipelineRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    // Warm the two stage-independent long poles concurrently (guide
-    // §2.6): the near-dup cluster artifact (stage 2's input) and the
-    // semantic quantizer (stage 3's model) depend only on the base
-    // tables, not on stage 1 — building them while stage 1's
-    // fingerprint election runs overlaps most of the pipeline's cost.
-    // Both land in SessionCaches (dirMemo/modelMemo serialize per key),
-    // so the sequential calls below serve what the futures built.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    val warmF = Future(nearDupClusters(s, d).count())
-      .zip(Future(Similarity.kmeansCentroids(s, d)))
     val docs = Tables.documents(s, d).select($"doc_id", $"text", $"n_chars")
     val exactTwins = docs.filter($"doc_id" % 25 === 0)
       .select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"n_chars")
@@ -1213,9 +1243,33 @@ object Dedup {
       .agg(min($"doc_id").as("doc_id"), min($"n_chars").as("n_chars"))
       .persist()
 
+    // Overlap the two stage-independent long poles with stage 1 (guide
+    // §2.6): the near-dup cluster artifact (stage 2's input) and the
+    // semantic quantizer (stage 3's model) depend only on the base
+    // tables, so they build on a small pool WHILE stage 1's fingerprint
+    // election materializes on this thread (the explicit surv1.count —
+    // without it nothing triggers stage 1 before the await and the
+    // futures only overlapped each other; round-15 ADVICE). Everything
+    // from pool creation through the await is one try/finally so a
+    // failing stage-1 job cannot leak the non-daemon pool. dirMemo/
+    // modelMemo serialize per key, so the sequential calls below serve
+    // what the futures built.
+    {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        val warmF = Future(nearDupClusters(s, d).count())
+          .zip(Future(Similarity.kmeansCentroids(s, d)))
+        surv1.count() // stage 1 runs now, overlapping the warm builds
+        Await.result(warmF, Duration.Inf)
+      } finally pool.shutdown()
+    }
+
     // stage 2 — near-dup keep-best over the shared cluster artifact,
     // restricted to stage-1 survivors (planted ids are never members)
-    try Await.result(warmF, Duration.Inf) finally pool.shutdown()
     val members = nearDupClusters(s, d).select($"doc_id", $"cluster_id")
       .join(surv1.select($"doc_id", $"n_chars"), "doc_id")
     val w = Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
