@@ -1347,58 +1347,63 @@ object Audit {
     * actually narrows Y, which is what a feature-selection or
     * grid-collapse decision wants.
     *
-    * Scale shape: per pair one observed-cell census (hash agg), with
-    * BOTH marginals derived from the cells (never a rescan) and n a
-    * single driver scalar shared by all legs; 20 one-row legs union
-    * into one job. Determinism: the [[Drift.miOf]] idiom — per-cell
-    * double contributions in identical op order, DECIMAL(28,8)
-    * quantized, exact decimal sums; derived doubles (sums, the ratio)
-    * are correctly-rounded IEEE ops over identical inputs. */
+    * Scale shape (reworked round 16, guide §2.4): ONE grouping-sets
+    * pass computes every census the 20 legs need — the 10 unordered
+    * pair cells plus the 5 single-column marginals (15 grouping sets,
+    * one Expand + one hash aggregation over one orders scan) — and one
+    * tiny per-grouping aggregation turns each census into its entropy.
+    * The 15 entropies are a bounded driver value; the 20 (fd, h_x, h_y,
+    * h_xy, mi, U) rows are assembled from them. The round-15 shape ran
+    * the same censuses as 60 independent aggregation subtrees (each
+    * leg's 3 union branches re-aggregated its census) in one 20-leg
+    * union job — 3.1 s of stage latency at sf0.1 for identical numbers.
+    * Determinism unchanged: identical cell counts → identical per-cell
+    * double contributions, DECIMAL(28,8)-quantized, exactly summed
+    * (decimal addition is order-free); the driver's mi/U arithmetic
+    * replays the previous plan's IEEE double ops and its two-step
+    * HALF_UP quantization (cast to DECIMAL(28,8), then round to 6)
+    * bit-for-bit via BigDecimal. */
   def dependencyEntropy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_year", "o_price_band")
     val t = Tables.orders(s, d).select(
       $"o_custkey", $"o_orderstatus", $"o_orderpriority",
       year($"o_orderdate").cast("long").as("o_year"),
       floor($"o_totalprice" / lit(50000.0)).cast("long").as("o_price_band"))
-      .localCheckpoint()
     val nD = t.count().toDouble
-    // Each leg is ONE aggregate over a tagged union of the three count
-    // relations (cells, x-marginals, y-marginals) — no 1-row×1-row joins,
-    // which Catalyst would constant-fold into BroadcastNestedLoopJoin
-    // (the literal join key folds away and trips the hygiene gate even
-    // though both sides are single rows).
-    def leg(x: String, y: String): DataFrame = {
-      // Deliberately NO persist/checkpoint on the per-leg census even
-      // though the three union branches each recompute it: measured cold
-      // at sf0.1 in one harness (EntropyTimeProbe), plain recompute runs
-      // the whole 20-leg union as ONE job with full inter-leg
-      // parallelism (6.9 s); eager per-leg localCheckpoints serialize 20
-      // build-time jobs (10.6 s) and lazy persists add cache-exchange
-      // barriers (13.7 s). Recompute of a map-side-combinable agg over a
-      // localCheckpointed input is the cheapest coordination at this
-      // grid size.
-      val cells = t.groupBy(col(x).as("x"), col(y).as("y"))
-        .agg(count(lit(1)).as("c"))
-      val tagged = cells.select(lit("xy").as("tag"), $"c".as("m"))
-        .unionByName(cells.groupBy($"x").agg(sum($"c").as("m"))
-          .select(lit("x").as("tag"), $"m"))
-        .unionByName(cells.groupBy($"y").agg(sum($"c").as("m"))
-          .select(lit("y").as("tag"), $"m"))
-      val p = $"m".cast("double") / lit(nD)
-      def ent(tag: String): Column =
-        round(-sum(when($"tag" === tag, (p * log(p)).cast("decimal(28,8)"))), 6)
-          .cast("double")
-      tagged.agg(ent("x").as("h_x"), ent("y").as("h_y"), ent("xy").as("h_xy"))
-        .select(lit(s"$x -> $y").as("fd"), $"h_x", $"h_y", $"h_xy",
-          round(($"h_x" + $"h_y" - $"h_xy").cast("decimal(28,8)"), 6)
-            .cast("double").as("mi"),
-          round((($"h_x" + $"h_y" - $"h_xy") / $"h_y").cast("decimal(28,8)"), 6)
-            .cast("double").as("u_y_given_x"))
+    // grouping_id bit i (from the LEFT of `cols`) is 0 iff that column
+    // is grouped — the id is the census's identity, value-independent
+    // (a real NULL cell value cannot be confused with an aggregated-away
+    // column).
+    def gidOf(idxs: Seq[Int]): Long =
+      (1L << cols.length) - 1L - idxs.map(i => 1L << (cols.length - 1 - i)).sum
+    val sets: Seq[Seq[Column]] =
+      (for { i <- cols.indices; j <- cols.indices if i < j }
+        yield Seq(col(cols(i)), col(cols(j)))) ++
+        cols.indices.map(i => Seq(col(cols(i))))
+    val p = $"c".cast("double") / lit(nD)
+    val ent = t.groupingSets(sets, cols.map(col): _*)
+      .agg(grouping_id().as("gid"), count(lit(1)).as("c"))
+      .select($"gid", (p * log(p)).cast("decimal(28,8)").as("pl"))
+      .groupBy($"gid").agg(round(-sum($"pl"), 6).cast("double").as("h"))
+      .as[(Long, Double)].collect().toMap
+    // Spark's `cast(decimal(28,8))` on a double goes through the
+    // double's shortest decimal rep then HALF_UP to scale 8; `round(_,6)`
+    // is HALF_UP again — replay both steps exactly.
+    def q6(x: Double): Double = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = for {
+      (x, i) <- cols.zipWithIndex
+      (y, j) <- cols.zipWithIndex if i != j
+    } yield {
+      val hx = ent(gidOf(Seq(i)))
+      val hy = ent(gidOf(Seq(j)))
+      val hxy = ent(gidOf(Seq(math.min(i, j), math.max(i, j))))
+      (s"$x -> $y", hx, hy, hxy, q6(hx + hy - hxy), q6((hx + hy - hxy) / hy))
     }
-    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority",
-      "o_year", "o_price_band")
-    (for { x <- cols; y <- cols if x != y } yield leg(x, y))
-      .reduce(_.union(_)).orderBy($"fd")
+    rows.toDF("fd", "h_x", "h_y", "h_xy", "mi", "u_y_given_x").orderBy($"fd")
   }
 
   val dependencyEntropyOracle: String = {
