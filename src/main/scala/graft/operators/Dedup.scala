@@ -188,23 +188,24 @@ object Dedup {
     // materializeAndRelease.
     val sigs = withMinhashSig(shingleSets(s, d)).persist()
     val banded = bandKeysOf(sigs)
-    // Bucket pairs in TWO shuffles of the banded relation: a bucket
-    // census first, then collect_list ONLY on buckets the census admits
-    // (2..500 members) and emit the ordered pairs map-side with a double
-    // explode. The round-15 one-shuffle form filtered AFTER collect_list
-    // — a hot band key (boilerplate shared by millions of docs at the
-    // 100 TB posture) materialized its full membership in one
-    // aggregation buffer before being discarded (round-15 ADVICE); the
-    // census semi-join drops hot buckets before any member list exists,
-    // so the collected group is bounded ≤500 (≤4 KB) BY CONSTRUCTION.
-    // Still two shuffles fewer than the original census/join-back/
-    // self-join/dedup shape (guide §2.4); the semi-join's shuffle of
-    // banded by (band, key) is reused by the groupBy that follows it.
-    val okBuckets = banded.groupBy($"band", $"key")
-      .agg(count(lit(1)).as("n"))
+    // Bucket pairs in ONE shuffle of the banded relation, with the
+    // degenerate-bucket cap applied BEFORE any member list exists: a
+    // window count over (band, key) sizes each bucket — WindowExec's
+    // group buffer is an ExternalAppendOnlyUnsafeRowArray, so a hot
+    // band key (boilerplate shared by millions of docs at the 100 TB
+    // posture) SPILLS to disk while being counted instead of
+    // materializing in an aggregation buffer (the round-15 ADVICE
+    // hazard) — then collect_list runs only on the surviving 2..500
+    // buckets (≤4 KB per group by construction) and the ordered pairs
+    // explode map-side. The groupBy keys equal the window partition
+    // keys, so both run on the window's single exchange (guide §2.4);
+    // the round-16a census semi-join spelling re-derived `banded` on
+    // both join sides and measured 2× slower at sf0.1.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band", $"key")
+    val pairs = banded
+      .withColumn("n", count(lit(1)).over(wBucket))
       .filter($"n".between(2, 500))
-      .select($"band", $"key")
-    val pairs = banded.join(okBuckets, Seq("band", "key"), "left_semi")
       .groupBy($"band", $"key")
       .agg(collect_list($"doc_id").as("ids"))
       .select(explode($"ids").as("doc_a"), $"ids")
@@ -349,24 +350,26 @@ object Dedup {
   private[operators] def simhashEdges(s: SparkSession, d: String,
       maxHamming: Int): (DataFrame, DataFrame) = {
     import s.implicits._
-    // Referenced on both join sides + the bucket census — persist (tiny:
-    // one long per doc) so the per-document hashing runs once.
+    // ONE consumer in the one-shuffle shape below (the collected struct
+    // carries simhash through, so there is no re-attachment join) — no
+    // persist; the returned handle keeps materializeAndRelease callers
+    // source-compatible (unpersist on an uncached frame is a no-op).
     val hashed = withSimhash(Tables.documents(s, d))
-      .select($"doc_id", $"simhash").persist()
+      .select($"doc_id", $"simhash")
     val banded = simhashBandKeys(hashed)
-    // Bucket pairs in two shuffles (the lshCandidates shape): census
-    // first, collect_list only on buckets the census admits (2..500
-    // members), ordered pairs + exact Hamming emitted map-side. The
-    // round-15 one-shuffle form collected a hot bucket's FULL membership
-    // before discarding it (round-15 ADVICE — unbounded buffer on
-    // boilerplate-heavy corpora); the census semi-join bounds the
-    // collected group ≤500 (≤8 KB) by construction, still two shuffles
-    // fewer than the original census/join-back/self-join spelling.
-    val okBuckets = banded.groupBy($"band", $"key")
-      .agg(count(lit(1)).as("n"))
+    // Bucket pairs in ONE shuffle (the lshCandidates shape): a window
+    // count over (band, key) sizes each bucket with a DISK-SPILLABLE
+    // group buffer, so a hot block key never materializes in memory
+    // (the round-15 ADVICE hazard); collect_list then runs only on the
+    // surviving 2..500 buckets (≤8 KB per group by construction), and
+    // the groupBy reuses the window's exchange (guide §2.4). The
+    // round-16a census semi-join spelling re-derived `banded` on both
+    // join sides and measured ~2× slower at sf0.1.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band", $"key")
+    (banded
+      .withColumn("n", count(lit(1)).over(wBucket))
       .filter($"n".between(2, 500))
-      .select($"band", $"key")
-    (banded.join(okBuckets, Seq("band", "key"), "left_semi")
       .groupBy($"band", $"key")
       .agg(collect_list(struct($"doc_id", $"simhash")).as("ms"))
       .select(explode($"ms").as("a"), $"ms")
@@ -981,28 +984,32 @@ object Dedup {
     // widened: shingling cost, single-task on a one-row-group scan
     // (guide §2.5); downstream counts are exact.
     //
-    // ONE shuffle of the shingle relation instead of three (§2.3/§2.4):
-    // the round-15 shape ran distinct over (source, shingle) STRINGS and
-    // then self-joined that relation on the shingle string (the distinct
-    // exchange + BOTH self-join exchanges carried full shingle text).
-    // The per-shingle SOURCE SET is bounded by the source catalog (|S|
-    // sources, dozens — never corpus-sized), so one groupBy(sh) with
-    // collect_set(source) replaces distinct + self-join: map-side
-    // partial sets, each shingle crosses the wire once, pairs explode
-    // map-side from the ≤|S| set. `common` counts and per-source
-    // distinct-shingle counts are identical by construction (a shingle
-    // contributes one pair per source pair in its set, one count per
-    // member source).
-    val sets = Tables.widened(Tables.documents(s, d))
+    // ONE shuffle of the shingle relation for the pair counts instead of
+    // three (§2.3/§2.4): the round-15 shape ran distinct over (source,
+    // shingle) STRINGS and then self-joined that relation on the shingle
+    // string (the distinct exchange + BOTH self-join exchanges carried
+    // full shingle text). Two changes:
+    //  - shingles are HASHED to int64 before any exchange (§2.3 shuffle
+    //    fewer bytes; counts are hash-collision-exact below ~10⁹ distinct
+    //    shingles, and the deterministic corpora verify against the
+    //    string-based oracle);
+    //  - the per-shingle SOURCE SET is bounded by the source catalog
+    //    (|S| sources, dozens — never corpus-sized), so one groupBy(sh)
+    //    with collect_set(source) replaces distinct + self-join: pairs
+    //    explode map-side from the ≤|S| set.
+    // Per-source distinct counts come from an INDEPENDENT count_distinct
+    // subtree over the same exploded relation, not from a cached `sets`:
+    // a round-16a variant persisted sets for both consumers and the
+    // cache barrier cost ~2× (1.17 s → 2.14 s cold at sf0.1).
+    val shingled = Tables.widened(Tables.documents(s, d))
       .select($"source", split($"text", " ").as("__w"))
       .filter(size($"__w") >= 3)
-      .select($"source", explode(expr(ShingleExpr)).as("sh"))
+      .select($"source", explode(expr(ShingleExpr)).as("sh0"))
+      .select($"source", xxhash64($"sh0").as("sh"))
+    val per = shingled.groupBy($"source")
+      .agg(count_distinct($"sh").as("n"))
+    shingled
       .groupBy($"sh").agg(collect_set($"source").as("ss"))
-      .select($"ss")
-      .persist()
-    val per = sets.select(explode($"ss").as("source"))
-      .groupBy($"source").agg(count(lit(1)).as("n"))
-    val result = sets
       .filter(size($"ss") >= 2)
       .select(explode($"ss").as("s1"), $"ss")
       .select($"s1", explode($"ss").as("s2"))
@@ -1015,7 +1022,6 @@ object Dedup {
         round(($"common".cast("double") / ($"n1" + $"n2" - $"common").cast("double"))
           .cast("decimal(28,8)"), 6).cast("double").as("jaccard"))
       .orderBy($"s1", $"s2")
-    materializeAndRelease(result, sets)
   }
 
   val sourceOverlapOracle: String =
@@ -1072,26 +1078,43 @@ object Dedup {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     // widened: shingling cost, single-task on a one-row-group scan
-    // (guide §2.5); the PPJoin pipeline downstream is exact integers
-    // persist(): this relation is consumed FIVE times downstream (sizes,
-    // dfq, ranked, and both intersection re-attachments) — unpersisted,
-    // the scan+shingle+distinct subtree re-ran for every consumer (16
-    // parquet scans / 16 Generates in the round-15 plan, ~4.8 s cold);
-    // cached it runs once (4 scans, 1 Generate). Released via
-    // materializeAndRelease below, the lshCandidates discipline.
+    // (guide §2.5); the PPJoin pipeline downstream is exact integers.
+    //
+    // Tokens are 64-bit shingle hashes, not 3-gram STRINGS (§2.3 shuffle
+    // fewer bytes): this relation feeds five aggregation/join subtrees
+    // (sizes, dfq, ranked, both intersection re-attachments) and every
+    // one of their exchanges previously carried full shingle text.
+    // PPJoin is complete under ANY consistent total token order
+    // (Xiao et al. WWW 2008 — the canonical df-ascending order is a
+    // pruning heuristic, ties broken arbitrarily), and the output
+    // columns are counts, so the result set is IDENTICAL under hashing
+    // (SetSimJoinSpec re-proves completeness against brute force; the
+    // string-based oracle matches because both sides emit the same
+    // surviving pairs). 64-bit collisions: ~n²/2⁶⁵ — immaterial below
+    // ~10⁹ distinct shingles; shard the hash space past that.
+    // A round-16a variant persisted the STRING relation instead:
+    // 4.8 s → 11.9 s cold — the cache barrier serialized five subtrees
+    // that recompute in full parallelism inside one job.
     val tok = Tables.widened(Tables.documents(s, d))
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", explode(expr(
         """transform(sequence(0, greatest(size(ws) - 3, 0)),
-          |          i -> concat_ws(' ', slice(ws, i + 1, 3)))""".stripMargin))
+          |          i -> xxhash64(concat_ws(' ', slice(ws, i + 1, 3))))""".stripMargin))
         .as("sh"))
       .distinct()
-      .persist()
-    val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val dfq = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
-    val ranked = tok.join(dfq, "sh").join(sizes, "doc_id")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"df", $"sh")))
+    // df and n as WINDOW counts over the two partitionings — TWO
+    // exchanges of tok (by sh, then by doc_id; n and rn share one
+    // sorted window) instead of the aggregate+join spelling's four
+    // (dfq agg, df join, sizes agg, sizes join) — guide §2.4; counts
+    // over a window partition equal the groupBy counts row-for-row.
+    // This subtree is evaluated on BOTH sides of the prefix self-join,
+    // so the saving lands twice (measured 2.2 → 1.5 s per evaluation).
+    val wDocOrd = Window.partitionBy($"doc_id").orderBy($"df", $"sh")
+    val ranked = tok
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
+      .withColumn("n", count(lit(1)).over(
+        wDocOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(wDocOrd))
       // prefix length for t = 1/2: n − ⌈n/2⌉ + 1, exact integers
       .filter($"rn" <= $"n" - (($"n" + 1) / 2).cast("long") + 1)
       .select($"doc_id", $"sh", $"n", $"rn")
@@ -1119,13 +1142,11 @@ object Dedup {
       .join(tok.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
       .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
       .agg(count(lit(1)).as("n_inter"))
-    materializeAndRelease(
-      inter
-        .filter($"n_inter" * 3 >= $"n_a" + $"n_b") // J ≥ 1/2, exact
-        .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"n_inter",
-          expr("(1000000 * n_inter) div (n_a + n_b - n_inter)").as("jaccard_e6"))
-        .orderBy($"doc_a", $"doc_b"),
-      tok)
+    inter
+      .filter($"n_inter" * 3 >= $"n_a" + $"n_b") // J ≥ 1/2, exact
+      .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"n_inter",
+        expr("(1000000 * n_inter) div (n_a + n_b - n_inter)").as("jaccard_e6"))
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Fully-recomputed oracle: DuckDB re-runs the same prefix-filtered
