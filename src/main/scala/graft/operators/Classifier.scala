@@ -28,6 +28,21 @@ import graft.Tables
   */
 object Classifier {
 
+  /** THE rule scorer's per-token weight in exact milli-units — one
+    * definition shared by the explode+groupBy spelling below and the
+    * per-row fold [[ruleLogitCol]], so the two can never drift. */
+  private[operators] def tokenWeightMilli(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 1000 - 500
+
+  /** Per-row rule logit: the same Σ tokenWeightMilli the classifier
+    * aggregates via explode+groupBy, folded as a higher-order aggregate
+    * so a caller can rate a document WITHOUT a shuffle (exact int64,
+    * order-free — round 16, used by the fused agreement-kappa pass). */
+  private[operators] def ruleLogitCol(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    aggregate(split(text, " "), lit(0L), (acc, t) => acc + tokenWeightMilli(t))
+
   /** Per-document linear score and accept/reject label. */
   def qualityClassifier(s: SparkSession, d: String): DataFrame =
     qualityClassifierOf(Tables.documents(s, d))
@@ -40,9 +55,8 @@ object Classifier {
     // order-independent
     val tok = graft.Tables.widened(docs)
       .select($"doc_id", explode(split($"text", " ")).as("t"))
-    val h = conv(substring(md5($"t"), 1, 8), 16, 10).cast("long")
     tok
-      .select($"doc_id", (h % 1000 - 500).as("w_milli"))
+      .select($"doc_id", tokenWeightMilli($"t").as("w_milli"))
       .groupBy($"doc_id")
       .agg(sum($"w_milli").as("sum_milli"), count(lit(1)).as("n_tokens"))
       .select(

@@ -375,11 +375,34 @@ object LrTrain {
     * aggregate to a single driver row. */
   def agreementKappa(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
-    val rule = Classifier.qualityClassifierOf(docs)
-      .select($"doc_id", $"accepted".as("rule_acc"))
-    val lr = lrScore(s, d).select($"doc_id", $"accepted".as("lr_acc"))
-    val conf = rule.join(lr, "doc_id").agg(
+    // ONE widened scan rates every document with BOTH raters per row
+    // (round 16, guide §2.4): the previous shape scanned + tokenized the
+    // corpus twice (rule scorer: explode + groupBy shuffle; LR scorer:
+    // feature fold) and joined the two on doc_id — two full md5-per-token
+    // passes plus a doc-keyed exchange for a query whose output is one
+    // confusion row. The rule logit folds per row via
+    // [[Classifier.ruleLogitCol]] (the SAME shared tokenWeightMilli
+    // term — exact int64, order-free, so fold ≡ explode+sum
+    // bit-for-bit), the LR side is featuresOf's own hoisted-__bks
+    // spelling with the registry-served weights, and the confusion
+    // matrix is one map-side-combinable aggregate. No join, no shuffle
+    // beyond the singleton agg.
+    val (w, b) = train(s, d)
+    val raw = (0 until D).map(j => col("c")(j) * lit(w(j))).reduce(_ + _) + lit(b)
+    val p4 = least(greatest(lit(2L * S) + raw, lit(0L)), lit(4L * S))
+    val conf = Tables.widened(Tables.documents(s, d))
+      // __bks projected FIRST (the featuresOf lesson: lambda-bound
+      // subtrees escape codegen subexpression elimination — inlining
+      // re-hashes every token D times)
+      .select(
+        Classifier.ruleLogitCol($"text").as("rule_logit"),
+        transform(split($"text", " "), t => bucketCol(t)).as("__bks"))
+      .select(
+        ($"rule_logit" > 0).as("rule_acc"),
+        transform(sequence(lit(0), lit(D - 1)),
+          j => size(filter($"__bks", bk => bk === j)).cast("long")).as("c"))
+      .select($"rule_acc", (p4 > 2L * S).as("lr_acc"))
+      .agg(
       count(lit(1)).as("n"),
       sum(when($"rule_acc" && $"lr_acc", 1L).otherwise(0L)).as("both_accept"),
       sum(when($"rule_acc" && !$"lr_acc", 1L).otherwise(0L)).as("rule_only"),
